@@ -1,0 +1,18 @@
+"""PySpark-native analytics engine with the query/data-processing
+capabilities of the reference streaming-FOREX-data-pipeline
+(Ayrton-Machado/streaming-FOREX-data-pipeline), re-expressed Spark-first.
+
+Layout:
+    session.py    -- SparkSession factory tuned for local[N] + 100TB posture
+    schema.py     -- canonical StructTypes (candles, ticks, order book)
+    sources/      -- parquet table loaders + candle derivation (S-series)
+    operators/    -- quality (F/D), resample (A1/A2), indicators (W),
+                     market features (X), normalization (N), stats (A)
+    functions/    -- shared Column-expression helpers
+    plans/        -- query registry: every SURVEY §2 operator exposed as a
+                     (spark_builder, duckdb_oracle_sql) pair
+    streaming/    -- Structured Streaming channels (ST-series)
+    llm/          -- LLM-data-pipeline ops: dedup, similarity, text analysis
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,122 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Exact dedup (hash-groupBy) and MinHash/LSH near-dup live here. The
+correctness tier (oracle-checked) covers exact + token-Jaccard; MinHash
+banding is the scale path for all-pairs near-dup (O(N) buckets instead
+of O(N²) pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import md5_fingerprint
+
+
+def exact_duplicate_groups(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Exact dedup: group by normalized-content hash; one shuffle on the
+    hash key with map-side partial counts."""
+    return (
+        docs.withColumn("fingerprint", md5_fingerprint(text))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def dedup_exact(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Keep-first per content hash (lowest doc_id wins)."""
+    w = Window.partitionBy(md5_fingerprint(text)).orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def token_set(text: str = "text") -> Column:
+    """Distinct lowercase whitespace tokens — the unigram shingle set."""
+    return F.array_distinct(F.split(F.lower(F.trim(F.col(text))), r"\s+"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Token-set Jaccard similarity |A∩B| / |A∪B|."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
+
+
+def minhash_signature(tokens: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature: per hash function i, min over tokens of
+    xxhash64(token, seed=i). Pure Column algebra via transform+
+    array_min — no UDF, fully codegen'd."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(tokens, lambda t: F.xxhash64(t, F.lit(i)))
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    text: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any band-hash are candidate
+    near-dups. Emits (band, band_hash, doc_id) — a groupBy on
+    (band, band_hash) yields candidate clusters with one shuffle,
+    avoiding the O(N²) pair join at scale."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(token_set(text), n_hashes)
+    with_sig = docs.withColumn("__sig", sig)
+    band_cols = []
+    for b in range(bands):
+        band_slice = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(band_slice).alias("band_hash"))
+        )
+    return (
+        with_sig.withColumn("__bands", F.array(*band_cols))
+        .select("doc_id", F.explode("__bands").alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def near_duplicate_pairs(
+    docs: DataFrame, text: str = "text", threshold: float = 0.7,
+    n_hashes: int = 32, bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: band-bucket join produces
+    candidates; exact Jaccard verifies. Candidate join is self-equi on
+    (band, band_hash) — shuffle-bounded by bucket sizes, not N²."""
+    buckets = minhash_band_buckets(docs, text, n_hashes, bands)
+    pairs = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    toks = docs.select("doc_id", token_set(text).alias("toks"))
+    verified = (
+        pairs.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        .withColumn("jaccard", jaccard(F.col("toks_a"), F.col("toks_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified

@@ -1,0 +1,73 @@
+"""Embedding similarity search (mandated LLM-pipeline extension).
+
+Brute-force cosine top-k is the exact baseline: one broadcast of the
+query vector(s), one scan of the embeddings table, JVM-side
+``zip_with``/``aggregate`` arithmetic (no Python in the loop).
+
+Scale path (IVF-style): assign each vector to a coarse bucket (sign-bit
+LSH over a fixed set of hyperplanes), bucket the query the same way,
+and only score vectors sharing a band — turns the O(N·d) scan into
+O(N/buckets·d) with the same DataFrame shape. Implemented in
+``lsh_bucket`` below; the correctness tier uses the exact scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float> columns, accumulated in double
+    (left-to-right, matching DuckDB list_dot_product over DOUBLE[])."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
+
+
+def brute_force_topk(
+    embeddings: DataFrame, query: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (tiny) query side, scan the
+    corpus once, TakeOrderedAndProject for the top-k — no full sort."""
+    q = query.select(F.col("embedding").alias("q_embedding"))
+    scored = embeddings.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        cosine(F.col("embedding"), F.col("q_embedding")).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
+    """Sign-bit LSH bucket id: sign pattern of dot products against
+    ``n_planes`` deterministic pseudo-random hyperplanes.
+
+    The planes are generated from a fixed linear-congruential sequence
+    so the bucketing is reproducible engine-side without a fitted model.
+    At scale: GROUP BY bucket co-locates candidates; query vectors probe
+    only their own bucket (plus optional neighboring buckets for
+    recall).
+    """
+    bucket = F.lit(0)
+    state = seed
+    for p in range(n_planes):
+        weights = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            weights.append((state / float(2**31)) * 2.0 - 1.0)
+        plane = F.array(*[F.lit(w) for w in weights])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return bucket

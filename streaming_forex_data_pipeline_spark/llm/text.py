@@ -1,0 +1,89 @@
+"""Text-analysis operators for LLM-data pipelines (mandated extension).
+
+All JVM-side Column expressions — language ID, quality scoring, token
+counting and fingerprinting run inside whole-stage codegen, so a 100 TB
+documents table is a single scan + projection (+ one shuffle only where
+a groupBy is involved).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small + deterministic so the DuckDB oracle can
+# reproduce them in SQL.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "un"),
+}
+
+
+def token_count(text: str = "text") -> Column:
+    """Whitespace token count: number of non-empty chunks split on
+    runs of whitespace."""
+    trimmed = F.trim(F.col(text))
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def char_count(text: str = "text") -> Column:
+    return F.length(text)
+
+
+def avg_word_len(text: str = "text") -> Column:
+    tc = token_count(text)
+    no_space = F.length(F.regexp_replace(F.col(text), r"\s+", ""))
+    return F.when(tc > 0, no_space.cast("double") / tc)
+
+
+def punct_ratio(text: str = "text") -> Column:
+    """Punctuation chars / total chars."""
+    total = F.length(text)
+    punct = total - F.length(F.regexp_replace(F.col(text), r"[.,;:!?'\"()-]", ""))
+    return F.when(total > 0, punct.cast("double") / total).otherwise(0.0)
+
+
+def stopword_hits(lang: str, text: str = "text") -> Column:
+    """Count of stopword occurrences (word-boundary matches) for one
+    language."""
+    total = F.lit(0)
+    for wrd in STOPWORDS[lang]:
+        # count occurrences of ' wrd ' in padded lowercase text
+        padded = F.concat(F.lit(" "), F.lower(F.col(text)), F.lit(" "))
+        hits = (
+            F.length(padded)
+            - F.length(F.regexp_replace(padded, rf"\b{wrd}\b", ""))
+        ) / len(wrd)
+        total = total + hits.cast("int")
+    return total
+
+
+def quality_score(text: str = "text") -> Column:
+    """Heuristic document quality in [0,1]: length band + word-length
+    band + punctuation sanity. Deterministic arithmetic, SQL-mirrorable."""
+    n = char_count(text)
+    awl = F.coalesce(avg_word_len(text), F.lit(0.0))
+    pr = punct_ratio(text)
+    len_ok = F.when((n >= 100) & (n <= 20000), 0.4).when(n >= 30, 0.2).otherwise(0.0)
+    word_ok = F.when((awl >= 3.0) & (awl <= 12.0), 0.3).otherwise(0.0)
+    punct_ok = F.when(pr <= 0.2, 0.3).otherwise(0.0)
+    return len_ok + word_ok + punct_ok
+
+
+def fingerprint(text: str = "text") -> Column:
+    """Document fingerprint: stable 64-bit hash of normalized text
+    (lowercased, whitespace-collapsed) — xxhash64 is Spark-native;
+    exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def md5_fingerprint(text: str = "text") -> Column:
+    """MD5 content hash of normalized text — portable across engines
+    (DuckDB md5() matches), used for oracle-checked exact dedup."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    return F.md5(normalized)

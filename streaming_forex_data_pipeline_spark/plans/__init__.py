@@ -1,0 +1,13 @@
+"""Query plan registry — importing this package registers every query.
+
+The modules are grouped by SURVEY §2 operator family:
+    relational  — scans/filters/aggregations/joins/top-k (S/F/A/J/T)
+    timeseries  — resample + window indicators (A1/A2, W-series, X-series)
+    quality     — dedup/gaps/outliers/scoring (D-series, F5)
+    llm         — dedup/similarity/text-analysis extensions
+"""
+
+from . import llm_q, quality_q, relational, timeseries  # noqa: F401
+from .registry import all_queries, oracle_sqls, spark_queries
+
+__all__ = ["all_queries", "spark_queries", "oracle_sqls"]

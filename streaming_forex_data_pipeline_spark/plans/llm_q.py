@@ -1,0 +1,184 @@
+"""LLM-data-pipeline queries: text analysis, dedup, similarity search.
+
+Mandated extensions beyond the reference's surface — each is a
+first-class oracle-checked query over the documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup as DD
+from ..llm import similarity as SIM
+from ..llm import text as TX
+from ..sources.tables import load_table
+from .registry import register
+
+R = 6
+
+
+@register(
+    "doc_stats",
+    oracle=r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+             THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                  / (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+             END, 6) AS avg_word_len
+FROM documents
+ORDER BY doc_id
+""",
+    doc="Text analysis — char/token counts + avg word length, all "
+    "JVM-side string expressions (token counting baseline for "
+    "LLM-data pipelines).",
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.char_count().alias("n_chars"),
+        TX.token_count().alias("n_tokens"),
+        F.round(TX.avg_word_len(), R).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "lang_id",
+    oracle="""
+SELECT doc_id, lang AS labeled_lang,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the','and','of','to','a'))) AS BIGINT) AS en_hits,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS es_hits,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('le','la','de','et','un'))) AS BIGINT) AS fr_hits
+FROM documents
+ORDER BY doc_id
+""",
+    doc="Language-ID heuristic — stopword-hit counts per language via "
+    "higher-order array functions (no UDF).",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def hits(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda x: x.isin(*words))).cast("long")
+
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits(TX.STOPWORDS["en"]).alias("en_hits"),
+        hits(TX.STOPWORDS["es"]).alias("es_hits"),
+        hits(TX.STOPWORDS["fr"]).alias("fr_hits"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "exact_dedup_groups",
+    oracle=r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+ORDER BY fingerprint
+""",
+    doc="Exact dedup — hash-groupBy on normalized-content MD5; "
+    "keep-first = min(doc_id). One shuffle with map-side combine.",
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_duplicate_groups(d).orderBy("fingerprint")
+
+
+@register(
+    "jaccard_vs_doc0",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents
+), q AS (SELECT t AS qt FROM toks WHERE doc_id = 0)
+SELECT toks.doc_id,
+       round(CASE WHEN len(list_distinct(list_concat(t, qt))) > 0
+             THEN CAST(len(list_intersect(t, qt)) AS DOUBLE)
+                  / len(list_distinct(list_concat(t, qt)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM toks, q
+ORDER BY toks.doc_id
+""",
+    doc="N-gram (unigram) Jaccard similarity of every doc vs doc 0 — "
+    "the verify kernel of MinHash-LSH near-dup; query side broadcast.",
+)
+def jaccard_vs_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", DD.token_set().alias("t"))
+    q = toks.filter(F.col("doc_id") == 0).select(F.col("t").alias("qt"))
+    return (
+        toks.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(DD.jaccard(F.col("t"), F.col("qt")), R).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "knn_cosine_topk",
+    oracle="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qe, qe))), 5) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    doc="Similarity search — brute-force cosine top-k vs vec_id 0 "
+    "(exact ANN baseline): broadcast query vector, single corpus scan, "
+    "TakeOrderedAndProject. Scale path = sign-bit LSH bucketing "
+    "(llm/similarity.py:lsh_bucket). Rounded to 5dp: float32 inputs "
+    "give ~7 significant digits through a 64-term dot product.",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    scored = e.crossJoin(
+        F.broadcast(q.select(F.col("embedding").alias("q_embedding")))
+    ).select(
+        "vec_id",
+        F.round(
+            SIM.cosine(F.col("embedding"), F.col("q_embedding")), 5
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 5) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+""",
+    doc="Embedding hygiene scan — L2 norms (zero-vector/NaN detection "
+    "before similarity search); JVM-side aggregate over the array.",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(SIM.norm(F.col("embedding")), 5).alias("l2_norm"),
+    ).orderBy("vec_id")

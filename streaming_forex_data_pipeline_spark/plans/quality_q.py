@@ -1,0 +1,332 @@
+"""Data-quality queries: dedup, gaps, outliers, OHLC checks, scoring.
+
+Covers SURVEY §2 operators D1, D3, D5, D7, D8, D9 and F5 — the
+reference's DataValidator / DataQualityService re-expressed as
+set-based Spark plans (no per-row loops anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import indicators as I
+from ..operators import quality as Q
+from ..sources.tables import CANDLES_CTE, candles_from_events, load_table
+from .registry import register
+
+R = 6
+_W_ORD = "PARTITION BY symbol ORDER BY ts"
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+SELECT event_type,
+       CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS minute,
+       event_id,
+       round("value", 6) AS value
+FROM (
+  SELECT event_type, ts, event_id, "value",
+         row_number() OVER (PARTITION BY event_type, date_trunc('minute', CAST(ts AS TIMESTAMP))
+                            ORDER BY event_id) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY event_type, minute
+""",
+    doc="D1 — keep-first dedup on (key, minute bucket) by ingest order; "
+    "row_number window == pandas drop_duplicates(keep='first') "
+    "(data_quality.py:315-339).",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "minute", F.date_trunc("minute", "ts")
+    )
+    out = Q.dedup_keep_first(e, ["event_type", "minute"], "event_id")
+    return out.select(
+        "event_type", "minute", "event_id", F.round("value", R).alias("value")
+    ).orderBy("event_type", "minute")
+
+
+@register(
+    "gap_detection",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       lag(ts) OVER ({_W_ORD}) AS prev_ts,
+       round(epoch(ts) - epoch(lag(ts) OVER ({_W_ORD})), 6) AS gap_seconds
+FROM candles
+QUALIFY epoch(ts) - epoch(lag(ts) OVER ({_W_ORD})) > 3600 * 1.5
+ORDER BY symbol, ts
+""",
+    doc="D3 — consecutive-timestamp gap detection: LAG diff vs expected "
+    "interval × 1.5 tolerance (data_validator.py:251-290; SQL LAG "
+    "variant repository.py:354-367).",
+)
+def gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    flagged = Q.gap_flags(c, expected_seconds=3600.0, tolerance=1.5)
+    return (
+        flagged.filter(F.col("is_gap"))
+        .select(
+            "symbol",
+            "ts",
+            "prev_ts",
+            F.round("gap_seconds", R).alias("gap_seconds"),
+        )
+        .orderBy("symbol", "ts")
+    )
+
+
+@register(
+    "spike_filter",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (WHERE abs(pct) > 0.02) AS BIGINT) AS n_flagged,
+       CAST(count(*) FILTER (WHERE abs(pct) > 0.10) AS BIGINT) AS n_dropped
+FROM (
+  SELECT symbol,
+         CASE WHEN lag(close) OVER ({_W_ORD}) <> 0
+              THEN (close - lag(close) OVER ({_W_ORD})) / lag(close) OVER ({_W_ORD}) END AS pct
+  FROM candles
+) t
+GROUP BY symbol
+ORDER BY symbol
+""",
+    doc="F5 — spike detection on close pct_change: flag >2%, drop >10% "
+    "(data_quality.py:240-276).",
+)
+def spike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    c = c.withColumn("pct", I.pct_change())
+    return (
+        c.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.abs("pct") > 0.02).alias("n_flagged"),
+            F.count_if(F.abs("pct") > 0.10).alias("n_dropped"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "ohlc_consistency",
+    oracle=CANDLES_CTE
+    + """
+SELECT symbol,
+       count(*) AS n_rows,
+       CAST(count(*) FILTER (WHERE high < greatest(open, close)
+                                OR low > least(open, close)
+                                OR high < low) AS BIGINT) AS n_violations
+FROM candles
+GROUP BY symbol
+ORDER BY symbol
+""",
+    doc="D5 — OHLC invariant violation count "
+    "(data_validator.py:333-356; DDL CHECK 02-create-tables.sh:50-51).",
+)
+def ohlc_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return (
+        c.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(Q.ohlc_violations()).alias("n_violations"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "outlier_zscore_iqr",
+    oracle=CANDLES_CTE
+    + """
+SELECT c.symbol, c.ts,
+       CAST(
+         (CASE WHEN s.sd > 0 THEN abs((c.close - s.mu) / s.sd) > 3.0 ELSE FALSE END)
+         OR c.close < s.q1 - 1.5 * (s.q3 - s.q1)
+         OR c.close > s.q3 + 1.5 * (s.q3 - s.q1)
+       AS INT) AS is_outlier
+FROM candles c
+JOIN (SELECT symbol,
+             avg(close) AS mu,
+             stddev_samp(close) AS sd,
+             quantile_cont(close, 0.25) AS q1,
+             quantile_cont(close, 0.75) AS q3
+      FROM candles GROUP BY symbol) s
+  ON c.symbol = s.symbol
+ORDER BY c.symbol, c.ts
+""",
+    doc="D7 — outlier = |z|>3 OR outside 1.5·IQR fences, per symbol; "
+    "stats via one aggregate broadcast back "
+    "(data_validator.py:292-331; config app/core/config.py:154-159).",
+)
+def outlier_zscore_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    stats = c.groupBy("symbol").agg(
+        F.avg("close").alias("mu"),
+        F.stddev_samp("close").alias("sd"),
+        F.expr("percentile(close, 0.25)").alias("q1"),
+        F.expr("percentile(close, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    z_bad = F.when(
+        F.col("sd") > 0, F.abs((F.col("close") - F.col("mu")) / F.col("sd")) > 3.0
+    ).otherwise(F.lit(False))
+    iqr_bad = (F.col("close") < F.col("q1") - 1.5 * iqr) | (
+        F.col("close") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        c.join(F.broadcast(stats), "symbol")
+        .select("symbol", "ts", (z_bad | iqr_bad).cast("int").alias("is_outlier"))
+        .orderBy("symbol", "ts")
+    )
+
+
+@register(
+    "missing_values",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(count(*) FILTER (WHERE "value" IS NULL) AS BIGINT) AS n_null,
+       CAST(count(*) FILTER (WHERE "value" <= 0) AS BIGINT) AS n_nonpositive
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="D9 — missing/non-positive value counts "
+    "(data_validator.py:222-240).",
+)
+def missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col("value").isNull()).alias("n_null"),
+            F.count_if(F.col("value") <= 0).alias("n_nonpositive"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "quality_score",
+    oracle=CANDLES_CTE
+    + """
+, per_candle AS (
+  SELECT c.symbol, c.close, s.mu, s.sd
+  FROM candles c
+  JOIN (SELECT symbol, avg(close) AS mu, stddev_samp(close) AS sd
+        FROM candles GROUP BY symbol) s USING (symbol)
+),
+metrics AS (
+  SELECT symbol,
+         count(*) AS n_rows,
+         100.0 * count(*) FILTER (WHERE sd > 0 AND abs((close - mu) / sd) > 3.0) / count(*)
+           AS outlier_pct
+  FROM per_candle GROUP BY symbol
+),
+gaps AS (
+  SELECT symbol,
+         100.0 * (expected - actual) / expected AS gap_pct
+  FROM (
+    SELECT symbol,
+           (epoch(max(ts)) - epoch(min(ts))) / 3600 + 1 AS expected,
+           count(*) AS actual
+    FROM candles GROUP BY symbol
+  ) t
+)
+SELECT m.symbol,
+       m.n_rows,
+       round(g.gap_pct, 6) AS gap_pct,
+       round(m.outlier_pct, 6) AS outlier_pct,
+       round(greatest(
+         1.0
+         - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
+         - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
+                 WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
+         - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END),
+         0.0), 6) AS quality_score,
+       CASE WHEN greatest(1.0
+              - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
+              - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
+                      WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
+              - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END), 0.0) >= 0.95
+            THEN 'excellent'
+            WHEN greatest(1.0
+              - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
+              - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
+                      WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
+              - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END), 0.0) >= 0.8
+            THEN 'good'
+            WHEN greatest(1.0
+              - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
+              - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
+                      WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
+              - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END), 0.0) >= 0.6
+            THEN 'fair'
+            ELSE 'poor' END AS quality_level
+FROM metrics m JOIN gaps g USING (symbol)
+ORDER BY m.symbol
+""",
+    doc="D8 — dataset quality scoring: fixed penalties for gaps/outliers"
+    "/short series, clamped at 0, mapped to level thresholds "
+    "{.95,.8,.6} (data_validator.py:85-159; enums.py:67-86). The "
+    "flagship composite: resample → stats → gap math → score, all in "
+    "one lazy plan.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    stats = c.groupBy("symbol").agg(
+        F.avg("close").alias("mu"), F.stddev_samp("close").alias("sd")
+    )
+    per = c.join(F.broadcast(stats), "symbol")
+    metrics = per.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            100.0
+            * F.count_if(
+                (F.col("sd") > 0)
+                & (F.abs((F.col("close") - F.col("mu")) / F.col("sd")) > 3.0)
+            )
+            / F.count(F.lit(1))
+        ).alias("outlier_pct"),
+    )
+    gaps = c.groupBy("symbol").agg(
+        (
+            100.0
+            * (
+                (
+                    (F.max("ts").cast("double") - F.min("ts").cast("double")) / 3600.0
+                    + 1.0
+                )
+                - F.count(F.lit(1))
+            )
+            / (
+                (F.max("ts").cast("double") - F.min("ts").cast("double")) / 3600.0
+                + 1.0
+            )
+        ).alias("gap_pct")
+    )
+    joined = metrics.join(gaps, "symbol")
+    score = Q.quality_score(
+        missing_pct=F.lit(0.0),
+        duplicate_pct=F.lit(0.0),
+        gap_pct=F.col("gap_pct"),
+        outlier_pct=F.col("outlier_pct"),
+        invalid_ohlc_count=F.lit(0),
+        row_count=F.col("n_rows"),
+    )
+    return joined.select(
+        "symbol",
+        "n_rows",
+        F.round("gap_pct", R).alias("gap_pct"),
+        F.round("outlier_pct", R).alias("outlier_pct"),
+        F.round(score, R).alias("quality_score"),
+        Q.quality_level(score).alias("quality_level"),
+    ).orderBy("symbol")

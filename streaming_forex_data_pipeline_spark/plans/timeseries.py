@@ -1,0 +1,756 @@
+"""Time-series queries: OHLCV resample + window-function indicators.
+
+Covers SURVEY §2 operators A1/A2, W1/W5/W6/W8-W11/W13-W16/W22/W23/W28,
+X1-X7 and N1-N4 over the candle series derived from the events table
+(see sources.tables.candles_from_events).
+
+Every indicator is per-symbol Column algebra over one window ordering
+(symbol, ts) — a single sort per symbol partition serves all frames, and
+symbols parallelize across executors at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import indicators as I
+from ..operators import market as X
+from ..sources.tables import CANDLES_CTE, candles_from_events, load_table
+from .registry import register
+
+R = 6
+
+
+def _r(c, name):  # round+alias helper
+    return F.round(c, R).alias(name)
+
+
+@register(
+    "candles_1h",
+    oracle=CANDLES_CTE
+    + """
+SELECT symbol, ts, open, high, low, close, volume, n_events
+FROM candles ORDER BY symbol, ts
+""",
+    doc="A1 — OHLCV time-bucket resample with ordered first/last "
+    "(min_by/max_by), the reference's time_bucket aggregate "
+    "(repository.py:450-471). One shuffle, map-side partial agg.",
+)
+def candles_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candles_from_events(spark, sf_dir).orderBy("symbol", "ts")
+
+
+@register(
+    "resample_daily",
+    oracle=CANDLES_CTE
+    + """
+SELECT symbol,
+       date_trunc('day', ts) AS day,
+       round(min_by(open, ts), 6)  AS open,
+       round(max(high), 6)         AS high,
+       round(min(low), 6)          AS low,
+       round(max_by(close, ts), 6) AS close,
+       round(sum(volume), 6)       AS volume,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM candles
+GROUP BY 1, 2
+ORDER BY symbol, day
+""",
+    doc="A1 at coarser granularity — hourly→daily re-resample proving "
+    "the operator composes (reference granularity ladder 1min→1d).",
+)
+def resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return (
+        c.groupBy(
+            # TIMESTAMP (not DATE) on both sides: date objects normalize
+            # differently across engines' pandas bridges.
+            "symbol", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            _r(F.min_by("open", "ts"), "open"),
+            _r(F.max("high"), "high"),
+            _r(F.min("low"), "low"),
+            _r(F.max_by("close", "ts"), "close"),
+            _r(F.sum("volume"), "volume"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("symbol", "day")
+    )
+
+
+@register(
+    "daily_stats",
+    oracle="""
+SELECT event_type,
+       date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       count(*) AS n,
+       round(min("value"), 6) AS min_value,
+       round(max("value"), 6) AS max_value,
+       round(avg("value"), 6) AS avg_value,
+       round(sum("value"), 6) AS sum_value,
+       CAST(count(*) FILTER (WHERE "value" > 180) AS BIGINT) AS n_high
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, day
+""",
+    doc="A2 — daily stats view with FILTER'd count "
+    "(02-create-tables.sh:217-232); count_if on Spark side.",
+)
+def daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.min("value"), "min_value"),
+            _r(F.max("value"), "max_value"),
+            _r(F.avg("value"), "avg_value"),
+            _r(F.sum("value"), "sum_value"),
+            F.count_if(F.col("value") > 180).alias("n_high"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---- indicator queries over the candle series ------------------------------
+
+_W_ORD = "PARTITION BY symbol ORDER BY ts"
+
+
+def _frame(n: int) -> str:
+    return f"PARTITION BY symbol ORDER BY ts ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+
+
+def _guard(n: int, inner: str) -> str:
+    """pandas min_periods=N parity in SQL."""
+    return f"CASE WHEN row_number() OVER ({_W_ORD}) >= {n} THEN {inner} END"
+
+
+@register(
+    "sma",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts, close,
+       round({_guard(5, f'avg(close) OVER ({_frame(5)})')}, 6)  AS sma_5,
+       round({_guard(20, f'avg(close) OVER ({_frame(20)})')}, 6) AS sma_20,
+       round({_guard(50, f'avg(close) OVER ({_frame(50)})')}, 6) AS sma_50
+FROM candles ORDER BY symbol, ts
+""",
+    doc="W1 — SMA(5/20/50) with pandas min_periods semantics "
+    "(feature_engineer.py:95-103).",
+)
+def sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return c.select(
+        "symbol",
+        "ts",
+        "close",
+        _r(I.sma("close", 5), "sma_5"),
+        _r(I.sma("close", 20), "sma_20"),
+        _r(I.sma("close", 50), "sma_50"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "returns",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts, close,
+       round(close - lag(close) OVER ({_W_ORD}), 6) AS price_change,
+       round(CASE WHEN lag(close) OVER ({_W_ORD}) <> 0
+             THEN (close - lag(close) OVER ({_W_ORD})) / lag(close) OVER ({_W_ORD}) * 100
+             END, 6) AS pct_change
+FROM candles ORDER BY symbol, ts
+""",
+    doc="W8 — diff + pct_change×100 (feature_engineer.py:225-226).",
+)
+def returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return c.select(
+        "symbol",
+        "ts",
+        "close",
+        _r(I.price_change(), "price_change"),
+        _r(I.pct_change() * 100.0, "pct_change"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "rolling_volatility",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round({_guard(11, f'stddev_samp(ret) OVER ({_frame(10)}) * 100')}, 6) AS vol_10
+FROM (
+  SELECT symbol, ts,
+         CASE WHEN lag(close) OVER ({_W_ORD}) <> 0
+              THEN (close - lag(close) OVER ({_W_ORD})) / lag(close) OVER ({_W_ORD})
+         END AS ret
+  FROM candles
+) t
+ORDER BY symbol, ts
+""",
+    doc="W9 — rolling std of returns ×100 (feature_engineer.py:234-239). "
+    "Guard is 11 rows: first return is null so 10 non-null returns need "
+    "11 candles (pandas rolling over a diff'd series).",
+)
+def rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    c = c.withColumn("ret", I.pct_change())
+    w10 = I.w_rows(10)
+    rn = F.row_number().over(I.w_ordered())
+    return c.select(
+        "symbol",
+        "ts",
+        _r(
+            F.when(rn >= 11, F.stddev_samp("ret").over(w10) * 100.0),
+            "vol_10",
+        ),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "bollinger",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts, close,
+       round(mid, 6) AS bb_middle,
+       round(mid + 2 * sd, 6) AS bb_upper,
+       round(mid - 2 * sd, 6) AS bb_lower,
+       round(CASE WHEN mid <> 0 THEN 4 * sd / mid END, 6) AS bb_width
+FROM (
+  SELECT symbol, ts, close,
+         {_guard(20, f'avg(close) OVER ({_frame(20)})')} AS mid,
+         {_guard(20, f'stddev_samp(close) OVER ({_frame(20)})')} AS sd
+  FROM candles
+) t
+ORDER BY symbol, ts
+""",
+    doc="W5 — Bollinger(20, 2σ), sample stddev like pandas default "
+    "(feature_engineer.py:163-187).",
+)
+def bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    b = I.bollinger(20, 2.0)
+    return c.select(
+        "symbol",
+        "ts",
+        "close",
+        _r(b["bb_middle"], "bb_middle"),
+        _r(b["bb_upper"], "bb_upper"),
+        _r(b["bb_lower"], "bb_lower"),
+        _r(b["bb_width"], "bb_width"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "momentum",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round(CASE WHEN lag(close, 5) OVER ({_W_ORD}) <> 0
+             THEN (close / lag(close, 5) OVER ({_W_ORD}) - 1) * 100 END, 6) AS momentum_5,
+       round(CASE WHEN lag(close, 10) OVER ({_W_ORD}) <> 0
+             THEN (close / lag(close, 10) OVER ({_W_ORD}) - 1) * 100 END, 6) AS momentum_10
+FROM candles ORDER BY symbol, ts
+""",
+    doc="W11 — momentum over 5/10 buckets (feature_engineer.py:252-256).",
+)
+def momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return c.select(
+        "symbol",
+        "ts",
+        _r(I.momentum("close", 5), "momentum_5"),
+        _r(I.momentum("close", 10), "momentum_10"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "price_position",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round({_guard(10, f'''CASE WHEN max(high) OVER ({_frame(10)}) <> min(low) OVER ({_frame(10)})
+             THEN (close - min(low) OVER ({_frame(10)}))
+                  / (max(high) OVER ({_frame(10)}) - min(low) OVER ({_frame(10)})) * 100 END''')}, 6)
+         AS price_position_10
+FROM candles ORDER BY symbol, ts
+""",
+    doc="W10 — price position in rolling hi-lo range "
+    "(feature_engineer.py:242-250).",
+)
+def price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return c.select(
+        "symbol", "ts", _r(I.price_position(10), "price_position_10")
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "support_resistance",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts, close,
+       round({_guard(20, f'max(high) OVER ({_frame(20)})')}, 6) AS resistance_20,
+       round({_guard(20, f'min(low) OVER ({_frame(20)})')}, 6)  AS support_20,
+       round(CASE WHEN close <> 0 THEN ({_guard(20, f'max(high) OVER ({_frame(20)})')} - close) / close * 100 END, 6)
+         AS dist_resistance_pct
+FROM candles ORDER BY symbol, ts
+""",
+    doc="W13 — rolling support/resistance + distance "
+    "(feature_engineer.py:266-272).",
+)
+def support_resistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    res = I.rolling_max("high", 20)
+    sup = I.rolling_min("low", 20)
+    return c.select(
+        "symbol",
+        "ts",
+        "close",
+        _r(res, "resistance_20"),
+        _r(sup, "support_20"),
+        _r(F.when(F.col("close") != 0, (res - F.col("close")) / F.col("close") * 100.0), "dist_resistance_pct"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "williams_r",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round({_guard(14, f'''CASE WHEN max(high) OVER ({_frame(14)}) <> min(low) OVER ({_frame(14)})
+             THEN -100 * (max(high) OVER ({_frame(14)}) - close)
+                  / (max(high) OVER ({_frame(14)}) - min(low) OVER ({_frame(14)})) END''')}, 6)
+         AS williams_r_14
+FROM candles ORDER BY symbol, ts
+""",
+    doc="W15 — Williams %R(14) (advanced_feature_engineer.py:81-87).",
+)
+def williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return c.select("symbol", "ts", _r(I.williams_r(14), "williams_r_14")).orderBy(
+        "symbol", "ts"
+    )
+
+
+@register(
+    "stochastic",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round(stoch_k, 6) AS stoch_k,
+       round(CASE WHEN row_number() OVER ({_W_ORD}) >= 16
+             THEN avg(stoch_k) OVER ({_frame(3)}) END, 6) AS stoch_d
+FROM (
+  SELECT symbol, ts,
+         {_guard(14, f'''CASE WHEN max(high) OVER ({_frame(14)}) <> min(low) OVER ({_frame(14)})
+              THEN 100 * (close - min(low) OVER ({_frame(14)}))
+                   / (max(high) OVER ({_frame(14)}) - min(low) OVER ({_frame(14)})) END''')} AS stoch_k
+  FROM candles
+) t
+ORDER BY symbol, ts
+""",
+    doc="W16 — Stochastic %K(14)/%D(3); %D guard is 16 rows (14 for the "
+    "first %K + 2 more for the 3-row mean) "
+    "(advanced_feature_engineer.py:89-98).",
+)
+def stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    c = c.withColumn("stoch_k", I.stochastic(14)["stoch_k"])
+    rn = F.row_number().over(I.w_ordered())
+    return c.select(
+        "symbol",
+        "ts",
+        _r(F.col("stoch_k"), "stoch_k"),
+        _r(F.when(rn >= 16, F.avg("stoch_k").over(I.w_rows(3))), "stoch_d"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "donchian",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round({_guard(20, f'max(high) OVER ({_frame(20)})')}, 6) AS donchian_upper,
+       round({_guard(20, f'min(low) OVER ({_frame(20)})')}, 6)  AS donchian_lower,
+       round(({_guard(20, f'max(high) OVER ({_frame(20)})')} + {_guard(20, f'min(low) OVER ({_frame(20)})')}) / 2, 6)
+         AS donchian_middle
+FROM candles ORDER BY symbol, ts
+""",
+    doc="W22 — Donchian channels(20) (advanced_feature_engineer.py:228-233).",
+)
+def donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    d = I.donchian(20)
+    return c.select(
+        "symbol",
+        "ts",
+        _r(d["donchian_upper"], "donchian_upper"),
+        _r(d["donchian_lower"], "donchian_lower"),
+        _r(d["donchian_middle"], "donchian_middle"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "obv_proxy",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round(sum(signed_range) OVER ({_W_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS obv
+FROM (
+  SELECT symbol, ts,
+         CASE WHEN close - lag(close) OVER ({_W_ORD}) > 0 THEN high - low
+              WHEN close - lag(close) OVER ({_W_ORD}) < 0 THEN -(high - low)
+              ELSE 0 END AS signed_range
+  FROM candles
+) t
+ORDER BY symbol, ts
+""",
+    doc="W23 — OBV volume-proxy as a running signed sum; the reference's "
+    "Python loop vectorizes to one cumulative window "
+    "(advanced_feature_engineer.py:235-252).",
+)
+def obv_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return c.select("symbol", "ts", _r(I.obv_proxy(), "obv")).orderBy("symbol", "ts")
+
+
+@register(
+    "atr",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round(tr, 6) AS true_range,
+       round(CASE WHEN row_number() OVER ({_W_ORD}) >= 14
+             THEN avg(tr) OVER ({_frame(14)}) END, 6) AS atr_14
+FROM (
+  SELECT symbol, ts,
+         CASE WHEN lag(close) OVER ({_W_ORD}) IS NULL THEN high - low
+              ELSE greatest(high - low,
+                            abs(high - lag(close) OVER ({_W_ORD})),
+                            abs(low - lag(close) OVER ({_W_ORD}))) END AS tr
+  FROM candles
+) t
+ORDER BY symbol, ts
+""",
+    doc="W6 — true range + SMA-smoothed ATR(14) (Keltner variant, "
+    "advanced_feature_engineer.py:216-221).",
+)
+def atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    c = c.withColumn("tr", I.true_range())
+    rn = F.row_number().over(I.w_ordered())
+    return c.select(
+        "symbol",
+        "ts",
+        _r(F.col("tr"), "true_range"),
+        _r(F.when(rn >= 14, F.avg("tr").over(I.w_rows(14))), "atr_14"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "candle_anatomy",
+    oracle=CANDLES_CTE
+    + """
+SELECT symbol, ts,
+       round(abs(close - open), 6) AS body_size,
+       round(high - greatest(open, close), 6) AS upper_shadow,
+       round(least(open, close) - low, 6) AS lower_shadow,
+       round(high - low, 6) AS candle_range,
+       CAST(abs(close - open) < 0.1 * (high - low) AS INT) AS is_doji
+FROM candles ORDER BY symbol, ts
+""",
+    doc="W14 — candle body/shadow geometry + doji flag "
+    "(feature_engineer.py:275-280).",
+)
+def candle_anatomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    a = I.candle_anatomy()
+    return c.select(
+        "symbol",
+        "ts",
+        _r(a["body_size"], "body_size"),
+        _r(a["upper_shadow"], "upper_shadow"),
+        _r(a["lower_shadow"], "lower_shadow"),
+        _r(a["candle_range"], "candle_range"),
+        a["is_doji"].alias("is_doji"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "open_gaps",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round(gap_pct, 6) AS gap_pct,
+       CASE WHEN gap_pct > 0.1 THEN 'up'
+            WHEN gap_pct < -0.1 THEN 'down'
+            ELSE 'none' END AS gap_direction
+FROM (
+  SELECT symbol, ts,
+         CASE WHEN lag(close) OVER ({_W_ORD}) <> 0
+              THEN (open - lag(close) OVER ({_W_ORD})) / lag(close) OVER ({_W_ORD}) * 100 END AS gap_pct
+  FROM candles
+) t
+WHERE gap_pct IS NOT NULL
+ORDER BY symbol, ts
+""",
+    doc="W28 — open-gap detection vs previous close "
+    "(market_filters.py:161-184).",
+)
+def open_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    g = I.gap_open()
+    return (
+        c.select(
+            "symbol",
+            "ts",
+            _r(g["gap_pct"], "gap_pct"),
+            g["gap_direction"].alias("gap_direction"),
+        )
+        .filter(F.col("gap_pct").isNotNull())
+        .orderBy("symbol", "ts")
+    )
+
+
+# ---- market-context features (X-series) ------------------------------------
+
+
+@register(
+    "session_features",
+    oracle="""
+SELECT event_id,
+       CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+       CAST(hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) < 7 AS INT) AS is_sydney,
+       CAST(hour(CAST(ts AS TIMESTAMP)) >= 0 AND hour(CAST(ts AS TIMESTAMP)) < 9 AS INT)  AS is_tokyo,
+       CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) < 17 AS INT) AS is_london,
+       CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) < 22 AS INT) AS is_new_york,
+       round(sin(2 * pi() * hour(CAST(ts AS TIMESTAMP)) / 24), 6) AS hour_sin,
+       round(cos(2 * pi() * hour(CAST(ts AS TIMESTAMP)) / 24), 6) AS hour_cos,
+       CASE WHEN hour(CAST(ts AS TIMESTAMP)) < 6 THEN 'night'
+            WHEN hour(CAST(ts AS TIMESTAMP)) < 12 THEN 'morning'
+            WHEN hour(CAST(ts AS TIMESTAMP)) < 18 THEN 'afternoon'
+            ELSE 'evening' END AS time_of_day
+FROM events ORDER BY event_id
+""",
+    doc="X1/X5/X6 — session flags (incl. midnight-wrapping Sydney), "
+    "cyclical hour encoding, time-of-day bucket "
+    "(market_filters.py:100-137, 218-229).",
+)
+def session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    flags = X.session_flags("ts")
+    cyc = X.cyclical_encodings("ts")
+    return e.select(
+        "event_id",
+        F.hour("ts").cast("int").alias("hour"),
+        flags["is_sydney"].alias("is_sydney"),
+        flags["is_tokyo"].alias("is_tokyo"),
+        flags["is_london"].alias("is_london"),
+        flags["is_new_york"].alias("is_new_york"),
+        _r(cyc["hour_sin"], "hour_sin"),
+        _r(cyc["hour_cos"], "hour_cos"),
+        X.time_of_day_bucket("ts").alias("time_of_day"),
+    ).orderBy("event_id")
+
+
+@register(
+    "calendar_features",
+    oracle="""
+SELECT event_id,
+       CAST(dayofmonth(CAST(ts AS TIMESTAMP)) AS INT) AS day,
+       CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS month,
+       CAST(quarter(CAST(ts AS TIMESTAMP)) AS INT) AS quarter,
+       CAST((dayofweek(CAST(ts AS TIMESTAMP)) + 6) % 7 AS INT) AS day_of_week,
+       CAST((dayofweek(CAST(ts AS TIMESTAMP)) + 6) % 7 >= 5 AS INT) AS is_weekend,
+       round(sin(2 * pi() * month(CAST(ts AS TIMESTAMP)) / 12), 6) AS month_sin,
+       round(cos(2 * pi() * month(CAST(ts AS TIMESTAMP)) / 12), 6) AS month_cos
+FROM events ORDER BY event_id
+""",
+    doc="X3/X4/X5 — calendar + weekend features; day_of_week pinned to "
+    "pandas convention Mon=0..Sun=6 (market_filters.py:186-215). "
+    "DuckDB dayofweek is Sun=0..Sat=6 → (d+6)%7.",
+)
+def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cal = X.calendar_features("ts")
+    cyc = X.cyclical_encodings("ts")
+    return e.select(
+        "event_id",
+        cal["day"].cast("int").alias("day"),
+        cal["month"].cast("int").alias("month"),
+        cal["quarter"].cast("int").alias("quarter"),
+        cal["day_of_week"].cast("int").alias("day_of_week"),
+        cal["is_weekend"].alias("is_weekend"),
+        _r(cyc["month_sin"], "month_sin"),
+        _r(cyc["month_cos"], "month_cos"),
+    ).orderBy("event_id")
+
+
+@register(
+    "liquidity",
+    oracle="""
+SELECT hour, round(score, 6) AS liquidity_score,
+       CASE WHEN score >= 0.8 THEN 'very_high'
+            WHEN score >= 0.5 THEN 'high'
+            WHEN score >= 0.25 THEN 'medium'
+            ELSE 'low' END AS liquidity_level
+FROM (
+  SELECT DISTINCT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+     (CAST(hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) < 7 AS INT) * 0.2
+    + CAST(hour(CAST(ts AS TIMESTAMP)) < 9 AS INT) * 0.4
+    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) < 17 AS INT) * 0.8
+    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) < 22 AS INT) * 0.9
+    + CAST((hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) < 7)
+           AND hour(CAST(ts AS TIMESTAMP)) < 9 AS INT) * 0.5
+    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) < 9 AS INT) * 0.2
+    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) < 17 AS INT) * 0.3
+     ) / 2.0 AS score
+  FROM events
+) t
+ORDER BY hour
+""",
+    doc="X7 — liquidity score per UTC hour: weighted session membership "
+    "+ overlap bonuses, normalized by max attainable (london 0.8 + "
+    "new_york 0.9 + overlap 0.3 = 2.0) (market_filters.py:233-270).",
+)
+def liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    score = X.liquidity_score("ts")
+    return (
+        e.select(
+            F.hour("ts").cast("int").alias("hour"),
+            F.round(score, R).alias("liquidity_score"),
+            X.liquidity_level(score).alias("liquidity_level"),
+        )
+        .distinct()
+        .orderBy("hour")
+    )
+
+
+# ---- normalization (N-series) ----------------------------------------------
+
+
+@register(
+    "normalize_minmax",
+    oracle=CANDLES_CTE
+    + """
+SELECT c.symbol, c.ts,
+       round(CASE WHEN s.mx <> s.mn THEN (c.close - s.mn) / (s.mx - s.mn) ELSE 0.0 END, 6)
+         AS close_normalized
+FROM candles c
+JOIN (SELECT symbol, min(close) AS mn, max(close) AS mx FROM candles GROUP BY symbol) s
+  ON c.symbol = s.symbol
+ORDER BY c.symbol, c.ts
+""",
+    doc="N1/N4 — min-max fit+apply per symbol; fit is a tiny aggregate "
+    "broadcast back (normalizer.py:138-148, 176-207).",
+)
+def normalize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    stats = c.groupBy("symbol").agg(
+        F.min("close").alias("mn"), F.max("close").alias("mx")
+    )
+    return (
+        c.join(F.broadcast(stats), "symbol")
+        .select(
+            "symbol",
+            "ts",
+            _r(
+                F.when(
+                    F.col("mx") != F.col("mn"),
+                    (F.col("close") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+                ).otherwise(0.0),
+                "close_normalized",
+            ),
+        )
+        .orderBy("symbol", "ts")
+    )
+
+
+@register(
+    "normalize_zscore",
+    oracle=CANDLES_CTE
+    + """
+SELECT c.symbol, c.ts,
+       round(CASE WHEN s.sd <> 0 THEN (c.close - s.mu) / s.sd ELSE 0.0 END, 6)
+         AS close_normalized
+FROM candles c
+JOIN (SELECT symbol, avg(close) AS mu, stddev_pop(close) AS sd FROM candles GROUP BY symbol) s
+  ON c.symbol = s.symbol
+ORDER BY c.symbol, c.ts
+""",
+    doc="N2/N4 — z-score with POPULATION std (ddof=0 like the reference "
+    "np.std, normalizer.py:150-160 — not Spark's default sample stddev).",
+)
+def normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    stats = c.groupBy("symbol").agg(
+        F.avg("close").alias("mu"), F.stddev_pop("close").alias("sd")
+    )
+    return (
+        c.join(F.broadcast(stats), "symbol")
+        .select(
+            "symbol",
+            "ts",
+            _r(
+                F.when(
+                    F.col("sd") != 0,
+                    (F.col("close") - F.col("mu")) / F.col("sd"),
+                ).otherwise(0.0),
+                "close_normalized",
+            ),
+        )
+        .orderBy("symbol", "ts")
+    )
+
+
+@register(
+    "normalize_robust",
+    oracle=CANDLES_CTE
+    + """
+SELECT c.symbol, c.ts,
+       round(CASE WHEN s.q75 <> s.q25 THEN (c.close - s.med) / (s.q75 - s.q25) ELSE 0.0 END, 6)
+         AS close_normalized
+FROM candles c
+JOIN (SELECT symbol,
+             quantile_cont(close, 0.25) AS q25,
+             quantile_cont(close, 0.5)  AS med,
+             quantile_cont(close, 0.75) AS q75
+      FROM candles GROUP BY symbol) s
+  ON c.symbol = s.symbol
+ORDER BY c.symbol, c.ts
+""",
+    doc="N3/N4 — robust scaling on exact interpolated percentiles "
+    "(normalizer.py:162-174); Spark percentile() == DuckDB "
+    "quantile_cont. At 100 TB switch to approx_percentile (documented "
+    "tolerance) — correctness tier stays exact.",
+)
+def normalize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    stats = c.groupBy("symbol").agg(
+        F.expr("percentile(close, 0.25)").alias("q25"),
+        F.expr("percentile(close, 0.5)").alias("med"),
+        F.expr("percentile(close, 0.75)").alias("q75"),
+    )
+    return (
+        c.join(F.broadcast(stats), "symbol")
+        .select(
+            "symbol",
+            "ts",
+            _r(
+                F.when(
+                    F.col("q75") != F.col("q25"),
+                    (F.col("close") - F.col("med")) / (F.col("q75") - F.col("q25")),
+                ).otherwise(0.0),
+                "close_normalized",
+            ),
+        )
+        .orderBy("symbol", "ts")
+    )

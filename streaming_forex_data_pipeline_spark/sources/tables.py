@@ -1,0 +1,106 @@
+"""Table loaders over the driver-provided parquet star schema, plus the
+candle-derivation source.
+
+The reference ingests OHLCV candles from market-data feeds
+(reference: app/services/data_fetcher.py:266-327).  In this engine the
+batch source is columnar parquet (S1), and the `events` stream table is
+resampled into OHLCV candles (A1 semantics,
+reference: app/database/repository.py:450-471) so that every
+indicator/window operator has a realistic per-symbol time series to run
+against.
+
+Scale notes: the loaders read with the parquet-embedded schema (no
+inference) so Catalyst can push filters/prune columns into the scan.
+At 100 TB the same call targets a date/symbol-partitioned table and
+partition pruning applies unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Float outputs are rounded to this many decimals on both the Spark and
+# the DuckDB-oracle side so that cross-engine value hashes agree despite
+# non-associative float summation order.
+ROUND = 6
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch scan (S1/S8 seam). Predicates and projections applied by the
+    caller reach the parquet reader via Catalyst pushdown."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong read path: ns → µs truncation, matching DuckDB's
+        # CAST(ts AS TIMESTAMP) over the same file.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def candles_from_events(
+    spark: SparkSession, sf_dir: str, bucket: str = "hour"
+) -> DataFrame:
+    """Derive per-symbol OHLCV candles from the events table.
+
+    symbol := event_type, bucket := date_trunc(bucket, ts), prices from
+    `value` ordered by `event_id` (unique, time-ordered -> deterministic
+    first/last, mirroring the reference's ordered first/last aggregates
+    in repository.py:450-471).
+
+    One shuffle on (event_type, bucket); partial aggregation is map-side
+    (hash agg) so the shuffle carries pre-combined rows — at 100 TB the
+    reduction factor is ~events-per-bucket.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc(bucket, F.col("ts")).alias("ts"),
+        )
+        .agg(
+            F.round(F.min_by("value", "event_id"), ROUND).alias("open"),
+            F.round(F.max("value"), ROUND).alias("high"),
+            F.round(F.min("value"), ROUND).alias("low"),
+            F.round(F.max_by("value", "event_id"), ROUND).alias("close"),
+            F.round(F.sum("value"), ROUND).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# DuckDB-oracle rendering of candles_from_events, shared by every
+# time-series oracle query.  CAST(ts AS TIMESTAMP) truncates the
+# nanosecond parquet timestamps to microseconds exactly as Spark's
+# parquet reader does.
+CANDLES_CTE = """
+WITH candles AS (
+  SELECT
+    event_type AS symbol,
+    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+    round(min_by("value", event_id), 6) AS open,
+    round(max("value"), 6) AS high,
+    round(min("value"), 6) AS low,
+    round(max_by("value", event_id), 6) AS close,
+    round(sum("value"), 6) AS volume,
+    count(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+"""
