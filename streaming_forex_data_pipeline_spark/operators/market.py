@@ -25,18 +25,18 @@ SESSIONS = {
 # (market_filters.py:233-270).
 SESSION_WEIGHTS = {"sydney": 0.2, "tokyo": 0.4, "london": 0.8, "new_york": 0.9}
 OVERLAP_BONUS = {
-    ("sydney", "tokyo"): 0.5,
-    ("tokyo", "london"): 0.2,
-    ("london", "new_york"): 0.3,
+    ("london", "new_york"): 0.5,
+    ("sydney", "tokyo"): 0.2,
+    ("tokyo", "london"): 0.3,
 }
 
 
 def in_session(hour: Column, start: int, end: int) -> Column:
     """X1 — session membership incl. midnight wrap
-    (market_filters.py:272-287)."""
+    (market_filters.py:272-287).  End-INCLUSIVE like pandas .between."""
     if start <= end:
-        return (hour >= start) & (hour < end)
-    return (hour >= start) | (hour < end)
+        return (hour >= start) & (hour <= end)
+    return (hour >= start) | (hour <= end)
 
 
 def session_flags(ts: str = "ts") -> dict[str, Column]:
@@ -100,7 +100,8 @@ def time_of_day_bucket(ts: str = "ts") -> Column:
         F.when(h < 6, "night")
         .when(h < 12, "morning")
         .when(h < 18, "afternoon")
-        .otherwise("evening")
+        .when(h < 22, "evening")
+        .otherwise("night")  # hours 22-23 fall back to night (ref :226-229)
     )
 
 
@@ -115,7 +116,12 @@ def liquidity_score(ts: str = "ts") -> Column:
     for (a, b), bonus in OVERLAP_BONUS.items():
         raw = raw + overlaps[f"overlap_{a}_{b}"] * F.lit(bonus)
     # max attainable: london+new_york sessions plus their overlap bonus
-    max_score = SESSION_WEIGHTS["london"] + SESSION_WEIGHTS["new_york"] + 0.3
+    # (0.8 + 0.9 + 0.5 = 2.2, reached at hours 13-17 with inclusive bounds)
+    max_score = (
+        SESSION_WEIGHTS["london"]
+        + SESSION_WEIGHTS["new_york"]
+        + OVERLAP_BONUS[("london", "new_york")]
+    )
     return raw / F.lit(max_score)
 
 
@@ -124,7 +130,7 @@ def liquidity_level(score: Column) -> Column:
     (market_filters.py:262-270)."""
     return (
         F.when(score >= 0.8, "very_high")
-        .when(score >= 0.5, "high")
-        .when(score >= 0.25, "medium")
+        .when(score >= 0.6, "high")
+        .when(score >= 0.3, "medium")
         .otherwise("low")
     )

@@ -124,9 +124,7 @@ def zscore_outlier_flags(
         iqr_bad = (F.col(c) < q1 - iqr_k * iqr) | (F.col(c) > q3 + iqr_k * iqr)
         flag = flag | z_bad | iqr_bad
     out = out.withColumn("is_outlier", flag)
-    return out.drop(*[f.split("(")[0] for f in []]).drop(
-        *[c for c in out.columns if c.startswith("__")]
-    )
+    return out.drop(*[c for c in out.columns if c.startswith("__")])
 
 
 def quality_score(

@@ -214,22 +214,49 @@ def missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ohlc_outlier_pred_sql() -> str:
+    """DuckDB predicate: z-score OR IQR outlier on any of the four OHLC
+    columns (union semantics, data_validator.py:292-331)."""
+    parts = []
+    for c in ("open", "high", "low", "close"):
+        parts.append(
+            f"(s.sd_{c} > 0 AND abs((c.{c} - s.mu_{c}) / s.sd_{c}) > 3.0)"
+            f" OR c.{c} < s.q1_{c} - 1.5 * (s.q3_{c} - s.q1_{c})"
+            f" OR c.{c} > s.q3_{c} + 1.5 * (s.q3_{c} - s.q1_{c})"
+        )
+    return " OR ".join(parts)
+
+
+_STATS_COLS_SQL = ",\n         ".join(
+    f"avg({c}) AS mu_{c}, stddev_samp({c}) AS sd_{c}, "
+    f"quantile_cont({c}, 0.25) AS q1_{c}, quantile_cont({c}, 0.75) AS q3_{c}"
+    for c in ("open", "high", "low", "close")
+)
+
+
 @register(
     "quality_score",
     oracle=CANDLES_CTE
-    + """
-, per_candle AS (
-  SELECT c.symbol, c.close, s.mu, s.sd
-  FROM candles c
-  JOIN (SELECT symbol, avg(close) AS mu, stddev_samp(close) AS sd
-        FROM candles GROUP BY symbol) s USING (symbol)
+    + f"""
+, stats AS (
+  SELECT symbol,
+         {_STATS_COLS_SQL}
+  FROM candles GROUP BY symbol
 ),
 metrics AS (
-  SELECT symbol,
+  SELECT c.symbol,
          count(*) AS n_rows,
-         100.0 * count(*) FILTER (WHERE sd > 0 AND abs((close - mu) / sd) > 3.0) / count(*)
-           AS outlier_pct
-  FROM per_candle GROUP BY symbol
+         100.0 * count(*) FILTER (WHERE {_ohlc_outlier_pred_sql()}) / count(*)
+           AS outlier_pct,
+         100.0 * count(*) FILTER (WHERE c.open IS NULL OR c.high IS NULL
+                                     OR c.low IS NULL OR c.close IS NULL) / count(*)
+           AS missing_pct,
+         100.0 * (count(*) - count(DISTINCT c.ts)) / count(*) AS duplicate_pct,
+         count(*) FILTER (WHERE c.high < greatest(c.open, c.close)
+                             OR c.low > least(c.open, c.close)
+                             OR c.high < c.low) AS invalid_ohlc
+  FROM candles c JOIN stats s USING (symbol)
+  GROUP BY c.symbol
 ),
 gaps AS (
   SELECT symbol,
@@ -240,62 +267,78 @@ gaps AS (
            count(*) AS actual
     FROM candles GROUP BY symbol
   ) t
+),
+scored AS (
+  SELECT m.symbol, m.n_rows, g.gap_pct, m.outlier_pct,
+         greatest(1.0
+           - (CASE WHEN m.missing_pct > 0 THEN 0.1 ELSE 0.0 END)
+           - (CASE WHEN m.duplicate_pct > 0 THEN 0.05 ELSE 0.0 END)
+           - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
+           - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
+                   WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
+           - (CASE WHEN m.invalid_ohlc > 0 THEN 0.3 ELSE 0.0 END)
+           - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END),
+           0.0) AS score
+  FROM metrics m JOIN gaps g USING (symbol)
 )
-SELECT m.symbol,
-       m.n_rows,
-       round(g.gap_pct, 6) AS gap_pct,
-       round(m.outlier_pct, 6) AS outlier_pct,
-       round(greatest(
-         1.0
-         - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
-         - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
-                 WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
-         - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END),
-         0.0), 6) AS quality_score,
-       CASE WHEN greatest(1.0
-              - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
-              - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
-                      WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
-              - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END), 0.0) >= 0.95
-            THEN 'excellent'
-            WHEN greatest(1.0
-              - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
-              - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
-                      WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
-              - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END), 0.0) >= 0.8
-            THEN 'good'
-            WHEN greatest(1.0
-              - (CASE WHEN g.gap_pct > 10.0 THEN 0.15 ELSE 0.0 END)
-              - (CASE WHEN m.outlier_pct > 5.0 THEN 0.2
-                      WHEN m.outlier_pct > 2.0 THEN 0.1 ELSE 0.0 END)
-              - (CASE WHEN m.n_rows < 10 THEN 0.2 ELSE 0.0 END), 0.0) >= 0.6
-            THEN 'fair'
+SELECT symbol, n_rows,
+       round(gap_pct, 6) AS gap_pct,
+       round(outlier_pct, 6) AS outlier_pct,
+       round(score, 6) AS quality_score,
+       CASE WHEN score >= 0.95 THEN 'excellent'
+            WHEN score >= 0.8 THEN 'good'
+            WHEN score >= 0.6 THEN 'fair'
             ELSE 'poor' END AS quality_level
-FROM metrics m JOIN gaps g USING (symbol)
-ORDER BY m.symbol
+FROM scored
+ORDER BY symbol
 """,
-    doc="D8 — dataset quality scoring: fixed penalties for gaps/outliers"
-    "/short series, clamped at 0, mapped to level thresholds "
-    "{.95,.8,.6} (data_validator.py:85-159; enums.py:67-86). The "
+    doc="D8 — dataset quality scoring: fixed penalties for missing/dups/"
+    "gaps/outliers/invalid-OHLC/short series, clamped at 0, mapped to "
+    "level thresholds {.95,.8,.6} (data_validator.py:85-159; "
+    "enums.py:67-86). outlier_pct is the UNION of z-score and IQR flags "
+    "over all four OHLC columns (data_validator.py:292-331); "
+    "missing/duplicate/invalid-OHLC are computed, not hard-coded. The "
     "flagship composite: resample → stats → gap math → score, all in "
     "one lazy plan.",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
-    stats = c.groupBy("symbol").agg(
-        F.avg("close").alias("mu"), F.stddev_samp("close").alias("sd")
-    )
+    stat_aggs = []
+    for col in ("open", "high", "low", "close"):
+        stat_aggs += [
+            F.avg(col).alias(f"mu_{col}"),
+            F.stddev_samp(col).alias(f"sd_{col}"),
+            F.expr(f"percentile({col}, 0.25)").alias(f"q1_{col}"),
+            F.expr(f"percentile({col}, 0.75)").alias(f"q3_{col}"),
+        ]
+    stats = c.groupBy("symbol").agg(*stat_aggs)
     per = c.join(F.broadcast(stats), "symbol")
+    outlier = F.lit(False)
+    for col in ("open", "high", "low", "close"):
+        mu, sd = F.col(f"mu_{col}"), F.col(f"sd_{col}")
+        q1, q3 = F.col(f"q1_{col}"), F.col(f"q3_{col}")
+        iqr = q3 - q1
+        z_bad = F.when(sd > 0, F.abs((F.col(col) - mu) / sd) > 3.0).otherwise(
+            F.lit(False)
+        )
+        iqr_bad = (F.col(col) < q1 - 1.5 * iqr) | (F.col(col) > q3 + 1.5 * iqr)
+        outlier = outlier | z_bad | iqr_bad
+    any_null = (
+        F.col("open").isNull()
+        | F.col("high").isNull()
+        | F.col("low").isNull()
+        | F.col("close").isNull()
+    )
     metrics = per.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        (100.0 * F.count_if(outlier) / F.count(F.lit(1))).alias("outlier_pct"),
+        (100.0 * F.count_if(any_null) / F.count(F.lit(1))).alias("missing_pct"),
         (
             100.0
-            * F.count_if(
-                (F.col("sd") > 0)
-                & (F.abs((F.col("close") - F.col("mu")) / F.col("sd")) > 3.0)
-            )
+            * (F.count(F.lit(1)) - F.count_distinct("ts"))
             / F.count(F.lit(1))
-        ).alias("outlier_pct"),
+        ).alias("duplicate_pct"),
+        F.count_if(Q.ohlc_violations()).alias("invalid_ohlc"),
     )
     gaps = c.groupBy("symbol").agg(
         (
@@ -315,11 +358,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = metrics.join(gaps, "symbol")
     score = Q.quality_score(
-        missing_pct=F.lit(0.0),
-        duplicate_pct=F.lit(0.0),
+        missing_pct=F.col("missing_pct"),
+        duplicate_pct=F.col("duplicate_pct"),
         gap_pct=F.col("gap_pct"),
         outlier_pct=F.col("outlier_pct"),
-        invalid_ohlc_count=F.lit(0),
+        invalid_ohlc_count=F.col("invalid_ohlc"),
         row_count=F.col("n_rows"),
     )
     return joined.select(

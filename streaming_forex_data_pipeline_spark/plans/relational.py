@@ -248,28 +248,29 @@ def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "pagination_window",
+    "pagination_keyset",
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
-FROM (
-  SELECT o_orderkey, o_totalprice,
-         row_number() OVER (ORDER BY o_orderkey) AS rn
-  FROM orders
-) t
-WHERE rn > 200 AND rn <= 300
+FROM orders
+WHERE o_orderkey > 200
 ORDER BY o_orderkey
+LIMIT 100
 """,
-    doc="F11 — pagination via row_number window (OFFSET is an "
-    "anti-pattern at scale; keyset pagination preferred — documented).",
+    doc="F11 — keyset pagination: WHERE key > last_seen ORDER BY key "
+    "LIMIT n.  The filter pushes into the parquet scan and the LIMIT "
+    "becomes TakeOrderedAndProject — no global row_number sort, so the "
+    "plan is identical at 100 TB.  (A row_number/OFFSET variant is the "
+    "documented fallback for clients that genuinely need random page "
+    "access; it forces every row through one task and is an "
+    "anti-pattern at scale — repository.py:469-470.)",
 )
-def pagination_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 200) & (F.col("rn") <= 300))
-        .select("o_orderkey", F.round("o_totalprice", R).alias("o_totalprice"))
+        o.filter(F.col("o_orderkey") > 200)
         .orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", F.round("o_totalprice", R).alias("o_totalprice"))
     )
 
 

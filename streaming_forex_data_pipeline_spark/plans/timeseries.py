@@ -527,21 +527,23 @@ def open_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id,
        CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
-       CAST(hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) < 7 AS INT) AS is_sydney,
-       CAST(hour(CAST(ts AS TIMESTAMP)) >= 0 AND hour(CAST(ts AS TIMESTAMP)) < 9 AS INT)  AS is_tokyo,
-       CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) < 17 AS INT) AS is_london,
-       CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) < 22 AS INT) AS is_new_york,
+       CAST(hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) <= 7 AS INT) AS is_sydney,
+       CAST(hour(CAST(ts AS TIMESTAMP)) <= 9 AS INT)  AS is_tokyo,
+       CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) <= 17 AS INT) AS is_london,
+       CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) <= 22 AS INT) AS is_new_york,
        round(sin(2 * pi() * hour(CAST(ts AS TIMESTAMP)) / 24), 6) AS hour_sin,
        round(cos(2 * pi() * hour(CAST(ts AS TIMESTAMP)) / 24), 6) AS hour_cos,
        CASE WHEN hour(CAST(ts AS TIMESTAMP)) < 6 THEN 'night'
             WHEN hour(CAST(ts AS TIMESTAMP)) < 12 THEN 'morning'
             WHEN hour(CAST(ts AS TIMESTAMP)) < 18 THEN 'afternoon'
-            ELSE 'evening' END AS time_of_day
+            WHEN hour(CAST(ts AS TIMESTAMP)) < 22 THEN 'evening'
+            ELSE 'night' END AS time_of_day
 FROM events ORDER BY event_id
 """,
-    doc="X1/X5/X6 — session flags (incl. midnight-wrapping Sydney), "
-    "cyclical hour encoding, time-of-day bucket "
-    "(market_filters.py:100-137, 218-229).",
+    doc="X1/X5/X6 — session flags (incl. midnight-wrapping Sydney; "
+    "end-INCLUSIVE bounds like pandas .between), cyclical hour encoding, "
+    "time-of-day bucket with 22-23 falling back to night "
+    "(market_filters.py:100-137, 218-229, 272-287).",
 )
 def session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -598,27 +600,28 @@ def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT hour, round(score, 6) AS liquidity_score,
        CASE WHEN score >= 0.8 THEN 'very_high'
-            WHEN score >= 0.5 THEN 'high'
-            WHEN score >= 0.25 THEN 'medium'
+            WHEN score >= 0.6 THEN 'high'
+            WHEN score >= 0.3 THEN 'medium'
             ELSE 'low' END AS liquidity_level
 FROM (
   SELECT DISTINCT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
-     (CAST(hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) < 7 AS INT) * 0.2
-    + CAST(hour(CAST(ts AS TIMESTAMP)) < 9 AS INT) * 0.4
-    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) < 17 AS INT) * 0.8
-    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) < 22 AS INT) * 0.9
-    + CAST((hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) < 7)
-           AND hour(CAST(ts AS TIMESTAMP)) < 9 AS INT) * 0.5
-    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) < 9 AS INT) * 0.2
-    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) < 17 AS INT) * 0.3
-     ) / 2.0 AS score
+     (CAST(hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) <= 7 AS INT) * 0.2
+    + CAST(hour(CAST(ts AS TIMESTAMP)) <= 9 AS INT) * 0.4
+    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) <= 17 AS INT) * 0.8
+    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) <= 22 AS INT) * 0.9
+    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) <= 17 AS INT) * 0.5
+    + CAST((hour(CAST(ts AS TIMESTAMP)) >= 22 OR hour(CAST(ts AS TIMESTAMP)) <= 7)
+           AND hour(CAST(ts AS TIMESTAMP)) <= 9 AS INT) * 0.2
+    + CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) <= 9 AS INT) * 0.3
+     ) / 2.2 AS score
   FROM events
 ) t
 ORDER BY hour
 """,
     doc="X7 — liquidity score per UTC hour: weighted session membership "
-    "+ overlap bonuses, normalized by max attainable (london 0.8 + "
-    "new_york 0.9 + overlap 0.3 = 2.0) (market_filters.py:233-270).",
+    "+ overlap bonuses (london_new_york 0.5, sydney_tokyo 0.2, "
+    "tokyo_london 0.3), normalized by max attainable (london 0.8 + "
+    "new_york 0.9 + overlap 0.5 = 2.2) (market_filters.py:233-270).",
 )
 def liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")

@@ -44,6 +44,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     caller reach the parquet reader via Catalyst pushdown."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Portability: the events table stores INT64 TIMESTAMP(NANOS), which a
+    # vanilla SparkSession refuses to scan (PARQUET_TYPE_ILLEGAL).  The conf
+    # is runtime-settable, so set it here instead of relying on the caller's
+    # session builder — any plain SparkSession can then read every table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read path: ns → µs truncation, matching DuckDB's
