@@ -1,0 +1,154 @@
+"""Exact pandas-``ewm(span=N, adjust=True)`` kernels (W2 EMA family).
+
+The EMA recurrence is sequential in event time, so it is not expressible
+as a plain Spark window aggregate without numerically unstable
+renormalization tricks.  Per SURVEY §2.13 the sanctioned escape is a
+grouped, Arrow-batched pandas kernel: ``groupBy(symbol).applyInPandas``
+calling ``Series.ewm`` — bit-for-bit pandas parity, one shuffle on the
+symbol key, and symbols are the parallel axis at scale (each group is an
+independent task; no cross-group state).
+
+Scale note: a single symbol's history must fit in one task's memory.
+At 100 TB with per-symbol histories beyond memory, the same kernels run
+over coarser re-partitions (e.g. symbol × year with warm-up overlap);
+the warm-up length for span N to reach <1e-9 relative error is
+~40·N rows, so a 10k-row overlap makes chunked EMA exact in practice.
+
+Reference semantics: app/services/preprocessing/feature_engineer.py
+:105-113 (EMA), :115-135 (RSI via EMA of gains/losses), :137-161 (MACD),
+:189-204 (ATR via EMA of true range).  All use pandas defaults
+``adjust=True, ignore_na=False``; the RSI gain/loss split maps the
+leading NaN diff to 0 via ``Series.where``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _grouped(
+    df: DataFrame,
+    in_cols: Sequence[str],
+    out_cols: Sequence[str],
+    kernel: Callable[[pd.DataFrame], pd.DataFrame],
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """Run ``kernel`` per symbol over the minimal column set.
+
+    Projects to ``in_cols`` before the shuffle so the Arrow transfer
+    carries only what the kernel reads; output schema is (symbol, ts,
+    *out_cols double).
+    """
+    narrow = df.select(symbol, ts, *in_cols)
+    schema = StructType(
+        [narrow.schema[symbol], narrow.schema[ts]]
+        + [StructField(c, DoubleType()) for c in out_cols]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        out = kernel(pdf)
+        return out[[symbol, ts, *out_cols]]
+
+    return narrow.groupBy(symbol).applyInPandas(run, schema)
+
+
+def ema(
+    df: DataFrame,
+    spans: Sequence[int],
+    src: str = "close",
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """W2 — EMA(span) columns ``ema_<span>`` with adjust=True parity
+    (feature_engineer.py:105-113)."""
+    out_cols = [f"ema_{s}" for s in spans]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        for s in spans:
+            pdf[f"ema_{s}"] = pdf[src].ewm(span=s, adjust=True).mean()
+        return pdf
+
+    return _grouped(df, [src], out_cols, kernel, symbol, ts)
+
+
+def rsi_components(
+    df: DataFrame,
+    period: int = 14,
+    src: str = "close",
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """W3 — EMA-smoothed avg gain/loss columns (feature_engineer.py
+    :115-135).  The final ``rsi = 100·ag/(ag+al)`` is left to Column
+    algebra so the zero-denominator row maps to NULL identically on the
+    Spark and DuckDB sides (pandas yields NaN from 0/0 there)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf[src].diff()
+        gains = d.where(d > 0, 0.0)  # leading NaN -> 0, like the reference
+        losses = -d.where(d < 0, 0.0)
+        pdf["avg_gain"] = gains.ewm(span=period, adjust=True).mean()
+        pdf["avg_loss"] = losses.ewm(span=period, adjust=True).mean()
+        return pdf
+
+    return _grouped(df, [src], ["avg_gain", "avg_loss"], kernel, symbol, ts)
+
+
+def macd(
+    df: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    src: str = "close",
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """W4 — MACD line, signal line, histogram
+    (feature_engineer.py:137-161)."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ema_fast = pdf[src].ewm(span=fast, adjust=True).mean()
+        ema_slow = pdf[src].ewm(span=slow, adjust=True).mean()
+        pdf["macd"] = ema_fast - ema_slow
+        pdf["macd_signal"] = pdf["macd"].ewm(span=signal, adjust=True).mean()
+        pdf["macd_histogram"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return _grouped(
+        df, [src], ["macd", "macd_signal", "macd_histogram"], kernel, symbol, ts
+    )
+
+
+def atr_ema(
+    df: DataFrame,
+    period: int = 14,
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """W6 canonical variant — ATR as EMA(span) of the true range
+    (feature_engineer.py:189-204).  First row's TR degrades to high-low
+    because pandas row-wise max skips the NaN shifted terms."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        prev_close = pdf["close"].shift(1)
+        tr = pd.concat(
+            [
+                pdf["high"] - pdf["low"],
+                (pdf["high"] - prev_close).abs(),
+                (pdf["low"] - prev_close).abs(),
+            ],
+            axis=1,
+        ).max(axis=1)
+        pdf[f"atr_{period}"] = tr.ewm(span=period, adjust=True).mean()
+        return pdf
+
+    return _grouped(
+        df, ["high", "low", "close"], [f"atr_{period}"], kernel, symbol, ts
+    )

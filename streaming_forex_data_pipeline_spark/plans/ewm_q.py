@@ -1,0 +1,194 @@
+"""EMA-family queries (W2 EMA, W3 RSI, W4 MACD, W6 canonical ATR).
+
+Spark side: per-symbol ``applyInPandas`` kernels (operators.ewm) with
+exact pandas ``ewm(span, adjust=True)`` parity — the reference's three
+headline indicators (feature_engineer.py:105-161) plus the EMA-variant
+ATR (:189-204).
+
+Oracle side: with adjust=True and no interior NaNs, the EMA has the
+closed form  ema[t] = Σᵢ x[i]·(1-α)^(t-i) / Σᵢ (1-α)^(t-i)  (α=2/(N+1)),
+which DuckDB evaluates via a per-symbol triangular self-join on row
+number.  O(n²) per symbol — fine for the oracle tier (n ≈ thousands at
+sf0.01); the Spark side stays O(n).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import ewm as E
+from ..sources.tables import CANDLES_CTE, candles_from_events
+from .registry import register
+
+R = 6
+_W = "PARTITION BY symbol ORDER BY ts"
+
+
+def _decay(span: int) -> str:
+    """(1-α) as an exact SQL fraction, α = 2/(span+1)."""
+    return f"({span - 1}.0 / {span + 1}.0)"
+
+
+def _ema_sum(expr: str, span: int) -> str:
+    """Triangular-join EMA term: caller provides aliases a (anchor row)
+    and b (history rows), both carrying ``rn`` and the source column."""
+    w = f"power({_decay(span)}, a.rn - b.rn)"
+    return f"(sum(b.{expr} * {w}) / sum({w}))"
+
+
+_NB_CTE = f"""
+, nb AS (
+  SELECT symbol, ts, close,
+         row_number() OVER ({_W}) AS rn
+  FROM candles
+)
+"""
+
+
+@register(
+    "ema",
+    oracle=CANDLES_CTE
+    + _NB_CTE
+    + f"""
+SELECT a.symbol, a.ts,
+       round({_ema_sum('close', 5)}, 6)  AS ema_5,
+       round({_ema_sum('close', 20)}, 6) AS ema_20,
+       round({_ema_sum('close', 50)}, 6) AS ema_50
+FROM nb a JOIN nb b ON a.symbol = b.symbol AND b.rn <= a.rn
+GROUP BY a.symbol, a.ts
+ORDER BY a.symbol, a.ts
+""",
+    doc="W2 — EMA(5/20/50) with pandas ewm(adjust=True) parity "
+    "(feature_engineer.py:105-113); per-symbol applyInPandas kernel, "
+    "closed-form weighted-sum oracle.",
+)
+def ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = E.ema(c, [5, 20, 50])
+    return out.select(
+        "symbol",
+        "ts",
+        F.round("ema_5", R).alias("ema_5"),
+        F.round("ema_20", R).alias("ema_20"),
+        F.round("ema_50", R).alias("ema_50"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "rsi",
+    oracle=CANDLES_CTE
+    + f"""
+, nb AS (
+  SELECT symbol, ts, close,
+         lag(close) OVER ({_W}) AS prev,
+         row_number() OVER ({_W}) AS rn
+  FROM candles
+),
+gl AS (
+  SELECT symbol, ts, rn,
+         CASE WHEN prev IS NOT NULL AND close - prev > 0
+              THEN close - prev ELSE 0.0 END AS gain,
+         CASE WHEN prev IS NOT NULL AND close - prev < 0
+              THEN prev - close ELSE 0.0 END AS loss
+  FROM nb
+),
+e AS (
+  SELECT a.symbol, a.ts,
+         {_ema_sum('gain', 14)} AS ag,
+         {_ema_sum('loss', 14)} AS al
+  FROM gl a JOIN gl b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY a.symbol, a.ts
+)
+SELECT symbol, ts,
+       round(CASE WHEN ag + al <> 0 THEN 100.0 * ag / (ag + al) END, 6)
+         AS rsi_14
+FROM e
+ORDER BY symbol, ts
+""",
+    doc="W3 — RSI-14, EMA-smoothed variant (feature_engineer.py:115-135: "
+    "diff -> gain/loss split with leading NaN->0 -> ewm(span=14) -> "
+    "100-100/(1+RS), algebraically 100·ag/(ag+al); the 0/0 first row is "
+    "NULL on both engines).",
+)
+def rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    comp = E.rsi_components(c, period=14)
+    ag, al = F.col("avg_gain"), F.col("avg_loss")
+    rsi_col = F.when(ag + al != 0, 100.0 * ag / (ag + al))
+    return comp.select(
+        "symbol", "ts", F.round(rsi_col, R).alias("rsi_14")
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "macd",
+    oracle=CANDLES_CTE
+    + _NB_CTE
+    + f"""
+, m AS (
+  SELECT a.symbol, a.ts, a.rn,
+         {_ema_sum('close', 12)} - {_ema_sum('close', 26)} AS macd
+  FROM nb a JOIN nb b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY a.symbol, a.ts, a.rn
+),
+s AS (
+  SELECT a.symbol, a.ts, a.macd,
+         {_ema_sum('macd', 9)} AS sig
+  FROM m a JOIN m b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY a.symbol, a.ts, a.macd
+)
+SELECT symbol, ts,
+       round(macd, 6)       AS macd,
+       round(sig, 6)        AS macd_signal,
+       round(macd - sig, 6) AS macd_histogram
+FROM s
+ORDER BY symbol, ts
+""",
+    doc="W4 — MACD(12,26,9): EMA12-EMA26, EMA9 signal, histogram "
+    "(feature_engineer.py:137-161).  Oracle chains two triangular "
+    "joins: one for the line, one for the signal over the derived "
+    "series.",
+)
+def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = E.macd(c)
+    return out.select(
+        "symbol",
+        "ts",
+        F.round("macd", R).alias("macd"),
+        F.round("macd_signal", R).alias("macd_signal"),
+        F.round("macd_histogram", R).alias("macd_histogram"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "atr_ema",
+    oracle=CANDLES_CTE
+    + f"""
+, tr AS (
+  SELECT symbol, ts,
+         greatest(high - low,
+                  coalesce(abs(high - lag(close) OVER ({_W})), 0.0),
+                  coalesce(abs(low  - lag(close) OVER ({_W})), 0.0)) AS tr,
+         row_number() OVER ({_W}) AS rn
+  FROM candles
+)
+SELECT a.symbol, a.ts,
+       round({_ema_sum('tr', 14)}, 6) AS atr_14
+FROM tr a JOIN tr b ON a.symbol = b.symbol AND b.rn <= a.rn
+GROUP BY a.symbol, a.ts
+ORDER BY a.symbol, a.ts
+""",
+    doc="W6 canonical — ATR-14 as EMA of true range "
+    "(feature_engineer.py:189-204).  First-row TR degrades to high-low "
+    "(pandas row-max skips the NaN shifted terms; SQL coalesce(.,0) "
+    "since high>=low).  Complements the SMA/Keltner variant in "
+    "operators.indicators.",
+)
+def atr_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = E.atr_ema(c, period=14)
+    return out.select(
+        "symbol", "ts", F.round("atr_14", R).alias("atr_14")
+    ).orderBy("symbol", "ts")
