@@ -46,23 +46,34 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
-    """Sign-bit LSH bucket id: sign pattern of dot products against
-    ``n_planes`` deterministic pseudo-random hyperplanes.
-
-    The planes are generated from a fixed linear-congruential sequence
-    so the bucketing is reproducible engine-side without a fitted model.
-    At scale: GROUP BY bucket co-locates candidates; query vectors probe
-    only their own bucket (plus optional neighboring buckets for
-    recall).
-    """
-    bucket = F.lit(0)
+def lsh_planes(
+    n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a fixed LCG, shared
+    by the Spark bucketing expression and the DuckDB oracle (which
+    embeds the same floats as SQL literals) — reproducible engine-side
+    without a fitted model."""
+    planes = []
     state = seed
-    for p in range(n_planes):
+    for _ in range(n_planes):
         weights = []
         for _ in range(dim):
             state = (1103515245 * state + 12345) % (2**31)
             weights.append((state / float(2**31)) * 2.0 - 1.0)
+        planes.append(weights)
+    return planes
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
+    """Sign-bit LSH bucket id: sign pattern of dot products against
+    ``n_planes`` deterministic hyperplanes (lsh_planes).
+
+    At scale: GROUP BY bucket co-locates candidates; query vectors probe
+    only their own bucket (plus optional neighboring buckets for
+    recall) — the O(N·d) exact scan becomes O(N/2^planes·d).
+    """
+    bucket = F.lit(0)
+    for p, weights in enumerate(lsh_planes(n_planes, dim, seed)):
         plane = F.array(*[F.lit(w) for w in weights])
         d = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),

@@ -1,0 +1,313 @@
+"""Signal generation (P5) + backtest simulation (P6) + portfolio
+metrics (A9).
+
+Reference: app/services/analysis/backtesting_engine.py.
+- Signals (SMA/RSI/MACD cross strategies, :178-274) are pure lag-window
+  Column algebra — `generate_signals` loops vectorized away.
+- The position-state event loop (:284-379) is inherently sequential per
+  symbol -> sanctioned `applyInPandas` kernel (SURVEY §2.13); symbols
+  parallelize across executors.
+- Metrics (:79-160, :441-467) are computed from the ordered trade list
+  inside the same kernel, exactly as the reference derives them from
+  BacktestResult.
+
+Faithful quirks preserved:
+- `if trade.pnl:` truthiness — a trade with pnl == 0.0 does NOT update
+  capital (:339-341, :365-367).
+- Sharpe subtracts a 2.0 "annual %" risk-free rate from per-trade mean
+  return and uses population std (np.std, :131-149).
+- profit_factor is +inf when gross_loss == 0 and gross_profit > 0
+  (:151-160).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from . import indicators as I
+
+
+def _cross_signal(fast: Column, slow: Column, w: Window) -> Column:
+    """+1 on upward cross, -1 on downward cross, else 0; null windows
+    (min_periods warm-up) compare to NULL -> no signal, matching pandas
+    NaN comparisons being False."""
+    p_fast, p_slow = F.lag(fast).over(w), F.lag(slow).over(w)
+    return (
+        F.when((fast > slow) & (p_fast <= p_slow), 1)
+        .when((fast < slow) & (p_fast >= p_slow), -1)
+        .otherwise(0)
+    )
+
+
+def sma_cross_signals(
+    df: DataFrame, fast: int = 10, slow: int = 20,
+    symbol: str = "symbol", ts: str = "ts",
+) -> DataFrame:
+    """P5 — SMA fast/slow cross strategy (backtesting_engine.py:178-203)."""
+    w = Window.partitionBy(symbol).orderBy(ts)
+    f_ma = I.sma("close", fast)
+    s_ma = I.sma("close", slow)
+    return df.withColumn("signal", _cross_signal(f_ma, s_ma, w))
+
+
+def rsi_rolling(
+    df: DataFrame, period: int = 14, symbol: str = "symbol", ts: str = "ts"
+) -> Column:
+    """W3 rolling-mean RSI variant used by the RSI strategy
+    (backtesting_engine.py:213-221) — distinct from the EMA-smoothed
+    feature_engineer variant.  pandas: the leading NaN diff maps to 0
+    via .where (NaN > 0 is False), so gain/loss rolling(period).mean()
+    is valid from row ``period`` on."""
+    w = Window.partitionBy(symbol).orderBy(ts)
+    frame = w.rowsBetween(-(period - 1), 0)
+    delta = F.col("close") - F.lag("close").over(w)
+    gain = F.when(delta > 0, delta).otherwise(0.0)
+    loss = F.when(delta < 0, -delta).otherwise(0.0)
+    guard = F.row_number().over(w) >= period
+    avg_gain = F.when(guard, F.avg(gain).over(frame))
+    avg_loss = F.when(guard, F.avg(loss).over(frame))
+    # rsi = 100 - 100/(1+rs) == 100*g/(g+l); l=0 -> 100 (pandas inf path)
+    return F.when(
+        avg_gain + avg_loss != 0, 100.0 * avg_gain / (avg_gain + avg_loss)
+    )
+
+
+def rsi_exit_signals(
+    df: DataFrame, period: int = 14, oversold: float = 30.0,
+    overbought: float = 70.0, symbol: str = "symbol", ts: str = "ts",
+) -> DataFrame:
+    """P5 — RSI leaves-oversold buy / leaves-overbought sell
+    (backtesting_engine.py:224-248)."""
+    w = Window.partitionBy(symbol).orderBy(ts)
+    rsi = rsi_rolling(df, period, symbol, ts)
+    out = df.withColumn("__rsi", rsi)
+    p = F.lag("__rsi").over(w)
+    sig = (
+        F.when((F.col("__rsi") > oversold) & (p <= oversold), 1)
+        .when((F.col("__rsi") < overbought) & (p >= overbought), -1)
+        .otherwise(0)
+    )
+    return out.withColumn("signal", sig).drop("__rsi")
+
+
+#: one output row per symbol with the full A9 metric set
+METRICS_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("total_trades", LongType()),
+        StructField("winning_trades", LongType()),
+        StructField("losing_trades", LongType()),
+        StructField("win_rate", DoubleType()),
+        StructField("total_pnl", DoubleType()),
+        StructField("final_capital", DoubleType()),
+        StructField("total_return", DoubleType()),
+        StructField("max_drawdown", DoubleType()),
+        StructField("sharpe_ratio", DoubleType()),
+        StructField("profit_factor", DoubleType()),
+        StructField("max_consecutive_wins", LongType()),
+        StructField("max_consecutive_losses", LongType()),
+    ]
+)
+
+TRADES_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("entry_time", TimestampType()),
+        StructField("exit_time", TimestampType()),
+        StructField("entry_price", DoubleType()),
+        StructField("exit_price", DoubleType()),
+        StructField("trade_type", StringType()),
+        StructField("size", DoubleType()),
+        StructField("commission", DoubleType()),
+        StructField("pnl", DoubleType()),
+        StructField("return_pct", DoubleType()),
+    ]
+)
+
+
+def simulate(
+    pdf: pd.DataFrame,
+    initial_capital: float = 10000.0,
+    commission: float = 0.0001,
+    max_positions: int = 1,
+) -> tuple[list[dict], float]:
+    """The reference event loop (backtesting_engine.py:284-379) over one
+    symbol's (ts, close, signal) frame.  Plain-Python state machine —
+    runs inside the applyInPandas kernel, also callable directly by the
+    differential tests."""
+    capital = initial_capital
+    open_trades: list[dict] = []
+    closed: list[dict] = []
+    rows = list(pdf.itertuples(index=False))
+    for row in rows:
+        price, signal = float(row.close), int(row.signal)
+        if signal != 0 and len(open_trades) < max_positions:
+            size = capital * 0.1
+            open_trades.append(
+                {
+                    "entry_time": row.ts,
+                    "entry_price": price,
+                    "trade_type": "buy" if signal > 0 else "sell",
+                    "size": size,
+                    "commission": size * commission,
+                }
+            )
+            capital -= size * commission
+
+        to_close = []
+        for t in open_trades:
+            close_it = (
+                (t["trade_type"] == "buy" and signal < 0)
+                or (t["trade_type"] == "sell" and signal > 0)
+                or (t["trade_type"] == "buy" and price <= t["entry_price"] * 0.95)
+                or (t["trade_type"] == "sell" and price >= t["entry_price"] * 1.05)
+            )
+            if close_it:
+                t["exit_time"], t["exit_price"] = row.ts, price
+                t["commission"] += t["size"] * commission
+                pnl = _pnl(t)
+                if pnl:  # truthiness quirk: pnl == 0.0 skips the update
+                    capital += pnl
+                to_close.append(t)
+        for t in to_close:
+            open_trades.remove(t)
+            closed.append(t)
+
+    if rows:
+        last = rows[-1]
+        for t in open_trades:
+            t["exit_time"], t["exit_price"] = last.ts, float(last.close)
+            t["commission"] += t["size"] * commission
+            pnl = _pnl(t)
+            if pnl:
+                capital += pnl
+            closed.append(t)
+    return closed, capital
+
+
+def _pnl(t: dict) -> float:
+    direction = 1.0 if t["trade_type"] == "buy" else -1.0
+    gross = direction * (t["exit_price"] - t["entry_price"]) * t["size"]
+    return gross - t["commission"]
+
+
+def _return_pct(t: dict) -> float:
+    direction = 1.0 if t["trade_type"] == "buy" else -1.0
+    return direction * (t["exit_price"] - t["entry_price"]) / t["entry_price"] * 100.0
+
+
+def metrics_from_trades(
+    trades: list[dict], final_capital: float, initial_capital: float = 10000.0
+) -> dict:
+    """A9 — derive the BacktestResult metric set from the ordered trade
+    list (backtesting_engine.py:79-160, 441-467)."""
+    import numpy as np
+
+    pnls = [_pnl(t) for t in trades]
+    n = len(trades)
+    wins = sum(1 for p in pnls if p > 0)
+    losses = sum(1 for p in pnls if p < 0)
+
+    curve = [initial_capital]
+    running = initial_capital
+    for p in pnls:
+        running += p
+        curve.append(running)
+    peak, max_dd = curve[0], 0.0
+    for cap in curve:
+        peak = max(peak, cap)
+        max_dd = max(max_dd, (peak - cap) / peak * 100.0)
+
+    rets = [_return_pct(t) for t in trades]
+    if len(rets) >= 2 and float(np.std(rets)) != 0.0:
+        sharpe = (float(np.mean(rets)) - 2.0) / float(np.std(rets))
+    else:
+        sharpe = 0.0
+
+    gross_profit = sum(p for p in pnls if p > 0)
+    gross_loss = abs(sum(p for p in pnls if p < 0))
+    if gross_loss == 0:
+        profit_factor = float("inf") if gross_profit > 0 else 0.0
+    else:
+        profit_factor = gross_profit / gross_loss
+
+    def streak(pred) -> int:
+        best = cur = 0
+        for p in pnls:
+            if p and pred(p):
+                cur += 1
+                best = max(best, cur)
+            else:
+                cur = 0
+        return best
+
+    return {
+        "total_trades": n,
+        "winning_trades": wins,
+        "losing_trades": losses,
+        "win_rate": (wins / n * 100.0) if n else 0.0,
+        "total_pnl": float(sum(pnls)),
+        "final_capital": final_capital,
+        "total_return": (final_capital - initial_capital) / initial_capital * 100.0,
+        "max_drawdown": max_dd,
+        "sharpe_ratio": sharpe,
+        "profit_factor": profit_factor,
+        "max_consecutive_wins": streak(lambda p: p > 0),
+        "max_consecutive_losses": streak(lambda p: p < 0),
+    }
+
+
+def backtest_trades(signals_df: DataFrame) -> DataFrame:
+    """P6 — closed-trade ledger, one applyInPandas kernel per symbol."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        sym = pdf["symbol"].iloc[0] if len(pdf) else None
+        closed, _cap = simulate(pdf)
+        return pd.DataFrame(
+            [
+                {
+                    "symbol": sym,
+                    "entry_time": t["entry_time"],
+                    "exit_time": t["exit_time"],
+                    "entry_price": t["entry_price"],
+                    "exit_price": t["exit_price"],
+                    "trade_type": t["trade_type"],
+                    "size": t["size"],
+                    "commission": t["commission"],
+                    "pnl": _pnl(t),
+                    "return_pct": _return_pct(t),
+                }
+                for t in closed
+            ],
+            columns=[f.name for f in TRADES_SCHEMA.fields],
+        )
+
+    narrow = signals_df.select("symbol", "ts", "close", "signal")
+    return narrow.groupBy("symbol").applyInPandas(kernel, TRADES_SCHEMA)
+
+
+def backtest_metrics(signals_df: DataFrame) -> DataFrame:
+    """P6+A9 — per-symbol metrics row from the simulated trade list."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts").reset_index(drop=True)
+        sym = pdf["symbol"].iloc[0] if len(pdf) else None
+        closed, cap = simulate(pdf)
+        m = metrics_from_trades(closed, cap)
+        m["symbol"] = sym
+        return pd.DataFrame([m], columns=[f.name for f in METRICS_SCHEMA.fields])
+
+    narrow = signals_df.select("symbol", "ts", "close", "signal")
+    return narrow.groupBy("symbol").applyInPandas(kernel, METRICS_SCHEMA)

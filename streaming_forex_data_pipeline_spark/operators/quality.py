@@ -127,6 +127,68 @@ def zscore_outlier_flags(
     return out.drop(*[c for c in out.columns if c.startswith("__")])
 
 
+def fill_gaps(
+    df: DataFrame,
+    interval: str = "1 hour",
+    symbol: str = "symbol",
+    ts: str = "ts",
+    price_cols: tuple[str, ...] = OHLC,
+    volume_col: str = "volume",
+) -> DataFrame:
+    """D4/J2 — gap fill via generated time spine + linear interpolation
+    (data_quality.py:460-501: pd.date_range reindex + interpolate).
+
+    Plan shape: per-symbol bounds aggregate -> ``sequence``/``explode``
+    spine -> left join facts -> two unbounded windows per symbol
+    (``last(ignorenulls)`` preceding / ``first(ignorenulls)`` following)
+    -> linear weight by timestamp distance.  Missing rows get
+    interpolated prices, volume 0, and ``is_gap_fill`` = true (the
+    reference intends this flag; its own volume-first ordering bug
+    always yields false — not replicated).
+
+    Scale: the spine explode is O(range/interval) per symbol and joins
+    on (symbol, ts) — co-partitioned with the facts; windows reuse the
+    same (symbol, ts) sort.  No global shuffle beyond the per-symbol
+    ones.
+    """
+    bounds = df.groupBy(symbol).agg(
+        F.min(ts).alias("__mn"), F.max(ts).alias("__mx")
+    )
+    spine = bounds.select(
+        symbol,
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr(f"interval {interval}"))
+        ).alias(ts),
+    )
+    g = spine.join(df, [symbol, ts], "left")
+
+    w = Window.partitionBy(symbol).orderBy(ts)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    present = F.col(price_cols[-1]).isNotNull()
+    prev_ts = F.last(F.when(present, F.col(ts)), ignorenulls=True).over(w_prev)
+    next_ts = F.first(F.when(present, F.col(ts)), ignorenulls=True).over(w_next)
+    frac = (F.col(ts).cast("double") - prev_ts.cast("double")) / (
+        next_ts.cast("double") - prev_ts.cast("double")
+    )
+
+    # flag BEFORE the price columns are overwritten: column exprs resolve
+    # by name, so a post-loop `close IS NULL` would see interpolated values
+    out = g.withColumn("is_gap_fill", (~present).cast("int"))
+    for c in price_cols:
+        prev_v = F.last(c, ignorenulls=True).over(w_prev)
+        next_v = F.first(c, ignorenulls=True).over(w_next)
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                prev_v + (next_v - prev_v) * frac
+            ),
+        )
+    return out.withColumn(
+        volume_col, F.coalesce(F.col(volume_col), F.lit(0.0))
+    )
+
+
 def quality_score(
     missing_pct: Column,
     duplicate_pct: Column,

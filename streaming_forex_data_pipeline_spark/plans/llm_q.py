@@ -10,12 +10,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup as DD
+from ..llm import multimodal as MM
 from ..llm import similarity as SIM
 from ..llm import text as TX
 from ..sources.tables import load_table
 from .registry import register
 
 R = 6
+
+_MODALITY_SQL = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+    "WHEN 1 THEN 'audio' ELSE 'video' END"
+)
 
 
 @register(
@@ -161,6 +167,155 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "minhash_near_dups",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(1.0, 6) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.t = b.t
+ORDER BY doc_a, doc_b
+""",
+    doc="MinHash+LSH near-dup pipeline end-to-end: 32-hash signature -> "
+    "8-band bucketing -> candidate self-join on (band, band_hash) -> "
+    "exact-Jaccard verification (llm/dedup.py:52-122).  Registered at "
+    "threshold 1.0 (identical token sets) because identical sets imply "
+    "identical signatures, making LSH recall exactly 1 and the oracle "
+    "(all-pairs sorted-token-set equality) deterministic.  At lower "
+    "thresholds the same plan applies with recall 1-(1-s^4)^8 — "
+    "exercised by the differential recall test instead of the oracle.",
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.near_duplicate_pairs(d, threshold=1.0)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", R).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _lsh_bucket_sql(col: str, n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """DuckDB rendering of llm.similarity.lsh_bucket with the SAME plane
+    literals (repr round-trips doubles exactly)."""
+    terms = []
+    for p, weights in enumerate(SIM.lsh_planes(n_planes, dim, seed)):
+        lits = ", ".join(repr(w) for w in weights)
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, [{lits}]) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    return "(" + "\n       + ".join(terms) + ")"
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_dot_product(b.e, q.qe)
+             / (sqrt(list_dot_product(b.e, b.e))
+                * sqrt(list_dot_product(q.qe, q.qe))), 5) AS cos_sim
+FROM b, q
+WHERE b.bucket = q.qb
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    doc="ANN similarity search — sign-bit LSH bucketed top-k: bucket the "
+    "corpus and the query with 8 deterministic hyperplanes "
+    "(llm/similarity.py:lsh_planes), score only the query's bucket "
+    "(~1/256 of the corpus at scale), exact cosine within the bucket.  "
+    "The oracle embeds the identical plane literals, so bucket "
+    "assignment and the final top-k are deterministic on both engines.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", SIM.lsh_bucket(F.col("embedding")))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            F.round(
+                SIM.cosine(F.col("embedding"), F.col("q_embedding")), 5
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+SELECT doc_id,
+       {_MODALITY_SQL} AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       lower(substring(hex(encode(text)), 1, 8)) AS header,
+       octet_length(encode(text)) >= {MM.MIN_VALID_BYTES} AS is_valid,
+       CAST(doc_id % 640 + 1 AS INT) AS width,
+       CAST(doc_id % 480 + 1 AS INT) AS height
+FROM documents
+ORDER BY doc_id
+""",
+    doc="Multimodal decode plumbing — opaque binary payload + typed "
+    "metadata struct through an Arrow-batched mapInPandas decode stub "
+    "(llm/multimodal.py): byte length, 4-byte header hex, validity "
+    "flag, metadata echo.  The stub stands in for codec decode (no "
+    "image/audio libs in the container); schema/batching/partitioning "
+    "are the real production shape.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    decoded = MM.decode_stub(MM.attach_payload(d))
+    return decoded.orderBy("doc_id")
+
+
+@register(
+    "multimodal_stats",
+    oracle=f"""
+SELECT modality,
+       count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(n_bytes), 6) AS avg_bytes,
+       CAST(count(*) FILTER (WHERE n_bytes < {MM.MIN_VALID_BYTES}) AS BIGINT)
+         AS n_invalid
+FROM (
+  SELECT {_MODALITY_SQL} AS modality,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+) t
+GROUP BY modality
+ORDER BY modality
+""",
+    doc="Multimodal per-modality size/corruption stats over the decode "
+    "output — the triage aggregate a 100 TB multimodal ingest runs "
+    "before spending GPU decode time.",
+)
+def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    decoded = MM.decode_stub(MM.attach_payload(d))
+    return (
+        decoded.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), R).alias("avg_bytes"),
+            F.count_if(~F.col("is_valid")).alias("n_invalid"),
+        )
+        .orderBy("modality")
+    )
 
 
 @register(

@@ -214,6 +214,70 @@ def missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gap_fill",
+    oracle=CANDLES_CTE
+    + f"""
+, bounds AS (
+  SELECT symbol, min(ts) AS mn, max(ts) AS mx FROM candles GROUP BY symbol
+),
+spine AS (
+  SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+  FROM bounds
+),
+g AS (
+  SELECT s.symbol, s.ts, c.open, c.high, c.low, c.close, c.volume
+  FROM spine s LEFT JOIN candles c ON s.symbol = c.symbol AND s.ts = c.ts
+),
+f AS (
+  SELECT *,
+    last_value(CASE WHEN close IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER ({_W_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+    first_value(CASE WHEN close IS NOT NULL THEN ts END IGNORE NULLS)
+      OVER ({_W_ORD} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts,
+    last_value(open IGNORE NULLS)
+      OVER ({_W_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_open,
+    first_value(open IGNORE NULLS)
+      OVER ({_W_ORD} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_open,
+    last_value(close IGNORE NULLS)
+      OVER ({_W_ORD} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_close,
+    first_value(close IGNORE NULLS)
+      OVER ({_W_ORD} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_close
+  FROM g
+)
+SELECT symbol, ts,
+  round(CASE WHEN open IS NOT NULL THEN open
+             ELSE p_open + (n_open - p_open)
+                  * (epoch(ts) - epoch(prev_ts)) / (epoch(next_ts) - epoch(prev_ts))
+        END, 6) AS open,
+  round(CASE WHEN close IS NOT NULL THEN close
+             ELSE p_close + (n_close - p_close)
+                  * (epoch(ts) - epoch(prev_ts)) / (epoch(next_ts) - epoch(prev_ts))
+        END, 6) AS close,
+  round(coalesce(volume, 0.0), 6) AS volume,
+  CAST(close IS NULL AS INT) AS is_gap_fill
+FROM f
+ORDER BY symbol, ts
+""",
+    doc="D4/J2 — gap fill: per-symbol hourly spine (sequence/explode ≡ "
+    "generate_series) left-joined to candles, linear interpolation "
+    "between surrounding observations via last/first(ignorenulls) "
+    "windows, volume 0 and is_gap_fill flag on inserted rows "
+    "(data_quality.py:460-501).",
+)
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    filled = Q.fill_gaps(c, interval="1 hour", price_cols=("open", "close"))
+    return filled.select(
+        "symbol",
+        "ts",
+        F.round("open", R).alias("open"),
+        F.round("close", R).alias("close"),
+        F.round("volume", R).alias("volume"),
+        "is_gap_fill",
+    ).orderBy("symbol", "ts")
+
+
 def _ohlc_outlier_pred_sql() -> str:
     """DuckDB predicate: z-score OR IQR outlier on any of the four OHLC
     columns (union semantics, data_validator.py:292-331)."""

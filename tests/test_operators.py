@@ -1,0 +1,113 @@
+"""Unit/differential tests for library operators that are not (or not
+fully) exercised by the oracle-parity gate: OHLC auto-correction,
+denormalization round-trips, keep-first dedup, text metrics, and the
+probabilistic tier of MinHash-LSH (recall at thresholds below 1.0,
+where the oracle cannot be exact by construction).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from streaming_forex_data_pipeline_spark.llm import dedup as DD
+from streaming_forex_data_pipeline_spark.llm import text as TX
+from streaming_forex_data_pipeline_spark.operators import normalize as N
+from streaming_forex_data_pipeline_spark.operators import quality as Q
+from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+
+def test_fix_ohlc_restores_invariants(spark):
+    rows = [
+        ("S", 1, 1.10, 1.05, 1.20, 1.15),  # high < open, low > nothing sane
+        ("S", 2, 1.00, 1.30, 0.90, 1.20),  # already valid
+        ("S", 3, 1.00, 0.95, 1.10, 0.95),  # high < both, low > close
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "ts", "open", "high", "low", "close"])
+    fixed = Q.fix_ohlc(df)
+    assert fixed.filter(Q.ohlc_violations()).count() == 0
+    got = {r["ts"]: r for r in fixed.collect()}
+    # D6 semantics: high := max(high, open, close), low := min(low, open, close)
+    r1 = got[1]
+    assert r1["high"] == pytest.approx(max(1.05, 1.10, 1.15))
+    assert r1["low"] == pytest.approx(min(1.20, 1.10, 1.15))
+    r2 = got[2]
+    assert (r2["high"], r2["low"]) == (pytest.approx(1.30), pytest.approx(0.90))
+
+
+def test_normalize_denormalize_roundtrip(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("event_id", "value").limit(200)
+    params = N.fit_params(e, ["value"])
+    for method in ("minmax", "zscore", "robust"):
+        norm = N.apply_normalization(e, params, ["value"], method)
+        back = N.denormalize(norm, params, ["value"], method)
+        bad = back.filter(
+            F.abs(F.col("value") - F.col("value_denorm")) > 1e-9
+        ).count()
+        assert bad == 0, f"{method}: {bad} rows fail round-trip"
+
+
+def test_dedup_exact_keeps_lowest_doc_id(spark):
+    rows = [
+        (10, "same text here"),
+        (3, "same  TEXT  here"),  # same after normalization
+        (7, "different text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in DD.dedup_exact(df).collect()}
+    assert kept == {3, 7}
+
+
+def test_text_metrics_known_values(spark):
+    df = spark.createDataFrame([(1, "Hello, world! This is fine.")], ["doc_id", "text"])
+    row = df.select(
+        TX.punct_ratio().alias("pr"),
+        TX.quality_score().alias("qs"),
+        TX.token_count().alias("tc"),
+    ).collect()[0]
+    text = "Hello, world! This is fine."
+    punct = sum(text.count(ch) for ch in ".,;:!?'\"()-")
+    assert row["pr"] == pytest.approx(punct / len(text))
+    assert row["tc"] == 5
+    # 27 chars -> below the >=30 band (0.0); avg word len 23/5=4.6 -> +0.3;
+    # punct 4/27 < 0.2 -> +0.3
+    assert row["qs"] == pytest.approx(0.6)
+
+
+def test_stopword_hits_counts_word_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat of there")], ["doc_id", "text"]
+    )
+    # 'the' twice (not 'there'), 'and' once, 'of' once -> 4
+    row = df.select(TX.stopword_hits("en").alias("h")).collect()[0]
+    assert row["h"] == 4
+
+
+def test_minhash_lsh_recall_and_precision(spark, duck, sf_dir):
+    """Probabilistic tier: at threshold 0.7 the LSH pipeline must find a
+    large fraction of true pairs (theory: 1-(1-s^4)^8 >= 0.89 at s=0.7,
+    higher above) and, because candidates are verified with exact
+    Jaccard, precision must be exactly 1."""
+    truth = duck.execute(
+        r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.t, b.t))) >= 0.7
+        """
+    ).fetchall()
+    truth_pairs = {(a, b) for a, b in truth}
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    got = DD.near_duplicate_pairs(d, threshold=0.7).collect()
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+
+    assert got_pairs <= truth_pairs, "precision must be 1 (verified candidates)"
+    recall = len(got_pairs) / max(len(truth_pairs), 1)
+    assert recall >= 0.6, f"LSH recall {recall:.3f} below floor"
