@@ -6,13 +6,14 @@ Layout:
     session.py    -- SparkSession factory tuned for local[N] + 100TB posture
     schema.py     -- canonical StructTypes (candles, ticks, order book)
     sources/      -- parquet table loaders + candle derivation (S-series)
-    operators/    -- quality (F/D), resample (A1/A2), indicators (W),
-                     market features (X), normalization (N), stats (A)
-    functions/    -- shared Column-expression helpers
+    operators/    -- quality (F/D), indicators (W), ewm/backtest/pattern
+                     kernels (W2-W4/P-series), market features (X),
+                     normalization (N)
     plans/        -- query registry: every SURVEY §2 operator exposed as a
                      (spark_builder, duckdb_oracle_sql) pair
     streaming/    -- Structured Streaming channels (ST-series)
-    llm/          -- LLM-data-pipeline ops: dedup, similarity, text analysis
+    llm/          -- LLM-data-pipeline ops: dedup, similarity, multimodal,
+                     text analysis
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,165 @@
+"""Streaming channels (ST1/ST2/ST6/ST7/ST9).
+
+The reference runs 8 asyncio channel loops over WebSockets
+(app/services/websocket_manager.py:24-39 channel enum, :192-267 worker
+loops, :199-209 frequency table).  The Spark re-expression is one
+Structured Streaming query per channel:
+
+    readStream -> event-time transforms -> writeStream(foreachBatch)
+
+with processing-time triggers standing in for the per-channel
+frequencies.  The reference has NO event-time semantics (messages are
+wall-clock generated, ST6) — watermarked dedup and windowed aggregation
+are added here because they are required for correctness at scale;
+there are no reference semantics to violate.
+
+Design rules:
+- the streaming candle aggregation reuses the SAME aggregate exprs as
+  the batch resample (sources.tables.candles_from_events), so
+  batch/stream parity is structural, not coincidental (tested in
+  tests/test_streaming.py);
+- stateful needs beyond dedup+window (per-channel sequence numbers,
+  ST7) live in the sink via ``foreachBatch`` — the serving layer's
+  concern, exactly as the reference keeps sequence counters in the
+  WebSocket manager (:615-618).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: reference channel -> emit period (websocket_manager.py:199-209);
+#: used as processing-time trigger intervals.
+CHANNEL_TRIGGERS = {
+    "raw_ticks": "100 milliseconds",
+    "ohlcv_candles": "1 second",
+    "technical_analysis": "2 seconds",
+    "trading_signals": "5 seconds",
+    "ml_features": "1 second",
+    "market_depth": "500 milliseconds",
+    "microstructure": "5 seconds",
+    "economic_events": "10 seconds",
+}
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 file-source channel: stream the events table as if it were
+    arriving (one-file micro-batch in tests via availableNow).  The
+    nanos-timestamp handling mirrors sources.tables.load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file streaming source requires a DIRECTORY; stage a symlink dir
+    # pointing at the single table file (testdata is read-only)
+    import os
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{staging}/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(staging)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def candle_channel(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST9 tumbling-window OHLCV candles with ST6 late-data handling.
+
+    withWatermark bounds state; dropDuplicatesWithinWatermark gives
+    streaming D1 dedup on the event key (the batch path's keep-first
+    row_number is not expressible incrementally).  The aggregate list is
+    identical to the batch resample (repository.py:450-471 semantics:
+    ordered first/last via min_by/max_by on the unique event_id).
+    """
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.window("ts", bucket).alias("w"),
+        )
+        .agg(
+            F.round(F.min_by("value", "event_id"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "event_id"), 6).alias("close"),
+            F.round(F.sum("value"), 6).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "n_events",
+        )
+    )
+
+
+def simulated_ticks(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """ST6 — simulated tick source on Spark's rate stream, mirroring the
+    reference's fallback tick generator (premium_data_provider.py:
+    303-344): deterministic pseudo-random walk around a base price,
+    5-symbol round-robin, bid/ask spread.  Everything derives from the
+    rate source's (timestamp, value) so the stream is reproducible."""
+    base = 1.08
+    symbols = F.array(*[F.lit(s) for s in ("EURUSD", "GBPUSD", "USDJPY", "AUDUSD", "USDCAD")])
+    noise = (F.hash(F.col("value")) % 1000).cast("double") / 1000000.0
+    mid = F.lit(base) + noise
+    spread = F.lit(0.0002)
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.element_at(symbols, (F.col("value") % 5 + 1).cast("int")).alias(
+                "symbol"
+            ),
+            (mid - spread / 2).alias("bid"),
+            (mid + spread / 2).alias("ask"),
+            mid.alias("last"),
+            F.col("value").alias("seq_hint"),
+        )
+    )
+
+
+def wrap_stream_messages(df: DataFrame, stream_type: str) -> DataFrame:
+    """ST7 message envelope: {stream_type, timestamp, sequence, data}
+    (websocket_manager.py:79-87).  The per-batch sequence is assigned in
+    the sink (foreachBatch) where a total order exists; here we attach
+    the envelope columns that are computable statelessly."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return df.select(
+        F.lit(stream_type).alias("stream_type"),
+        F.current_timestamp().alias("emitted_at"),
+        payload.alias("data"),
+    )
+
+
+def start_candle_channel(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "candles_stream_sink",
+    bucket: str = "1 hour",
+):
+    """Wire the full channel: events stream -> watermark dedup ->
+    windowed candles -> in-memory sink (stand-in for the WebSocket
+    broadcast, S13).  Returns the StreamingQuery; callers use
+    ``availableNow`` semantics by awaiting termination in tests."""
+    candles = candle_channel(read_events_stream(spark, sf_dir), bucket=bucket)
+    return (
+        candles.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+        .start()
+    )

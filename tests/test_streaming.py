@@ -1,0 +1,113 @@
+"""Structured Streaming slice (ST1/ST6/ST9): batch/stream parity and
+envelope/tick-source smoke tests.
+
+Parity strategy per SURVEY §5.4: the streaming candle channel reuses
+the batch resample's aggregate expressions, so running it over the
+same events file with an availableNow trigger must reproduce the batch
+result exactly (append mode emits only watermark-closed windows, so
+the comparison drops each symbol's last open window from the batch
+side).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from streaming_forex_data_pipeline_spark.sources.tables import candles_from_events
+from streaming_forex_data_pipeline_spark.streaming import channels as CH
+
+
+def test_candle_channel_matches_batch_resample(spark, sf_dir):
+    q = CH.start_candle_channel(spark, sf_dir, sink_table="parity_sink")
+    q.awaitTermination(120)
+
+    got = spark.table("parity_sink").toPandas()
+    assert len(got) > 0, "stream produced no candles"
+
+    batch = candles_from_events(spark, sf_dir).toPandas()
+
+    # append mode emits a window only once the watermark passes its end;
+    # each symbol's final window(s) may still be open -> compare on the
+    # emitted subset, and require it to be nearly all of the batch set.
+    cols = ["symbol", "ts", "open", "high", "low", "close", "volume", "n_events"]
+    got = got[cols].sort_values(["symbol", "ts"]).reset_index(drop=True)
+    batch = batch[cols].sort_values(["symbol", "ts"]).reset_index(drop=True)
+
+    merged = got.merge(batch, on=["symbol", "ts"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "stream emitted a window absent from batch"
+    assert len(got) >= len(batch) - 2 * batch["symbol"].nunique(), (
+        "stream dropped more than the open tail windows"
+    )
+    for c in ["open", "high", "low", "close", "volume"]:
+        diff = (merged[f"{c}_s"] - merged[f"{c}_b"]).abs()
+        assert diff.max() <= 1e-9, f"{c}: max diff {diff.max()}"
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+
+
+def test_streaming_dedup_drops_duplicate_event_ids(spark, sf_dir, tmp_path):
+    # duplicate the events file in a staging dir: same event_ids twice;
+    # dropDuplicatesWithinWatermark on event_id must collapse them back
+    # to the single-copy candle counts.
+    import shutil
+
+    staging = tmp_path / "dup_events"
+    staging.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", staging / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", staging / "b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(str(staging / "a.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(staging))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    q = (
+        CH.candle_channel(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("dedup_sink").toPandas()
+    assert len(got) > 0
+    batch = candles_from_events(spark, sf_dir).toPandas()
+    merged = got.merge(batch, on=["symbol", "ts"], suffixes=("_s", "_b"))
+    # candle-level invariant: every emitted window has single-copy counts
+    assert (merged["n_events_s"] == merged["n_events_b"]).all(), (
+        "duplicate events leaked through watermarked dedup"
+    )
+
+
+def test_simulated_tick_channel_produces_messages(spark):
+    ticks = CH.simulated_ticks(spark, rows_per_second=50)
+    messages = CH.wrap_stream_messages(ticks, "raw_ticks")
+    q = (
+        messages.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tick_sink")
+        .trigger(processingTime=CH.CHANNEL_TRIGGERS["raw_ticks"])
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("tick_sink").count()
+            if n >= 10:
+                break
+            time.sleep(0.5)
+        assert n >= 10, f"only {n} tick messages after 20s"
+        row = spark.table("tick_sink").limit(1).collect()[0]
+        assert row["stream_type"] == "raw_ticks"
+        d = row["data"]
+        assert d["ask"] > d["bid"]
+        assert d["symbol"] in {"EURUSD", "GBPUSD", "USDJPY", "AUDUSD", "USDCAD"}
+    finally:
+        q.stop()
