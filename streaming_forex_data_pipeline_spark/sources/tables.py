@@ -59,6 +59,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Session-scoped silver-table cache for the candle resample: every
+# indicator query consumes the same derived candles, so computing the
+# aggregation once per (session, sf_dir, bucket) and caching it turns N
+# resamples into 1 + N cached scans.  At 100 TB this seam is where the
+# resample becomes a written silver table (one aggregation, N readers);
+# in-session .cache() is the local[N] analog.  Opt out with
+# SPARK_GRAFT_CACHE_CANDLES=0 (results identical either way).
+_CANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def candles_from_events(
     spark: SparkSession, sf_dir: str, bucket: str = "hour"
 ) -> DataFrame:
@@ -73,8 +83,15 @@ def candles_from_events(
     (hash agg) so the shuffle carries pre-combined rows — at 100 TB the
     reduction factor is ~events-per-bucket.
     """
+    import os
+
+    cache_on = os.environ.get("SPARK_GRAFT_CACHE_CANDLES", "1") != "0"
+    key = (spark.sparkContext.applicationId, sf_dir, bucket)
+    if cache_on and key in _CANDLE_CACHE:
+        return _CANDLE_CACHE[key]
+
     e = load_table(spark, sf_dir, "events")
-    return (
+    out = (
         e.groupBy(
             F.col("event_type").alias("symbol"),
             F.date_trunc(bucket, F.col("ts")).alias("ts"),
@@ -88,6 +105,10 @@ def candles_from_events(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+    if cache_on:
+        out = out.cache()
+        _CANDLE_CACHE[key] = out
+    return out
 
 
 # DuckDB-oracle rendering of candles_from_events, shared by every
