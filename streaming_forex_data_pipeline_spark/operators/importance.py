@@ -1,0 +1,154 @@
+"""Feature importance (SURVEY §2.11 P7) + consensus ranking (P8) +
+feature↔target alignment join (J3).
+
+Reference: app/services/analysis/feature_importance.py.  The sklearn
+methods map as:
+- pearson/spearman correlation (:69-115) -> corr aggregates; spearman
+  = pearson over average-ranked values (scipy tie handling).
+- f_statistic (:316-376, sklearn f_regression) -> closed form
+  F = r²/(1-r²)·(n-2) from the pearson r — no ML library needed.
+- random forest (:181-245) -> pyspark.ml RandomForestRegressor
+  featureImportances (JVM MLlib; sklearn is not in this container).
+- consensus (:495-563) -> per-method max-normalized scores + inverted
+  normalized ranks, averaged then re-ranked.
+
+The feature matrix derives from candles; the target is the NEXT
+period's return, aligned with an inner join on (symbol, ts) — the J3
+equi-join the reference performs via index intersection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FEATURES = ("ret_1", "mom_5", "range_frac", "body_frac", "activity")
+
+
+def feature_matrix(candles: DataFrame) -> DataFrame:
+    """J3 — per-(symbol, ts) feature columns + next-period-return
+    target, inner-aligned (rows with any null feature/target drop,
+    matching the reference's dropna + index intersection)."""
+    w = Window.partitionBy("symbol").orderBy("ts")
+    prev = F.lag("close").over(w)
+    prev5 = F.lag("close", 5).over(w)
+    nxt = F.lead("close").over(w)
+    out = candles.select(
+        "symbol",
+        "ts",
+        F.when(prev != 0, (F.col("close") - prev) / prev).alias("ret_1"),
+        F.when(prev5 != 0, F.col("close") / prev5 - 1.0).alias("mom_5"),
+        ((F.col("high") - F.col("low")) / F.col("close")).alias("range_frac"),
+        (F.abs(F.col("close") - F.col("open")) / F.col("close")).alias(
+            "body_frac"
+        ),
+        F.col("n_events").cast("double").alias("activity"),
+        F.when(nxt.isNotNull(), nxt / F.col("close") - 1.0).alias("target"),
+    )
+    cond = F.lit(True)
+    for c in (*FEATURES, "target"):
+        cond = cond & F.col(c).isNotNull()
+    return out.filter(cond)
+
+
+def stacked(matrix: DataFrame) -> DataFrame:
+    """Unpivot to (symbol, ts, feature, x, y) rows so every per-feature
+    statistic is one grouped aggregation instead of N passes."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(f).alias("feature"), F.col(f).alias("x"))
+            for f in FEATURES
+        ]
+    )
+    return matrix.select(
+        "symbol", "ts", F.col("target").alias("y"), F.explode(pairs).alias("p")
+    ).select("symbol", "ts", F.col("p.feature").alias("feature"), F.col("p.x").alias("x"), "y")
+
+
+def _avg_rank(col: str, part: list[str]) -> F.Column:
+    """scipy 'average' tie rank: min-rank + (ties-1)/2."""
+    w_rank = Window.partitionBy(*part).orderBy(col)
+    w_ties = Window.partitionBy(*part, col)
+    return F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0
+
+
+def importance_scores(candles: DataFrame) -> DataFrame:
+    """P7 — per (symbol, feature): |pearson|, |spearman|, F-statistic,
+    and per-method ranks (rank 1 = highest score)."""
+    s = stacked(feature_matrix(candles))
+    s = s.withColumn("rx", _avg_rank("x", ["symbol", "feature"])).withColumn(
+        "ry", _avg_rank("y", ["symbol", "feature"])
+    )
+    agg = s.groupBy("symbol", "feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.abs(F.corr("x", "y")).alias("pearson_score"),
+        F.abs(F.corr("rx", "ry")).alias("spearman_score"),
+        F.corr("x", "y").alias("__r"),
+    )
+    r2 = F.col("__r") * F.col("__r")
+    f_stat = F.when(r2 < 1.0, r2 / (1.0 - r2) * (F.col("n") - 2))
+    agg = agg.withColumn("f_stat", f_stat).drop("__r")
+    out = agg
+    for m in ("pearson_score", "spearman_score", "f_stat"):
+        w = Window.partitionBy("symbol").orderBy(F.desc(m), F.asc("feature"))
+        out = out.withColumn(f"{m}_rank", F.row_number().over(w))
+    return out
+
+
+def consensus_ranking(scores: DataFrame, top_n: int = 15) -> DataFrame:
+    """P8 — consensus: per method normalize score by the method's max
+    and invert-normalize rank ((max_rank - rank + 1)/max_rank), then
+    consensus = (mean norm score + mean norm rank)/2, re-ranked
+    (feature_importance.py:495-563)."""
+    methods = ("pearson_score", "spearman_score", "f_stat")
+    w_sym = Window.partitionBy("symbol")
+    norm_scores, norm_ranks = [], []
+    for m in methods:
+        max_s = F.max(m).over(w_sym)
+        max_r = F.max(f"{m}_rank").over(w_sym)
+        norm_scores.append(F.when(max_s > 0, F.col(m) / max_s).otherwise(0.0))
+        norm_ranks.append((max_r - F.col(f"{m}_rank") + 1) / max_r)
+    avg_score = sum(norm_scores) / len(norm_scores)
+    avg_rank = sum(norm_ranks) / len(norm_ranks)
+    consensus = (avg_score + avg_rank) / 2.0
+    out = scores.select(
+        "symbol",
+        "feature",
+        avg_score.alias("avg_score"),
+        avg_rank.alias("avg_rank"),
+        consensus.alias("consensus_score"),
+    )
+    w_rank = Window.partitionBy("symbol").orderBy(
+        F.desc("consensus_score"), F.asc("feature")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def random_forest_importance(
+    candles: DataFrame, n_trees: int = 50, seed: int = 42
+) -> DataFrame:
+    """P7 random-forest method via pyspark.ml (JVM MLlib — the
+    container has no sklearn): one model over the pooled matrix,
+    featureImportances unpacked to (feature, importance) rows."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    matrix = feature_matrix(candles)
+    vec = VectorAssembler(inputCols=list(FEATURES), outputCol="fv")
+    assembled = vec.transform(matrix)
+    model = RandomForestRegressor(
+        featuresCol="fv",
+        labelCol="target",
+        numTrees=n_trees,
+        seed=seed,
+        maxDepth=5,
+    ).fit(assembled)
+    imps = model.featureImportances.toArray().tolist()
+    spark = candles.sparkSession
+    return spark.createDataFrame(
+        [(f, float(v)) for f, v in zip(FEATURES, imps)],
+        ["feature", "importance"],
+    )

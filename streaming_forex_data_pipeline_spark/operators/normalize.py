@@ -60,6 +60,44 @@ def apply_normalization(
     return out.drop(*[c for c in out.columns if "__" in c])
 
 
+def save_params(params: DataFrame, path: str) -> None:
+    """N6 — persist fit parameters as JSON for inference reuse
+    (normalizer.py:289-342; the fit_on_data=False path).  The params
+    relation is one row of scalars — the broadcast build side of every
+    later apply."""
+    params.coalesce(1).write.mode("overwrite").json(path)
+
+
+def load_params(spark, path: str) -> DataFrame:
+    """N6 — reload persisted fit parameters (Model.load analog)."""
+    return spark.read.json(path)
+
+
+def validate_normalization(
+    df: DataFrame, cols: list[str], method: str = "minmax", tol: float = 0.1
+) -> DataFrame:
+    """N7 — self-check aggregates (normalizer.py:399-443): minmax
+    output within [0,1]±1e-6; zscore mean≈0 and std≈1 within `tol`;
+    everything finite.  Returns one row per column with pass flags."""
+    checks = []
+    for c in cols:
+        n = F.col(f"{c}_normalized")
+        finite = F.count_if(F.isnan(n) | n.isNull()) == 0
+        if method == "minmax":
+            ok = (F.min(n) >= -1e-6) & (F.max(n) <= 1.0 + 1e-6)
+        elif method == "zscore":
+            ok = (F.abs(F.avg(n)) <= tol) & (
+                F.abs(F.stddev_pop(n) - 1.0) <= tol
+            )
+        else:  # robust: median≈0
+            ok = F.abs(F.expr(f"percentile({c}_normalized, 0.5)")) <= tol
+        checks += [
+            ok.alias(f"{c}_ok"),
+            finite.alias(f"{c}_finite"),
+        ]
+    return df.agg(*checks)
+
+
 def denormalize(
     df: DataFrame, params: DataFrame, cols: list[str], method: str = "minmax"
 ) -> DataFrame:

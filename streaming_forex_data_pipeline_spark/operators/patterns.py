@@ -24,6 +24,196 @@ from pyspark.sql import functions as F
 DOJI_THRESHOLD = 0.1
 
 
+def support_resistance_levels(
+    df: DataFrame,
+    window: int = 20,
+    min_touches: int = 2,
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """P2 — support/resistance levels: centered rolling(window) min/max
+    local-extremum detection + touch counting within ±2·window rows at
+    0.2% tolerance (pattern_detection.py:288-349).
+
+    pandas center=True with even window w = frame [i-w/2, i+w/2-1].
+    Touch counting needs each neighborhood value against the CURRENT
+    row's level -> bounded list window (O(4·window) array per row), the
+    same pattern as CCI's MAD.  Only interior rows i ∈ [w, n-w) emit.
+    """
+    w = Window.partitionBy(symbol).orderBy(ts)
+    half = window // 2
+    centered = w.rowsBetween(-half, half - 1)
+    hood = w.rowsBetween(-2 * window, 2 * window - 1)
+    rn = F.row_number().over(w)
+    n_all = F.count(F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+
+    base = df.select(
+        symbol,
+        ts,
+        "high",
+        "low",
+        F.min("low").over(centered).alias("__cmin"),
+        F.max("high").over(centered).alias("__cmax"),
+        F.collect_list("low").over(hood).alias("__lows"),
+        F.collect_list("high").over(hood).alias("__highs"),
+        rn.alias("__rn"),
+        n_all.alias("__n"),
+    )
+    interior = (F.col("__rn") >= window + 1) & (F.col("__rn") <= F.col("__n") - window)
+
+    def level_rows(kind: str, price_col: str, arr: str, is_min: bool):
+        level = F.col(price_col)
+        extremum = level == F.col("__cmin" if is_min else "__cmax")
+        touches = F.size(
+            F.filter(
+                F.col(arr), lambda x: F.abs(x - level) / level < 0.002
+            )
+        )
+        return (
+            base.filter(interior & extremum)
+            .withColumn("touches", touches)
+            .filter(F.col("touches") >= min_touches)
+            .select(
+                symbol,
+                ts,
+                F.lit(kind).alias("pattern"),
+                F.when(F.col("touches") >= 4, "high")
+                .otherwise("medium")
+                .alias("confidence"),
+                level.alias("price_level"),
+                F.least(F.lit(1.0), F.col("touches") / 5.0).alias(
+                    "signal_strength"
+                ),
+                F.col("touches"),
+            )
+        )
+
+    sup = level_rows("support", "low", "__lows", True)
+    res = level_rows("resistance", "high", "__highs", False)
+    return sup.unionByName(res)
+
+
+def trend_signals(
+    df: DataFrame, window: int = 20, symbol: str = "symbol", ts: str = "ts"
+) -> DataFrame:
+    """P3 — trend-change detection: MA(w/2) vs MA(w) regime flip with
+    strength = |Δprice over w| / (σ·w), noise-filtered at 0.3
+    (pattern_detection.py:351-400).  Volatility is the sample std of
+    the w rows ENDING AT THE PREVIOUS row (iloc[i-w:i])."""
+    w = Window.partitionBy(symbol).orderBy(ts)
+    rn = F.row_number().over(w)
+    ma_s = F.avg("close").over(w.rowsBetween(-(window // 2 - 1), 0))
+    ma_l = F.avg("close").over(w.rowsBetween(-(window - 1), 0))
+    trend = F.when(ma_s > ma_l, "up").otherwise("down")
+
+    base = df.select(
+        symbol,
+        ts,
+        "close",
+        rn.alias("__rn"),
+        trend.alias("__trend"),
+        F.lag("close", window).over(w).alias("__prev_close"),
+        F.stddev_samp("close").over(w.rowsBetween(-window, -1)).alias("__vol"),
+    )
+    w2 = Window.partitionBy(symbol).orderBy(ts)
+    prev_trend = F.lag("__trend").over(w2)
+    pc = F.abs(F.col("close") - F.col("__prev_close"))
+    strength = F.least(F.lit(1.0), pc / (F.col("__vol") * window))
+    return (
+        base.withColumn("__prev_trend", prev_trend)
+        # reference loop starts at i=window: the first compared pair is
+        # (i=window+1 vs i=window), i.e. rn >= window+2 in 1-based terms
+        .filter(
+            (F.col("__rn") >= window + 2)
+            & (F.col("__trend") != F.col("__prev_trend"))
+            & (F.col("__vol") > 0)
+            & (strength > 0.3)
+        )
+        .select(
+            symbol,
+            ts,
+            F.when(F.col("__trend") == "up", "uptrend")
+            .otherwise("downtrend")
+            .alias("pattern"),
+            F.when(strength > 0.7, "high").otherwise("medium").alias("confidence"),
+            F.col("close").alias("price_level"),
+            strength.alias("signal_strength"),
+        )
+    )
+
+
+def breakout_signals(
+    df: DataFrame,
+    window: int = 20,
+    min_volume_increase: float = 1.5,
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """P4 — Bollinger-band breakout with range-proxy volume confirmation
+    (pattern_detection.py:402-463): close crosses a band while the
+    5-row range mean exceeds 1.5x its own prior-20-row mean."""
+    w = Window.partitionBy(symbol).orderBy(ts)
+    rn = F.row_number().over(w)
+    ma = F.avg("close").over(w.rowsBetween(-(window - 1), 0))
+    sd = F.stddev_samp("close").over(w.rowsBetween(-(window - 1), 0))
+    upper = ma + 2 * sd
+    lower = ma - 2 * sd
+    # min_periods parity: pandas' rolling(5) proxy is NaN for rows 1-4,
+    # which its prior-20-row mean SKIPS — guard so SQL avg skips too
+    vol_proxy = F.when(
+        rn >= 5, F.avg(F.col("high") - F.col("low")).over(w.rowsBetween(-4, 0))
+    )
+
+    base = df.select(
+        symbol,
+        ts,
+        "close",
+        rn.alias("__rn"),
+        sd.alias("__sd"),
+        upper.alias("__up"),
+        lower.alias("__lo"),
+        F.lag("close").over(w).alias("__prev_close"),
+        F.lag(upper).over(w).alias("__prev_up"),
+        F.lag(lower).over(w).alias("__prev_lo"),
+        vol_proxy.alias("__vp"),
+    )
+    w2 = Window.partitionBy(symbol).orderBy(ts)
+    avg_vp = F.avg("__vp").over(w2.rowsBetween(-window, -1))
+    # materialize the prior-window mean first: window exprs are not
+    # allowed inside a WHERE clause
+    base = base.withColumn("__avg_vp", avg_vp)
+    up_break = (
+        (F.col("close") > F.col("__up"))
+        & (F.col("__prev_close") <= F.col("__prev_up"))
+        & (F.col("__vp") > F.col("__avg_vp") * min_volume_increase)
+    )
+    down_break = (
+        (F.col("close") < F.col("__lo"))
+        & (F.col("__prev_close") >= F.col("__prev_lo"))
+        & (F.col("__vp") > F.col("__avg_vp") * min_volume_increase)
+    )
+    up_strength = F.least(F.lit(1.0), (F.col("close") - F.col("__up")) / F.col("__sd"))
+    down_strength = F.least(
+        F.lit(1.0), (F.col("__lo") - F.col("close")) / F.col("__sd")
+    )
+    strength = F.when(up_break, up_strength).otherwise(down_strength)
+    return (
+        base.filter((F.col("__rn") >= window + 1) & (up_break | down_break))
+        .select(
+            symbol,
+            ts,
+            F.when(up_break, "breakout_up").otherwise("breakout_down").alias(
+                "pattern"
+            ),
+            F.when(strength > 0.5, "high").otherwise("medium").alias("confidence"),
+            F.col("close").alias("price_level"),
+            strength.alias("signal_strength"),
+        )
+    )
+
+
 def _body(o: Column, c: Column) -> Column:
     return F.abs(c - o)
 

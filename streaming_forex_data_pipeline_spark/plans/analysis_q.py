@@ -278,3 +278,258 @@ def backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         *cols, *rounded, "max_consecutive_wins", "max_consecutive_losses"
     ).orderBy("symbol")
+
+
+@register(
+    "support_resistance_levels",
+    oracle=CANDLES_CTE
+    + f"""
+, base AS (
+  SELECT symbol, ts, high, low,
+         min(low)  OVER ({_W} ROWS BETWEEN 10 PRECEDING AND 9 FOLLOWING) AS cmin,
+         max(high) OVER ({_W} ROWS BETWEEN 10 PRECEDING AND 9 FOLLOWING) AS cmax,
+         list(low)  OVER ({_W} ROWS BETWEEN 40 PRECEDING AND 39 FOLLOWING) AS lows,
+         list(high) OVER ({_W} ROWS BETWEEN 40 PRECEDING AND 39 FOLLOWING) AS highs,
+         row_number() OVER ({_W}) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM candles
+),
+sup AS (
+  SELECT symbol, ts, 'support' AS pattern,
+         len(list_filter(lows, x -> abs(x - low) / low < 0.002)) AS touches,
+         low AS price_level
+  FROM base
+  WHERE rn >= 21 AND rn <= n - 20 AND low = cmin
+),
+res AS (
+  SELECT symbol, ts, 'resistance' AS pattern,
+         len(list_filter(highs, x -> abs(x - high) / high < 0.002)) AS touches,
+         high AS price_level
+  FROM base
+  WHERE rn >= 21 AND rn <= n - 20 AND high = cmax
+),
+u AS (SELECT * FROM sup UNION ALL SELECT * FROM res)
+SELECT symbol, ts, pattern,
+       CASE WHEN touches >= 4 THEN 'high' ELSE 'medium' END AS confidence,
+       round(price_level, 6) AS price_level,
+       round(least(1.0, touches / 5.0), 6) AS signal_strength,
+       CAST(touches AS BIGINT) AS touches
+FROM u
+WHERE touches >= 2
+ORDER BY symbol, ts, pattern
+""",
+    doc="P2 — support/resistance levels: centered rolling(20) min/max "
+    "local extrema, touch count within ±40 rows at 0.2% tolerance, "
+    ">=2 touches emits a level (pattern_detection.py:288-349).  The "
+    "reference's O(n·w) touch loop becomes a bounded list window.",
+)
+def support_resistance_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = P.support_resistance_levels(c)
+    return out.select(
+        "symbol",
+        "ts",
+        "pattern",
+        "confidence",
+        F.round("price_level", R).alias("price_level"),
+        F.round("signal_strength", R).alias("signal_strength"),
+        F.col("touches").cast("long").alias("touches"),
+    ).orderBy("symbol", "ts", "pattern")
+
+
+@register(
+    "trend_signals",
+    oracle=CANDLES_CTE
+    + f"""
+, ma AS (
+  SELECT symbol, ts, close,
+         avg(close) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)  AS ma_s,
+         avg(close) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ma_l,
+         lag(close, 20) OVER ({_W}) AS prev_close,
+         stddev_samp(close) OVER ({_W} ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS vol,
+         row_number() OVER ({_W}) AS rn
+  FROM candles
+),
+tr AS (
+  SELECT symbol, ts, close, rn, prev_close, vol,
+         CASE WHEN ma_s > ma_l THEN 'up' ELSE 'down' END AS trend,
+         lag(CASE WHEN ma_s > ma_l THEN 'up' ELSE 'down' END) OVER ({_W}) AS prev_trend
+  FROM ma
+)
+SELECT symbol, ts,
+       CASE WHEN trend = 'up' THEN 'uptrend' ELSE 'downtrend' END AS pattern,
+       CASE WHEN least(1.0, abs(close - prev_close) / (vol * 20)) > 0.7
+            THEN 'high' ELSE 'medium' END AS confidence,
+       round(close, 6) AS price_level,
+       round(least(1.0, abs(close - prev_close) / (vol * 20)), 6) AS signal_strength
+FROM tr
+WHERE rn >= 22 AND trend <> prev_trend AND vol > 0
+  AND least(1.0, abs(close - prev_close) / (vol * 20)) > 0.3
+ORDER BY symbol, ts
+""",
+    doc="P3 — trend-change detection: MA(10) vs MA(20) regime flip, "
+    "strength = |Δclose over 20| / (σ·20) with σ the sample std of "
+    "the 20 rows ending at the previous row, noise filter 0.3 "
+    "(pattern_detection.py:351-400).",
+)
+def trend_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = P.trend_signals(c)
+    return out.select(
+        "symbol",
+        "ts",
+        "pattern",
+        "confidence",
+        F.round("price_level", R).alias("price_level"),
+        F.round("signal_strength", R).alias("signal_strength"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "breakout_signals",
+    oracle=CANDLES_CTE
+    + f"""
+, bb AS (
+  SELECT symbol, ts, close, high, low,
+         avg(close) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ma,
+         stddev_samp(close) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd,
+         CASE WHEN row_number() OVER ({_W}) >= 5
+              THEN avg(high - low) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         END AS vp,
+         row_number() OVER ({_W}) AS rn
+  FROM candles
+),
+lagd AS (
+  SELECT symbol, ts, close, rn, sd,
+         ma + 2 * sd AS up_band,
+         ma - 2 * sd AS lo_band,
+         lag(close) OVER ({_W}) AS prev_close,
+         lag(ma + 2 * sd) OVER ({_W}) AS prev_up,
+         lag(ma - 2 * sd) OVER ({_W}) AS prev_lo,
+         vp,
+         avg(vp) OVER ({_W} ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS avg_vp
+  FROM bb
+)
+SELECT symbol, ts,
+       CASE WHEN close > up_band THEN 'breakout_up' ELSE 'breakout_down' END AS pattern,
+       CASE WHEN (CASE WHEN close > up_band
+                       THEN least(1.0, (close - up_band) / sd)
+                       ELSE least(1.0, (lo_band - close) / sd) END) > 0.5
+            THEN 'high' ELSE 'medium' END AS confidence,
+       round(close, 6) AS price_level,
+       round(CASE WHEN close > up_band
+                  THEN least(1.0, (close - up_band) / sd)
+                  ELSE least(1.0, (lo_band - close) / sd) END, 6) AS signal_strength
+FROM lagd
+WHERE rn >= 21
+  AND ((close > up_band AND prev_close <= prev_up AND vp > avg_vp * 1.5)
+    OR (close < lo_band AND prev_close >= prev_lo AND vp > avg_vp * 1.5))
+ORDER BY symbol, ts
+""",
+    doc="P4 — Bollinger breakout with range-proxy volume confirmation: "
+    "band cross vs previous bar + rolling(5) range mean above 1.5x its "
+    "prior-20-row mean (pattern_detection.py:402-463); the proxy "
+    "respects pandas min_periods NaN-skipping.",
+)
+def breakout_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = P.breakout_signals(c)
+    return out.select(
+        "symbol",
+        "ts",
+        "pattern",
+        "confidence",
+        F.round("price_level", R).alias("price_level"),
+        F.round("signal_strength", R).alias("signal_strength"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "microstructure",
+    oracle="""
+WITH ticks AS (
+  SELECT event_type AS symbol,
+         CAST(ts AS TIMESTAMP) AS ts,
+         "value" AS last,
+         0.0001 + (event_id % 10) * 0.00001 AS spread,
+         CAST(event_id % 100 + 1 AS DOUBLE) * 1000 AS volume,
+         CAST(event_id % 150 AS DOUBLE) AS latency_ms,
+         lag("value") OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_last
+  FROM events
+)
+SELECT symbol,
+       round(avg(spread), 6) AS avg_spread,
+       round(stddev_samp(spread), 6) AS spread_volatility,
+       round(count(*) / ((epoch(max(ts)) - epoch(min(ts))) / 60.0), 6) AS tick_frequency,
+       round(avg(latency_ms), 6) AS avg_latency_ms,
+       round(sum(volume), 6) AS total_volume,
+       round(avg(volume), 6) AS avg_volume,
+       round(stddev_samp(volume), 6) AS volume_std,
+       round(avg(abs(last - prev_last) / volume) * avg(volume), 6) AS price_impact,
+       round(greatest(0, 1 - avg(spread) / 0.001) * 0.4
+             + least(1.0, avg(volume) / 1000000.0) * 0.3
+             + 0.5 * 0.3, 6) AS liquidity_score,
+       round(avg(CASE WHEN latency_ms < 50 THEN 1.0
+                      WHEN latency_ms < 100 THEN 0.8
+                      ELSE 0.5 END), 6) AS data_quality_score
+FROM ticks
+GROUP BY symbol
+ORDER BY symbol
+""",
+    doc="A8 — microstructure metrics per symbol over a derived tick "
+    "frame (deterministic spread/volume/latency from event_id): avg "
+    "spread + volatility, tick frequency per minute, latency, volume "
+    "profile, price impact = mean(|Δprice|/normalized volume) "
+    "(= avg(|Δ|/v)·avg(v), one aggregation pass), composite liquidity "
+    "score (0.4/0.3/0.3 weights, no-book default 0.5), latency-bucket "
+    "quality score (premium_data_provider.py:202-285).",
+)
+def microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("last"),
+        (0.0001 + (F.col("event_id") % 10) * 0.00001).alias("spread"),
+        ((F.col("event_id") % 100 + 1).cast("double") * 1000).alias("volume"),
+        (F.col("event_id") % 150).cast("double").alias("latency_ms"),
+        F.lag("value").over(w).alias("prev_last"),
+    )
+    span_min = (
+        F.max("ts").cast("double") - F.min("ts").cast("double")
+    ) / 60.0
+    spread_score = F.greatest(F.lit(0.0), 1.0 - F.avg("spread") / 0.001)
+    volume_score = F.least(F.lit(1.0), F.avg("volume") / 1000000.0)
+    return (
+        t.groupBy("symbol")
+        .agg(
+            F.round(F.avg("spread"), R).alias("avg_spread"),
+            F.round(F.stddev_samp("spread"), R).alias("spread_volatility"),
+            F.round(F.count(F.lit(1)) / span_min, R).alias("tick_frequency"),
+            F.round(F.avg("latency_ms"), R).alias("avg_latency_ms"),
+            F.round(F.sum("volume"), R).alias("total_volume"),
+            F.round(F.avg("volume"), R).alias("avg_volume"),
+            F.round(F.stddev_samp("volume"), R).alias("volume_std"),
+            F.round(
+                F.avg(F.abs(F.col("last") - F.col("prev_last")) / F.col("volume"))
+                * F.avg("volume"),
+                R,
+            ).alias("price_impact"),
+            F.round(
+                spread_score * 0.4 + volume_score * 0.3 + 0.5 * 0.3, R
+            ).alias("liquidity_score"),
+            F.round(
+                F.avg(
+                    F.when(F.col("latency_ms") < 50, 1.0)
+                    .when(F.col("latency_ms") < 100, 0.8)
+                    .otherwise(0.5)
+                ),
+                R,
+            ).alias("data_quality_score"),
+        )
+        .orderBy("symbol")
+    )

@@ -192,3 +192,57 @@ def atr_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol", "ts", F.round("atr_14", R).alias("atr_14")
     ).orderBy("symbol", "ts")
+
+
+@register(
+    "ma_ratios",
+    oracle=CANDLES_CTE
+    + _NB_CTE
+    + f"""
+, sma AS (
+  SELECT symbol, ts, rn, close,
+         CASE WHEN rn >= 20 THEN avg(close) OVER
+              ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS sma_20,
+         CASE WHEN rn >= 50 THEN avg(close) OVER
+              ({_W} ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) END AS sma_50
+  FROM nb
+),
+ema AS (
+  SELECT a.symbol, a.ts,
+         {_ema_sum('close', 12)} AS ema_12,
+         {_ema_sum('close', 26)} AS ema_26
+  FROM nb a JOIN nb b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY a.symbol, a.ts
+)
+SELECT s.symbol, s.ts,
+       round(s.sma_20 / s.sma_50, 6) AS sma_20_50_ratio,
+       round(e.ema_12 / e.ema_26, 6) AS ema_12_26_ratio
+FROM sma s JOIN ema e ON s.symbol = e.symbol AND s.ts = e.ts
+ORDER BY s.symbol, s.ts
+""",
+    doc="W12 — moving-average ratios: sma20/sma50 (null until both "
+    "windows fill) and ema12/ema26 (feature_engineer.py:259-263).",
+)
+def ma_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import indicators as I
+
+    c = candles_from_events(spark, sf_dir)
+    with_ema = E.ema(c, [12, 26])
+    sma_part = c.select(
+        "symbol",
+        "ts",
+        (I.sma("close", 20) / I.sma("close", 50)).alias("sma_20_50_ratio"),
+    )
+    return (
+        with_ema.select(
+            "symbol", "ts", (F.col("ema_12") / F.col("ema_26")).alias("ema_12_26_ratio")
+        )
+        .join(sma_part, ["symbol", "ts"])
+        .select(
+            "symbol",
+            "ts",
+            F.round("sma_20_50_ratio", R).alias("sma_20_50_ratio"),
+            F.round("ema_12_26_ratio", R).alias("ema_12_26_ratio"),
+        )
+        .orderBy("symbol", "ts")
+    )

@@ -757,3 +757,207 @@ def normalize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "ts")
     )
+
+
+# ---- round-2 coverage queries (S2, F7-F9, A7, W7, W12) ---------------------
+
+
+@register(
+    "latest_quote",
+    oracle="""
+SELECT event_type AS symbol,
+       CAST(max(CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS ts,
+       round(max_by("value", event_id), 6) AS last_value
+FROM events
+GROUP BY event_type
+ORDER BY symbol
+""",
+    doc="S2 — latest-quote scan: last value per symbol by ingest order "
+    "(data_fetcher.py:329-374; event_id is the unique time-ordered "
+    "key, so max_by is the deterministic ordered-last).",
+)
+def latest_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.max("ts").alias("ts"),
+            _r(F.max_by("value", "event_id"), "last_value"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "trading_hours_filter",
+    oracle=CANDLES_CTE
+    + """
+SELECT symbol,
+       count(*) AS n_total,
+       CAST(count(*) FILTER (WHERE (hour(ts) >= 8 AND hour(ts) <= 17)
+                                OR (hour(ts) >= 13 AND hour(ts) <= 22)) AS BIGINT)
+         AS n_in_session
+FROM candles
+GROUP BY symbol
+ORDER BY symbol
+""",
+    doc="F8 — trading-hours filter: rows inside the london or new_york "
+    "sessions (end-inclusive bounds, market_filters.py:289-331).",
+)
+def trading_hours_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    h = F.hour("ts")
+    in_sess = X.in_session(h, *X.SESSIONS["london"]) | X.in_session(
+        h, *X.SESSIONS["new_york"]
+    )
+    return (
+        c.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(in_sess).alias("n_in_session"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "high_liquidity_filter",
+    oracle=CANDLES_CTE
+    + """
+, scored AS (
+  SELECT symbol, ts,
+     (CAST(hour(ts) >= 22 OR hour(ts) <= 7 AS INT) * 0.2
+    + CAST(hour(ts) <= 9 AS INT) * 0.4
+    + CAST(hour(ts) >= 8 AND hour(ts) <= 17 AS INT) * 0.8
+    + CAST(hour(ts) >= 13 AND hour(ts) <= 22 AS INT) * 0.9
+    + CAST(hour(ts) >= 13 AND hour(ts) <= 17 AS INT) * 0.5
+    + CAST((hour(ts) >= 22 OR hour(ts) <= 7) AND hour(ts) <= 9 AS INT) * 0.2
+    + CAST(hour(ts) >= 8 AND hour(ts) <= 9 AS INT) * 0.3
+     ) / 2.2 AS score
+  FROM candles
+)
+SELECT symbol, count(*) AS n_high_liquidity
+FROM scored
+WHERE score >= 0.6
+GROUP BY symbol
+ORDER BY symbol
+""",
+    doc="F9 — high-liquidity filter: keep rows whose liquidity level is "
+    "high or very_high (score >= 0.6, market_filters.py:333-352).",
+)
+def high_liquidity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    score = X.liquidity_score("ts")
+    return (
+        c.filter(score >= 0.6)
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).alias("n_high_liquidity"))
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "quality_level_filter",
+    oracle=CANDLES_CTE
+    + """
+, per AS (
+  SELECT symbol,
+         count(*) AS n_rows,
+         (epoch(max(ts)) - epoch(min(ts))) / 3600 + 1 AS expected
+  FROM candles GROUP BY symbol
+),
+scored AS (
+  SELECT symbol, n_rows,
+         greatest(1.0
+           - (CASE WHEN 100.0 * (expected - n_rows) / expected > 10.0
+                   THEN 0.15 ELSE 0.0 END)
+           - (CASE WHEN n_rows < 10 THEN 0.2 ELSE 0.0 END), 0.0) AS score
+  FROM per
+)
+SELECT symbol, CAST(n_rows AS BIGINT) AS n_rows, round(score, 6) AS quality_score
+FROM scored
+WHERE score >= 0.8
+ORDER BY symbol
+""",
+    doc="F7 — quality-level predicate on scan results (repository.py"
+    ":205-207; min_quality_score request param): symbols whose "
+    "gap/short-series quality score reaches 'good' (>= 0.8).  Adapted: "
+    "the testdata events carry no stored per-row quality column, so "
+    "the score is the D8 gap/length component computed inline.",
+)
+def quality_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    expected = (F.max("ts").cast("double") - F.min("ts").cast("double")) / 3600.0 + 1.0
+    per = c.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_rows"), expected.alias("expected")
+    )
+    gap_pct = 100.0 * (F.col("expected") - F.col("n_rows")) / F.col("expected")
+    score = F.greatest(
+        F.lit(1.0)
+        - F.when(gap_pct > 10.0, 0.15).otherwise(0.0)
+        - F.when(F.col("n_rows") < 10, 0.2).otherwise(0.0),
+        F.lit(0.0),
+    )
+    return (
+        per.withColumn("quality_score", F.round(score, R))
+        .filter(F.col("quality_score") >= 0.8)
+        .select("symbol", "n_rows", "quality_score")
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "volatility_scalar",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol,
+       round(stddev_pop(ret) * 100, 6) AS volatility_pct
+FROM (
+  SELECT symbol,
+         CASE WHEN lag(close) OVER ({_W_ORD}) <> 0
+              THEN (close - lag(close) OVER ({_W_ORD})) / lag(close) OVER ({_W_ORD})
+         END AS ret
+  FROM candles
+) t
+GROUP BY symbol
+ORDER BY symbol
+""",
+    doc="A7 — scalar volatility: population std of simple returns x100 "
+    "(persistence.py:468-483; np.std ddof=0).",
+)
+def volatility_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    c = c.withColumn("ret", I.pct_change())
+    return (
+        c.groupBy("symbol")
+        .agg(_r(F.stddev_pop("ret") * 100.0, "volatility_pct"))
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "volume_ratio",
+    oracle=CANDLES_CTE
+    + f"""
+SELECT symbol, ts,
+       round(CASE WHEN row_number() OVER ({_W_ORD}) >= 20
+             THEN avg(volume) OVER ({_frame(20)}) END, 6) AS volume_sma_20,
+       round(coalesce(
+         volume / (CASE WHEN row_number() OVER ({_W_ORD}) >= 20
+                   THEN avg(volume) OVER ({_frame(20)}) END), 1.0), 6)
+         AS volume_ratio
+FROM candles
+ORDER BY symbol, ts
+""",
+    doc="W7 — volume SMA(20) + volume/sma ratio with warm-up "
+    "coalesced to 1.0 (feature_engineer.py:206-219 fillna(1.0)).",
+)
+def volume_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    sma_v = I.sma("volume", 20)
+    return c.select(
+        "symbol",
+        "ts",
+        _r(sma_v, "volume_sma_20"),
+        _r(F.coalesce(F.col("volume") / sma_v, F.lit(1.0)), "volume_ratio"),
+    ).orderBy("symbol", "ts")

@@ -1,0 +1,90 @@
+"""Write-path (S7 upsert, S10 range delete, S14 JSON export) and
+normalization persistence (N6) / validation (N7) tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from streaming_forex_data_pipeline_spark.operators import normalize as N
+from streaming_forex_data_pipeline_spark.sources import sinks as S
+from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+
+def _candles(spark, rows):
+    return spark.createDataFrame(
+        rows, ["symbol", "ts", "close"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    tdir = str(tmp_path / "candles")
+    t0 = dt.datetime(2024, 1, 1)
+    S.upsert_append(
+        _candles(spark, [("S", t0, 1.0), ("S", t0 + dt.timedelta(hours=1), 2.0)]),
+        tdir,
+    )
+    # second batch updates the first key and inserts a new one
+    S.upsert_append(
+        _candles(spark, [("S", t0, 9.0), ("S", t0 + dt.timedelta(hours=2), 3.0)]),
+        tdir,
+    )
+    got = {
+        (r["symbol"], r["ts"]): r["close"]
+        for r in S.read_upserted(spark, tdir, ["symbol", "ts"]).collect()
+    }
+    assert len(got) == 3
+    assert got[("S", t0)] == 9.0  # WHEN MATCHED THEN UPDATE
+    assert got[("S", t0 + dt.timedelta(hours=1))] == 2.0
+    assert got[("S", t0 + dt.timedelta(hours=2))] == 3.0  # WHEN NOT MATCHED INSERT
+
+    # compaction rewrites without the dedup window; same content
+    S.compact(spark, tdir, ["symbol", "ts"])
+    after = spark.read.parquet(tdir)
+    assert after.count() == 3
+    assert "__ingest_ts" not in after.columns
+
+
+def test_range_delete(spark, tmp_path):
+    tdir = str(tmp_path / "delete_me")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("S", t0 + dt.timedelta(hours=h), float(h)) for h in range(10)]
+    _candles(spark, rows).write.parquet(tdir)
+    S.delete_range(
+        spark, tdir, "ts", t0 + dt.timedelta(hours=3), t0 + dt.timedelta(hours=6)
+    )
+    left = sorted(r["close"] for r in spark.read.parquet(tdir).collect())
+    assert left == [0.0, 1.0, 2.0, 7.0, 8.0, 9.0]
+
+
+def test_export_json(spark, tmp_path):
+    out = str(tmp_path / "export")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    S.export_json(df, out)
+    back = spark.read.json(out)
+    assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_normalization_params_roundtrip(spark, sf_dir, tmp_path):
+    e = load_table(spark, sf_dir, "events").select("event_id", "value").limit(300)
+    params = N.fit_params(e, ["value"])
+    path = str(tmp_path / "params")
+    N.save_params(params, path)
+    loaded = N.load_params(spark, path)
+
+    a = N.apply_normalization(e, params, ["value"], "zscore").orderBy("event_id")
+    b = N.apply_normalization(e, loaded, ["value"], "zscore").orderBy("event_id")
+    pa = a.select("value_normalized").toPandas()["value_normalized"]
+    pb = b.select("value_normalized").toPandas()["value_normalized"]
+    assert (pa - pb).abs().max() < 1e-12
+
+
+def test_normalization_validation(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("event_id", "value").limit(300)
+    params = N.fit_params(e, ["value"])
+    for method in ("minmax", "zscore", "robust"):
+        norm = N.apply_normalization(e, params, ["value"], method)
+        row = N.validate_normalization(norm, ["value"], method).collect()[0]
+        assert row["value_ok"], f"{method} failed validation"
+        assert row["value_finite"], f"{method} produced NaN/null"
