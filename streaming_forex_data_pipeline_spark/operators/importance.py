@@ -90,7 +90,11 @@ def importance_scores(candles: DataFrame) -> DataFrame:
     agg = agg.withColumn("f_stat", f_stat).drop("__r")
     out = agg
     for m in ("pearson_score", "spearman_score", "f_stat"):
-        w = Window.partitionBy("symbol").orderBy(F.desc(m), F.asc("feature"))
+        # rank on scores ROUNDED to the output precision: near-equal
+        # scores otherwise flip order on last-bit engine differences
+        w = Window.partitionBy("symbol").orderBy(
+            F.desc(F.round(m, 6)), F.asc("feature")
+        )
         out = out.withColumn(f"{m}_rank", F.row_number().over(w))
     return out
 
@@ -119,7 +123,7 @@ def consensus_ranking(scores: DataFrame, top_n: int = 15) -> DataFrame:
         consensus.alias("consensus_score"),
     )
     w_rank = Window.partitionBy("symbol").orderBy(
-        F.desc("consensus_score"), F.asc("feature")
+        F.desc(F.round("consensus_score", 6)), F.asc("feature")
     )
     return (
         out.withColumn("rank", F.row_number().over(w_rank))

@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     llm_q,
     quality_q,
     relational,
+    streaming_q,
     timeseries,
 )
 from .registry import all_queries, oracle_sqls, spark_queries

@@ -533,3 +533,179 @@ def microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+_FEATURE_MATRIX_CTE = f"""
+, fm AS (
+  SELECT symbol, ts,
+         CASE WHEN lag(close) OVER ({_W}) <> 0
+              THEN (close - lag(close) OVER ({_W})) / lag(close) OVER ({_W}) END AS ret_1,
+         CASE WHEN lag(close, 5) OVER ({_W}) <> 0
+              THEN close / lag(close, 5) OVER ({_W}) - 1.0 END AS mom_5,
+         (high - low) / close AS range_frac,
+         abs(close - open) / close AS body_frac,
+         CAST(n_events AS DOUBLE) AS activity,
+         CASE WHEN lead(close) OVER ({_W}) IS NOT NULL
+              THEN lead(close) OVER ({_W}) / close - 1.0 END AS target
+  FROM candles
+),
+aligned AS (
+  SELECT * FROM fm
+  WHERE ret_1 IS NOT NULL AND mom_5 IS NOT NULL AND range_frac IS NOT NULL
+    AND body_frac IS NOT NULL AND activity IS NOT NULL AND target IS NOT NULL
+),
+st AS (
+  SELECT symbol, ts, 'ret_1' AS feature, ret_1 AS x, target AS y FROM aligned
+  UNION ALL
+  SELECT symbol, ts, 'mom_5', mom_5, target FROM aligned
+  UNION ALL
+  SELECT symbol, ts, 'range_frac', range_frac, target FROM aligned
+  UNION ALL
+  SELECT symbol, ts, 'body_frac', body_frac, target FROM aligned
+  UNION ALL
+  SELECT symbol, ts, 'activity', activity, target FROM aligned
+),
+ranked AS (
+  SELECT symbol, feature, x, y,
+         rank() OVER (PARTITION BY symbol, feature ORDER BY x)
+           + (count(*) OVER (PARTITION BY symbol, feature, x) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY symbol, feature ORDER BY y)
+           + (count(*) OVER (PARTITION BY symbol, feature, y) - 1) / 2.0 AS ry
+  FROM st
+),
+agg AS (
+  SELECT symbol, feature,
+         count(*) AS n,
+         abs(corr(x, y)) AS pearson_score,
+         abs(corr(rx, ry)) AS spearman_score,
+         CASE WHEN corr(x, y) * corr(x, y) < 1.0
+              THEN corr(x, y) * corr(x, y) / (1.0 - corr(x, y) * corr(x, y))
+                   * (count(*) - 2) END AS f_stat
+  FROM ranked
+  GROUP BY symbol, feature
+),
+scored AS (
+  SELECT symbol, feature, n, pearson_score, spearman_score, f_stat,
+         row_number() OVER (PARTITION BY symbol ORDER BY round(pearson_score, 6) DESC, feature)
+           AS pearson_score_rank,
+         row_number() OVER (PARTITION BY symbol ORDER BY round(spearman_score, 6) DESC, feature)
+           AS spearman_score_rank,
+         row_number() OVER (PARTITION BY symbol ORDER BY round(f_stat, 6) DESC, feature)
+           AS f_stat_rank
+  FROM agg
+)
+"""
+
+
+@register(
+    "feature_importance",
+    oracle=CANDLES_CTE
+    + _FEATURE_MATRIX_CTE
+    + """
+SELECT symbol, feature, CAST(n AS BIGINT) AS n,
+       round(pearson_score, 6) AS pearson_score,
+       round(spearman_score, 6) AS spearman_score,
+       round(f_stat, 6) AS f_stat,
+       CAST(pearson_score_rank AS INT) AS pearson_score_rank,
+       CAST(spearman_score_rank AS INT) AS spearman_score_rank,
+       CAST(f_stat_rank AS INT) AS f_stat_rank
+FROM scored
+ORDER BY symbol, feature
+""",
+    doc="P7/J3 — feature importance: candle features inner-aligned "
+    "with the next-period-return target (the reference's index-"
+    "intersection join, feature_importance.py:124-127), then |pearson|"
+    ", |spearman| (average-rank ties, scipy convention), and the "
+    "f_regression statistic F = r²/(1-r²)·(n-2) per (symbol, feature) "
+    "with per-method ranks (feature_importance.py:69-115, 316-376).  "
+    "One stacked aggregation — no per-feature passes.",
+)
+def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance as IMP
+
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.importance_scores(c)
+    return out.select(
+        "symbol",
+        "feature",
+        "n",
+        F.round("pearson_score", R).alias("pearson_score"),
+        F.round("spearman_score", R).alias("spearman_score"),
+        F.round("f_stat", R).alias("f_stat"),
+        "pearson_score_rank",
+        "spearman_score_rank",
+        "f_stat_rank",
+    ).orderBy("symbol", "feature")
+
+
+@register(
+    "feature_importance_consensus",
+    oracle=CANDLES_CTE
+    + _FEATURE_MATRIX_CTE
+    + """
+, norm AS (
+  SELECT symbol, feature,
+         (  CASE WHEN max(pearson_score) OVER (PARTITION BY symbol) > 0
+                 THEN pearson_score / max(pearson_score) OVER (PARTITION BY symbol)
+                 ELSE 0 END
+          + CASE WHEN max(spearman_score) OVER (PARTITION BY symbol) > 0
+                 THEN spearman_score / max(spearman_score) OVER (PARTITION BY symbol)
+                 ELSE 0 END
+          + CASE WHEN max(f_stat) OVER (PARTITION BY symbol) > 0
+                 THEN f_stat / max(f_stat) OVER (PARTITION BY symbol)
+                 ELSE 0 END) / 3.0 AS avg_score,
+         (  (max(pearson_score_rank) OVER (PARTITION BY symbol) - pearson_score_rank + 1.0)
+              / max(pearson_score_rank) OVER (PARTITION BY symbol)
+          + (max(spearman_score_rank) OVER (PARTITION BY symbol) - spearman_score_rank + 1.0)
+              / max(spearman_score_rank) OVER (PARTITION BY symbol)
+          + (max(f_stat_rank) OVER (PARTITION BY symbol) - f_stat_rank + 1.0)
+              / max(f_stat_rank) OVER (PARTITION BY symbol)) / 3.0 AS avg_rank
+  FROM scored
+)
+SELECT symbol, feature,
+       round(avg_score, 6) AS avg_score,
+       round(avg_rank, 6) AS avg_rank,
+       round((avg_score + avg_rank) / 2.0, 6) AS consensus_score,
+       CAST(row_number() OVER (PARTITION BY symbol
+             ORDER BY round((avg_score + avg_rank) / 2.0, 6) DESC, feature) AS INT) AS rank
+FROM norm
+ORDER BY symbol, rank
+""",
+    doc="P8/J5/T5 — consensus ranking across the three correlation-"
+    "family methods: per-method max-normalized scores + inverted "
+    "normalized ranks, averaged and re-ranked "
+    "(feature_importance.py:495-563).",
+)
+def feature_importance_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance as IMP
+
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.consensus_ranking(IMP.importance_scores(c))
+    return out.select(
+        "symbol",
+        "feature",
+        F.round("avg_score", R).alias("avg_score"),
+        F.round("avg_rank", R).alias("avg_rank"),
+        F.round("consensus_score", R).alias("consensus_score"),
+        "rank",
+    ).orderBy("symbol", "rank")
+
+
+@register(
+    "rf_importance",
+    oracle=None,
+    doc="P7 random-forest importance via pyspark.ml "
+    "RandomForestRegressor featureImportances (JVM MLlib; the "
+    "container has no sklearn) on the pooled feature matrix "
+    "(feature_importance.py:181-245).  Model output, not "
+    "SQL-expressible (driver rows-only check); invariants tested in "
+    "tests/test_importance.py.",
+)
+def rf_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance as IMP
+
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.random_forest_importance(c)
+    return out.select(
+        "feature", F.round("importance", R).alias("importance")
+    ).orderBy("feature")

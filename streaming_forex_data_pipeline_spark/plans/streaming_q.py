@@ -1,0 +1,216 @@
+"""ST2/ST3/ST4 channel-transform queries.
+
+The channel transforms (streaming.features) are pure trailing-window
+Column algebra, so the BATCH projection over the candle table is
+oracle-checkable here, and the exact same functions run inside the
+streaming foreachBatch (tests/test_streaming.py) — batch/stream parity
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import CANDLES_CTE, candles_from_events
+from ..streaming import features as ST
+from .registry import register
+
+R = 6
+_W = "PARTITION BY symbol ORDER BY ts"
+
+_ML_CTE = f"""
+, d AS (
+  SELECT symbol, ts, close, volume,
+         close - lag(close) OVER ({_W}) AS diff,
+         row_number() OVER ({_W}) AS rn
+  FROM candles
+),
+gl AS (
+  SELECT symbol, ts, close, volume, rn,
+         CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
+         CASE WHEN diff IS NOT NULL AND diff <= 0 THEN abs(diff) ELSE 0.0 END AS loss
+  FROM d
+),
+f AS (
+  SELECT symbol, ts, rn,
+         close AS current_price,
+         avg(close) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)  AS sma_5,
+         avg(close) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)  AS sma_10,
+         avg(close) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma_20,
+         sum(gain) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) / 14.0 AS ag,
+         sum(loss) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) / 14.0 AS al,
+         volume,
+         avg(volume) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS avg_vol,
+         max(close) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+           - min(close) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS range_5
+  FROM gl
+),
+ml AS (
+  SELECT symbol, ts, current_price, sma_5, sma_10, sma_20,
+         CASE WHEN al <> 0 THEN 100.0 * ag / (ag + al) ELSE 0.0 END AS rsi_14,
+         CASE WHEN avg_vol > 0 THEN volume / avg_vol ELSE 1.0 END AS volume_ratio,
+         (current_price - sma_20) / sma_20 AS price_dev_sma20,
+         range_5
+  FROM f
+  WHERE rn >= 20
+)
+"""
+
+
+@register(
+    "ml_features",
+    oracle=CANDLES_CTE
+    + _ML_CTE
+    + """
+SELECT symbol, ts,
+       round(current_price, 6) AS current_price,
+       round(sma_5, 6) AS sma_5,
+       round(sma_10, 6) AS sma_10,
+       round(sma_20, 6) AS sma_20,
+       round(rsi_14, 6) AS rsi_14,
+       round(volume_ratio, 6) AS volume_ratio,
+       round(price_dev_sma20, 6) AS price_dev_sma20,
+       round(range_5, 6) AS range_5,
+       round(CASE WHEN greatest(current_price, sma_5, sma_10, sma_20, rsi_14,
+                                volume_ratio, price_dev_sma20, range_5)
+                    <> least(current_price, sma_5, sma_10, sma_20, rsi_14,
+                             volume_ratio, price_dev_sma20, range_5)
+             THEN (current_price - least(current_price, sma_5, sma_10, sma_20,
+                                         rsi_14, volume_ratio, price_dev_sma20, range_5))
+                  / (greatest(current_price, sma_5, sma_10, sma_20, rsi_14,
+                              volume_ratio, price_dev_sma20, range_5)
+                     - least(current_price, sma_5, sma_10, sma_20, rsi_14,
+                             volume_ratio, price_dev_sma20, range_5)) END, 6) AS norm_price,
+       round(CASE WHEN greatest(current_price, sma_5, sma_10, sma_20, rsi_14,
+                                volume_ratio, price_dev_sma20, range_5)
+                    <> least(current_price, sma_5, sma_10, sma_20, rsi_14,
+                             volume_ratio, price_dev_sma20, range_5)
+             THEN (rsi_14 - least(current_price, sma_5, sma_10, sma_20,
+                                  rsi_14, volume_ratio, price_dev_sma20, range_5))
+                  / (greatest(current_price, sma_5, sma_10, sma_20, rsi_14,
+                              volume_ratio, price_dev_sma20, range_5)
+                     - least(current_price, sma_5, sma_10, sma_20, rsi_14,
+                             volume_ratio, price_dev_sma20, range_5)) END, 6) AS norm_rsi,
+       CASE WHEN rsi_14 < 30 THEN 1 WHEN rsi_14 > 70 THEN 2 ELSE 0 END AS target_signal,
+       round(least(abs(rsi_14 - 50.0) / 50.0, 1.0), 6) AS confidence
+FROM ml
+ORDER BY symbol, ts
+""",
+    doc="ST2 — ml_features channel: trailing SMA(5/10/20), the channel's "
+    "own sum/14 RSI (0 when lossless — reference rs=0 quirk), volume "
+    "ratio, SMA20 deviation, 5-row range, vector min-max normalization "
+    "and RSI-band target (websocket_manager.py:340-400).  Emits only "
+    "after a full 20-row buffer, like the len(ticks)>=20 gate.",
+)
+def ml_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = ST.ml_features(c)
+    keep = [
+        "current_price",
+        "sma_5",
+        "sma_10",
+        "sma_20",
+        "rsi_14",
+        "volume_ratio",
+        "price_dev_sma20",
+        "range_5",
+        "norm_price",
+        "norm_rsi",
+        "confidence",
+    ]
+    return out.select(
+        "symbol",
+        "ts",
+        *[F.round(c_, R).alias(c_) for c_ in keep[:-1]],
+        "target_signal",
+        F.round("confidence", R).alias("confidence"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "stream_trading_signals",
+    oracle=CANDLES_CTE
+    + _ML_CTE
+    + """
+SELECT symbol, ts,
+       CASE WHEN rsi_14 < 30 AND current_price < sma_20 THEN 'buy'
+            WHEN rsi_14 > 70 AND current_price > sma_20 THEN 'sell'
+            ELSE 'hold' END AS signal,
+       CASE WHEN (rsi_14 < 30 AND current_price < sma_20)
+              OR (rsi_14 > 70 AND current_price > sma_20)
+            THEN 0.8 ELSE 0.5 END AS confidence,
+       round(current_price, 6) AS entry_price,
+       round(CASE WHEN rsi_14 < 30 AND current_price < sma_20 THEN current_price - 0.001
+                  WHEN rsi_14 > 70 AND current_price > sma_20 THEN current_price + 0.001
+             END, 6) AS stop_loss,
+       round(CASE WHEN rsi_14 < 30 AND current_price < sma_20 THEN current_price + 0.002
+                  WHEN rsi_14 > 70 AND current_price > sma_20 THEN current_price - 0.002
+             END, 6) AS take_profit,
+       CASE WHEN (rsi_14 < 30 AND current_price < sma_20)
+              OR (rsi_14 > 70 AND current_price > sma_20) THEN 2.0 END
+         AS risk_reward_ratio,
+       CASE WHEN rsi_14 > 70 THEN 'overbought'
+            WHEN rsi_14 < 30 THEN 'oversold'
+            ELSE 'neutral' END AS market_condition
+FROM ml
+ORDER BY symbol, ts
+""",
+    doc="ST3 — trading_signals channel: RSI band + SMA20 side entries "
+    "with fixed 10/20-pip stops and 2.0 risk/reward "
+    "(websocket_manager.py:402-448).",
+)
+def stream_trading_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = ST.trading_signals(ST.ml_features(c))
+    return out.select(
+        "symbol",
+        "ts",
+        "signal",
+        F.round("confidence", R).alias("confidence"),
+        F.round("entry_price", R).alias("entry_price"),
+        F.round("stop_loss", R).alias("stop_loss"),
+        F.round("take_profit", R).alias("take_profit"),
+        F.round("risk_reward_ratio", R).alias("risk_reward_ratio"),
+        "market_condition",
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "technical_analysis",
+    oracle=CANDLES_CTE
+    + _ML_CTE
+    + """
+SELECT symbol, ts,
+       CASE WHEN sma_5 > sma_10 AND sma_10 > sma_20 THEN 'bullish'
+            WHEN sma_5 < sma_10 AND sma_10 < sma_20 THEN 'bearish'
+            ELSE 'sideways' END AS trend,
+       CASE WHEN abs(rsi_14 - 50) > 20 THEN 'strong' ELSE 'weak' END AS momentum,
+       round(current_price - 0.002, 6) AS support_1,
+       round(current_price + 0.002, 6) AS resistance_1,
+       CASE WHEN rsi_14 > 70 THEN 'overbought'
+            WHEN rsi_14 < 30 THEN 'oversold'
+            ELSE 'neutral' END AS rsi_status,
+       CASE WHEN sma_5 > sma_10 AND sma_10 > sma_20 AND rsi_14 < 50 THEN 'buy'
+            WHEN sma_5 < sma_10 AND sma_10 < sma_20 AND rsi_14 > 50 THEN 'sell'
+            ELSE 'hold' END AS recommendation
+FROM ml
+ORDER BY symbol, ts
+""",
+    doc="ST4 — technical_analysis channel: SMA(5/10/20)-ordering trend, "
+    "RSI momentum/status, fixed-offset S/R levels, recommendation "
+    "(websocket_manager.py:476-508).",
+)
+def technical_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = ST.technical_analysis(ST.ml_features(c))
+    return out.select(
+        "symbol",
+        "ts",
+        "trend",
+        "momentum",
+        F.round("support_1", R).alias("support_1"),
+        F.round("resistance_1", R).alias("resistance_1"),
+        "rsi_status",
+        "recommendation",
+    ).orderBy("symbol", "ts")

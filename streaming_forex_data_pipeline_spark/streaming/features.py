@@ -1,0 +1,165 @@
+"""ST2/ST3/ST4 channel transforms: ml_features, trading_signals,
+technical_analysis.
+
+Reference: app/services/websocket_manager.py:340-448 (ml_features +
+trading_signals), :476-508 (technical_analysis).  The reference
+recomputes over a trailing 100-tick buffer on every emit; the Spark
+shape is per-symbol trailing row windows — pure Column algebra, usable
+(a) as batch queries over the candle table (oracle-checked) and
+(b) inside a streaming ``foreachBatch`` where each micro-batch's rows
+get the same transform (the micro-batch recompute is the analog of the
+reference's per-emit recompute loop).
+
+Faithful quirks preserved:
+- the channel RSI divides the 14-diff sums by exactly 14 and yields 0
+  (not 100) when avg_loss == 0 (rs = 0 branch, :368-370);
+- features need a full 20-row buffer (len(ticks) >= 20 gate, :346) —
+  earlier rows emit nothing;
+- target_signal encodes 0=sell-zone... actually 1 if RSI<30 (buy
+  side), 2 if RSI>70, else 0 (:394);
+- trading signals require BOTH the RSI band and the SMA20 side
+  (:457-468); stops are fixed 10/20-pip offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SYMBOL, TS = "symbol", "ts"
+
+
+def _w():
+    return Window.partitionBy(SYMBOL).orderBy(TS)
+
+
+def ml_features(candles: DataFrame) -> DataFrame:
+    """ST2 — the 8-feature vector per (symbol, ts) with RSI-band target
+    and confidence (websocket_manager.py:340-400)."""
+    w = _w()
+    rn = F.row_number().over(w)
+    price = F.col("close")
+
+    def tavg(col: Column | str, n: int) -> Column:
+        return F.avg(col).over(w.rowsBetween(-(n - 1), 0))
+
+    diff = price - F.lag("close").over(w)
+    gain = F.when(diff > 0, diff).otherwise(0.0)
+    loss = F.when(diff <= 0, F.abs(F.coalesce(diff, F.lit(0.0)))).otherwise(0.0)
+    avg_gain = F.sum(gain).over(w.rowsBetween(-13, 0)) / 14.0
+    avg_loss = F.sum(loss).over(w.rowsBetween(-13, 0)) / 14.0
+    rsi = F.when(avg_loss != 0, 100.0 * avg_gain / (avg_gain + avg_loss)).otherwise(
+        0.0  # rs = 0 branch: no losses -> rsi 0, reference quirk
+    )
+
+    sma_5, sma_10, sma_20 = tavg(price, 5), tavg(price, 10), tavg(price, 20)
+    avg_volume = tavg("volume", 20)
+    volume_ratio = F.when(avg_volume > 0, F.col("volume") / avg_volume).otherwise(
+        1.0
+    )
+    dev = (price - sma_20) / sma_20
+    range_5 = F.max(price).over(w.rowsBetween(-4, 0)) - F.min(price).over(
+        w.rowsBetween(-4, 0)
+    )
+
+    out = candles.select(
+        SYMBOL,
+        TS,
+        rn.alias("__rn"),
+        price.alias("current_price"),
+        sma_5.alias("sma_5"),
+        sma_10.alias("sma_10"),
+        sma_20.alias("sma_20"),
+        rsi.alias("rsi_14"),
+        volume_ratio.alias("volume_ratio"),
+        dev.alias("price_dev_sma20"),
+        range_5.alias("range_5"),
+    )
+    feats = [
+        "current_price",
+        "sma_5",
+        "sma_10",
+        "sma_20",
+        "rsi_14",
+        "volume_ratio",
+        "price_dev_sma20",
+        "range_5",
+    ]
+    fmin = F.least(*[F.col(c) for c in feats])
+    fmax = F.greatest(*[F.col(c) for c in feats])
+    target = (
+        F.when(F.col("rsi_14") < 30, 1)
+        .when(F.col("rsi_14") > 70, 2)
+        .otherwise(0)
+    )
+    confidence = F.least(F.abs(F.col("rsi_14") - 50.0) / 50.0, F.lit(1.0))
+    return (
+        out.filter(F.col("__rn") >= 20)  # the len(ticks) >= 20 gate
+        .withColumn(
+            "norm_price",
+            F.when(fmax != fmin, (F.col("current_price") - fmin) / (fmax - fmin)),
+        )
+        .withColumn(
+            "norm_rsi",
+            F.when(fmax != fmin, (F.col("rsi_14") - fmin) / (fmax - fmin)),
+        )
+        .withColumn("target_signal", target)
+        .withColumn("confidence", confidence)
+        .drop("__rn")
+    )
+
+
+def trading_signals(features: DataFrame) -> DataFrame:
+    """ST3 — RSI-band + SMA20-side entry signals with fixed 10/20-pip
+    stops (websocket_manager.py:402-448)."""
+    price, sma20, rsi = (
+        F.col("current_price"),
+        F.col("sma_20"),
+        F.col("rsi_14"),
+    )
+    buy = (rsi < 30) & (price < sma20)
+    sell = (rsi > 70) & (price > sma20)
+    signal = F.when(buy, "buy").when(sell, "sell").otherwise("hold")
+    return features.select(
+        SYMBOL,
+        TS,
+        signal.alias("signal"),
+        F.when(buy | sell, 0.8).otherwise(0.5).alias("confidence"),
+        price.alias("entry_price"),
+        F.when(buy, price - 0.001).when(sell, price + 0.001).alias("stop_loss"),
+        F.when(buy, price + 0.002).when(sell, price - 0.002).alias("take_profit"),
+        F.when(buy | sell, 2.0).alias("risk_reward_ratio"),
+        F.when(rsi > 70, "overbought")
+        .when(rsi < 30, "oversold")
+        .otherwise("neutral")
+        .alias("market_condition"),
+    )
+
+
+def technical_analysis(features: DataFrame) -> DataFrame:
+    """ST4 — trend from the SMA(5/10/20) ordering, RSI momentum and
+    band status, fixed-offset S/R levels, recommendation
+    (websocket_manager.py:476-508)."""
+    s5, s10, s20 = F.col("sma_5"), F.col("sma_10"), F.col("sma_20")
+    rsi, price = F.col("rsi_14"), F.col("current_price")
+    trend = (
+        F.when((s5 > s10) & (s10 > s20), "bullish")
+        .when((s5 < s10) & (s10 < s20), "bearish")
+        .otherwise("sideways")
+    )
+    return features.select(
+        SYMBOL,
+        TS,
+        trend.alias("trend"),
+        F.when(F.abs(rsi - 50) > 20, "strong").otherwise("weak").alias("momentum"),
+        (price - 0.002).alias("support_1"),
+        (price + 0.002).alias("resistance_1"),
+        F.when(rsi > 70, "overbought")
+        .when(rsi < 30, "oversold")
+        .otherwise("neutral")
+        .alias("rsi_status"),
+        F.when((trend == "bullish") & (rsi < 50), "buy")
+        .when((trend == "bearish") & (rsi > 50), "sell")
+        .otherwise("hold")
+        .alias("recommendation"),
+    )

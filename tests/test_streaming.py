@@ -111,3 +111,36 @@ def test_simulated_tick_channel_produces_messages(spark):
         assert d["symbol"] in {"EURUSD", "GBPUSD", "USDJPY", "AUDUSD", "USDCAD"}
     finally:
         q.stop()
+
+
+def test_ml_features_channel_runs_in_foreachbatch(spark, sf_dir):
+    """ST2 transform applied inside foreachBatch over the candle stream:
+    same function as the batch oracle query, so stream output must be a
+    subset of (and consistent with) the batch projection."""
+    from streaming_forex_data_pipeline_spark.streaming import features as FT
+
+    collected = []
+
+    def sink(batch_df, batch_id):
+        out = FT.trading_signals(FT.ml_features(batch_df))
+        collected.extend(out.collect())
+
+    candles = CH.candle_channel(CH.read_events_stream(spark, sf_dir))
+    q = (
+        candles.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert collected, "foreachBatch produced no signal rows"
+    assert {r["signal"] for r in collected} <= {"buy", "sell", "hold"}
+    batch = FT.trading_signals(
+        FT.ml_features(candles_from_events(spark, sf_dir))
+    ).collect()
+    batch_map = {(r["symbol"], r["ts"]): r["signal"] for r in batch}
+    for r in collected:
+        key = (r["symbol"], r["ts"])
+        assert key in batch_map
+        assert r["signal"] == batch_map[key], f"stream/batch signal diverged at {key}"
