@@ -56,6 +56,8 @@ HEADLINE = [
     "patterns",
     "signals_sma",
     "backtest_metrics",
+    "feature_importance",
+    "ml_features",
     # llm-pipeline
     "doc_stats",
     "exact_dedup_groups",

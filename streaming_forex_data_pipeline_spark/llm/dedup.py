@@ -75,8 +75,11 @@ def minhash_band_buckets(
     (band, band_hash) yields candidate clusters with one shuffle,
     avoiding the O(N²) pair join at scale."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(token_set(text), n_hashes)
-    with_sig = docs.withColumn("__sig", sig)
+    # materialize the token array once: inlining token_set into each of
+    # the n_hashes transforms would re-run the regex split per hash
+    with_toks = docs.select("doc_id", token_set(text).alias("__toks"))
+    sig = minhash_signature(F.col("__toks"), n_hashes)
+    with_sig = with_toks.withColumn("__sig", sig)
     band_cols = []
     for b in range(bands):
         band_slice = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
@@ -125,6 +128,31 @@ def near_duplicate_pairs(
         .distinct()
     )
     toks = docs.select("doc_id", token_set(text).alias("toks"))
+    if threshold >= 1.0:
+        # exact-dup tier prefilter: jaccard == 1 requires identical token
+        # SETS, so equal sorted-set hashes are a necessary condition —
+        # two broadcast-able map joins drop the (many) band-collision
+        # false candidates before the O(|set|) intersect/union math.
+        # The exact-Jaccard verify below remains the semantic filter.
+        set_hash = docs.select(
+            "doc_id", F.xxhash64(F.sort_array(token_set(text))).alias("sh")
+        )
+        pairs = (
+            pairs.join(
+                set_hash.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sh", "sh_a"
+                ),
+                "doc_a",
+            )
+            .join(
+                set_hash.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sh", "sh_b"
+                ),
+                "doc_b",
+            )
+            .filter(F.col("sh_a") == F.col("sh_b"))
+            .select("doc_a", "doc_b")
+        )
     verified = (
         pairs.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
         .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")

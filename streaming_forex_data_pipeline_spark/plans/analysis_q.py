@@ -709,3 +709,182 @@ def rf_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "feature", F.round("importance", R).alias("importance")
     ).orderBy("feature")
+
+
+@register(
+    "confident_patterns",
+    oracle=CANDLES_CTE
+    + _PATTERNS_BASE
+    + """
+SELECT * FROM (
+  SELECT symbol, ts, 'doji' AS pattern,
+         CASE WHEN body_ratio <= 0.05 THEN 'high' ELSE 'medium' END AS confidence,
+         round(close, 6) AS price_level
+  FROM feat WHERE rng > 0 AND body_ratio <= 0.1
+  UNION ALL
+  SELECT symbol, ts, 'hammer',
+         CASE WHEN lower_ratio >= 0.7 THEN 'high' ELSE 'medium' END,
+         round(close, 6)
+  FROM feat
+  WHERE rng > 0 AND body > 0 AND lower_ratio >= 0.6 AND body_ratio <= 0.3
+    AND upper_ratio <= 0.1 AND p_c < p_o
+) u
+WHERE confidence = 'high'
+ORDER BY symbol, ts, pattern
+""",
+    doc="F10 — confidence filter over pattern signals: keep only "
+    "high-confidence detections (pattern_detection.py:484-504).",
+)
+def confident_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    out = P.detect_patterns(c)
+    return (
+        out.filter(
+            F.col("pattern").isin("doji", "hammer")
+            & (F.col("confidence") == "high")
+        )
+        .select(
+            "symbol",
+            "ts",
+            "pattern",
+            "confidence",
+            F.round("price_level", R).alias("price_level"),
+        )
+        .orderBy("symbol", "ts", "pattern")
+    )
+
+
+@register(
+    "recent_signals",
+    oracle=CANDLES_CTE
+    + _PATTERNS_BASE
+    + """
+SELECT symbol, ts, pattern FROM (
+  SELECT symbol, ts, pattern,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts DESC, pattern) AS rn
+  FROM (
+    SELECT symbol, ts, 'doji' AS pattern
+    FROM feat WHERE rng > 0 AND body_ratio <= 0.1
+    UNION ALL
+    SELECT symbol, ts, 'bullish_engulfing'
+    FROM feat
+    WHERE p_c < p_o AND close > open AND open < p_c AND close > p_o AND body > p_body
+    UNION ALL
+    SELECT symbol, ts, 'bearish_engulfing'
+    FROM feat
+    WHERE p_c > p_o AND close < open AND open > p_c AND close < p_o AND body > p_body
+  ) u
+) t
+WHERE rn <= 10
+ORDER BY symbol, ts DESC, pattern
+""",
+    doc="T4 — recent-N pattern signals: latest 10 detections per symbol "
+    "(pattern_detection.py:520-526); ranked window, no global sort.",
+)
+def recent_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = candles_from_events(spark, sf_dir)
+    out = P.detect_patterns(c).filter(
+        F.col("pattern").isin("doji", "bullish_engulfing", "bearish_engulfing")
+    )
+    w = Window.partitionBy("symbol").orderBy(F.desc("ts"), F.asc("pattern"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("symbol", "ts", "pattern")
+        .orderBy("symbol", F.desc("ts"), "pattern")
+    )
+
+
+@register(
+    "feature_stats",
+    oracle=CANDLES_CTE
+    + _FEATURE_MATRIX_CTE.split(",\nst AS")[0]
+    + """
+SELECT 'ret_1' AS feature, count(ret_1) AS n_non_null,
+       round(min(ret_1), 6) AS min_v, round(max(ret_1), 6) AS max_v,
+       round(avg(ret_1), 6) AS mean_v, round(stddev_samp(ret_1), 6) AS std_v
+FROM aligned
+UNION ALL
+SELECT 'mom_5', count(mom_5), round(min(mom_5), 6), round(max(mom_5), 6),
+       round(avg(mom_5), 6), round(stddev_samp(mom_5), 6) FROM aligned
+UNION ALL
+SELECT 'range_frac', count(range_frac), round(min(range_frac), 6),
+       round(max(range_frac), 6), round(avg(range_frac), 6),
+       round(stddev_samp(range_frac), 6) FROM aligned
+ORDER BY feature
+""",
+    doc="A10 — per-feature stats/validation pass: non-null counts, "
+    "min/max/mean/std over the aligned feature matrix "
+    "(feature_engineer.py:345-394).",
+)
+def feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance as IMP
+
+    c = candles_from_events(spark, sf_dir)
+    m = IMP.feature_matrix(c)
+    rows = []
+    for f_ in ("ret_1", "mom_5", "range_frac"):
+        rows.append(
+            m.agg(
+                F.lit(f_).alias("feature"),
+                F.count(f_).alias("n_non_null"),
+                F.round(F.min(f_), R).alias("min_v"),
+                F.round(F.max(f_), R).alias("max_v"),
+                F.round(F.avg(f_), R).alias("mean_v"),
+                F.round(F.stddev_samp(f_), R).alias("std_v"),
+            )
+        )
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out.orderBy("feature")
+
+
+@register(
+    "premium_stats",
+    oracle="""
+SELECT source,
+       count(*) AS n_ticks,
+       round(avg(latency_ms), 6) AS avg_latency_ms,
+       round(avg(spread), 6) AS avg_spread,
+       CAST(count(*) FILTER (WHERE latency_ms < 50) AS BIGINT) AS n_institutional
+FROM (
+  SELECT CASE CAST(event_id % 3 AS INT)
+              WHEN 0 THEN 'polygon' WHEN 1 THEN 'fxcm' ELSE 'simulated' END AS source,
+         CAST(event_id % 150 AS DOUBLE) AS latency_ms,
+         0.0001 + (event_id % 10) * 0.00001 AS spread
+  FROM events
+) t
+GROUP BY source
+ORDER BY source
+""",
+    doc="A11 — premium-source stats: per-source tick counts, latency and "
+    "spread means, institutional-grade (sub-50ms) counts "
+    "(app/api/premium_data.py:353-417) over the derived tick frame.",
+)
+def premium_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    src = (
+        F.when(F.col("event_id") % 3 == 0, "polygon")
+        .when(F.col("event_id") % 3 == 1, "fxcm")
+        .otherwise("simulated")
+    )
+    t = e.select(
+        src.alias("source"),
+        (F.col("event_id") % 150).cast("double").alias("latency_ms"),
+        (0.0001 + (F.col("event_id") % 10) * 0.00001).alias("spread"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(F.avg("latency_ms"), R).alias("avg_latency_ms"),
+            F.round(F.avg("spread"), R).alias("avg_spread"),
+            F.count_if(F.col("latency_ms") < 50).alias("n_institutional"),
+        )
+        .orderBy("source")
+    )
