@@ -437,3 +437,54 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, R).alias("quality_score"),
         Q.quality_level(score).alias("quality_level"),
     ).orderBy("symbol")
+
+
+@register(
+    "ohlc_fix",
+    oracle="""
+WITH raw AS (
+  SELECT event_type AS symbol,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+         round(min_by("value", event_id), 6) AS open,
+         round(avg("value"), 6) AS mid,
+         round(max_by("value", event_id), 6) AS close
+  FROM events GROUP BY 1, 2
+)
+SELECT symbol, ts, open,
+       round(greatest(mid, open, close), 6) AS high,
+       round(least(mid, open, close), 6) AS low,
+       close,
+       (mid < greatest(open, close) OR mid > least(open, close)) AS was_violating
+FROM raw
+ORDER BY symbol, ts
+""",
+    doc="D6 — OHLC auto-correction: high := max(high,open,close), "
+    "low := min(low,open,close) as one vectorized projection "
+    "(data_quality.py:417-458 loops per row).  The raw candle here uses a "
+    "deliberately lossy high/low (bucket mean) so the fix is exercised on "
+    "real violations, not a no-op.",
+)
+def ohlc_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    raw = e.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(
+        F.round(F.min_by("value", "event_id"), R).alias("open"),
+        F.round(F.avg("value"), R).alias("mid"),
+        F.round(F.max_by("value", "event_id"), R).alias("close"),
+    )
+    broken = raw.withColumn("high", F.col("mid")).withColumn("low", F.col("mid"))
+    fixed = Q.fix_ohlc(broken)
+    return fixed.select(
+        "symbol",
+        "ts",
+        "open",
+        F.round("high", R).alias("high"),
+        F.round("low", R).alias("low"),
+        "close",
+        (
+            (F.col("mid") < F.greatest("open", "close"))
+            | (F.col("mid") > F.least("open", "close"))
+        ).alias("was_violating"),
+    ).orderBy("symbol", "ts")

@@ -961,3 +961,93 @@ def volume_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(sma_v, "volume_sma_20"),
         _r(F.coalesce(F.col("volume") / sma_v, F.lit(1.0)), "volume_ratio"),
     ).orderBy("symbol", "ts")
+
+
+@register(
+    "normalize_roundtrip",
+    oracle=CANDLES_CTE
+    + """
+SELECT c.symbol, c.ts,
+       round(CASE WHEN s.mx <> s.mn THEN (c.close - s.mn) / (s.mx - s.mn) ELSE 0.0 END, 6)
+         AS close_normalized,
+       round((CASE WHEN s.mx <> s.mn THEN (c.close - s.mn) / (s.mx - s.mn) ELSE 0.0 END)
+             * (s.mx - s.mn) + s.mn, 6) AS close_denorm
+FROM candles c
+CROSS JOIN (SELECT min(close) AS mn, max(close) AS mx FROM candles) s
+ORDER BY c.symbol, c.ts
+""",
+    doc="N4+N5 — minmax normalize then denormalize (inverse transform, "
+    "normalizer.py:209-234) through the fit/transform library path: the "
+    "1-row params frame is broadcast to both directions, so the whole "
+    "round trip is shuffle-free after the fit aggregate.",
+)
+def normalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import normalize as N
+
+    c = candles_from_events(spark, sf_dir)
+    params = N.fit_params(c, ["close"])
+    norm = N.apply_normalization(c, params, ["close"], "minmax")
+    denorm = N.denormalize(
+        norm.select("symbol", "ts", "close_normalized"), params, ["close"], "minmax"
+    )
+    return denorm.select(
+        "symbol",
+        "ts",
+        _r(F.col("close_normalized"), "close_normalized"),
+        _r(F.col("close_denorm"), "close_denorm"),
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "normalize_validation",
+    oracle=CANDLES_CTE
+    + """
+, norm AS (
+  SELECT CASE WHEN s.sd <> 0 THEN (c.close - s.mu) / s.sd ELSE 0.0 END AS n
+  FROM candles c
+  CROSS JOIN (SELECT avg(close) AS mu, stddev_pop(close) AS sd FROM candles) s
+)
+SELECT (abs(avg(n)) <= 0.1 AND abs(stddev_pop(n) - 1.0) <= 0.1) AS close_ok,
+       (count(*) FILTER (WHERE n IS NULL OR isnan(n)) = 0) AS close_finite
+FROM norm
+""",
+    doc="N7 — normalization self-validation (normalizer.py:399-443): "
+    "z-score output must have mean≈0, std≈1 (tol 0.1) and be finite; "
+    "one assertion aggregate over the normalized frame.",
+)
+def normalize_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import normalize as N
+
+    c = candles_from_events(spark, sf_dir)
+    params = N.fit_params(c, ["close"])
+    norm = N.apply_normalization(c, params, ["close"], "zscore")
+    return N.validate_normalization(norm, ["close"], "zscore")
+
+
+@register(
+    "vwap_daily",
+    oracle=CANDLES_CTE
+    + """
+SELECT symbol,
+       date_trunc('day', ts) AS day,
+       round(sum(close * volume) / sum(volume), 6) AS vwap,
+       CAST(sum(n_events) AS BIGINT) AS transactions
+FROM candles
+GROUP BY 1, 2
+ORDER BY symbol, day
+""",
+    doc="S5 — VWAP + transaction-count columns of the Polygon aggregates "
+    "source (polygon_client.py:119-120): vwap = sum(price*vol)/sum(vol) "
+    "re-expressed as a per-symbol/day aggregate over candles; one shuffle "
+    "with map-side partial agg.",
+)
+def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return (
+        c.groupBy("symbol", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            _r(F.sum(F.col("close") * F.col("volume")) / F.sum("volume"), "vwap"),
+            F.sum("n_events").alias("transactions"),
+        )
+        .orderBy("symbol", "day")
+    )

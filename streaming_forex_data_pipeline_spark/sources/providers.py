@@ -1,0 +1,125 @@
+"""External-provider payload adapters (SURVEY §2.1 S4/S5).
+
+The reference fetches REST JSON from Alpha Vantage
+(app/services/alpha_vantage_client.py:70-147) and Polygon
+(app/services/polygon_client.py:75-126) and reshapes each response into
+its candle DataFrame row-by-row in Python.  Here the HTTP fetch stays
+outside the engine (it is I/O, not a plan operator); the *parse* step is
+in-engine and fully JVM-side: a DataFrame of raw JSON payload strings
+(one per API response — e.g. landed by a collector job or a Kafka topic)
+becomes canonical candle rows via `get_json_object` + `from_json` +
+`explode`.  No Python UDFs, so parsing scales linearly with payload
+volume and whole-stage codegen applies.
+
+Canonical candle schema produced by both adapters:
+    symbol string, ts timestamp, open/high/low/close double, volume double
+Polygon additionally carries `vwap` and `transactions`
+(polygon_client.py:119-120).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Granularity → Alpha Vantage interval parameter (constants.py:9-15).
+GRANULARITY_TO_AV_INTERVAL = {
+    "1m": "1min",
+    "5m": "5min",
+    "15m": "15min",
+    "30m": "30min",
+    "1h": "60min",
+    "1d": "daily",
+}
+
+# Alpha Vantage response key per granularity class
+# (alpha_vantage_client.py:86-88, 128-130).
+AV_SERIES_KEY_DAILY = "Time Series FX (Daily)"
+AV_SERIES_KEY_INTRADAY = "Time Series FX (Intraday)"
+
+
+def _d(col: Column) -> Column:
+    return col.cast("double")
+
+
+def parse_alpha_vantage(
+    payloads: DataFrame,
+    payload_col: str = "payload",
+    symbol_col: str = "symbol",
+    series_key: str = AV_SERIES_KEY_DAILY,
+) -> DataFrame:
+    """S4 — Alpha Vantage FX response → candle rows.
+
+    The response nests candles under a granularity-dependent key as a
+    {date: {"1. open": ..., "2. high": ..., ...}} object with *dynamic*
+    date keys (alpha_vantage_client.py:90-104).  Dynamic keys rule out a
+    fixed struct schema, so: extract the series object, parse it as a
+    map<string, map<string,string>>, and explode the map — one shuffle-free
+    narrow pipeline.  FX responses carry no volume; it is 0 per the
+    reference (:98).
+    """
+    series = F.get_json_object(F.col(payload_col), f"$['{series_key}']")
+    parsed = payloads.select(
+        F.col(symbol_col).alias("symbol"),
+        F.explode(
+            F.from_json(series, "map<string, map<string,string>>")
+        ).alias("ts_str", "fields"),
+    )
+    return parsed.select(
+        "symbol",
+        F.to_timestamp("ts_str").alias("ts"),
+        _d(F.col("fields")["1. open"]).alias("open"),
+        _d(F.col("fields")["2. high"]).alias("high"),
+        _d(F.col("fields")["3. low"]).alias("low"),
+        _d(F.col("fields")["4. close"]).alias("close"),
+        F.lit(0.0).alias("volume"),
+    )
+
+
+# Polygon /v2/aggs response schema (polygon_client.py:101-126): results
+# is an array of bars keyed by single letters.
+_POLYGON_SCHEMA = (
+    "struct<ticker:string, status:string, "
+    "results:array<struct<t:bigint, o:double, h:double, l:double, "
+    "c:double, v:double, vw:double, n:bigint>>>"
+)
+
+
+def parse_polygon(payloads: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """S5 — Polygon aggregates response → candle rows (+vwap,
+    transactions).  Fixed schema, so a straight `from_json` + `explode`;
+    `t` is epoch-millis (polygon_client.py:110)."""
+    parsed = payloads.select(
+        F.from_json(F.col(payload_col), _POLYGON_SCHEMA).alias("r")
+    ).select(
+        # "C:EURUSD" → "EURUSD" (polygon_client.py:84 prefixes forex
+        # tickers with "C:").
+        F.regexp_replace(F.col("r.ticker"), "^C:", "").alias("symbol"),
+        F.explode("r.results").alias("bar"),
+    )
+    return parsed.select(
+        "symbol",
+        F.timestamp_millis(F.col("bar.t")).alias("ts"),
+        F.col("bar.o").alias("open"),
+        F.col("bar.h").alias("high"),
+        F.col("bar.l").alias("low"),
+        F.col("bar.c").alias("close"),
+        F.col("bar.v").alias("volume"),
+        F.col("bar.vw").alias("vwap"),
+        F.col("bar.n").alias("transactions"),
+    )
+
+
+def validate_date_range(start, end, max_days: int = 1825) -> None:
+    """F12 — date-range argument validation (data_fetcher.py:238-262,
+    routers.py:204-227): start must precede end and the span must not
+    exceed ``max_days`` (the reference's max_historical_days=1825).
+    Plain-Python precondition, not a plan operator."""
+    if start >= end:
+        raise ValueError(f"start {start!r} must be before end {end!r}")
+    span = end - start
+    days = span.days if hasattr(span, "days") else span / 86400.0
+    if days > max_days:
+        raise ValueError(
+            f"range spans {days} days, exceeding max_historical_days={max_days}"
+        )

@@ -76,3 +76,16 @@ def delete_range(
 def export_json(df: DataFrame, out_dir: str) -> None:
     """S14 — JSON export sink (backtesting_engine.py:469-502)."""
     df.write.mode("overwrite").json(out_dir)
+
+
+def apply_retention(
+    spark: SparkSession, table_dir: str, ts_col: str, horizon
+) -> None:
+    """S11 — retention policy: drop rows older than ``horizon``
+    (02-create-tables.sh:180-186 auto-drops 30-90-day-old chunks).  On a
+    date-partitioned table this is pure partition drops; here it reuses
+    the range-delete overwrite with an open-ended lower bound."""
+    df = spark.read.parquet(table_dir)
+    lo = df.agg(F.min(ts_col)).collect()[0][0]
+    if lo is not None and lo <= horizon:
+        delete_range(spark, table_dir, ts_col, lo, horizon)

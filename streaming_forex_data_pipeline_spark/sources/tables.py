@@ -39,11 +39,45 @@ TABLES = (
 ROUND = 6
 
 
+# applyInPandas kernels reference module-level functions, which
+# cloudpickle serializes BY REFERENCE — Python workers must be able to
+# import this package.  When the driver process runs from a different
+# cwd (the correctness harness does), workers would fail with
+# ModuleNotFoundError, so ship the package source as a zip via
+# addPyFile once per application.
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"sfdp_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(app)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch scan (S1/S8 seam). Predicates and projections applied by the
     caller reach the parquet reader via Catalyst pushdown."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ship_package(spark)
     # Portability: the events table stores INT64 TIMESTAMP(NANOS), which a
     # vanilla SparkSession refuses to scan (PARQUET_TYPE_ILLEGAL).  The conf
     # is runtime-settable, so set it here instead of relying on the caller's
