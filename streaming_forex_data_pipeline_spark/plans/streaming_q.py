@@ -214,3 +214,82 @@ def technical_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rsi_status",
         "recommendation",
     ).orderBy("symbol", "ts")
+
+
+@register(
+    "order_book_features",
+    oracle="""
+WITH book AS (
+  SELECT event_id,
+         event_type AS symbol,
+         CAST(ts AS TIMESTAMP) AS ts,
+         "value" - 0.0001 AS best_bid,
+         "value" + 0.0001 AS best_ask,
+         list_sum(list_transform([1,2,3,4,5],
+           l -> CAST((event_id * 31 + l * 7) % 1000 + 100 AS DOUBLE) * 1000.0)) AS bid_depth,
+         list_sum(list_transform([1,2,3,4,5],
+           l -> CAST((event_id * 37 + l * 11) % 1000 + 100 AS DOUBLE) * 1000.0)) AS ask_depth
+  FROM events
+)
+SELECT event_id, symbol, ts,
+       round(best_bid, 6) AS best_bid,
+       round(best_ask, 6) AS best_ask,
+       round((best_bid + best_ask) / 2, 6) AS mid,
+       round(best_ask - best_bid, 6) AS spread,
+       round(bid_depth, 6) AS bid_depth,
+       round(ask_depth, 6) AS ask_depth,
+       round((bid_depth - ask_depth) / (bid_depth + ask_depth), 6) AS imbalance,
+       round((best_bid * ask_depth + best_ask * bid_depth) / (bid_depth + ask_depth), 6)
+         AS microprice
+FROM book
+ORDER BY event_id
+""",
+    doc="ST5 — depth-5 order-book features (best bid/ask, spread, "
+    "per-side depth, imbalance, size-weighted microprice) over a "
+    "deterministic book derived from events (websocket_manager.py:"
+    "510-537).  The array algebra is streaming.orderbook.book_features "
+    "— the same function the live order_book channel runs; all "
+    "element_at/aggregate lambdas stay JVM-side.",
+)
+def order_book_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+    from ..streaming.orderbook import book_features
+
+    e = load_table(spark, sf_dir, "events")
+    levels = F.sequence(F.lit(1), F.lit(5))
+
+    def sizes(mult: int, salt: int):
+        return F.transform(
+            levels,
+            lambda l: (
+                F.pmod(F.col("event_id") * mult + l * salt, F.lit(1000)) + 100
+            ).cast("double")
+            * 1000.0,
+        )
+
+    book = e.select(
+        "event_id",
+        F.col("event_type").alias("symbol"),
+        "ts",
+        F.transform(levels, lambda l: F.col("value") - 0.0001).alias("bid_prices"),
+        sizes(31, 7).alias("bid_sizes"),
+        F.transform(levels, lambda l: F.col("value") + 0.0001).alias("ask_prices"),
+        sizes(37, 11).alias("ask_sizes"),
+    )
+    feats = book_features(book)
+    rounded = [
+        "best_bid",
+        "best_ask",
+        "mid",
+        "spread",
+        "bid_depth",
+        "ask_depth",
+        "imbalance",
+        "microprice",
+    ]
+    return feats.select(
+        "event_id",
+        "symbol",
+        "ts",
+        *[F.round(c, R).alias(c) for c in rounded],
+    ).orderBy("event_id")

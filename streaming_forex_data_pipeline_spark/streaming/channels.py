@@ -18,10 +18,11 @@ Design rules:
   the batch resample (sources.tables.candles_from_events), so
   batch/stream parity is structural, not coincidental (tested in
   tests/test_streaming.py);
-- stateful needs beyond dedup+window (per-channel sequence numbers,
-  ST7) live in the sink via ``foreachBatch`` — the serving layer's
-  concern, exactly as the reference keeps sequence counters in the
-  WebSocket manager (:615-618).
+- per-channel sequence numbers (ST7) are true cross-batch state:
+  ``stateful.assign_sequence`` keeps the running counter in a GroupState
+  via ``applyInPandasWithState``, mirroring the reference's WebSocket
+  manager counters (:615-618); the order-book / microstructure channel
+  (ST5) lives in ``orderbook.py``.
 """
 
 from __future__ import annotations
