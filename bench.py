@@ -58,6 +58,9 @@ HEADLINE = [
     "backtest_metrics",
     "feature_importance",
     "ml_features",
+    # streaming-transform batch faces
+    "order_book_features",
+    "vwap_daily",
     # llm-pipeline
     "doc_stats",
     "exact_dedup_groups",

@@ -1051,3 +1051,40 @@ def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "day")
     )
+
+
+@register(
+    "symbol_stats",
+    oracle=CANDLES_CTE
+    + """
+SELECT symbol,
+       count(*) AS n_candles,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       round(min(close), 6) AS min_close,
+       round(max(close), 6) AS max_close,
+       round(avg(close), 6) AS avg_close,
+       round(sum(volume), 6) AS total_volume
+FROM candles
+GROUP BY symbol
+ORDER BY symbol
+""",
+    doc="A5 — whole-symbol summary stats: count, first/last timestamp, "
+    "close min/max/avg, total volume (repository.py:506-538).  One "
+    "aggregation with map-side partial combine.",
+)
+def symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return (
+        c.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_candles"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            _r(F.min("close"), "min_close"),
+            _r(F.max("close"), "max_close"),
+            _r(F.avg("close"), "avg_close"),
+            _r(F.sum("volume"), "total_volume"),
+        )
+        .orderBy("symbol")
+    )

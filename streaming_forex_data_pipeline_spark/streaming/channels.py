@@ -164,3 +164,67 @@ def start_candle_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class BroadcastSink:
+    """S13 — WebSocket broadcast sink stand-in: JSON-encode each
+    envelope message and append to a bounded per-channel ring buffer
+    (websocket_manager.py:565-597 broadcast, :249-252 per-channel
+    1000-message deque).  Used with ``writeStream.foreachBatch``; the
+    real deployment swaps the deque for the WS/Kafka producer — the
+    engine-side contract (ordered JSON messages per channel) is
+    identical.
+
+    Driver-side state is intentional here: the sink IS the serving
+    layer's edge, the one place the reference also centralizes state.
+    """
+
+    def __init__(self, buffer_size: int = 1000):
+        from collections import defaultdict, deque
+
+        self.buffers = defaultdict(lambda: deque(maxlen=buffer_size))
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # one JVM->driver transfer of the already-aggregated messages;
+        # channel fan-out is a tiny per-batch loop over result rows
+        rows = (
+            batch_df.select(
+                F.col("stream_type"),
+                F.to_json(F.struct(*batch_df.columns)).alias("msg"),
+            )
+        ).collect()
+        for r in rows:
+            self.buffers[r["stream_type"]].append(r["msg"])
+
+
+def failover_tick_source(
+    spark: SparkSession,
+    primary_dir: str | None = None,
+    schema: str = "ts timestamp, symbol string, bid double, ask double, "
+    "last double, seq_hint long",
+    rows_per_second: int = 10,
+) -> tuple[DataFrame, str]:
+    """S6 — tick source with failover (premium_data_provider.py:113-145):
+    try the primary provider feed (a landed file/Kafka directory); on
+    validation failure fall back to the simulated generator (:303-344).
+
+    Source selection is a driver-side decision made once at query start
+    — exactly where the reference makes it — so the streaming plan
+    itself stays static.  Returns (stream, source_name).
+    """
+    import os
+
+    if primary_dir and os.path.isdir(primary_dir):
+        try:
+            files = [f for f in os.listdir(primary_dir) if f.endswith(".parquet")]
+            if files:
+                stream = (
+                    spark.readStream.schema(schema).parquet(primary_dir)
+                )
+                # quality gate: the primary must expose the tick columns
+                need = {"ts", "symbol", "bid", "ask"}
+                if need <= set(stream.columns):
+                    return stream, "primary"
+        except Exception:
+            pass
+    return simulated_ticks(spark, rows_per_second), "simulated_fallback"

@@ -125,3 +125,60 @@ def test_sequence_survives_microbatch_boundaries(spark, tmp_path):
     assert list(ticks["sequence"]) == list(range(1, 10))
     candles = out[out.stream_type == "candles"].sort_values("emitted_at")
     assert list(candles["sequence"]) == [1, 2, 3]
+
+
+def test_broadcast_sink_ring_buffer(spark):
+    """S13 — envelope -> sequence -> JSON broadcast with a bounded
+    per-channel ring buffer; the full serving-edge path."""
+    import json
+
+    from streaming_forex_data_pipeline_spark.streaming import channels as CH
+
+    ticks = CH.simulated_ticks(spark, rows_per_second=200)
+    messages = ST.assign_sequence(
+        CH.wrap_stream_messages(ticks, "raw_ticks"), order_col="emitted_at"
+    )
+    sink = CH.BroadcastSink(buffer_size=50)
+    q = (
+        messages.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if len(sink.buffers["raw_ticks"]) >= 50:
+                break
+            time.sleep(0.5)
+        buf = sink.buffers["raw_ticks"]
+        assert len(buf) == 50, f"ring buffer at {len(buf)}, want full at 50"
+        msgs = [json.loads(m) for m in buf]
+        assert all(m["stream_type"] == "raw_ticks" for m in msgs)
+        seqs = [m["sequence"] for m in msgs]
+        # ring semantics: the buffer holds the TAIL of a longer sequence
+        assert seqs == sorted(seqs)
+        assert seqs[-1] - seqs[0] == len(seqs) - 1, "sequence gap inside buffer"
+        assert seqs[-1] > 50 or seqs[0] == 1
+        assert msgs[0]["data"]["ask"] > msgs[0]["data"]["bid"]
+    finally:
+        q.stop()
+
+
+def test_failover_tick_source(spark, tmp_path):
+    """S6 — empty/invalid primary falls back to the simulated source;
+    a valid primary dir is selected."""
+    from streaming_forex_data_pipeline_spark.streaming import channels as CH
+
+    _, src = CH.failover_tick_source(spark, str(tmp_path / "missing"))
+    assert src == "simulated_fallback"
+
+    good = tmp_path / "ticks"
+    spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "EURUSD", 1.0999, 1.1001, 1.1, 1)],
+        "ts timestamp, symbol string, bid double, ask double, last double, "
+        "seq_hint long",
+    ).write.parquet(str(good))
+    stream, src = CH.failover_tick_source(spark, str(good))
+    assert src == "primary"
+    assert stream.isStreaming
