@@ -78,6 +78,14 @@ def minhash_band_buckets(
     # materialize the token array once: inlining token_set into each of
     # the n_hashes transforms would re-run the regex split per hash
     with_toks = docs.select("doc_id", token_set(text).alias("__toks"))
+    # the n_hashes×|tokens| signature is the CPU hot spot; a small-file
+    # scan (or AQE coalesce) can leave it on a handful of partitions.
+    # Fan the narrow (doc_id, tokens) projection out to cluster
+    # parallelism first — the shuffle moves only the token arrays and is
+    # a no-op condition at real scale where the scan is already wide.
+    sc = docs.sparkSession.sparkContext
+    if with_toks.rdd.getNumPartitions() < sc.defaultParallelism:
+        with_toks = with_toks.repartition(sc.defaultParallelism)
     sig = minhash_signature(F.col("__toks"), n_hashes)
     with_sig = with_toks.withColumn("__sig", sig)
     band_cols = []
@@ -110,23 +118,32 @@ def near_duplicate_pairs(
     """
     buckets = minhash_band_buckets(docs, text, n_hashes, bands)
     ids = F.sort_array(F.collect_set("doc_id"))
-    in_bucket_pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    sc = docs.sparkSession.sparkContext
+    # The O(k²) in-bucket pair explosion is the skew hot spot: template
+    # corpora put most candidates in a handful of huge buckets, so a
+    # per-BUCKET explosion serializes on the largest k.  Explode per
+    # ELEMENT instead — each (bucket, position) row emits pairs with its
+    # tail slice — and repartition the element rows, so even a single
+    # giant bucket's k² work spreads across all cores.  Sorted ids make
+    # doc_a < doc_b structural; shuffle payload is bounded by Σ k·|ids|.
     pairs = (
         buckets.groupBy("band", "band_hash")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(in_bucket_pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
+        .select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .repartition(sc.defaultParallelism)
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
     )
+    if bands > 1:
+        # a pair colliding in several bands is emitted once per band;
+        # with a single band no duplicates are possible -> skip the
+        # dedup shuffle entirely
+        pairs = pairs.distinct()
     toks = docs.select("doc_id", token_set(text).alias("toks"))
     if threshold >= 1.0:
         # exact-dup tier prefilter: jaccard == 1 requires identical token
@@ -139,23 +156,31 @@ def near_duplicate_pairs(
         )
         pairs = (
             pairs.join(
-                set_hash.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "sh", "sh_a"
+                F.broadcast(
+                    set_hash.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                        "sh", "sh_a"
+                    )
                 ),
                 "doc_a",
             )
             .join(
-                set_hash.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "sh", "sh_b"
+                F.broadcast(
+                    set_hash.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                        "sh", "sh_b"
+                    )
                 ),
                 "doc_b",
             )
             .filter(F.col("sh_a") == F.col("sh_b"))
             .select("doc_a", "doc_b")
         )
+    # NOTE: the doc-side frames are hash-key lookups of bounded width;
+    # broadcast keeps the candidate stream shuffle-free.  At corpus sizes
+    # where docs no longer broadcast, drop the hints and let AQE pick
+    # shuffled hash joins keyed on doc id.
     verified = (
-        pairs.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
-        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+        pairs.join(F.broadcast(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a")), "doc_a")
+        .join(F.broadcast(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b")), "doc_b")
         .withColumn("jaccard", jaccard(F.col("toks_a"), F.col("toks_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -256,6 +256,12 @@ def order_book_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.orderbook import book_features
 
     e = load_table(spark, sf_dir, "events")
+    # the testdata files are single-row-group parquet (unsplittable), so
+    # the per-event array construction would run on one core; fan out
+    # first (no-op where the scan is already wide)
+    sc = spark.sparkContext
+    if e.rdd.getNumPartitions() < sc.defaultParallelism:
+        e = e.repartition(sc.defaultParallelism)
     levels = F.sequence(F.lit(1), F.lit(5))
 
     def sizes(mult: int, salt: int):
