@@ -488,3 +488,105 @@ def ohlc_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("mid") > F.least("open", "close"))
         ).alias("was_violating"),
     ).orderBy("symbol", "ts")
+
+
+@register(
+    "source_clean",
+    oracle=CANDLES_CTE
+    + """
+, raw AS (
+  SELECT symbol, ts,
+         CASE WHEN n_events % 11 = 0 THEN -open ELSE open END AS open,
+         high, low,
+         CASE WHEN n_events % 13 = 0 THEN NULL ELSE close END AS close,
+         CASE WHEN n_events % 7 = 0 THEN -volume ELSE volume END AS volume,
+         1 AS ingest
+  FROM candles
+  UNION ALL
+  SELECT symbol, ts, open, high, low, close, volume * 2 AS volume, 2 AS ingest
+  FROM candles WHERE n_events % 5 = 0
+),
+dropped AS (
+  SELECT * FROM raw
+  WHERE open IS NOT NULL AND high IS NOT NULL
+    AND low IS NOT NULL AND close IS NOT NULL
+),
+positive AS (
+  SELECT * FROM dropped
+  WHERE open > 0 AND high > 0 AND low > 0 AND close > 0
+),
+ranged AS (
+  SELECT * FROM positive WHERE low >= 0.01 AND high <= 1000.0
+),
+fixed AS (
+  SELECT symbol, ts, open, high, low, close,
+         greatest(volume, 0) AS volume, ingest
+  FROM ranged
+),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol, ts ORDER BY ingest) AS rn
+  FROM fixed
+)
+SELECT symbol, ts, open, high, low,
+       round(close, 6) AS close, round(volume, 6) AS volume
+FROM dd WHERE rn = 1
+ORDER BY symbol, ts
+""",
+    doc="S3 — the composed source-cleaning pipeline "
+    "(data_fetcher.py:402-445): null-drop (F2) -> non-positive price "
+    "filter (F3) -> realistic-range filter (F4) -> negative-volume "
+    "clamp (F6) -> keep-first dedup by ingest order (D1) -> time sort, "
+    "as one declarative chain Catalyst fuses into a single pass + one "
+    "window.  Dirt (nulls, negated prices, negative volumes, "
+    "conflicting duplicate rows) is injected deterministically so every "
+    "stage is exercised; a row whose original was dropped survives via "
+    "its later-ingest duplicate — the keep-first semantics the "
+    "reference relies on.",
+)
+def source_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    corrupt = c.select(
+        "symbol",
+        "ts",
+        F.when(F.col("n_events") % 11 == 0, -F.col("open")).otherwise(
+            F.col("open")
+        ).alias("open"),
+        "high",
+        "low",
+        F.when(F.col("n_events") % 13 == 0, F.lit(None)).otherwise(
+            F.col("close")
+        ).alias("close"),
+        F.when(F.col("n_events") % 7 == 0, -F.col("volume")).otherwise(
+            F.col("volume")
+        ).alias("volume"),
+        F.lit(1).alias("ingest"),
+    )
+    dupes = c.filter(F.col("n_events") % 5 == 0).select(
+        "symbol",
+        "ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        (F.col("volume") * 2).alias("volume"),
+        F.lit(2).alias("ingest"),
+    )
+    raw = corrupt.unionAll(dupes)
+    cleaned = Q.dedup_keep_first(
+        Q.clamp_negative_volume(
+            Q.filter_price_range(
+                Q.filter_positive_prices(Q.drop_null_prices(raw)), 0.01, 1000.0
+            )
+        ),
+        ["symbol", "ts"],
+        "ingest",
+    )
+    return cleaned.select(
+        "symbol",
+        "ts",
+        "open",
+        "high",
+        "low",
+        F.round("close", R).alias("close"),
+        F.round("volume", R).alias("volume"),
+    ).orderBy("symbol", "ts")
