@@ -77,15 +77,13 @@ def minhash_band_buckets(
     rows_per_band = n_hashes // bands
     # materialize the token array once: inlining token_set into each of
     # the n_hashes transforms would re-run the regex split per hash
-    with_toks = docs.select("doc_id", token_set(text).alias("__toks"))
-    # the n_hashes×|tokens| signature is the CPU hot spot; a small-file
-    # scan (or AQE coalesce) can leave it on a handful of partitions.
-    # Fan the narrow (doc_id, tokens) projection out to cluster
-    # parallelism first — the shuffle moves only the token arrays and is
-    # a no-op condition at real scale where the scan is already wide.
-    sc = docs.sparkSession.sparkContext
-    if with_toks.rdd.getNumPartitions() < sc.defaultParallelism:
-        with_toks = with_toks.repartition(sc.defaultParallelism)
+    # the n_hashes×|tokens| signature is the CPU hot spot; fan the
+    # narrow (doc_id, tokens) projection out to cluster parallelism
+    # (sources.tables.fan_out) — the shuffle moves only token arrays and
+    # is a no-op where the scan is already wide.
+    from ..sources.tables import fan_out
+
+    with_toks = fan_out(docs.select("doc_id", token_set(text).alias("__toks")))
     sig = minhash_signature(F.col("__toks"), n_hashes)
     with_sig = with_toks.withColumn("__sig", sig)
     band_cols = []

@@ -13,7 +13,7 @@ from ..llm import dedup as DD
 from ..llm import multimodal as MM
 from ..llm import similarity as SIM
 from ..llm import text as TX
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .registry import register
 
 R = 6
@@ -125,7 +125,7 @@ ORDER BY toks.doc_id
 )
 def jaccard_vs_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", DD.token_set().alias("t"))
+    toks = fan_out(d).select("doc_id", DD.token_set().alias("t"))
     q = toks.filter(F.col("doc_id") == 0).select(F.col("t").alias("qt"))
     return (
         toks.crossJoin(F.broadcast(q))
@@ -158,7 +158,7 @@ LIMIT 10
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0)
-    scored = e.crossJoin(
+    scored = fan_out(e).crossJoin(
         F.broadcast(q.select(F.col("embedding").alias("q_embedding")))
     ).select(
         "vec_id",
@@ -244,7 +244,7 @@ LIMIT 10
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.withColumn("bucket", SIM.lsh_bucket(F.col("embedding")))
+    b = fan_out(e).withColumn("bucket", SIM.lsh_bucket(F.col("embedding")))
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )

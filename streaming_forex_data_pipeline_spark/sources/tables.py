@@ -164,3 +164,20 @@ WITH candles AS (
   GROUP BY 1, 2
 )
 """
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow, CPU-heavy projection across cluster parallelism
+    when the scan under-partitions it.
+
+    The driver testdata is single-row-group parquet, which is
+    unsplittable — Spark maps each table to ONE input partition, so any
+    per-row-expensive derivation (minhash signatures, embedding dot
+    products, array construction) would run on one core.  At real scale
+    multi-file tables already arrive wide and this is a no-op; the
+    condition keeps the extra exchange out of every plan that doesn't
+    need it."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
