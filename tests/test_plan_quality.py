@@ -1,0 +1,100 @@
+"""Physical-plan invariants — the scale-readiness regression gate.
+
+These assertions encode the 100 TB design rules from SURVEY §4 /
+COVERAGE.md as tests, so a refactor that silently de-optimizes a plan
+(drops a broadcast, adds a Python UDF to a hot path, loses filter
+pushdown) fails CI rather than only showing up in bench numbers:
+
+1. Python UDFs (BatchEvalPython/ArrowEvalPython) appear ONLY in the
+   sanctioned applyInPandas escapes (SURVEY §2.13): EMA-family parity,
+   PSAR, percent-rank, backtest loop, spark.ml feature importance.
+2. Dimension joins broadcast; no sort-merge join sneaks into the
+   star-schema queries.
+3. Filter pushdown reaches the parquet scan for predicate queries.
+4. No plan collects to the driver mid-query (no driver-side loops —
+   structurally guaranteed by the registry returning DataFrames).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_forex_data_pipeline_spark.plans.registry import all_queries
+
+# SURVEY §2.13: the ONLY operators allowed to run Python kernels.
+PANDAS_UDF_SANCTIONED = {
+    "ema",
+    "rsi",
+    "macd",
+    "atr_ema",
+    "ma_ratios",  # consumes the EMA family
+    "psar",
+    "volatility_regime",  # trailing percent-rank
+    "aroon",  # window-trick primary, pandas fallback allowed
+    "backtest_trades",
+    "backtest_metrics",
+    "rf_importance",  # spark.ml pipeline
+    "feature_importance",
+    "feature_importance_consensus",
+}
+
+BROADCAST_EXPECTED = [
+    "revenue_by_nation",
+    "customers_without_orders",
+    "customers_with_orders_semi",
+    "knn_cosine_topk",
+    "jaccard_vs_doc0",
+]
+
+PUSHDOWN_EXPECTED = [
+    "range_scan_limit",
+    "filtered_count",
+    "pricing_summary",
+]
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_unsanctioned_python_udfs(spark, sf_dir):
+    offenders = []
+    for name, q in all_queries().items():
+        if name in PANDAS_UDF_SANCTIONED:
+            continue
+        plan = q.spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "EvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, (
+        f"Python eval nodes in non-sanctioned hot paths: {offenders}"
+    )
+
+
+@pytest.mark.parametrize("name", BROADCAST_EXPECTED)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan, f"{name}: sort-merge join in plan"
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{name}: expected a broadcast join"
+    )
+
+
+@pytest.mark.parametrize("name", PUSHDOWN_EXPECTED)
+def test_filters_reach_the_scan(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    # at least one scan carries a NON-empty pushed-filter list
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any(p.strip() for p in pushed), (
+        f"{name}: no predicate reached a parquet scan"
+    )
+
+
+def test_registry_values_are_dataframes(spark, sf_dir):
+    """Every query stays a DataFrame end to end — no .collect() inside
+    builders (driver-side loops don't scale)."""
+    from pyspark.sql import DataFrame
+
+    for name, q in all_queries().items():
+        out = q.spark(spark, sf_dir)
+        assert isinstance(out, DataFrame), f"{name} returned {type(out)}"
