@@ -184,3 +184,83 @@ def near_duplicate_pairs(
         .select("doc_a", "doc_b", "jaccard")
     )
     return verified
+
+
+def portable_token_hash(t: Column) -> Column:
+    """60-bit token hash derived from md5 hex — chosen over xxhash64
+    because DuckDB computes the identical value
+    (('0x' || substr(md5(t),1,15))::BIGINT), making SimHash oracles
+    engine-portable."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(tokens: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint: per bit b, sign of Σ_tokens ±1 by bit b of
+    the token hash; near-identical token multisets get small Hamming
+    distance.  One md5 per token (hashes materialized first), then 32
+    counter aggregates — all Column algebra, no UDF."""
+    hashed = F.transform(tokens, portable_token_hash)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        contrib = F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        out = out + F.when(contrib >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, text: str = "text", bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup with GUARANTEED recall: split the ``bits``-bit
+    fingerprint into max_hamming+1 bands — by pigeonhole, any pair
+    within ``max_hamming`` bit flips matches exactly on at least one
+    band, so the band-bucket join finds every qualifying pair (no
+    probabilistic miss, unlike MinHash banding).  Verification filters
+    candidates to bit_count(xor) <= max_hamming, so the output equals
+    the exact all-pairs answer at O(N·bands + Σ k_bucket²) cost."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = docs.select("doc_id", simhash(token_set(text), bits).alias("sh"))
+    from ..sources.tables import fan_out
+
+    sh = fan_out(sh)
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", "b.band", "b.key")
+    a = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    bb = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(bb, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair may match on several bands
+    )

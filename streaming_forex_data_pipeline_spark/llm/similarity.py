@@ -82,3 +82,48 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 42) ->
         )
         bucket = bucket + F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
     return bucket
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: all (a, b) pairs with cosine >=
+    threshold — the exact tier, an upper-triangle self-join with a
+    broadcast build side.  The scale path buckets both sides with
+    `lsh_bucket` first (see embedding_near_dup_candidates), trading
+    guaranteed recall for ~n_buckets× less pair work."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    from ..sources.tables import fan_out
+
+    return (
+        fan_out(a)
+        .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_near_dup_candidates(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id",
+    vec_col: str = "embedding", n_planes: int = 8,
+) -> DataFrame:
+    """LSH-bucketed variant: only same-bucket pairs are scored.  Recall
+    < 1 (a near-dup pair can straddle a hyperplane); the differential
+    test measures it against the exact tier."""
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    x = b.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    y = b.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        x.join(y, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

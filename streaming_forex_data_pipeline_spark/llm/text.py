@@ -87,3 +87,29 @@ def md5_fingerprint(text: str = "text") -> Column:
     (DuckDB md5() matches), used for oracle-checked exact dedup."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
     return F.md5(normalized)
+
+
+#: GPT-2-style pretokenizer approximation: word / number / punctuation
+#: runs.  Identical regex runs on the DuckDB side (regexp_extract_all).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def subword_count(text: str = "text") -> Column:
+    """BPE-ish token count: number of word/number/punctuation chunks —
+    a deterministic stand-in for a real BPE vocab (the tokenizer itself
+    is model-specific and out of engine scope)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+
+
+def rolling_hash(text: str = "text", base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling-hash document fingerprint:
+    h = Σ h*base + ascii(c) (mod m) over the characters.  Engine-portable
+    (DuckDB list_reduce computes the identical value); used as a cheap
+    content fingerprint next to md5."""
+    return F.aggregate(
+        F.split(F.col(text), ""),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )

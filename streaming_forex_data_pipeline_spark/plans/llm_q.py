@@ -342,3 +342,160 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(SIM.norm(F.col("embedding")), 5).alias("l2_norm"),
     ).orderBy("vec_id")
+
+
+@register(
+    "simhash_near_dups",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(tok), 1, 15))::BIGINT FOR tok IN t] AS hs
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+         (CASE WHEN list_sum([CASE WHEN (h >> 0) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 1) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 2) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 3) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 4) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 5) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 6) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 7) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 128 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 256 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 9) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 512 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 10) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 1024 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 11) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 2048 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 12) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 4096 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 13) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 8192 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 14) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 16384 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 15) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 32768 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 16) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 65536 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 17) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 131072 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 18) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 262144 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 19) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 524288 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 20) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 1048576 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 21) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 2097152 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 22) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 4194304 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 23) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 8388608 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 24) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 16777216 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 25) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 33554432 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 26) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 67108864 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 27) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 134217728 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 28) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 268435456 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 29) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 536870912 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 30) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 1073741824 ELSE 0 END)
+         + (CASE WHEN list_sum([CASE WHEN (h >> 31) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) >= 0 THEN 2147483648 ELSE 0 END) AS sh
+  FROM hashed
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY doc_a, doc_b
+""",
+    doc="SimHash near-dup with GUARANTEED recall: 32-bit fingerprint "
+    "(sign of per-bit +/-1 token-hash sums), banded into 4 x 8-bit "
+    "keys — by pigeonhole any pair within Hamming distance 3 agrees on "
+    "at least one band, so the bucket join finds every qualifying pair "
+    "and the bit_count(xor) verify makes the output EQUAL to the exact "
+    "all-pairs answer at O(N*bands + sum k^2) cost "
+    "(llm/dedup.py:simhash_near_dup_pairs).  The oracle computes the "
+    "brute-force all-pairs answer with the identical md5-derived token "
+    "hashes, so the banded Spark path is checked against exact "
+    "semantics, not against itself.",
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.simhash_near_dup_pairs(d, bits=32, max_hamming=3)
+    return pairs.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "embedding_near_dups",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 5) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+ORDER BY id_a, id_b
+""",
+    doc="Embedding-cosine near-dup pairs (exact tier): upper-triangle "
+    "self-join with broadcast build side, cosine >= threshold "
+    "(llm/similarity.py:embedding_near_dup_pairs).  Threshold is "
+    "parameterized; 0.45 exercises real pairs on this random corpus.  "
+    "Scale path = lsh-bucketed candidates "
+    "(embedding_near_dup_candidates), recall-measured in "
+    "tests/test_operators.py.",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs(e, threshold=0.45)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 5).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "token_stats",
+    oracle=r"""
+SELECT doc_id,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+         AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+         AS INT) AS n_tokens_bpe_ish,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+ORDER BY doc_id
+""",
+    doc="Token counting, whitespace + BPE-ish regex tier "
+    "(llm/text.py:subword_count): word/number/punctuation chunks as a "
+    "deterministic stand-in for a model-specific BPE vocab.  Pure "
+    "codegen'd string expressions — a 100 TB corpus is one scan.",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count().cast("int").alias("n_tokens_ws"),
+        TX.subword_count().cast("int").alias("n_tokens_bpe_ish"),
+        TX.char_count().cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS md5_fp,
+       list_reduce(
+         list_prepend(7::BIGINT, [ascii(c)::BIGINT FOR c IN split(text, '')]),
+         (acc, c) -> (acc * 31 + c) % 2147483647
+       ) AS rolling_fp
+FROM documents
+ORDER BY doc_id
+""",
+    doc="Document fingerprinting: md5 content hash + polynomial "
+    "rolling hash (llm/text.py:rolling_hash) — both engine-portable, "
+    "both single-scan column expressions.",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_fp"),
+        TX.rolling_hash().alias("rolling_fp"),
+    ).orderBy("doc_id")

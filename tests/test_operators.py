@@ -111,3 +111,40 @@ def test_minhash_lsh_recall_and_precision(spark, duck, sf_dir):
     assert got_pairs <= truth_pairs, "precision must be 1 (verified candidates)"
     recall = len(got_pairs) / max(len(truth_pairs), 1)
     assert recall >= 0.6, f"LSH recall {recall:.3f} below floor"
+
+
+def test_embedding_lsh_candidates_recall(spark):
+    """Bucketed embedding near-dup vs the exact tier on a corpus with
+    REAL near-duplicates (base vectors + tiny perturbations,
+    cos ≈ 0.999): sign-bit LSH must co-bucket almost all of them.
+    P(same bucket) = (1 − θ/π)^planes, so recall ≈ 0.97 at θ ≈ 0.013;
+    precision must be exactly 1 (candidates carry true cosine)."""
+    import random
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    rng = random.Random(42)
+    rows = []
+    vid = 0
+    for _base in range(40):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((vid, v))
+        vid += 1
+        # two perturbed near-dups of the base
+        for _ in range(2):
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in v]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_pairs(e, threshold=0.99).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_candidates(e, threshold=0.99).collect()
+    }
+    assert approx <= exact, "bucketed path produced a non-qualifying pair"
+    assert len(exact) >= 100, "fixture failed to produce near-dup pairs"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below floor"
