@@ -65,6 +65,8 @@ HEADLINE = [
     "doc_stats",
     "exact_dedup_groups",
     "minhash_near_dups",
+    "simhash_near_dups",
+    "embedding_near_dups",
     "jaccard_vs_doc0",
     "knn_cosine_topk",
     "ann_lsh_topk",

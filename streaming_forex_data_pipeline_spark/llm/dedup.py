@@ -194,12 +194,12 @@ def portable_token_hash(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
 
-def simhash(tokens: Column, bits: int = 32) -> Column:
-    """SimHash fingerprint: per bit b, sign of Σ_tokens ±1 by bit b of
-    the token hash; near-identical token multisets get small Hamming
-    distance.  One md5 per token (hashes materialized first), then 32
-    counter aggregates — all Column algebra, no UDF."""
-    hashed = F.transform(tokens, portable_token_hash)
+def simhash_from_hashes(hashed: Column, bits: int = 32) -> Column:
+    """SimHash from a PRE-MATERIALIZED array of token hashes: per bit b,
+    sign of Σ ±1 by bit b of each hash.  Callers must materialize the
+    hash array as a real column first — Catalyst does not CSE
+    interpreted higher-order expressions, so inlining the md5 transform
+    here would recompute it once per bit (32×)."""
     out = F.lit(0).cast("long")
     for b in range(bits):
         contrib = F.aggregate(
@@ -212,6 +212,13 @@ def simhash(tokens: Column, bits: int = 32) -> Column:
             F.lit(0).cast("long")
         )
     return out
+
+
+def simhash(tokens: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint of a token array; near-identical token sets
+    get small Hamming distance.  Convenience form — hot paths go
+    through simhash_from_hashes with a materialized hash column."""
+    return simhash_from_hashes(F.transform(tokens, portable_token_hash), bits)
 
 
 def simhash_near_dup_pairs(
@@ -227,13 +234,50 @@ def simhash_near_dup_pairs(
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sh = docs.select("doc_id", simhash(token_set(text), bits).alias("sh"))
     from ..sources.tables import fan_out
 
-    sh = fan_out(sh)
-    bands = sh.select(
-        "doc_id",
+    # two-step select materializes the md5 hash array ONCE per doc; the
+    # 32 bit-aggregates then fold over the materialized column
+    sh = (
+        fan_out(
+            docs.select(
+                "doc_id",
+                F.transform(token_set(text), portable_token_hash).alias("__h"),
+            )
+        )
+        .select("doc_id", simhash_from_hashes(F.col("__h"), bits).alias("sh"))
+    )
+
+    # Work at SIGNATURE-VALUE granularity, not doc granularity: template
+    # corpora map thousands of docs onto few distinct fingerprints, so
+    # banding/verifying unique values (and expanding member lists once at
+    # the end) replaces a multi-million-row candidate distinct with one
+    # on value pairs.  This is also the 100 TB shape: candidate state is
+    # O(#distinct signatures), independent of corpus row count.
+    groups = sh.groupBy("sh").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+
+    # hamming-0 tier: pairs within one signature group (element-parallel
+    # explosion, same skew logic as the MinHash path)
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
+        .withColumn("hamming", F.lit(0))
+    )
+
+    # cross-group tier: band the unique values; pigeonhole over
+    # max_hamming+1 bands guarantees every pair within max_hamming flips
+    # shares a band, so recall is structural, not probabilistic
+    bands = groups.select(
         "sh",
+        "ids",
         F.explode(
             F.array(
                 *[
@@ -247,20 +291,30 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "sh", "b.band", "b.key")
+    ).select("sh", "ids", "b.band", "b.key")
     a = bands.select(
-        "band", "key", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        "band", "key", F.col("sh").alias("sh_a"), F.col("ids").alias("ids_a")
     )
     bb = bands.select(
-        "band", "key", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        "band", "key", F.col("sh").alias("sh_b"), F.col("ids").alias("ids_b")
     )
-    return (
+    vpairs = (
         a.join(bb, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("sh_a") < F.col("sh_b"))
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()  # a pair may match on several bands
+        .select("sh_a", "sh_b", "ids_a", "ids_b", "hamming")
+        .dropDuplicates(["sh_a", "sh_b"])  # multi-band matches
     )
+    cross = (
+        vpairs.select(F.explode("ids_a").alias("da"), "ids_b", "hamming")
+        .select("da", F.explode("ids_b").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)

@@ -93,14 +93,28 @@ def embedding_near_dup_pairs(
     broadcast build side.  The scale path buckets both sides with
     `lsh_bucket` first (see embedding_near_dup_candidates), trading
     guaranteed recall for ~n_buckets× less pair work."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # precompute each vector's norm ONCE per side (N values) instead of
+    # re-aggregating it inside every one of the N²/2 pair evaluations —
+    # the pair loop then does a single interpreted dot product per pair
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        norm(F.col(vec_col)).alias("n_a"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        norm(F.col(vec_col)).alias("n_b"),
+    )
     from ..sources.tables import fan_out
 
     return (
         fan_out(a)
         .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -116,14 +130,24 @@ def embedding_near_dup_candidates(
     b = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
     )
-    x = b.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    y = b.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    x = b.select(
+        "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("n").alias("n_a"),
+    )
+    y = b.select(
+        "bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("n").alias("n_b"),
+    )
     return (
         x.join(y, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cos_sim",
+            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
