@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -107,3 +108,104 @@ def decode_stub(multimodal: DataFrame) -> DataFrame:
 
     narrow = multimodal.select("doc_id", "modality", "payload", "meta")
     return narrow.mapInPandas(decode, DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("orig_width", IntegerType()),
+        StructField("orig_height", IntegerType()),
+    ]
+)
+
+
+def resize_stub(
+    multimodal: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Image-resize stage over ``mapInPandas`` (Arrow-batched).
+
+    STUB: a real implementation decodes the payload with PIL and
+    re-encodes at (target_w, target_h); no codec exists in this
+    container, so the stub scales the PAYLOAD LENGTH by the pixel ratio
+    (truncation — deterministic and schema-faithful) and rewrites the
+    size metadata.  The plumbing a swap-in decoder needs — binary in,
+    binary out, metadata rewrite, batch iteration — is all real.
+    """
+
+    def resize(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"]).astype("int32")
+            h = pdf["meta"].map(lambda m: m["height"]).astype("int32")
+            ratio = (target_w * target_h) / (w * h).clip(lower=1)
+            n = pdf["payload"].map(len)
+            keep = (n * ratio).clip(upper=n).astype("int64").clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "modality": pdf["modality"],
+                    "payload": [
+                        bytes(b[:k]) for b, k in zip(pdf["payload"], keep)
+                    ],
+                    "width": target_w,
+                    "height": target_h,
+                    "orig_width": w,
+                    "orig_height": h,
+                }
+            )
+
+    narrow = multimodal.filter(F.col("modality") == "image").select(
+        "doc_id", "modality", "payload", "meta"
+    )
+    return narrow.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+FRAME_BYTES = 256
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+    ]
+)
+
+
+def frame_sample_stub(multimodal: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame-sampling stage over ``mapInPandas`` — a ROW-EXPANDING
+    kernel (one input video -> many frame rows), the shape a real
+    ffmpeg-backed sampler needs.
+
+    STUB: a "frame" is a FRAME_BYTES-byte slice of the payload; every
+    ``every_n``-th frame is emitted with its index and length.  Output
+    row count per doc = ceil(ceil(n_bytes / FRAME_BYTES) / every_n),
+    which is what the oracle checks.
+    """
+
+    def sample(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = (n + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(
+                        min(FRAME_BYTES, n - i * FRAME_BYTES)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_len": pd.Series(out["frame_len"], dtype="int32"),
+                }
+            )
+
+    narrow = multimodal.filter(F.col("modality") == "video").select(
+        "doc_id", "payload"
+    )
+    return narrow.mapInPandas(sample, FRAME_SCHEMA)

@@ -499,3 +499,77 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("md5_fp"),
         TX.rolling_hash().alias("rolling_fp"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+WITH vids AS (
+  SELECT doc_id, octet_length(encode(text)) AS n
+  FROM documents
+  WHERE {_MODALITY_SQL} = 'video'
+),
+frames AS (
+  SELECT v.doc_id,
+         CAST(g.i AS INT) AS frame_idx,
+         CAST(least(256, v.n - g.i * 256) AS INT) AS frame_len
+  FROM vids v,
+       LATERAL (SELECT unnest(generate_series(0,
+                  CAST(ceil(v.n / 256.0) AS BIGINT) - 1, 4)) AS i) g
+)
+SELECT doc_id, frame_idx, frame_len
+FROM frames
+ORDER BY doc_id, frame_idx
+""",
+    doc="Multimodal frame sampling: every-4th 256-byte 'frame' of each "
+    "video payload via a ROW-EXPANDING mapInPandas kernel "
+    "(llm/multimodal.py:frame_sample_stub) — the Arrow plumbing an "
+    "ffmpeg-backed sampler drops into.  The oracle reproduces the "
+    "frame arithmetic with generate_series, so the kernel's expansion "
+    "(count, indices, tail-frame length) is checked exactly.",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    mm = MM.attach_payload(fan_out(d))
+    return MM.frame_sample_stub(mm, every_n=4).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       CAST(least(octet_length(encode(text)),
+                  greatest(1, CAST(floor(octet_length(encode(text))
+                       * (224.0 * 224.0)
+                       / greatest(1, (doc_id % 640 + 1) * (doc_id % 480 + 1)))
+                    AS BIGINT))) AS BIGINT) AS n_resized_bytes,
+       224 AS width, 224 AS height,
+       CAST(doc_id % 640 + 1 AS INT) AS orig_width,
+       CAST(doc_id % 480 + 1 AS INT) AS orig_height
+FROM documents
+WHERE {_MODALITY_SQL} = 'image'
+ORDER BY doc_id
+""",
+    doc="Multimodal resize stage (llm/multimodal.py:resize_stub): "
+    "binary-in/binary-out mapInPandas kernel scaling payload length by "
+    "the pixel ratio (the PIL swap-in point).  The oracle checks the "
+    "byte-length arithmetic and metadata rewrite exactly; payload bytes "
+    "themselves are prefix-truncations verified in "
+    "tests/test_multimodal_stages.py.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    mm = MM.attach_payload(fan_out(d))
+    out = MM.resize_stub(mm, target_w=224, target_h=224)
+    return out.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_resized_bytes"),
+        "width",
+        "height",
+        "orig_width",
+        "orig_height",
+    ).orderBy("doc_id")
