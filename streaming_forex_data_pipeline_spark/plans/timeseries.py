@@ -1088,3 +1088,143 @@ def symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@register(
+    "asof_enrich",
+    oracle=CANDLES_CTE
+    + """
+, ticks AS (
+  SELECT event_id, event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts,
+         round("value", 6) AS value
+  FROM events
+)
+SELECT t.event_id, t.symbol, t.ts, t.value,
+       c.close AS last_close
+FROM ticks t
+ASOF LEFT JOIN candles c
+  ON t.symbol = c.symbol AND t.ts >= c.ts
+ORDER BY t.event_id
+""",
+    doc="As-of join — enrich every tick with the latest candle close at "
+    "or before its timestamp.  Spark has no ASOF JOIN; the scalable "
+    "re-expression is the union-and-carry pattern: tag both streams, "
+    "sort once per symbol, and carry the last non-null quote forward "
+    "with last(ignorenulls) over (symbol, ts, side) — ONE shuffle total "
+    "(the per-symbol sort), versus a theta join's O(ticks x quotes) "
+    "explosion.  Quotes order before ticks at equal ts to match ASOF's "
+    "inclusive (>=) semantics.  Oracle: DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    ticks = e.select(
+        F.col("event_id"),
+        F.col("event_type").alias("symbol"),
+        "ts",
+        F.round("value", R).alias("value"),
+        F.lit(1).alias("side"),  # ticks after quotes at equal ts
+        F.lit(None).cast("double").alias("q_close"),
+    )
+    quotes = c.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "symbol",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("side"),
+        F.col("close").alias("q_close"),
+    )
+    merged = quotes.unionByName(ticks)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_close", F.last("q_close", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select("event_id", "symbol", "ts", "value", "last_close")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "range_join_sessions",
+    oracle="""
+SELECT e.event_type AS symbol,
+       CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       count(*) AS n_events,
+       round(avg(e."value"), 6) AS avg_value
+FROM events e
+WHERE CAST(e.ts AS TIMESTAMP) >= date_trunc('day', CAST(e.ts AS TIMESTAMP)) + INTERVAL 7 HOURS
+  AND CAST(e.ts AS TIMESTAMP) <  date_trunc('day', CAST(e.ts AS TIMESTAMP)) + INTERVAL 17 HOURS
+GROUP BY 1, 2
+ORDER BY symbol, day
+""",
+    doc="Range join — events against per-day [07:00, 17:00) session "
+    "intervals.  The scale-safe Spark shape derives the interval KEY "
+    "(the day) on the fact side so the range predicate collapses to a "
+    "bucket filter — no theta join, no interval broadcast, single "
+    "aggregation with map-side combine.  The same pattern handles "
+    "arbitrary interval tables: equi-join on a derived bucket key, then "
+    "refine with the residual range predicate.",
+)
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    in_session = (F.col("ts") >= day + F.expr("INTERVAL 7 HOURS")) & (
+        F.col("ts") < day + F.expr("INTERVAL 17 HOURS")
+    )
+    return (
+        e.filter(in_session)
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r(F.avg("value"), "avg_value"),
+        )
+        .orderBy("symbol", "day")
+    )
+
+
+@register(
+    "rollup_weekly",
+    oracle=CANDLES_CTE
+    + """
+SELECT symbol,
+       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       round(min_by(open, ts), 6) AS open,
+       round(max(high), 6) AS high,
+       round(min(low), 6) AS low,
+       round(max_by(close, ts), 6) AS close,
+       round(sum(volume), 6) AS volume,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM candles
+GROUP BY 1, 2
+ORDER BY symbol, week
+""",
+    doc="Hypertable rollup cascade — weekly candles RE-AGGREGATED from "
+    "the hourly silver table rather than raw events (the continuous-"
+    "aggregate pattern: each granularity reads the one below, so a "
+    "100 TB event table is scanned once, not once per granularity).  "
+    "Ordered open/close survive the cascade via min_by/max_by on the "
+    "bucket timestamp; all other measures are trivially re-aggregable.",
+)
+def rollup_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return (
+        c.groupBy("symbol", F.date_trunc("week", "ts").alias("week"))
+        .agg(
+            _r(F.min_by("open", "ts"), "open"),
+            _r(F.max("high"), "high"),
+            _r(F.min("low"), "low"),
+            _r(F.max_by("close", "ts"), "close"),
+            _r(F.sum("volume"), "volume"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("symbol", "week")
+    )
