@@ -61,6 +61,11 @@ HEADLINE = [
     # streaming-transform batch faces
     "order_book_features",
     "vwap_daily",
+    # custom operators + composed cleaning
+    "asof_enrich",
+    "range_join_sessions",
+    "rollup_weekly",
+    "source_clean",
     # llm-pipeline
     "doc_stats",
     "exact_dedup_groups",

@@ -83,6 +83,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # is runtime-settable, so set it here instead of relying on the caller's
     # session builder — any plain SparkSession can then read every table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date_trunc/hour() are session-timezone-dependent; the DuckDB oracles
+    # evaluate in UTC, so pin the session rather than trusting the caller's
+    # JVM default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong read path: ns → µs truncation, matching DuckDB's
