@@ -430,12 +430,62 @@ def volatility_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "psar",
-    oracle=None,
+    oracle="""
+WITH RECURSIVE candles AS (
+  SELECT event_type AS symbol,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+         round(max("value"), 6) AS high,
+         round(min("value"), 6) AS low
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT symbol, ts, high, low,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+  FROM candles
+),
+rec AS (
+  SELECT symbol, rn, ts, high, low,
+         high AS sar, TRUE AS bull, 0.02 AS af, low AS ep
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.rn, b.ts, b.high, b.low,
+         CASE
+           WHEN r.bull AND b.low <= r.sar + r.af * (r.ep - r.sar) THEN r.ep
+           WHEN NOT r.bull AND b.high >= r.sar + r.af * (r.ep - r.sar) THEN r.ep
+           ELSE r.sar + r.af * (r.ep - r.sar)
+         END,
+         CASE
+           WHEN r.bull AND b.low <= r.sar + r.af * (r.ep - r.sar) THEN FALSE
+           WHEN NOT r.bull AND b.high >= r.sar + r.af * (r.ep - r.sar) THEN TRUE
+           ELSE r.bull
+         END,
+         CASE
+           WHEN r.bull AND b.low <= r.sar + r.af * (r.ep - r.sar) THEN 0.02
+           WHEN r.bull AND b.high > r.ep THEN least(r.af + 0.02, 0.2)
+           WHEN NOT r.bull AND b.high >= r.sar + r.af * (r.ep - r.sar) THEN 0.02
+           WHEN NOT r.bull AND b.low < r.ep THEN least(r.af + 0.02, 0.2)
+           ELSE r.af
+         END,
+         CASE
+           WHEN r.bull AND b.low <= r.sar + r.af * (r.ep - r.sar) THEN b.low
+           WHEN r.bull AND b.high > r.ep THEN b.high
+           WHEN NOT r.bull AND b.high >= r.sar + r.af * (r.ep - r.sar) THEN b.high
+           WHEN NOT r.bull AND b.low < r.ep THEN b.low
+           ELSE r.ep
+         END
+  FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+SELECT symbol, ts, round(sar, 6) AS psar FROM rec ORDER BY symbol, ts
+""",
     doc="W20 — Parabolic SAR: sequential trend-flip recurrence with "
     "accelerating factor (advanced_feature_engineer.py:171-207) as a "
-    "per-symbol applyInPandas kernel.  Inherently not SQL-expressible "
-    "(driver rows-only check); semantics pinned by the hand-traced "
-    "fixture in tests/test_advanced.py.",
+    "per-symbol applyInPandas kernel.  The recurrence IS "
+    "SQL-expressible via a recursive CTE carrying (sar, bull, af, ep) "
+    "state one row at a time, so even this stateful kernel is "
+    "oracle-checked exactly (the CASE order mirrors the loop's "
+    "flip-first branch priority; float ops are identical IEEE "
+    "sequences on both engines).  Hand-traced fixture in "
+    "tests/test_advanced.py pins the semantics independently.",
 )
 def psar(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
