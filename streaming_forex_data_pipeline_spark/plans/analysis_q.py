@@ -219,16 +219,189 @@ def signals_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _bt_rec_sql(commission: str = "0.0001") -> str:
+    """DuckDB recursive-CTE rendering of the backtest event loop
+    (backtesting_engine.py:284-379) at max_positions=1: the loop state
+    collapses to one fixed tuple (capital, open?, entry, price, side,
+    size, commission), which a recursive CTE carries row by row.  Named
+    Python snippets keep the repeated CASE arms typo-free; every
+    arithmetic expression is the same IEEE sequence the pandas kernel
+    executes, so the ledger hash-matches exactly."""
+    C = commission
+    opened = "((NOT r.open) AND b.sig <> 0)"
+    o_size = "(r.capital * 0.1)"
+    capital1 = f"(r.capital - (CASE WHEN {opened} THEN {o_size} * {C} ELSE 0 END))"
+    h_open = f"(r.open OR {opened})"
+    h_etime = "(CASE WHEN r.open THEN r.e_time ELSE b.ts END)"
+    h_eprice = "(CASE WHEN r.open THEN r.e_price ELSE b.price END)"
+    h_buy = "(CASE WHEN r.open THEN r.is_buy ELSE b.sig > 0 END)"
+    h_size = f"(CASE WHEN r.open THEN r.size ELSE {o_size} END)"
+    h_comm = f"(CASE WHEN r.open THEN r.comm ELSE {o_size} * {C} END)"
+    close_cond = (
+        "(r.open AND ((r.is_buy AND b.sig < 0) OR ((NOT r.is_buy) AND b.sig > 0)"
+        " OR (r.is_buy AND b.price <= r.e_price * 0.95)"
+        " OR ((NOT r.is_buy) AND b.price >= r.e_price * 1.05)))"
+    )
+    close_now = f"({close_cond} OR ({h_open} AND b.is_last))"
+    direction = f"(CASE WHEN {h_buy} THEN 1.0 ELSE -1.0 END)"
+    total_comm = f"({h_comm} + {h_size} * {C})"
+    pnl = f"({direction} * (b.price - {h_eprice}) * {h_size} - {total_comm})"
+    capital2 = (
+        f"({capital1} + (CASE WHEN {close_now} AND {pnl} <> 0.0 THEN {pnl} ELSE 0 END))"
+    )
+    next_open = f"({h_open} AND NOT {close_now})"
+    return f"""
+WITH RECURSIVE candles AS (
+  SELECT event_type AS symbol,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+         round(max_by("value", event_id), 6) AS close
+  FROM events GROUP BY 1, 2
+),
+sig0 AS (
+  SELECT symbol, ts, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n_rows,
+         CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY ts) >= 10
+              THEN avg(close) OVER (PARTITION BY symbol ORDER BY ts
+                                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) END AS f,
+         CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY ts) >= 20
+              THEN avg(close) OVER (PARTITION BY symbol ORDER BY ts
+                                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS s
+  FROM candles
+),
+base AS (
+  SELECT symbol, rn, ts, close AS price, (rn = n_rows) AS is_last,
+         CASE WHEN f > s AND lag(f) OVER (PARTITION BY symbol ORDER BY ts)
+                              <= lag(s) OVER (PARTITION BY symbol ORDER BY ts) THEN 1
+              WHEN f < s AND lag(f) OVER (PARTITION BY symbol ORDER BY ts)
+                              >= lag(s) OVER (PARTITION BY symbol ORDER BY ts) THEN -1
+              ELSE 0 END AS sig
+  FROM sig0
+),
+rec AS (
+  SELECT symbol, CAST(0 AS BIGINT) AS rn,
+         CAST(10000.0 AS DOUBLE) AS capital, FALSE AS open,
+         CAST(NULL AS TIMESTAMP) AS e_time, CAST(NULL AS DOUBLE) AS e_price,
+         FALSE AS is_buy, CAST(NULL AS DOUBLE) AS size, CAST(NULL AS DOUBLE) AS comm,
+         FALSE AS emit,
+         CAST(NULL AS TIMESTAMP) AS t_entry, CAST(NULL AS TIMESTAMP) AS t_exit,
+         CAST(NULL AS DOUBLE) AS t_eprice, CAST(NULL AS DOUBLE) AS t_xprice,
+         CAST(NULL AS VARCHAR) AS t_type, CAST(NULL AS DOUBLE) AS t_size,
+         CAST(NULL AS DOUBLE) AS t_comm, CAST(NULL AS DOUBLE) AS t_pnl,
+         CAST(NULL AS DOUBLE) AS t_ret
+  FROM (SELECT DISTINCT symbol FROM base)
+  UNION ALL
+  SELECT b.symbol, b.rn,
+         {capital2},
+         {next_open},
+         CASE WHEN {next_open} THEN {h_etime} END,
+         CASE WHEN {next_open} THEN {h_eprice} END,
+         CASE WHEN {next_open} THEN {h_buy} ELSE FALSE END,
+         CASE WHEN {next_open} THEN {h_size} END,
+         CASE WHEN {next_open} THEN {h_comm} END,
+         {close_now},
+         CASE WHEN {close_now} THEN {h_etime} END,
+         CASE WHEN {close_now} THEN b.ts END,
+         CASE WHEN {close_now} THEN {h_eprice} END,
+         CASE WHEN {close_now} THEN b.price END,
+         CASE WHEN {close_now} THEN (CASE WHEN {h_buy} THEN 'buy' ELSE 'sell' END) END,
+         CASE WHEN {close_now} THEN {h_size} END,
+         CASE WHEN {close_now} THEN {total_comm} END,
+         CASE WHEN {close_now} THEN {pnl} END,
+         CASE WHEN {close_now} THEN {direction} * (b.price - {h_eprice}) / {h_eprice} * 100.0 END
+  FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+"""
+
+
+_BT_TRADES_ORACLE = _bt_rec_sql() + """
+SELECT symbol, t_entry AS entry_time, t_exit AS exit_time,
+       round(t_eprice, 6) AS entry_price, round(t_xprice, 6) AS exit_price,
+       t_type AS trade_type, round(t_size, 6) AS size,
+       round(t_comm, 6) AS commission, round(t_pnl, 6) AS pnl,
+       round(t_ret, 6) AS return_pct
+FROM rec WHERE emit
+ORDER BY symbol, entry_time
+"""
+
+_BT_METRICS_ORACLE = _bt_rec_sql() + """
+, trades AS (
+  SELECT symbol, rn, t_pnl AS pnl, t_ret AS ret,
+         row_number() OVER (PARTITION BY symbol ORDER BY rn) AS seq
+  FROM rec WHERE emit
+),
+finals AS (
+  SELECT symbol, capital AS final_capital
+  FROM rec
+  QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY rn DESC) = 1
+),
+curve AS (
+  SELECT symbol, seq, pnl,
+         10000.0 + sum(pnl) OVER (PARTITION BY symbol ORDER BY seq) AS cap
+  FROM trades
+),
+peaks AS (
+  SELECT symbol, cap,
+         greatest(10000.0, max(cap) OVER (PARTITION BY symbol ORDER BY seq)) AS peak
+  FROM curve
+),
+runs AS (
+  SELECT symbol, (pnl > 0) AS win, (pnl < 0) AS loss,
+         seq - row_number() OVER (PARTITION BY symbol, (pnl > 0) ORDER BY seq) AS gw,
+         seq - row_number() OVER (PARTITION BY symbol, (pnl < 0) ORDER BY seq) AS gl
+  FROM trades
+),
+win_runs AS (SELECT symbol, count(*) AS len FROM runs WHERE win GROUP BY symbol, gw),
+loss_runs AS (SELECT symbol, count(*) AS len FROM runs WHERE loss GROUP BY symbol, gl),
+agg AS (
+  SELECT symbol,
+         count(*) AS total_trades,
+         count(*) FILTER (WHERE pnl > 0) AS winning_trades,
+         count(*) FILTER (WHERE pnl < 0) AS losing_trades,
+         sum(pnl) AS total_pnl,
+         avg(ret) AS mean_ret,
+         stddev_pop(ret) AS std_ret,
+         sum(CASE WHEN pnl > 0 THEN pnl ELSE 0 END) AS gross_profit,
+         abs(sum(CASE WHEN pnl < 0 THEN pnl ELSE 0 END)) AS gross_loss
+  FROM trades GROUP BY symbol
+)
+SELECT a.symbol,
+       a.total_trades, a.winning_trades, a.losing_trades,
+       round(CASE WHEN a.total_trades > 0
+                  THEN a.winning_trades * 100.0 / a.total_trades ELSE 0 END, 6) AS win_rate,
+       round(a.total_pnl, 6) AS total_pnl,
+       round(f.final_capital, 6) AS final_capital,
+       round((f.final_capital - 10000.0) / 10000.0 * 100.0, 6) AS total_return,
+       round(coalesce((SELECT max((p.peak - p.cap) / p.peak * 100.0)
+                       FROM peaks p WHERE p.symbol = a.symbol), 0.0), 6) AS max_drawdown,
+       round(CASE WHEN a.total_trades >= 2 AND a.std_ret <> 0
+                  THEN (a.mean_ret - 2.0) / a.std_ret ELSE 0.0 END, 6) AS sharpe_ratio,
+       round(CASE WHEN a.gross_loss = 0
+                  THEN (CASE WHEN a.gross_profit > 0
+                             THEN CAST('infinity' AS DOUBLE) ELSE 0.0 END)
+                  ELSE a.gross_profit / a.gross_loss END, 6) AS profit_factor,
+       coalesce((SELECT max(len) FROM win_runs w WHERE w.symbol = a.symbol), 0)
+         AS max_consecutive_wins,
+       coalesce((SELECT max(len) FROM loss_runs l WHERE l.symbol = a.symbol), 0)
+         AS max_consecutive_losses
+FROM agg a JOIN finals f ON a.symbol = f.symbol
+ORDER BY a.symbol
+"""
+
+
 @register(
     "backtest_trades",
-    oracle=None,
+    oracle=_BT_TRADES_ORACLE,
     doc="P6 — closed-trade ledger from the SMA-cross strategy through "
     "the reference event loop (entry sizing 10%, commission both "
     "sides, opposite-signal/±5%-stop exits, end-of-data force close; "
     "backtesting_engine.py:284-379).  Sequential per symbol -> "
-    "applyInPandas; not SQL-expressible (driver rows-only check; "
-    "differential-tested in tests/test_backtest.py against an "
-    "independent simulation).",
+    "applyInPandas.  At max_positions=1 the loop state is one fixed "
+    "tuple, so a recursive CTE replays the event loop exactly and the "
+    "ledger is oracle-checked, not just rows-only; independently "
+    "differential-tested in tests/test_backtest.py.",
 )
 def backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
@@ -250,13 +423,14 @@ def backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "backtest_metrics",
-    oracle=None,
+    oracle=_BT_METRICS_ORACLE,
     doc="P6+A9 — per-symbol portfolio metrics (win rate, PnL, max "
     "drawdown over the capital curve, Sharpe with 2% risk-free and "
-    "population std, profit factor, win/loss streaks; "
-    "backtesting_engine.py:79-160, 441-467).  Same applyInPandas "
-    "kernel as backtest_trades; metrics derived from the ordered "
-    "trade list exactly as BacktestResult does.",
+    "population std, profit factor incl. the +inf gross-loss-free "
+    "path, win/loss streaks via gaps-and-islands; "
+    "backtesting_engine.py:79-160, 441-467).  Oracle = the recursive-"
+    "CTE event loop + window/aggregate metric derivation, so the whole "
+    "P6+A9 chain is hash-checked end to end.",
 )
 def backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
