@@ -327,7 +327,7 @@ ORDER BY symbol, entry_time
 """
 
 _BT_METRICS_ORACLE = _bt_rec_sql() + """
-, trades AS (
+, trades AS MATERIALIZED (
   SELECT symbol, rn, t_pnl AS pnl, t_ret AS ret,
          row_number() OVER (PARTITION BY symbol ORDER BY rn) AS seq
   FROM rec WHERE emit
