@@ -228,3 +228,52 @@ def failover_tick_source(
         except Exception:
             pass
     return simulated_ticks(spark, rows_per_second), "simulated_fallback"
+
+
+#: reference macro-event rotation (websocket_manager.py economic_events
+#: channel): deterministic name/impact cycling for the simulated feed.
+ECONOMIC_EVENTS = (
+    ("NFP", "high"),
+    ("CPI", "high"),
+    ("FOMC", "high"),
+    ("GDP", "medium"),
+    ("PMI", "medium"),
+    ("Retail Sales", "low"),
+)
+
+
+def economic_events_channel(
+    spark: SparkSession, rows_per_second: int = 1
+) -> DataFrame:
+    """ST1 economic_events channel — periodic macro-event messages at
+    the slowest trigger (10 s table entry).  Fully derived from the
+    rate source: event name/impact rotate deterministically, the
+    affected currency follows the 5-symbol round-robin, and the
+    forecast/actual values are hash-derived so tests are reproducible
+    with no network."""
+    names = F.array(*[F.lit(n) for n, _ in ECONOMIC_EVENTS])
+    impacts = F.array(*[F.lit(i) for _, i in ECONOMIC_EVENTS])
+    currencies = F.array(
+        *[F.lit(c) for c in ("USD", "EUR", "JPY", "GBP", "AUD")]
+    )
+    idx = (F.col("value") % len(ECONOMIC_EVENTS) + 1).cast("int")
+    forecast = (F.pmod(F.hash("value"), F.lit(1000))).cast("double") / 10.0
+    surprise = (F.pmod(F.hash(F.col("value") * 7), F.lit(200)) - 100).cast(
+        "double"
+    ) / 100.0
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.element_at(names, idx).alias("event_name"),
+            F.element_at(impacts, idx).alias("impact"),
+            F.element_at(
+                currencies, (F.col("value") % 5 + 1).cast("int")
+            ).alias("currency"),
+            forecast.alias("forecast"),
+            (forecast * (1.0 + surprise * 0.1)).alias("actual"),
+            surprise.alias("surprise_score"),
+        )
+    )

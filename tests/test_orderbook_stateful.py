@@ -182,3 +182,37 @@ def test_failover_tick_source(spark, tmp_path):
     stream, src = CH.failover_tick_source(spark, str(good))
     assert src == "primary"
     assert stream.isStreaming
+
+
+def test_economic_events_channel(spark):
+    from streaming_forex_data_pipeline_spark.streaming import channels as CH
+
+    ev = CH.wrap_stream_messages(
+        CH.economic_events_channel(spark, rows_per_second=20), "economic_events"
+    )
+    q = (
+        ev.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("econ_sink")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("econ_sink").count()
+            if n >= 12:
+                break
+            time.sleep(0.5)
+        assert n >= 12
+        rows = spark.table("econ_sink").collect()
+        names = {r["data"]["event_name"] for r in rows}
+        assert names <= {n for n, _ in CH.ECONOMIC_EVENTS}
+        assert len(names) >= 3  # rotation visible
+        for r in rows[:20]:
+            d = r["data"]
+            assert d["impact"] in {"high", "medium", "low"}
+            assert -1.0 <= d["surprise_score"] <= 1.0
+    finally:
+        q.stop()
