@@ -106,13 +106,13 @@ def near_duplicate_pairs(
     """MinHash-LSH near-dup pipeline: band buckets produce candidates;
     exact Jaccard verifies.
 
-    Candidate generation is ONE shuffle: groupBy (band, band_hash) ->
-    sorted doc_id set per bucket -> in-bucket pair explosion via
-    nested array transform.  This computes each signature once and
-    avoids a bucket self-join (which would re-evaluate the 32-hash
-    signature expression on both sides); emitted work is bounded by
-    Σ k_bucket², not N².  Tune `bands`/`n_hashes` to the target
-    threshold via the S-curve midpoint ≈ (1/bands)^(bands/n_hashes).
+    Candidate generation: groupBy (band, band_hash) -> sorted doc_id
+    set per bucket -> ELEMENT-parallel pair explosion (posexplode +
+    tail slice), so a single giant bucket cannot serialize its O(k²)
+    work.  Each signature is computed once (no bucket self-join
+    re-evaluating the 32-hash expression on both sides); emitted work
+    is bounded by Σ k_bucket², not N².  Tune `bands`/`n_hashes` to the
+    target threshold via the S-curve midpoint ≈ (1/bands)^(bands/n_hashes).
     """
     buckets = minhash_band_buckets(docs, text, n_hashes, bands)
     ids = F.sort_array(F.collect_set("doc_id"))
