@@ -50,11 +50,14 @@ def read_upserted(
 def compact(spark: SparkSession, table_dir: str, keys: list[str]) -> None:
     """S12-style maintenance: rewrite the table with upsert conflicts
     resolved so reads stop paying the dedup window."""
+    import shutil
+
     resolved = read_upserted(spark, table_dir, keys)
     tmp = table_dir.rstrip("/") + ".compact"
     resolved.write.mode("overwrite").parquet(tmp)
     clean = spark.read.parquet(tmp)
     clean.write.mode("overwrite").parquet(table_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def delete_range(
@@ -66,11 +69,14 @@ def delete_range(
 ) -> None:
     """S10 — range delete as overwrite-excluding (repository.py:311-339);
     on a date-partitioned table this prunes to partition drops."""
+    import shutil
+
     df = spark.read.parquet(table_dir)
     kept = df.filter(~((F.col(ts_col) >= start) & (F.col(ts_col) <= end)))
     tmp = table_dir.rstrip("/") + ".del"
     kept.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def export_json(df: DataFrame, out_dir: str) -> None:
