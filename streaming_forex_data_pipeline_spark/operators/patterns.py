@@ -66,9 +66,13 @@ def support_resistance_levels(
     def level_rows(kind: str, price_col: str, arr: str, is_min: bool):
         level = F.col(price_col)
         extremum = level == F.col("__cmin" if is_min else "__cmax")
+        # |x - level| / level < tol rewritten as |x - level| < tol * level:
+        # identical for level > 0 (prices), and a zero level yields False
+        # instead of an ANSI-mode DIVIDE_BY_ZERO (the reference's pandas
+        # inf-comparison also yields False there).
         touches = F.size(
             F.filter(
-                F.col(arr), lambda x: F.abs(x - level) / level < 0.002
+                F.col(arr), lambda x: F.abs(x - level) < level * 0.002
             )
         )
         return (
