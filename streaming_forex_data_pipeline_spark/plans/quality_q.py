@@ -446,7 +446,7 @@ WITH raw AS (
   SELECT event_type AS symbol,
          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
          round(min_by("value", event_id), 6) AS open,
-         round(avg("value"), 6) AS mid,
+         round((min("value") + max("value")) / 2, 6) AS mid,
          round(max_by("value", event_id), 6) AS close
   FROM events GROUP BY 1, 2
 )
@@ -461,7 +461,7 @@ ORDER BY symbol, ts
     doc="D6 — OHLC auto-correction: high := max(high,open,close), "
     "low := min(low,open,close) as one vectorized projection "
     "(data_quality.py:417-458 loops per row).  The raw candle here uses a "
-    "deliberately lossy high/low (bucket mean) so the fix is exercised on "
+    "deliberately lossy high/low (bucket midrange) so the fix is exercised on "
     "real violations, not a no-op.",
 )
 def ohlc_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,7 +471,11 @@ def ohlc_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("ts"),
     ).agg(
         F.round(F.min_by("value", "event_id"), R).alias("open"),
-        F.round(F.avg("value"), R).alias("mid"),
+        # midrange, not avg: (min+max)/2 is aggregation-ORDER-insensitive,
+        # so the cross-engine value hash cannot flip on a float-sum
+        # rounding boundary (avg's accumulation order differs per engine
+        # and per partitioning)
+        F.round((F.min("value") + F.max("value")) / 2, R).alias("mid"),
         F.round(F.max_by("value", "event_id"), R).alias("close"),
     )
     broken = raw.withColumn("high", F.col("mid")).withColumn("low", F.col("mid"))
