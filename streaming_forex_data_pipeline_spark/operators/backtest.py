@@ -22,6 +22,8 @@ Faithful quirks preserved:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -136,34 +138,81 @@ TRADES_SCHEMA = StructType(
 )
 
 
+def _pin(x: float, scale: float) -> float:
+    """Snap ``x`` to a 1/scale grid with floor(x*s + 0.5) — the
+    engine-portable quantizer (DuckDB ``floor`` mirrors ``math.floor``
+    bit-for-bit on identical doubles, unlike ``round`` whose half-way
+    semantics differ between Spark's BigDecimal path and DuckDB's
+    binary scaling).  Also normalizes -0.0 to 0.0."""
+    return math.floor(x * scale + 0.5) / scale
+
+
+def _pin2(x: float) -> float:
+    return _pin(x, 100.0)
+
+
+def _pin6(x: float) -> float:
+    return _pin(x, 1000000.0)
+
+
 def simulate(
     pdf: pd.DataFrame,
     initial_capital: float = 10000.0,
     commission: float = 0.0001,
     max_positions: int = 1,
+    pin_grid: bool = False,
 ) -> tuple[list[dict], float]:
     """The reference event loop (backtesting_engine.py:284-379) over one
     symbol's (ts, close, signal) frame.  Plain-Python state machine —
     runs inside the applyInPandas kernel, also callable directly by the
-    differential tests."""
+    differential tests.
+
+    ``pin_grid=True`` snaps the capital path to a cent grid and every
+    money column to a 1e-6 grid after each update, so the recurrence is
+    bit-reproducible across engines (the registered oracle replays the
+    identical pinned arithmetic).  Default keeps the reference's raw
+    IEEE recurrence.
+    """
     capital = initial_capital
     open_trades: list[dict] = []
     closed: list[dict] = []
     rows = list(pdf.itertuples(index=False))
+
+    def close_trade(t: dict, ts, price: float) -> None:
+        nonlocal capital
+        t["exit_time"], t["exit_price"] = ts, price
+        if pin_grid:
+            t["commission"] = _pin6(t["commission"] + _pin6(t["size"] * commission))
+            direction = 1.0 if t["trade_type"] == "buy" else -1.0
+            pnl = _pin6(
+                direction * (price - t["entry_price"]) * t["size"] - t["commission"]
+            )
+            t["return_pct"] = _pin6(
+                direction * (price - t["entry_price"]) / t["entry_price"] * 100.0
+            )
+        else:
+            t["commission"] += t["size"] * commission
+            pnl = _pnl(t)
+            t["return_pct"] = _return_pct(t)
+        t["pnl"] = pnl
+        if pnl:  # truthiness quirk: pnl == 0.0 skips the update
+            capital = _pin2(capital + pnl) if pin_grid else capital + pnl
+
     for row in rows:
         price, signal = float(row.close), int(row.signal)
         if signal != 0 and len(open_trades) < max_positions:
-            size = capital * 0.1
+            size = _pin2(capital * 0.1) if pin_grid else capital * 0.1
+            leg = _pin6(size * commission) if pin_grid else size * commission
             open_trades.append(
                 {
                     "entry_time": row.ts,
                     "entry_price": price,
                     "trade_type": "buy" if signal > 0 else "sell",
                     "size": size,
-                    "commission": size * commission,
+                    "commission": leg,
                 }
             )
-            capital -= size * commission
+            capital = _pin2(capital - leg) if pin_grid else capital - leg
 
         to_close = []
         for t in open_trades:
@@ -174,11 +223,7 @@ def simulate(
                 or (t["trade_type"] == "sell" and price >= t["entry_price"] * 1.05)
             )
             if close_it:
-                t["exit_time"], t["exit_price"] = row.ts, price
-                t["commission"] += t["size"] * commission
-                pnl = _pnl(t)
-                if pnl:  # truthiness quirk: pnl == 0.0 skips the update
-                    capital += pnl
+                close_trade(t, row.ts, price)
                 to_close.append(t)
         for t in to_close:
             open_trades.remove(t)
@@ -187,11 +232,7 @@ def simulate(
     if rows:
         last = rows[-1]
         for t in open_trades:
-            t["exit_time"], t["exit_price"] = last.ts, float(last.close)
-            t["commission"] += t["size"] * commission
-            pnl = _pnl(t)
-            if pnl:
-                capital += pnl
+            close_trade(t, last.ts, float(last.close))
             closed.append(t)
     return closed, capital
 
@@ -205,6 +246,70 @@ def _pnl(t: dict) -> float:
 def _return_pct(t: dict) -> float:
     direction = 1.0 if t["trade_type"] == "buy" else -1.0
     return direction * (t["exit_price"] - t["entry_price"]) / t["entry_price"] * 100.0
+
+
+def _streak(pnls: list, pred) -> int:
+    best = cur = 0
+    for p in pnls:
+        if p and pred(p):
+            cur += 1
+            best = max(best, cur)
+        else:
+            cur = 0
+    return best
+
+
+def metrics_from_trades_pinned(
+    trades: list[dict], final_capital: float, initial_capital: float = 10000.0
+) -> dict:
+    """A9 metrics derived with engine-portable arithmetic from a
+    ``simulate(pin_grid=True)`` trade list: every aggregate is built
+    from exact integer-scaled sums (pnl/ret × 1e6 are exact integers,
+    totals stay far below 2^53), so the result is bit-identical no
+    matter which engine — or in which order — performs the summation.
+    Mirrored 1:1 by the registered DuckDB oracle."""
+    pnl_s = [math.floor(t["pnl"] * 1000000.0 + 0.5) for t in trades]
+    ret_s = [math.floor(t["return_pct"] * 1000000.0 + 0.5) for t in trades]
+    n = len(trades)
+    wins = sum(1 for p in pnl_s if p > 0)
+    losses = sum(1 for p in pnl_s if p < 0)
+
+    cap_s = 10000000000  # initial capital on the 1e-6 grid, exact int
+    peak_s, max_dd = cap_s, 0.0
+    for p in pnl_s:
+        cap_s += p
+        peak_s = max(peak_s, cap_s)
+        max_dd = max(max_dd, (peak_s - cap_s) / peak_s * 100.0)
+
+    if n >= 2:
+        m1 = sum(ret_s) / n
+        m2 = sum(r * r for r in ret_s) / n
+        std6 = math.sqrt(max(m2 - m1 * m1, 0.0)) / 1000000.0
+        sharpe = (m1 / 1000000.0 - 2.0) / std6 if std6 != 0.0 else 0.0
+    else:
+        sharpe = 0.0
+
+    gp_s = sum(p for p in pnl_s if p > 0)
+    gl_s = -sum(p for p in pnl_s if p < 0)
+    if gl_s == 0:
+        profit_factor = float("inf") if gp_s > 0 else 0.0
+    else:
+        profit_factor = gp_s / gl_s
+
+    return {
+        "total_trades": n,
+        "winning_trades": wins,
+        "losing_trades": losses,
+        "win_rate": (wins / n * 100.0) if n else 0.0,
+        "total_pnl": sum(pnl_s) / 1000000.0,
+        "final_capital": final_capital,
+        "total_return": (final_capital - initial_capital) / initial_capital * 100.0,
+        "max_drawdown": max_dd,
+        "sharpe_ratio": sharpe,
+        "profit_factor": profit_factor,
+        "max_consecutive_wins": _streak(pnl_s, lambda p: p > 0),
+        "max_consecutive_losses": _streak(pnl_s, lambda p: p < 0),
+    }
 
 
 def metrics_from_trades(
@@ -268,13 +373,13 @@ def metrics_from_trades(
     }
 
 
-def backtest_trades(signals_df: DataFrame) -> DataFrame:
+def backtest_trades(signals_df: DataFrame, pin_grid: bool = False) -> DataFrame:
     """P6 — closed-trade ledger, one applyInPandas kernel per symbol."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
         sym = pdf["symbol"].iloc[0] if len(pdf) else None
-        closed, _cap = simulate(pdf)
+        closed, _cap = simulate(pdf, pin_grid=pin_grid)
         return pd.DataFrame(
             [
                 {
@@ -286,8 +391,8 @@ def backtest_trades(signals_df: DataFrame) -> DataFrame:
                     "trade_type": t["trade_type"],
                     "size": t["size"],
                     "commission": t["commission"],
-                    "pnl": _pnl(t),
-                    "return_pct": _return_pct(t),
+                    "pnl": t["pnl"],
+                    "return_pct": t["return_pct"],
                 }
                 for t in closed
             ],
@@ -298,14 +403,15 @@ def backtest_trades(signals_df: DataFrame) -> DataFrame:
     return narrow.groupBy("symbol").applyInPandas(kernel, TRADES_SCHEMA)
 
 
-def backtest_metrics(signals_df: DataFrame) -> DataFrame:
+def backtest_metrics(signals_df: DataFrame, pin_grid: bool = False) -> DataFrame:
     """P6+A9 — per-symbol metrics row from the simulated trade list."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
         sym = pdf["symbol"].iloc[0] if len(pdf) else None
-        closed, cap = simulate(pdf)
-        m = metrics_from_trades(closed, cap)
+        closed, cap = simulate(pdf, pin_grid=pin_grid)
+        derive = metrics_from_trades_pinned if pin_grid else metrics_from_trades
+        m = derive(closed, cap)
         m["symbol"] = sym
         return pd.DataFrame([m], columns=[f.name for f in METRICS_SCHEMA.fields])
 

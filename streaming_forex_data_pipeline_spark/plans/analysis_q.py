@@ -226,19 +226,38 @@ def _bt_rec_sql(commission: str = "0.0001") -> str:
     (backtesting_engine.py:284-379) at max_positions=1: the loop state
     collapses to one fixed tuple (capital, open?, entry, price, side,
     size, commission), which a recursive CTE carries row by row.  Named
-    Python snippets keep the repeated CASE arms typo-free; every
-    arithmetic expression is the same IEEE sequence the pandas kernel
-    executes, so the ledger hash-matches exactly."""
+    Python snippets keep the repeated CASE arms typo-free.
+
+    The arithmetic mirrors ``simulate(pin_grid=True)`` exactly: the
+    capital path is snapped to a cent grid and every money value to a
+    1e-6 grid via floor(x*s + 0.5) after each update, and the candle
+    close is mapped onto an exact 1e-4 price grid near 100
+    (100 + floor(raw*10)/10000), so a) the recurrence cannot
+    accumulate cross-engine 1-ulp drift, and b) the reference's
+    pnl = Δprice × size compounding stays bounded (raw synthetic
+    prices swing 10×/hour, which compounds capital to ~1e43 where
+    round(x, 6) itself diverges between engines — the r2
+    backtest_trades hash failure)."""
     C = commission
+
+    def p2(x: str) -> str:
+        return f"(floor(({x}) * 100.0 + 0.5) / 100.0)"
+
+    def p6(x: str) -> str:
+        return f"(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
+
     opened = "((NOT r.open) AND b.sig <> 0)"
-    o_size = "(r.capital * 0.1)"
-    capital1 = f"(r.capital - (CASE WHEN {opened} THEN {o_size} * {C} ELSE 0 END))"
+    o_size = p2("r.capital * 0.1")
+    leg1 = p6(f"{o_size} * {C}")
+    capital1 = (
+        f"(CASE WHEN {opened} THEN {p2(f'r.capital - {leg1}')} ELSE r.capital END)"
+    )
     h_open = f"(r.open OR {opened})"
     h_etime = "(CASE WHEN r.open THEN r.e_time ELSE b.ts END)"
     h_eprice = "(CASE WHEN r.open THEN r.e_price ELSE b.price END)"
     h_buy = "(CASE WHEN r.open THEN r.is_buy ELSE b.sig > 0 END)"
     h_size = f"(CASE WHEN r.open THEN r.size ELSE {o_size} END)"
-    h_comm = f"(CASE WHEN r.open THEN r.comm ELSE {o_size} * {C} END)"
+    h_comm = f"(CASE WHEN r.open THEN r.comm ELSE {leg1} END)"
     close_cond = (
         "(r.open AND ((r.is_buy AND b.sig < 0) OR ((NOT r.is_buy) AND b.sig > 0)"
         " OR (r.is_buy AND b.price <= r.e_price * 0.95)"
@@ -246,17 +265,18 @@ def _bt_rec_sql(commission: str = "0.0001") -> str:
     )
     close_now = f"({close_cond} OR ({h_open} AND b.is_last))"
     direction = f"(CASE WHEN {h_buy} THEN 1.0 ELSE -1.0 END)"
-    total_comm = f"({h_comm} + {h_size} * {C})"
-    pnl = f"({direction} * (b.price - {h_eprice}) * {h_size} - {total_comm})"
+    total_comm = p6(f"{h_comm} + {p6(f'{h_size} * {C}')}")
+    pnl = p6(f"{direction} * (b.price - {h_eprice}) * {h_size} - {total_comm}")
     capital2 = (
-        f"({capital1} + (CASE WHEN {close_now} AND {pnl} <> 0.0 THEN {pnl} ELSE 0 END))"
+        f"(CASE WHEN {close_now} AND {pnl} <> 0.0"
+        f" THEN {p2(f'{capital1} + {pnl}')} ELSE {capital1} END)"
     )
     next_open = f"({h_open} AND NOT {close_now})"
     return f"""
 WITH RECURSIVE candles AS (
   SELECT event_type AS symbol,
          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
-         round(max_by("value", event_id), 6) AS close
+         100.0 + floor(round(max_by("value", event_id), 6) * 10.0) / 10000.0 AS close
   FROM events GROUP BY 1, 2
 ),
 sig0 AS (
@@ -310,7 +330,9 @@ rec AS (
          CASE WHEN {close_now} THEN {h_size} END,
          CASE WHEN {close_now} THEN {total_comm} END,
          CASE WHEN {close_now} THEN {pnl} END,
-         CASE WHEN {close_now} THEN {direction} * (b.price - {h_eprice}) / {h_eprice} * 100.0 END
+         CASE WHEN {close_now}
+              THEN {p6(f'{direction} * (b.price - {h_eprice}) / {h_eprice} * 100.0')}
+         END
   FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
 )
 """
@@ -318,17 +340,19 @@ rec AS (
 
 _BT_TRADES_ORACLE = _bt_rec_sql() + """
 SELECT symbol, t_entry AS entry_time, t_exit AS exit_time,
-       round(t_eprice, 6) AS entry_price, round(t_xprice, 6) AS exit_price,
-       t_type AS trade_type, round(t_size, 6) AS size,
-       round(t_comm, 6) AS commission, round(t_pnl, 6) AS pnl,
-       round(t_ret, 6) AS return_pct
+       t_eprice AS entry_price, t_xprice AS exit_price,
+       t_type AS trade_type, t_size AS size,
+       t_comm AS commission, t_pnl AS pnl,
+       t_ret AS return_pct
 FROM rec WHERE emit
 ORDER BY symbol, entry_time
 """
 
 _BT_METRICS_ORACLE = _bt_rec_sql() + """
 , trades AS MATERIALIZED (
-  SELECT symbol, rn, t_pnl AS pnl, t_ret AS ret,
+  SELECT symbol, rn,
+         floor(t_pnl * 1000000.0 + 0.5) AS pnl_s,
+         floor(t_ret * 1000000.0 + 0.5) AS ret_s,
          row_number() OVER (PARTITION BY symbol ORDER BY rn) AS seq
   FROM rec WHERE emit
 ),
@@ -338,19 +362,20 @@ finals AS (
   QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY rn DESC) = 1
 ),
 curve AS (
-  SELECT symbol, seq, pnl,
-         10000.0 + sum(pnl) OVER (PARTITION BY symbol ORDER BY seq) AS cap
+  SELECT symbol, seq, pnl_s,
+         10000000000.0 + sum(pnl_s) OVER (PARTITION BY symbol ORDER BY seq) AS cap_s
   FROM trades
 ),
 peaks AS (
-  SELECT symbol, cap,
-         greatest(10000.0, max(cap) OVER (PARTITION BY symbol ORDER BY seq)) AS peak
+  SELECT symbol, seq, cap_s,
+         greatest(10000000000.0,
+                  max(cap_s) OVER (PARTITION BY symbol ORDER BY seq)) AS peak_s
   FROM curve
 ),
 runs AS (
-  SELECT symbol, (pnl > 0) AS win, (pnl < 0) AS loss,
-         seq - row_number() OVER (PARTITION BY symbol, (pnl > 0) ORDER BY seq) AS gw,
-         seq - row_number() OVER (PARTITION BY symbol, (pnl < 0) ORDER BY seq) AS gl
+  SELECT symbol, (pnl_s > 0) AS win, (pnl_s < 0) AS loss,
+         seq - row_number() OVER (PARTITION BY symbol, (pnl_s > 0) ORDER BY seq) AS gw,
+         seq - row_number() OVER (PARTITION BY symbol, (pnl_s < 0) ORDER BY seq) AS gl
   FROM trades
 ),
 win_runs AS (SELECT symbol, count(*) AS len FROM runs WHERE win GROUP BY symbol, gw),
@@ -358,37 +383,64 @@ loss_runs AS (SELECT symbol, count(*) AS len FROM runs WHERE loss GROUP BY symbo
 agg AS (
   SELECT symbol,
          count(*) AS total_trades,
-         count(*) FILTER (WHERE pnl > 0) AS winning_trades,
-         count(*) FILTER (WHERE pnl < 0) AS losing_trades,
-         sum(pnl) AS total_pnl,
-         avg(ret) AS mean_ret,
-         stddev_pop(ret) AS std_ret,
-         sum(CASE WHEN pnl > 0 THEN pnl ELSE 0 END) AS gross_profit,
-         abs(sum(CASE WHEN pnl < 0 THEN pnl ELSE 0 END)) AS gross_loss
+         count(*) FILTER (WHERE pnl_s > 0) AS winning_trades,
+         count(*) FILTER (WHERE pnl_s < 0) AS losing_trades,
+         sum(pnl_s) AS sum_pnl_s,
+         sum(ret_s) AS sum_ret_s,
+         sum(ret_s * ret_s) AS sum_ret2_s,
+         sum(CASE WHEN pnl_s > 0 THEN pnl_s ELSE 0.0 END) AS gp_s,
+         abs(sum(CASE WHEN pnl_s < 0 THEN pnl_s ELSE 0.0 END)) AS gl_s
   FROM trades GROUP BY symbol
+),
+std6 AS (
+  SELECT symbol,
+         sqrt(greatest((sum_ret2_s / total_trades)
+                       - (sum_ret_s / total_trades) * (sum_ret_s / total_trades),
+                       0.0)) / 1000000.0 AS std6,
+         (sum_ret_s / total_trades) / 1000000.0 AS mean6
+  FROM agg
 )
-SELECT a.symbol,
-       a.total_trades, a.winning_trades, a.losing_trades,
-       round(CASE WHEN a.total_trades > 0
-                  THEN a.winning_trades * 100.0 / a.total_trades ELSE 0 END, 6) AS win_rate,
-       round(a.total_pnl, 6) AS total_pnl,
-       round(f.final_capital, 6) AS final_capital,
-       round((f.final_capital - 10000.0) / 10000.0 * 100.0, 6) AS total_return,
-       round(coalesce((SELECT max((p.peak - p.cap) / p.peak * 100.0)
-                       FROM peaks p WHERE p.symbol = a.symbol), 0.0), 6) AS max_drawdown,
-       round(CASE WHEN a.total_trades >= 2 AND a.std_ret <> 0
-                  THEN (a.mean_ret - 2.0) / a.std_ret ELSE 0.0 END, 6) AS sharpe_ratio,
-       round(CASE WHEN a.gross_loss = 0
-                  THEN (CASE WHEN a.gross_profit > 0
-                             THEN CAST('infinity' AS DOUBLE) ELSE 0.0 END)
-                  ELSE a.gross_profit / a.gross_loss END, 6) AS profit_factor,
-       coalesce((SELECT max(len) FROM win_runs w WHERE w.symbol = a.symbol), 0)
+SELECT f.symbol,
+       coalesce(a.total_trades, 0) AS total_trades,
+       coalesce(a.winning_trades, 0) AS winning_trades,
+       coalesce(a.losing_trades, 0) AS losing_trades,
+       coalesce((CAST(a.winning_trades AS DOUBLE)
+                 / CAST(a.total_trades AS DOUBLE)) * 100.0, 0.0) AS win_rate,
+       coalesce(a.sum_pnl_s / 1000000.0, 0.0) AS total_pnl,
+       f.final_capital AS final_capital,
+       (f.final_capital - 10000.0) / 10000.0 * 100.0 AS total_return,
+       coalesce((SELECT max((p.peak_s - p.cap_s) / p.peak_s * 100.0)
+                 FROM peaks p WHERE p.symbol = f.symbol), 0.0) AS max_drawdown,
+       coalesce(CASE WHEN a.total_trades >= 2 AND s.std6 <> 0.0
+                     THEN (s.mean6 - 2.0) / s.std6 ELSE 0.0 END, 0.0) AS sharpe_ratio,
+       coalesce(CASE WHEN a.gl_s = 0
+                     THEN (CASE WHEN a.gp_s > 0
+                                THEN CAST('infinity' AS DOUBLE) ELSE 0.0 END)
+                     ELSE a.gp_s / a.gl_s END, 0.0) AS profit_factor,
+       coalesce((SELECT max(len) FROM win_runs w WHERE w.symbol = f.symbol), 0)
          AS max_consecutive_wins,
-       coalesce((SELECT max(len) FROM loss_runs l WHERE l.symbol = a.symbol), 0)
+       coalesce((SELECT max(len) FROM loss_runs l WHERE l.symbol = f.symbol), 0)
          AS max_consecutive_losses
-FROM agg a JOIN finals f ON a.symbol = f.symbol
-ORDER BY a.symbol
+FROM finals f
+LEFT JOIN agg a ON a.symbol = f.symbol
+LEFT JOIN std6 s ON s.symbol = f.symbol
+ORDER BY f.symbol
 """
+
+
+def _bt_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candles with close mapped to an exact 1e-4 price grid near 100
+    (100 + floor(raw*10)/10000, range ~[100, 100.06]).  The raw
+    synthetic closes swing 10×/hour; fed to the reference's
+    pnl = Δprice × size sizing they compound capital to ~1e43, where
+    even round(x, 6) diverges by 1 ulp between Spark (BigDecimal) and
+    DuckDB (binary scaling) — the r2 backtest_trades hash failure.
+    Realistic FX-scale moves keep the pinned capital path exact."""
+    c = candles_from_events(spark, sf_dir)
+    return c.withColumn(
+        "close",
+        F.lit(100.0) + F.floor(F.col("close") * F.lit(10.0)) / F.lit(10000.0),
+    )
 
 
 @register(
@@ -401,23 +453,24 @@ ORDER BY a.symbol
     "applyInPandas.  At max_positions=1 the loop state is one fixed "
     "tuple, so a recursive CTE replays the event loop exactly and the "
     "ledger is oracle-checked, not just rows-only; independently "
-    "differential-tested in tests/test_backtest.py.",
+    "differential-tested in tests/test_backtest.py.  pin_grid=True + "
+    "grid-mapped prices make the ledger bit-reproducible across "
+    "engines (see _bt_candles / _bt_rec_sql docstrings).",
 )
 def backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = candles_from_events(spark, sf_dir)
-    sig = B.sma_cross_signals(c)
-    out = B.backtest_trades(sig)
+    sig = B.sma_cross_signals(_bt_candles(spark, sf_dir))
+    out = B.backtest_trades(sig, pin_grid=True)
     return out.select(
         "symbol",
         "entry_time",
         "exit_time",
-        F.round("entry_price", R).alias("entry_price"),
-        F.round("exit_price", R).alias("exit_price"),
+        "entry_price",
+        "exit_price",
         "trade_type",
-        F.round("size", R).alias("size"),
-        F.round("commission", R).alias("commission"),
-        F.round("pnl", R).alias("pnl"),
-        F.round("return_pct", R).alias("return_pct"),
+        "size",
+        "commission",
+        "pnl",
+        "return_pct",
     ).orderBy("symbol", "entry_time")
 
 
@@ -430,27 +483,28 @@ def backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path, win/loss streaks via gaps-and-islands; "
     "backtesting_engine.py:79-160, 441-467).  Oracle = the recursive-"
     "CTE event loop + window/aggregate metric derivation, so the whole "
-    "P6+A9 chain is hash-checked end to end.",
+    "P6+A9 chain is hash-checked end to end.  Aggregates are derived "
+    "from exact integer-scaled sums (metrics_from_trades_pinned), so "
+    "they are bit-identical regardless of engine or summation order; "
+    "zero-trade symbols emit a coalesced default row on both sides.",
 )
 def backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = candles_from_events(spark, sf_dir)
-    sig = B.sma_cross_signals(c)
-    out = B.backtest_metrics(sig)
-    cols = ["symbol", "total_trades", "winning_trades", "losing_trades"]
-    rounded = [
-        F.round(c_, R).alias(c_)
-        for c_ in [
-            "win_rate",
-            "total_pnl",
-            "final_capital",
-            "total_return",
-            "max_drawdown",
-            "sharpe_ratio",
-            "profit_factor",
-        ]
-    ]
+    sig = B.sma_cross_signals(_bt_candles(spark, sf_dir))
+    out = B.backtest_metrics(sig, pin_grid=True)
     return out.select(
-        *cols, *rounded, "max_consecutive_wins", "max_consecutive_losses"
+        "symbol",
+        "total_trades",
+        "winning_trades",
+        "losing_trades",
+        "win_rate",
+        "total_pnl",
+        "final_capital",
+        "total_return",
+        "max_drawdown",
+        "sharpe_ratio",
+        "profit_factor",
+        "max_consecutive_wins",
+        "max_consecutive_losses",
     ).orderBy("symbol")
 
 

@@ -72,6 +72,36 @@ def test_simulate_known_sequence():
     assert capital == pytest.approx(10000.0 + expected_pnl - entry_fees)
 
 
+def test_pinned_ledger_bit_exact_vs_oracle(spark, sf_dir, duck):
+    """Regression for the r2 hash failure: the registered pin_grid
+    queries must match the DuckDB oracle EXACTLY (repr equality, not
+    1e-9 tolerance) — the driver's gate is a value hash, and a single
+    flipped 6th decimal fails it."""
+    import pandas as pd
+
+    from streaming_forex_data_pipeline_spark.plans.registry import (
+        oracle_sqls,
+        spark_queries,
+    )
+
+    queries, oracles = spark_queries(), oracle_sqls()
+    for name in ("backtest_trades", "backtest_metrics"):
+        sdf = queries[name](spark, sf_dir).toPandas()
+        odf = duck.execute(oracles[name]).fetchdf()
+        cols = sorted(sdf.columns)
+        assert cols == sorted(odf.columns), name
+        sdf = sdf[cols].sort_values(cols).reset_index(drop=True)
+        odf = odf[cols].sort_values(cols).reset_index(drop=True)
+        assert len(sdf) == len(odf), name
+        for col in cols:
+            a, b = sdf[col], odf[col]
+            for i in range(len(a)):
+                av, bv = a.iloc[i], b.iloc[i]
+                if pd.isna(av) and pd.isna(bv):
+                    continue
+                assert repr(av) == repr(bv), f"{name}.{col}[{i}]: {av!r} != {bv!r}"
+
+
 def test_spark_kernel_matches_driver_simulation(spark, sf_dir):
     c = candles_from_events(spark, sf_dir)
     sig = B.sma_cross_signals(c)
