@@ -62,7 +62,10 @@ def cci(period: int = 20, constant: float = 0.015) -> Column:
         / n
     )
     sma_tp = F.avg(tp).over(_frame(period))
-    return _guard(period, (tp - sma_tp) / (constant * mad))
+    # mad == 0 (>= period identical prices) would raise under ANSI; the
+    # reference's 0/0 -> NaN -> fillna(0) path maps to NULL -> caller's
+    # coalesce(., 0)
+    return _guard(period, F.when(mad != 0, (tp - sma_tp) / (constant * mad)))
 
 
 def true_range() -> Column:
@@ -89,8 +92,10 @@ def adx(period: int = 14) -> Column:
     tr_s = _guard(period, F.avg(true_range()).over(_frame(period)))
     dmp_s = _guard(period, F.avg(dm_plus).over(_frame(period)))
     dmm_s = _guard(period, F.avg(dm_minus).over(_frame(period)))
-    di_plus = 100.0 * dmp_s / tr_s
-    di_minus = 100.0 * dmm_s / tr_s
+    # tr_s == 0 (fully flat frame) would raise under ANSI; NULL flows
+    # into the dx null-count and lands on the reference's fillna(0)
+    di_plus = F.when(tr_s != 0, 100.0 * dmp_s / tr_s)
+    di_minus = F.when(tr_s != 0, 100.0 * dmm_s / tr_s)
     dx = F.when(
         di_plus + di_minus != 0,
         100.0 * F.abs(di_plus - di_minus) / (di_plus + di_minus),
@@ -112,9 +117,11 @@ def ultimate_oscillator(p1: int = 7, p2: int = 14, p3: int = 28) -> Column:
     tr = true_range()
 
     def ratio(p: int) -> Column:
-        return _guard(p, F.sum(bp).over(_frame(p))) / _guard(
-            p, F.sum(tr).over(_frame(p))
-        )
+        num = _guard(p, F.sum(bp).over(_frame(p)))
+        den = _guard(p, F.sum(tr).over(_frame(p)))
+        # den == 0 (flat frame) would raise under ANSI; NULL propagates
+        # to the caller's coalesce(., 50) like the reference's NaN
+        return F.when(den != 0, num / den)
 
     return 100.0 * (4.0 * ratio(p1) + 2.0 * ratio(p2) + ratio(p3)) / 7.0
 

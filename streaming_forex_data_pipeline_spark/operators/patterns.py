@@ -198,10 +198,17 @@ def breakout_signals(
         & (F.col("__prev_close") >= F.col("__prev_lo"))
         & (F.col("__vp") > F.col("__avg_vp") * min_volume_increase)
     )
-    up_strength = F.least(F.lit(1.0), (F.col("close") - F.col("__up")) / F.col("__sd"))
-    down_strength = F.least(
-        F.lit(1.0), (F.col("__lo") - F.col("close")) / F.col("__sd")
-    )
+    # sd == 0 (>= window identical closes) would raise under ANSI; the
+    # break predicates force a positive numerator, so pandas' x/0 ->
+    # +inf -> min(1.0, inf) path pins strength at 1.0
+    up_strength = F.when(
+        F.col("__sd") != 0,
+        F.least(F.lit(1.0), (F.col("close") - F.col("__up")) / F.col("__sd")),
+    ).otherwise(1.0)
+    down_strength = F.when(
+        F.col("__sd") != 0,
+        F.least(F.lit(1.0), (F.col("__lo") - F.col("close")) / F.col("__sd")),
+    ).otherwise(1.0)
     strength = F.when(up_break, up_strength).otherwise(down_strength)
     return (
         base.filter((F.col("__rn") >= window + 1) & (up_break | down_break))

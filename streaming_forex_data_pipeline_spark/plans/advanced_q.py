@@ -41,14 +41,18 @@ arr AS (
          list(tp) OVER ({_fr(20)}) AS l,
          avg(tp)  OVER ({_fr(20)}) AS sma_tp
   FROM base
+),
+m AS (
+  SELECT symbol, ts, tp, rn, sma_tp,
+         list_sum(list_transform(l, x -> abs(x - list_sum(l) / len(l)))) / len(l) AS mad
+  FROM arr
 )
 SELECT symbol, ts,
        round(coalesce(
-         CASE WHEN rn >= 20 THEN
-           (tp - sma_tp) /
-           (0.015 * (list_sum(list_transform(l, x -> abs(x - list_sum(l) / len(l)))) / len(l)))
+         CASE WHEN rn >= 20 AND mad <> 0 THEN
+           (tp - sma_tp) / (0.015 * mad)
          END, 0.0), 6) AS cci_20
-FROM arr
+FROM m
 ORDER BY symbol, ts
 """,
     doc="W17 — CCI(20, 0.015) with rolling mean absolute deviation via "
@@ -93,7 +97,8 @@ sm AS (
 ),
 dx AS (
   SELECT symbol, ts, rn,
-         CASE WHEN 100.0 * dmp_s / tr_s + 100.0 * dmm_s / tr_s <> 0 THEN
+         CASE WHEN tr_s <> 0
+               AND 100.0 * dmp_s / tr_s + 100.0 * dmm_s / tr_s <> 0 THEN
            100.0 * abs(100.0 * dmp_s / tr_s - 100.0 * dmm_s / tr_s)
                  / (100.0 * dmp_s / tr_s + 100.0 * dmm_s / tr_s)
          END AS dx
@@ -137,12 +142,15 @@ def adx(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT symbol, ts,
        round(coalesce(
          100.0 * (
-             4.0 * (CASE WHEN rn >= 7  THEN sum(bp) OVER ({_fr(7)})  END)
-                 / (CASE WHEN rn >= 7  THEN sum(tr) OVER ({_fr(7)})  END)
-           + 2.0 * (CASE WHEN rn >= 14 THEN sum(bp) OVER ({_fr(14)}) END)
-                 / (CASE WHEN rn >= 14 THEN sum(tr) OVER ({_fr(14)}) END)
-           +       (CASE WHEN rn >= 28 THEN sum(bp) OVER ({_fr(28)}) END)
-                 / (CASE WHEN rn >= 28 THEN sum(tr) OVER ({_fr(28)}) END)
+             4.0 * (CASE WHEN rn >= 7  AND sum(tr) OVER ({_fr(7)})  <> 0
+                         THEN (sum(bp) OVER ({_fr(7)}))
+                            / (sum(tr) OVER ({_fr(7)}))  END)
+           + 2.0 * (CASE WHEN rn >= 14 AND sum(tr) OVER ({_fr(14)}) <> 0
+                         THEN (sum(bp) OVER ({_fr(14)}))
+                            / (sum(tr) OVER ({_fr(14)})) END)
+           +       (CASE WHEN rn >= 28 AND sum(tr) OVER ({_fr(28)}) <> 0
+                         THEN (sum(bp) OVER ({_fr(28)}))
+                            / (sum(tr) OVER ({_fr(28)})) END)
          ) / 7.0, 50.0), 6) AS uo
 FROM base
 ORDER BY symbol, ts

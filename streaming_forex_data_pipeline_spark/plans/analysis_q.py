@@ -640,12 +640,14 @@ lagd AS (
 )
 SELECT symbol, ts,
        CASE WHEN close > up_band THEN 'breakout_up' ELSE 'breakout_down' END AS pattern,
-       CASE WHEN (CASE WHEN close > up_band
+       CASE WHEN (CASE WHEN sd = 0 THEN 1.0
+                       WHEN close > up_band
                        THEN least(1.0, (close - up_band) / sd)
                        ELSE least(1.0, (lo_band - close) / sd) END) > 0.5
             THEN 'high' ELSE 'medium' END AS confidence,
        round(close, 6) AS price_level,
-       round(CASE WHEN close > up_band
+       round(CASE WHEN sd = 0 THEN 1.0
+                  WHEN close > up_band
                   THEN least(1.0, (close - up_band) / sd)
                   ELSE least(1.0, (lo_band - close) / sd) END, 6) AS signal_strength
 FROM lagd

@@ -130,3 +130,46 @@ def test_volatility_percent_rank_matches_pandas(spark, sf_dir):
     b = want.to_numpy(dtype=float)
     mask = ~np.isnan(b)
     assert np.allclose(a[mask], b[mask], rtol=1e-9), "percent-rank mismatch"
+
+
+def test_flat_price_windows_ansi_safe(spark):
+    """A symbol with a long run of identical prices produces
+    zero-variance / zero-MAD / zero-true-range windows; every indicator
+    must degrade to its reference fillna value instead of raising
+    DIVIDE_BY_ZERO on an ANSI session (same class as the d8307cb
+    support/resistance fix)."""
+    from streaming_forex_data_pipeline_spark.operators import patterns as P
+
+    rows = [
+        ("FLAT", dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+         5.0, 5.0, 5.0, 5.0, 5.0)
+        for h in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, open double, high double, "
+        "low double, close double, volume double"
+    )
+    out = df.select(
+        "symbol",
+        "ts",
+        F.coalesce(A.cci(), F.lit(0.0)).alias("cci"),
+        F.coalesce(A.adx(), F.lit(0.0)).alias("adx"),
+        F.coalesce(A.ultimate_oscillator(), F.lit(50.0)).alias("uo"),
+    ).toPandas()
+    assert (out["cci"] == 0.0).all()
+    assert (out["adx"] == 0.0).all()
+    assert (out["uo"] == 50.0).all()
+
+    # breakout: flat prefix then a jump so a band cross happens while
+    # the rolling stddev window can still be degenerate elsewhere
+    rows2 = rows + [
+        ("FLAT", dt.datetime(2024, 1, 3) + dt.timedelta(hours=h),
+         9.0, 9.5, 8.9, 9.4, 9.2)
+        for h in range(3)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "symbol string, ts timestamp, open double, high double, "
+        "low double, close double, volume double"
+    )
+    brk = P.breakout_signals(df2).toPandas()  # must not raise
+    assert (brk["signal_strength"] <= 1.0).all()
