@@ -76,9 +76,28 @@ HEADLINE = [
     "knn_cosine_topk",
     "ann_lsh_topk",
     "multimodal_stats",
+    "embedding_near_dups_lsh",
+    "mi_importance",
+    "ingest_cycle",
+    "simhash_near_dups_fast",
 ]
 
 TIMED_RUNS = 2
+
+
+def _simhash_fast(spark, sf_dir):
+    """Bench-only variant: simhash_near_dups with the xxhash64 fast
+    path (not registered — no DuckDB oracle exists for xxhash64, and
+    the correctness-gated query must stay engine-portable).  Timed here
+    so the portable-vs-fast hashing cost is on record each round."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_near_dup_pairs(d, bits=32, max_hamming=3, fast_hash=True)
+
+
+EXTRA = {"simhash_near_dups_fast": _simhash_fast}
 
 
 def main() -> None:
@@ -87,7 +106,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("sfdp-bench", cpus=cpus)
 
-    qs = plans.spark_queries()
+    qs = dict(plans.spark_queries(), **EXTRA)
     timings: dict[str, float] = {}
     for name in HEADLINE:
 

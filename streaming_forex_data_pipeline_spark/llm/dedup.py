@@ -190,8 +190,19 @@ def portable_token_hash(t: Column) -> Column:
     """60-bit token hash derived from md5 hex — chosen over xxhash64
     because DuckDB computes the identical value
     (('0x' || substr(md5(t),1,15))::BIGINT), making SimHash oracles
-    engine-portable."""
+    engine-portable.  ~5× slower than xxhash64 (measured at sf0.1:
+    2.5 s vs 0.5 s for the hash-array pass) — use fast_token_hash when
+    oracle portability is not needed."""
     return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def fast_token_hash(t: Column) -> Column:
+    """xxhash64 token hash — the throughput path (no cryptographic
+    work, single JVM intrinsic pass).  NOT reproducible in DuckDB, so
+    queries checked by a SQL oracle must use portable_token_hash; the
+    SimHash recall guarantee is structural (pigeonhole banding) and
+    holds under either hash."""
+    return F.xxhash64(t)
 
 
 def simhash_from_hashes(hashed: Column, bits: int = 32) -> Column:
@@ -222,7 +233,11 @@ def simhash(tokens: Column, bits: int = 32) -> Column:
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, text: str = "text", bits: int = 32, max_hamming: int = 3
+    docs: DataFrame,
+    text: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup with GUARANTEED recall: split the ``bits``-bit
     fingerprint into max_hamming+1 bands — by pigeonhole, any pair
@@ -230,19 +245,34 @@ def simhash_near_dup_pairs(
     band, so the band-bucket join finds every qualifying pair (no
     probabilistic miss, unlike MinHash banding).  Verification filters
     candidates to bit_count(xor) <= max_hamming, so the output equals
-    the exact all-pairs answer at O(N·bands + Σ k_bucket²) cost."""
+    the exact all-pairs answer at O(N·bands + Σ k_bucket²) cost.
+
+    ``fast_hash=True`` swaps the md5-derived portable token hash for
+    xxhash64 (~5× cheaper hashing, same structural guarantees, but not
+    DuckDB-reproducible — the registered oracle query keeps the
+    portable default; bench records both)."""
     n_bands = max_hamming + 1
+    if bits % n_bands != 0:
+        # truncating bits // n_bands would leave the top bits in NO
+        # band: a pair differing only there would be missed, silently
+        # voiding the pigeonhole recall guarantee
+        raise ValueError(
+            f"bits ({bits}) must be divisible by max_hamming+1 "
+            f"({n_bands}) so every bit belongs to a band; "
+            f"use e.g. bits={bits - bits % n_bands} or adjust max_hamming"
+        )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     from ..sources.tables import fan_out
 
-    # two-step select materializes the md5 hash array ONCE per doc; the
-    # 32 bit-aggregates then fold over the materialized column
+    # two-step select materializes the token-hash array ONCE per doc;
+    # the 32 bit-aggregates then fold over the materialized column
+    hash_fn = fast_token_hash if fast_hash else portable_token_hash
     sh = (
         fan_out(
             docs.select(
                 "doc_id",
-                F.transform(token_set(text), portable_token_hash).alias("__h"),
+                F.transform(token_set(text), hash_fn).alias("__h"),
             )
         )
         .select("doc_id", simhash_from_hashes(F.col("__h"), bits).alias("sh"))

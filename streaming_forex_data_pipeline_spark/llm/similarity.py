@@ -126,12 +126,23 @@ def embedding_near_dup_candidates(
 ) -> DataFrame:
     """LSH-bucketed variant: only same-bucket pairs are scored.  Recall
     < 1 (a near-dup pair can straddle a hyperplane); the differential
-    test measures it against the exact tier."""
-    b = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col)).alias("n"),
-        lsh_bucket(F.col(vec_col), n_planes).alias("bucket"),
+    test measures it against the exact tier.
+
+    Scale shape: bucketing is one narrow scan (fanned out so the
+    single-row-group testdata parallelizes); the self-join shuffles
+    both sides on `bucket`, so pair work is Σ bucket_k² instead of N² —
+    with 2^n_planes roughly-uniform buckets that is ~N²/2^n_planes,
+    and each bucket's pairs build on co-located partitions."""
+    from ..sources.tables import fan_out
+
+    base = fan_out(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    b = base.select(
+        "id",
+        "v",
+        norm(F.col("v")).alias("n"),
+        lsh_bucket(F.col("v"), n_planes).alias("bucket"),
     )
     x = b.select(
         "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"),

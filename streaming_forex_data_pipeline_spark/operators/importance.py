@@ -99,12 +99,69 @@ def importance_scores(candles: DataFrame) -> DataFrame:
     return out
 
 
-def consensus_ranking(scores: DataFrame, top_n: int = 15) -> DataFrame:
+def mutual_info_scores(candles: DataFrame, bins: int = 10) -> DataFrame:
+    """P7 mutual-information method (reference
+    feature_importance.py:378-448, sklearn mutual_info_regression).
+
+    sklearn's kNN estimator is not SQL-expressible, so this is the
+    classical DISCRETIZED estimator: equal-width bin x and y per
+    (symbol, feature), then MI = Σ p(i,j)·ln(p(i,j)/(p(i)p(j))) over
+    the contingency counts.  Binning uses floor over an exact
+    min/max-derived fraction, so bin assignment — and hence every
+    count — is bit-identical across engines; only ln carries a
+    last-ulp libm difference, absorbed by the 6dp output rounding.
+    One stacked pass: bin (map-side), one groupBy for the joint
+    counts, marginals as window sums over the (tiny) contingency
+    cells."""
+    s = stacked(feature_matrix(candles))
+    g = Window.partitionBy("symbol", "feature")
+
+    def binned(c: F.Column, mn: F.Column, mx: F.Column) -> F.Column:
+        frac = (c - mn) / (mx - mn)
+        return F.when(mx == mn, F.lit(0)).otherwise(
+            F.least(F.floor(frac * float(bins)), F.lit(bins - 1))
+        )
+
+    b = s.select(
+        "symbol",
+        "feature",
+        binned(F.col("x"), F.min("x").over(g), F.max("x").over(g)).alias("bx"),
+        binned(F.col("y"), F.min("y").over(g), F.max("y").over(g)).alias("by"),
+    )
+    joint = b.groupBy("symbol", "feature", "bx", "by").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wf = Window.partitionBy("symbol", "feature")
+    wx = Window.partitionBy("symbol", "feature", "bx")
+    wy = Window.partitionBy("symbol", "feature", "by")
+    n = F.sum("c").over(wf)
+    cx = F.sum("c").over(wx)
+    cy = F.sum("c").over(wy)
+    term = (F.col("c") / n) * F.log((F.col("c") * n) / (cx * cy))
+    mi = (
+        joint.withColumn("t", term)
+        .groupBy("symbol", "feature")
+        .agg(F.sum("t").alias("mi_score"))
+    )
+    w = Window.partitionBy("symbol").orderBy(
+        F.desc(F.round("mi_score", 6)), F.asc("feature")
+    )
+    return mi.withColumn("mi_score_rank", F.row_number().over(w))
+
+
+def consensus_ranking(
+    scores: DataFrame, mi: DataFrame | None = None, top_n: int = 15
+) -> DataFrame:
     """P8 — consensus: per method normalize score by the method's max
     and invert-normalize rank ((max_rank - rank + 1)/max_rank), then
     consensus = (mean norm score + mean norm rank)/2, re-ranked
-    (feature_importance.py:495-563)."""
-    methods = ("pearson_score", "spearman_score", "f_stat")
+    (feature_importance.py:495-563).  Pass ``mi`` (mutual_info_scores)
+    to widen the panel to four methods, mirroring the reference's
+    all-methods consensus endpoint (advanced_features.py:300-372)."""
+    methods = ["pearson_score", "spearman_score", "f_stat"]
+    if mi is not None:
+        scores = scores.join(mi, ["symbol", "feature"])
+        methods.append("mi_score")
     w_sym = Window.partitionBy("symbol")
     norm_scores, norm_ranks = [], []
     for m in methods:
@@ -155,4 +212,39 @@ def random_forest_importance(
     return spark.createDataFrame(
         [(f, float(v)) for f, v in zip(FEATURES, imps)],
         ["feature", "importance"],
+    )
+
+
+def lasso_importance(
+    candles: DataFrame, reg_param: float = 0.001
+) -> DataFrame:
+    """P7 Lasso method (reference feature_importance.py:247-314,
+    sklearn LassoCV): importance = |standardized L1 coefficient|.
+    pyspark.ml LinearRegression with elasticNetParam=1 is the JVM
+    Lasso; the reference's CV alpha search is replaced by a fixed
+    regularization (deterministic — this query has no SQL oracle, so
+    reproducibility is the check, like rf_importance).  Coefficients
+    are fit with standardization=True, matching the reference's
+    StandardScaler preprocessing."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    matrix = feature_matrix(candles)
+    assembled = VectorAssembler(
+        inputCols=list(FEATURES), outputCol="fv"
+    ).transform(matrix)
+    model = LinearRegression(
+        featuresCol="fv",
+        labelCol="target",
+        elasticNetParam=1.0,  # pure L1
+        regParam=reg_param,
+        standardization=True,
+        maxIter=100,
+        tol=1e-9,
+    ).fit(assembled)
+    coefs = model.coefficients.toArray().tolist()
+    spark = candles.sparkSession
+    return spark.createDataFrame(
+        [(f, abs(float(v)), float(v)) for f, v in zip(FEATURES, coefs)],
+        ["feature", "importance", "coefficient"],
     )

@@ -827,6 +827,102 @@ scored AS (
 """
 
 
+_P = "PARTITION BY symbol, feature"
+_MI_CTE = f"""
+, mi_b AS (
+  SELECT symbol, feature,
+         CASE WHEN max(x) OVER ({_P}) = min(x) OVER ({_P}) THEN 0
+              ELSE CAST(least(floor(((x - min(x) OVER ({_P}))
+                     / (max(x) OVER ({_P}) - min(x) OVER ({_P}))) * 10.0),
+                   9.0) AS BIGINT) END AS bx,
+         CASE WHEN max(y) OVER ({_P}) = min(y) OVER ({_P}) THEN 0
+              ELSE CAST(least(floor(((y - min(y) OVER ({_P}))
+                     / (max(y) OVER ({_P}) - min(y) OVER ({_P}))) * 10.0),
+                   9.0) AS BIGINT) END AS by
+  FROM st
+),
+mi_joint AS (
+  SELECT symbol, feature, bx, by, count(*) AS c
+  FROM mi_b GROUP BY symbol, feature, bx, by
+),
+mi_t AS (
+  SELECT symbol, feature,
+         (CAST(c AS DOUBLE) / CAST(sum(c) OVER ({_P}) AS DOUBLE))
+         * ln(CAST(c * sum(c) OVER ({_P}) AS DOUBLE)
+              / CAST(sum(c) OVER ({_P}, bx) * sum(c) OVER ({_P}, by)
+                     AS DOUBLE)) AS t
+  FROM mi_joint
+),
+mi AS (
+  SELECT symbol, feature, sum(t) AS mi_score
+  FROM mi_t GROUP BY symbol, feature
+),
+mi_ranked AS (
+  SELECT symbol, feature, mi_score,
+         row_number() OVER (PARTITION BY symbol
+             ORDER BY round(mi_score, 6) DESC, feature) AS mi_score_rank
+  FROM mi
+)
+"""
+
+
+@register(
+    "mi_importance",
+    oracle=CANDLES_CTE
+    + _FEATURE_MATRIX_CTE
+    + _MI_CTE
+    + """
+SELECT symbol, feature,
+       round(mi_score, 6) AS mi_score,
+       CAST(mi_score_rank AS INT) AS mi_score_rank
+FROM mi_ranked
+ORDER BY symbol, feature
+""",
+    doc="P7 mutual-information importance, discretized estimator "
+    "(feature_importance.py:378-448): equal-width 10-bin contingency "
+    "per (symbol, feature), MI = Σ p(i,j)·ln(p(i,j)/(p(i)p(j))).  "
+    "floor-based binning makes every count bit-identical across "
+    "engines, so unlike sklearn's kNN estimator this variant is fully "
+    "oracle-checkable.  One stacked pass + one tiny contingency "
+    "aggregation — scales as a single shuffle on (symbol, feature, "
+    "bins).",
+)
+def mi_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance as IMP
+
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.mutual_info_scores(c)
+    return out.select(
+        "symbol",
+        "feature",
+        F.round("mi_score", R).alias("mi_score"),
+        "mi_score_rank",
+    ).orderBy("symbol", "feature")
+
+
+@register(
+    "lasso_importance",
+    oracle=None,
+    doc="P7 Lasso importance via pyspark.ml LinearRegression with "
+    "elasticNetParam=1 (JVM L1; the container has no sklearn for the "
+    "reference's LassoCV, feature_importance.py:247-314): importance "
+    "= |standardized coefficient| on the pooled feature matrix.  "
+    "Model output, not SQL-expressible (driver rows-only check); "
+    "fixed-regularization determinism is asserted in "
+    "tests/test_importance.py.",
+)
+def lasso_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance as IMP
+
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.lasso_importance(c)
+    return out.select(
+        "feature",
+        F.round("importance", R).alias("importance"),
+        F.round("coefficient", R).alias("coefficient"),
+    ).orderBy("feature")
+
+
 @register(
     "feature_importance",
     oracle=CANDLES_CTE
@@ -872,8 +968,13 @@ def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_importance_consensus",
     oracle=CANDLES_CTE
     + _FEATURE_MATRIX_CTE
+    + _MI_CTE
     + """
-, norm AS (
+, joined AS (
+  SELECT s.*, m.mi_score, m.mi_score_rank
+  FROM scored s JOIN mi_ranked m USING (symbol, feature)
+),
+norm AS (
   SELECT symbol, feature,
          (  CASE WHEN max(pearson_score) OVER (PARTITION BY symbol) > 0
                  THEN pearson_score / max(pearson_score) OVER (PARTITION BY symbol)
@@ -883,14 +984,19 @@ def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 0 END
           + CASE WHEN max(f_stat) OVER (PARTITION BY symbol) > 0
                  THEN f_stat / max(f_stat) OVER (PARTITION BY symbol)
-                 ELSE 0 END) / 3.0 AS avg_score,
+                 ELSE 0 END
+          + CASE WHEN max(mi_score) OVER (PARTITION BY symbol) > 0
+                 THEN mi_score / max(mi_score) OVER (PARTITION BY symbol)
+                 ELSE 0 END) / 4.0 AS avg_score,
          (  (max(pearson_score_rank) OVER (PARTITION BY symbol) - pearson_score_rank + 1.0)
               / max(pearson_score_rank) OVER (PARTITION BY symbol)
           + (max(spearman_score_rank) OVER (PARTITION BY symbol) - spearman_score_rank + 1.0)
               / max(spearman_score_rank) OVER (PARTITION BY symbol)
           + (max(f_stat_rank) OVER (PARTITION BY symbol) - f_stat_rank + 1.0)
-              / max(f_stat_rank) OVER (PARTITION BY symbol)) / 3.0 AS avg_rank
-  FROM scored
+              / max(f_stat_rank) OVER (PARTITION BY symbol)
+          + (max(mi_score_rank) OVER (PARTITION BY symbol) - mi_score_rank + 1.0)
+              / max(mi_score_rank) OVER (PARTITION BY symbol)) / 4.0 AS avg_rank
+  FROM joined
 )
 SELECT symbol, feature,
        round(avg_score, 6) AS avg_score,
@@ -901,16 +1007,21 @@ SELECT symbol, feature,
 FROM norm
 ORDER BY symbol, rank
 """,
-    doc="P8/J5/T5 — consensus ranking across the three correlation-"
-    "family methods: per-method max-normalized scores + inverted "
-    "normalized ranks, averaged and re-ranked "
-    "(feature_importance.py:495-563).",
+    doc="P8/J5/T5 — consensus ranking across the four SQL-expressible "
+    "methods (|pearson|, |spearman|, F-stat, discretized MI): "
+    "per-method max-normalized scores + inverted normalized ranks, "
+    "averaged and re-ranked (feature_importance.py:495-563; the "
+    "reference's consensus endpoint averages all its methods — the "
+    "pooled-model RF/Lasso tiers stay separate rows-only queries "
+    "because their outputs are not per-symbol).",
 )
 def feature_importance_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import importance as IMP
 
     c = candles_from_events(spark, sf_dir)
-    out = IMP.consensus_ranking(IMP.importance_scores(c))
+    out = IMP.consensus_ranking(
+        IMP.importance_scores(c), IMP.mutual_info_scores(c)
+    )
     return out.select(
         "symbol",
         "feature",

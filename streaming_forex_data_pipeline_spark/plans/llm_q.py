@@ -449,6 +449,47 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dups_lsh",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', n_planes=4)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 5) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+ORDER BY id_a, id_b
+""",
+    doc="Embedding-cosine near-dup pairs, LSH-bucketed scale tier "
+    "(llm/similarity.py:embedding_near_dup_candidates): bucket every "
+    "vector with deterministic sign-bit hyperplanes (the ann_lsh_topk "
+    "family), then score only same-bucket pairs — pair work drops from "
+    "N² to Σ bucket_k² (~N²/2^planes), and the bucket join shuffles "
+    "instead of broadcasting, so the plan survives a 100× corpus.  "
+    "Registered at 4 planes / threshold 0.35 so the candidate set is "
+    "non-empty on the random test corpus (real near-dup corpora use "
+    "8+ planes; recall/planes trade by (1-θ/π)^planes).  The oracle "
+    "embeds the identical plane literals, making bucket assignment — "
+    "and therefore the candidate set — deterministic on both engines.  "
+    "Recall vs the exact tier is measured in tests/test_operators.py "
+    "(test_embedding_lsh_candidates_recall); the exact all-pairs tier "
+    "stays registered as embedding_near_dups.",
+)
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_candidates(e, threshold=0.35, n_planes=4)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 5).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "token_stats",
     oracle=r"""
 SELECT doc_id,

@@ -594,3 +594,160 @@ def source_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("close", R).alias("close"),
         F.round("volume", R).alias("volume"),
     ).orderBy("symbol", "ts")
+
+
+#: ingest_cycle staging dirs, removed at interpreter exit (the returned
+#: DataFrame reads them lazily, so they must outlive the query call)
+_INGEST_DIRS: list[str] = []
+
+
+def _cleanup_ingest_dirs() -> None:
+    import shutil
+
+    for d in _INGEST_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _INGEST_DIRS.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_ingest_dirs)
+
+
+@register(
+    "ingest_cycle",
+    oracle=CANDLES_CTE
+    + """
+, numbered AS (
+  SELECT symbol, ts, open, high, low, close, volume, n_events,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM candles
+),
+b1 AS (
+  SELECT symbol, ts, open, high, low, open AS close, volume,
+         open AS vwap, n_events AS transactions, 1 AS v
+  FROM numbered WHERE rn <= ceil(n * 2.0 / 3.0)
+),
+b2 AS (
+  SELECT symbol, ts, open, high, low, close, volume,
+         (high + low + close) / 3.0 AS vwap, n_events AS transactions, 2 AS v
+  FROM numbered WHERE rn > floor(n / 3.0)
+),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+merged AS (
+  SELECT * FROM u
+  QUALIFY row_number() OVER (PARTITION BY symbol, ts ORDER BY v DESC) = 1
+),
+clean AS (
+  SELECT symbol, ts, open, high, low, close,
+         greatest(volume, 0.0) AS volume, vwap, transactions
+  FROM merged
+  WHERE open IS NOT NULL AND high IS NOT NULL
+    AND low IS NOT NULL AND close IS NOT NULL
+    AND open > 0 AND high > 0 AND low > 0 AND close > 0
+)
+SELECT symbol, ts, round(open, 6) AS open, round(high, 6) AS high,
+       round(low, 6) AS low, round(close, 6) AS close,
+       round(volume, 6) AS volume, round(vwap, 6) AS vwap,
+       CAST(transactions AS BIGINT) AS transactions
+FROM clean
+ORDER BY symbol, ts
+""",
+    doc="S4/S5/S7 end-to-end incremental-ingest slice — the reference's "
+    "fetch-validate-persist cycle (data_fetcher.py:60-101 -> "
+    "repository.py:98-164) as one driver-runnable query: two "
+    "deterministic Polygon-style JSON payload batches are built from "
+    "the events table (batch 1 = preliminary bars, first 2/3 of each "
+    "symbol's hours with close/vwap = open; batch 2 = corrected bars, "
+    "last 2/3 — overlapping the middle third), each round-trips "
+    "through parse_polygon (S5, real JSON parsing in-engine), passes "
+    "the F2/F3/F6 validation chain, and is upsert-appended (S7) with "
+    "a pinned version stamp into a staging table; the returned frame "
+    "is the keep-latest merge-on-read, so overlapping keys must carry "
+    "batch-2 values.  The oracle replays the same batch construction "
+    "and merge directly in SQL.  JSON round-trips are exact for "
+    "doubles (shortest-repr emit, exact parse), so the result is "
+    "hash-checkable.",
+)
+def ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources import providers as PR
+    from ..sources import sinks as SK
+
+    c = candles_from_events(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("ts")
+    numbered = c.select(
+        "symbol", "ts", "open", "high", "low", "close", "volume", "n_events",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("symbol")).alias("n"),
+    )
+    b1 = numbered.filter(
+        F.col("rn") <= F.ceil(F.col("n") * 2.0 / 3.0)
+    ).select(
+        "symbol", "ts", "open", "high", "low",
+        F.col("open").alias("close"), "volume",
+        F.col("open").alias("vwap"),
+        F.col("n_events").alias("transactions"),
+    )
+    b2 = numbered.filter(F.col("rn") > F.floor(F.col("n") / 3.0)).select(
+        "symbol", "ts", "open", "high", "low", "close", "volume",
+        ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("vwap"),
+        F.col("n_events").alias("transactions"),
+    )
+
+    def to_payloads(batch: DataFrame) -> DataFrame:
+        """Polygon /v2/aggs response JSON, one payload per symbol."""
+        bars = batch.select(
+            "symbol",
+            F.struct(
+                (F.col("ts").cast("long") * 1000).alias("t"),
+                F.col("open").alias("o"),
+                F.col("high").alias("h"),
+                F.col("low").alias("l"),
+                F.col("close").alias("c"),
+                F.col("volume").alias("v"),
+                F.col("vwap").alias("vw"),
+                F.col("transactions").alias("n"),
+            ).alias("bar"),
+        )
+        return (
+            bars.groupBy("symbol")
+            .agg(F.sort_array(F.collect_list("bar")).alias("results"))
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.concat(F.lit("C:"), F.col("symbol")).alias("ticker"),
+                        F.lit("OK").alias("status"),
+                        F.col("results"),
+                    )
+                ).alias("payload")
+            )
+        )
+
+    def validate(parsed: DataFrame) -> DataFrame:
+        return Q.clamp_negative_volume(
+            Q.filter_positive_prices(Q.drop_null_prices(parsed))
+        )
+
+    table_dir = tempfile.mkdtemp(prefix="ingest_cycle_")
+    _INGEST_DIRS.append(table_dir)
+    SK.upsert_append(
+        validate(PR.parse_polygon(to_payloads(b1))), table_dir, version=1.0
+    )
+    SK.upsert_append(
+        validate(PR.parse_polygon(to_payloads(b2))), table_dir, version=2.0
+    )
+    merged = SK.read_upserted(spark, table_dir, keys=["symbol", "ts"])
+    return merged.select(
+        "symbol",
+        "ts",
+        F.round("open", R).alias("open"),
+        F.round("high", R).alias("high"),
+        F.round("low", R).alias("low"),
+        F.round("close", R).alias("close"),
+        F.round("volume", R).alias("volume"),
+        F.round("vwap", R).alias("vwap"),
+        F.col("transactions").cast("long").alias("transactions"),
+    ).orderBy("symbol", "ts")

@@ -22,13 +22,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def upsert_append(updates: DataFrame, table_dir: str) -> None:
+def upsert_append(
+    updates: DataFrame, table_dir: str, version: float | None = None
+) -> None:
     """S7 write side: blind append of the update batch with an ingest
     version stamp — no read-modify-write, so concurrent writers don't
-    conflict.  Conflict resolution happens in read_upserted."""
-    stamped = updates.withColumn(
-        "__ingest_ts", F.current_timestamp().cast("double")
+    conflict.  Conflict resolution happens in read_upserted.
+
+    ``version`` pins the stamp explicitly (deterministic replays, e.g.
+    the oracle-checked ingest_cycle query); default is wall-clock, the
+    production behavior."""
+    stamp = (
+        F.lit(float(version))
+        if version is not None
+        else F.current_timestamp().cast("double")
     )
+    stamped = updates.withColumn("__ingest_ts", stamp)
     stamped.write.mode("append").parquet(table_dir)
 
 

@@ -27,8 +27,24 @@ Design rules:
 
 from __future__ import annotations
 
+import atexit
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: staging symlink dirs by (applicationId, sf_dir) — see
+#: read_events_stream; cleaned up at interpreter exit
+_STREAM_STAGING: dict[tuple[str, str], str] = {}
+
+
+@atexit.register
+def _cleanup_staging() -> None:
+    import shutil
+
+    for path in _STREAM_STAGING.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _STREAM_STAGING.clear()
 
 #: reference channel -> emit period (websocket_manager.py:199-209);
 #: used as processing-time trigger intervals.
@@ -55,8 +71,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    staging = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{staging}/events.parquet")
+    # one cached staging dir per (application, sf_dir): repeated calls
+    # reuse it instead of littering /tmp, and atexit removes it
+    key = (spark.sparkContext.applicationId, sf_dir)
+    staging = _STREAM_STAGING.get(key)
+    if staging is None or not os.path.isdir(staging):
+        staging = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{staging}/events.parquet")
+        _STREAM_STAGING[key] = staging
     stream = spark.readStream.schema(schema).parquet(staging)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -186,7 +208,13 @@ class BroadcastSink:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # one JVM->driver transfer of the already-aggregated messages;
-        # channel fan-out is a tiny per-batch loop over result rows
+        # channel fan-out is a tiny per-batch loop over result rows.
+        # SCALE CONTRACT: batch_df is the post-aggregation channel
+        # message set — O(symbols × channels) rows per trigger (tens,
+        # not millions), NOT raw ticks.  This sink edge mirrors the
+        # reference's WebSocket broadcast loop; collect() here is safe
+        # only while that invariant holds — never point this sink at a
+        # pre-aggregation stream.
         rows = (
             batch_df.select(
                 F.col("stream_type"),
@@ -225,8 +253,15 @@ def failover_tick_source(
                 need = {"ts", "symbol", "bid", "ask"}
                 if need <= set(stream.columns):
                     return stream, "primary"
-        except Exception:
-            pass
+        except Exception as ex:  # failover IS the success path here, but
+            # never silently: the reference logs provider failures
+            # (premium_data_provider.py failover logging)
+            logging.getLogger(__name__).warning(
+                "primary tick source %s unusable (%s); falling back to "
+                "simulated feed",
+                primary_dir,
+                ex,
+            )
     return simulated_ticks(spark, rows_per_second), "simulated_fallback"
 
 

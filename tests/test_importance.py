@@ -44,3 +44,35 @@ def test_rf_importance_invariants(spark, sf_dir):
     assert {(r["feature"], round(r["importance"], 9)) for r in again} == {
         (r["feature"], round(r["importance"], 9)) for r in out
     }
+
+
+def test_rf_importance_pinned_ordering(spark, sf_dir):
+    """The driver's rf_importance check is rows-only (no SQL oracle for
+    model internals), so pin the seed-42 importance RANKING on the
+    default fixture: 'reproducible + sane', not just '5 rows came
+    back'.  Momentum/returns dominate the next-bar-return target by
+    construction of the synthetic walk."""
+    if not sf_dir.endswith("sf0.001"):
+        pytest.skip("ordering pinned on the sf0.001 fixture only")
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.random_forest_importance(c).collect()
+    ranked = [r["feature"] for r in sorted(out, key=lambda r: -r["importance"])]
+    assert ranked == ["mom_5", "ret_1", "body_frac", "range_frac", "activity"]
+    top = max(out, key=lambda r: r["importance"])
+    assert top["importance"] == pytest.approx(0.4045, abs=0.02)
+
+
+def test_lasso_importance_deterministic(spark, sf_dir):
+    """lasso_importance has no SQL oracle (model output), so the check
+    is fixed-regularization reproducibility plus structural sanity:
+    5 features, importance = |coefficient| >= 0."""
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.lasso_importance(c).collect()
+    assert {r["feature"] for r in out} == set(IMP.FEATURES)
+    for r in out:
+        assert r["importance"] == pytest.approx(abs(r["coefficient"]))
+        assert r["importance"] >= 0.0
+    again = IMP.lasso_importance(c).collect()
+    assert {(r["feature"], round(r["importance"], 9)) for r in again} == {
+        (r["feature"], round(r["importance"], 9)) for r in out
+    }

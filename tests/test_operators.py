@@ -148,3 +148,44 @@ def test_embedding_lsh_candidates_recall(spark):
     assert len(exact) >= 100, "fixture failed to produce near-dup pairs"
     recall = len(approx) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.2f} below floor"
+
+
+def test_simhash_fast_hash_structural_parity(spark, sf_dir):
+    """fast_hash=True swaps the token hash (xxhash64 vs md5-derived) —
+    hamming distances between DISTINCT token sets legitimately change
+    (even hamming-0 signature collisions are hash-dependent), but any
+    pair with IDENTICAL token sets has identical signatures under any
+    hash, so those ground-truth pairs must surface at hamming 0 in
+    both modes, and every emitted pair must respect max_hamming."""
+    d = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["a"], r["b"])
+        for r in d.select(
+            "doc_id", F.sort_array(DD.token_set("text")).alias("t")
+        )
+        .alias("x")
+        .join(
+            d.select(
+                "doc_id", F.sort_array(DD.token_set("text")).alias("t")
+            ).alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    }
+    for fast in (False, True):
+        got = DD.simhash_near_dup_pairs(
+            d, bits=32, max_hamming=3, fast_hash=fast
+        ).collect()
+        zero = {(r["doc_a"], r["doc_b"]) for r in got if r["hamming"] == 0}
+        assert truth <= zero, f"fast_hash={fast} missed identical-set pairs"
+        assert all(0 <= r["hamming"] <= 3 for r in got)
+
+
+def test_simhash_band_bits_contract():
+    """bits not divisible by max_hamming+1 must be rejected — a
+    truncated banding would silently void the pigeonhole recall
+    guarantee (top bits in no band)."""
+    with pytest.raises(ValueError, match="divisible"):
+        DD.simhash_near_dup_pairs(None, bits=32, max_hamming=4)
