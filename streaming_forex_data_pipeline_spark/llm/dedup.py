@@ -49,18 +49,48 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(0.0)
 
 
-def minhash_signature(tokens: Column, n_hashes: int = 32) -> Column:
-    """MinHash signature: per hash function i, min over tokens of
-    xxhash64(token, seed=i). Pure Column algebra via transform+
+def minhash_signature_from_hashes(hashed: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature from a PRE-MATERIALIZED array of 64-bit token
+    hashes: the i-th hash family is xxhash64(base_hash, seed=i), a
+    constant-cost mix of a fixed-width long — the variable-length
+    string walk happened once when ``hashed`` was built, instead of
+    once per family (~n_hashes× less string CPU).  Identical token
+    sets yield identical signatures under any per-token function, so
+    the threshold-1.0 recall guarantee is unaffected.  Callers must
+    materialize ``hashed`` as a real column (separate select) first:
+    inlining the string-hash transform here would re-expand it into
+    each of the n_hashes aggregates — same CSE trap as
+    simhash_from_hashes.  Pure Column algebra via transform +
     array_min — no UDF, fully codegen'd."""
     return F.array(
         *[
             F.array_min(
-                F.transform(tokens, lambda t: F.xxhash64(t, F.lit(i)))
+                F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i)))
             ).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
+
+
+def minhash_signature(tokens: Column, n_hashes: int = 32) -> Column:
+    """MinHash signature straight from a token array — convenience
+    wrapper; hot paths should materialize the base-hash array and use
+    minhash_signature_from_hashes (see CSE note there)."""
+    return minhash_signature_from_hashes(
+        F.transform(tokens, lambda t: F.xxhash64(t)), n_hashes
+    )
+
+
+def tokenized_frame(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, toks) through one fan-out exchange.  Build this ONCE
+    and derive every tokens consumer (signature, set-hash, verify)
+    from the same frame: identical exchange subplans collapse into a
+    single ReusedExchange at physical planning, so the regex
+    tokenization and its shuffle run once per query instead of once
+    per consumer."""
+    from ..sources.tables import fan_out
+
+    return fan_out(docs.select("doc_id", token_set(text).alias("toks")))
 
 
 def minhash_band_buckets(
@@ -68,24 +98,34 @@ def minhash_band_buckets(
     text: str = "text",
     n_hashes: int = 32,
     bands: int = 8,
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band-hash are candidate
     near-dups. Emits (band, band_hash, doc_id) — a groupBy on
     (band, band_hash) yields candidate clusters with one shuffle,
-    avoiding the O(N²) pair join at scale."""
+    avoiding the O(N²) pair join at scale.
+
+    ``tokenized`` (a tokenized_frame) lets callers share one
+    tokenize exchange across pipeline stages."""
     rows_per_band = n_hashes // bands
     # materialize the token array once: inlining token_set into each of
-    # the n_hashes transforms would re-run the regex split per hash
-    # the n_hashes×|tokens| signature is the CPU hot spot; fan the
-    # narrow (doc_id, tokens) projection out to cluster parallelism
-    # (sources.tables.fan_out) — the shuffle moves only token arrays and
-    # is a no-op where the scan is already wide.
-    from ..sources.tables import fan_out
-
-    with_toks = fan_out(docs.select("doc_id", token_set(text).alias("__toks")))
-    sig = minhash_signature(F.col("__toks"), n_hashes)
-    with_sig = with_toks.withColumn("__sig", sig)
+    # the n_hashes transforms would re-run the regex split per hash;
+    # the fan-out exchange spreads the CPU-heavy signature work across
+    # cluster parallelism (single-row-group scans are unsplittable)
+    with_toks = (
+        tokenized if tokenized is not None else tokenized_frame(docs, text)
+    )
+    # materialize the base token-hash array ONCE (separate select), so
+    # the n_hashes families mix longs instead of re-hashing strings —
+    # see minhash_signature_from_hashes' CSE note
+    with_hashes = with_toks.select(
+        "doc_id",
+        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("__h"),
+    )
+    with_sig = with_hashes.withColumn(
+        "__sig", minhash_signature_from_hashes(F.col("__h"), n_hashes)
+    )
     band_cols = []
     for b in range(bands):
         band_slice = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
@@ -142,43 +182,48 @@ def near_duplicate_pairs(
         # with a single band no duplicates are possible -> skip the
         # dedup shuffle entirely
         pairs = pairs.distinct()
+    # NOTE: toks/set_hash deliberately re-derive from the parquet scan
+    # (narrow, pushed-down) instead of sharing the signature path's
+    # fan-out exchange — routing them through it was measured SLOWER at
+    # sf0.1 (shuffling corpus-wide token arrays costs more than
+    # re-running the tokenizer off the columnar scan, and the planner
+    # did not collapse the exchanges into a ReusedExchange).
     toks = docs.select("doc_id", token_set(text).alias("toks"))
     if threshold >= 1.0:
         # exact-dup tier prefilter: jaccard == 1 requires identical token
         # SETS, so equal sorted-set hashes are a necessary condition —
-        # two broadcast-able map joins drop the (many) band-collision
-        # false candidates before the O(|set|) intersect/union math.
-        # The exact-Jaccard verify below remains the semantic filter.
+        # two map joins drop the (many) band-collision false candidates
+        # before the O(|set|) intersect/union math.  The exact-Jaccard
+        # verify below remains the semantic filter.
         set_hash = docs.select(
             "doc_id", F.xxhash64(F.sort_array(token_set(text))).alias("sh")
         )
         pairs = (
             pairs.join(
-                F.broadcast(
-                    set_hash.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                        "sh", "sh_a"
-                    )
+                set_hash.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "sh", "sh_a"
                 ),
                 "doc_a",
             )
             .join(
-                F.broadcast(
-                    set_hash.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                        "sh", "sh_b"
-                    )
+                set_hash.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "sh", "sh_b"
                 ),
                 "doc_b",
             )
             .filter(F.col("sh_a") == F.col("sh_b"))
             .select("doc_a", "doc_b")
         )
-    # NOTE: the doc-side frames are hash-key lookups of bounded width;
-    # broadcast keeps the candidate stream shuffle-free.  At corpus sizes
-    # where docs no longer broadcast, drop the hints and let AQE pick
-    # shuffled hash joins keyed on doc id.
+    # NOTE: no forced broadcast on the doc-side frames — the banding
+    # prefilter usually leaves the PAIR side as the small one, and a
+    # forced broadcast of corpus-wide token arrays is a driver-side
+    # collect+serialize of the whole corpus (measured ~3s of the 4.7s
+    # registered-query wall at sf0.1).  AQE's runtime join selection
+    # broadcasts whichever side is actually small, which also stays
+    # correct when neither fits (plain shuffled hash join on doc id).
     verified = (
-        pairs.join(F.broadcast(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a")), "doc_a")
-        .join(F.broadcast(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b")), "doc_b")
+        pairs.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
         .withColumn("jaccard", jaccard(F.col("toks_a"), F.col("toks_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -215,6 +215,60 @@ def random_forest_importance(
     )
 
 
+def rfe_importance(
+    candles: DataFrame, n_select: int = 2, n_trees: int = 50, seed: int = 42
+) -> DataFrame:
+    """P7 recursive feature elimination (reference
+    feature_importance.py:376-448, sklearn RFE with a RandomForest
+    estimator, step=1): repeatedly fit the estimator on the surviving
+    features and drop the one with the lowest importance until
+    ``n_select`` remain.  sklearn's ranking convention is kept:
+    selected features rank 1, the last-eliminated ranks 2, and so on;
+    score = 1/rank.
+
+    The pooled feature matrix is assembled once and cached — each
+    elimination round re-fits on a column subset of the same cached
+    rows, so the candle aggregation and alignment join run once, not
+    len(FEATURES)-n_select times.  Deterministic under the fixed seed
+    (rows-only driver check, like rf_importance)."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    matrix = feature_matrix(candles).cache()
+    try:
+        remaining = list(FEATURES)
+        eliminated: list[str] = []  # chronological: weakest first
+        while len(remaining) > n_select:
+            assembled = VectorAssembler(
+                inputCols=remaining, outputCol="fv"
+            ).transform(matrix)
+            model = RandomForestRegressor(
+                featuresCol="fv",
+                labelCol="target",
+                numTrees=n_trees,
+                seed=seed,
+                maxDepth=5,
+            ).fit(assembled)
+            imps = model.featureImportances.toArray().tolist()
+            # deterministic tie-break: lowest importance, then name
+            weakest = min(zip(imps, remaining))[1]
+            remaining.remove(weakest)
+            eliminated.append(weakest)
+    finally:
+        matrix.unpersist()
+    ranks = {f: 1 for f in remaining}
+    for step, f in enumerate(reversed(eliminated), start=2):
+        ranks[f] = step
+    spark = candles.sparkSession
+    return spark.createDataFrame(
+        [
+            (f, ranks[f], 1.0 / ranks[f], f in remaining)
+            for f in FEATURES
+        ],
+        ["feature", "rfe_rank", "rank_score", "selected"],
+    )
+
+
 def lasso_importance(
     candles: DataFrame, reg_param: float = 0.001
 ) -> DataFrame:

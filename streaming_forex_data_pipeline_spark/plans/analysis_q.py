@@ -924,6 +924,31 @@ def lasso_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rfe_importance",
+    oracle=None,
+    doc="P7 recursive feature elimination (reference "
+    "feature_importance.py:376-448, sklearn RFE + RandomForest, "
+    "step=1): iteratively drop the lowest-importance feature until "
+    "n_select survive; sklearn ranking convention (selected=1, "
+    "last-eliminated=2, ...), score = 1/rank.  Model-driven "
+    "elimination path, not SQL-expressible (driver rows-only check); "
+    "fixed-seed determinism and the pinned elimination order are "
+    "asserted in tests/test_importance.py.",
+)
+def rfe_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance as IMP
+
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.rfe_importance(c)
+    return out.select(
+        "feature",
+        F.col("rfe_rank").cast("int").alias("rfe_rank"),
+        F.round("rank_score", R).alias("rank_score"),
+        "selected",
+    ).orderBy("feature")
+
+
+@register(
     "feature_importance",
     oracle=CANDLES_CTE
     + _FEATURE_MATRIX_CTE

@@ -76,3 +76,28 @@ def test_lasso_importance_deterministic(spark, sf_dir):
     assert {(r["feature"], round(r["importance"], 9)) for r in again} == {
         (r["feature"], round(r["importance"], 9)) for r in out
     }
+
+
+def test_rfe_importance_contract(spark, sf_dir):
+    """rfe_importance has no SQL oracle (model-driven elimination), so
+    the checks are the sklearn ranking contract, fixed-seed
+    determinism, and — on the default fixture — the pinned elimination
+    outcome (the same 'reproducible + sane' bar as rf_importance)."""
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.rfe_importance(c).collect()
+    assert {r["feature"] for r in out} == set(IMP.FEATURES)
+    by_rank = sorted(out, key=lambda r: r["rfe_rank"])
+    # n_select=2 survivors at rank 1, then 2,3,4 — no gaps, no ties
+    assert [r["rfe_rank"] for r in by_rank] == [1, 1, 2, 3, 4]
+    for r in out:
+        assert r["selected"] == (r["rfe_rank"] == 1)
+        assert r["rank_score"] == pytest.approx(1.0 / r["rfe_rank"])
+    again = IMP.rfe_importance(c).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    if sf_dir.endswith("sf0.001"):
+        # RF importances on the fixture put mom_5/ret_1 on top (see
+        # test_rf_importance_pinned_ordering); RFE must keep them
+        assert {r["feature"] for r in out if r["selected"]} == {
+            "mom_5",
+            "ret_1",
+        }
