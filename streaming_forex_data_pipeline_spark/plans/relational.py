@@ -24,36 +24,52 @@ R = 6  # float rounding for cross-engine hash stability
     "pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6)                                    AS sum_qty,
-       round(sum(l_extendedprice), 6)                               AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6)            AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6)                                    AS avg_qty,
-       round(avg(l_extendedprice), 6)                               AS avg_price,
-       round(avg(l_discount), 6)                                    AS avg_disc,
-       count(*)                                                     AS count_order
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)      AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6)   AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)      AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)      AS avg_disc,
+       count(*)                                                              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
     doc="A1/A3-family pricing summary (TPC-H Q1 shape) — partial+final "
-    "hash agg, filter pushed to parquet scan.",
+    "hash agg, filter pushed to parquet scan.  Money columns are exact "
+    "2dp values, so the sums run in DECIMAL on both engines: exact "
+    "integer-scaled arithmetic is aggregation-order-insensitive, "
+    "eliminating the double-sum drift that can flip a round(,6) "
+    "boundary between engines at larger SFs (the backtest_trades r2 "
+    "failure class); averages derive from the same exact sums.",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    d2 = "decimal(18,2)"
+    qty = F.col("l_quantity").cast(d2)
+    price = F.col("l_extendedprice").cast(d2)
+    disc = F.col("l_discount").cast(d2)
+    tax = F.col("l_tax").cast(d2)
+    disc_price = price * (1 - disc)
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), R).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), R).alias("sum_base_price"),
-            F.round(F.sum(disc_price), R).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), R).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), R).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), R).alias("avg_price"),
-            F.round(F.avg("l_discount"), R).alias("avg_disc"),
+            F.round(F.sum(qty).cast("double"), R).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), R).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), R).alias("sum_disc_price"),
+            F.round(
+                F.sum(disc_price * (1 + tax)).cast("double"), R
+            ).alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / n, R).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, R).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / n, R).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -66,13 +82,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT count(*)                         AS n_rows,
        round(min(l_extendedprice), 6)   AS min_price,
        round(max(l_extendedprice), 6)   AS max_price,
-       round(avg(l_extendedprice), 6)   AS avg_price,
-       round(sum(l_quantity), 6)        AS total_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6)             AS avg_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_qty,
        count(DISTINCT l_orderkey)       AS n_orders
 FROM lineitem
 """,
     doc="A3 — scalar stats in one aggregate pass "
-    "(reference repository.py:234-309).",
+    "(reference repository.py:234-309).  avg/sum run on exact DECIMAL "
+    "sums (order-insensitive; see pricing_summary).",
 )
 def scalar_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -80,8 +98,14 @@ def scalar_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("l_extendedprice"), R).alias("min_price"),
         F.round(F.max("l_extendedprice"), R).alias("max_price"),
-        F.round(F.avg("l_extendedprice"), R).alias("avg_price"),
-        F.round(F.sum("l_quantity"), R).alias("total_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            R,
+        ).alias("avg_price"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), R
+        ).alias("total_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -176,7 +200,8 @@ def range_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
 SELECT n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
        count(*) AS n_items
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -200,8 +225,14 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
+            # DECIMAL revenue sum: exact 2dp money arithmetic is
+            # aggregation-order-insensitive (see pricing_summary)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                R,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )

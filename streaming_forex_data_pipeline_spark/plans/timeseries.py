@@ -326,11 +326,15 @@ def support_resistance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT symbol, ts,
        round({_guard(14, f'''CASE WHEN max(high) OVER ({_frame(14)}) <> min(low) OVER ({_frame(14)})
              THEN -100 * (max(high) OVER ({_frame(14)}) - close)
-                  / (max(high) OVER ({_frame(14)}) - min(low) OVER ({_frame(14)})) END''')}, 6)
+                  / (max(high) OVER ({_frame(14)}) - min(low) OVER ({_frame(14)})) END''')}, 6) + 0
          AS williams_r_14
 FROM candles ORDER BY symbol, ts
 """,
-    doc="W15 — Williams %R(14) (advanced_feature_engineer.py:81-87).",
+    doc="W15 — Williams %R(14) (advanced_feature_engineer.py:81-87).  "
+    "The oracle adds `+ 0` after rounding: close == rolling-high gives "
+    "-100 * 0 = -0.0, which DuckDB's round preserves but Spark's "
+    "BigDecimal round normalizes to 0.0 — the exact value-hash would "
+    "diverge on the sign bit (-0.0 + 0 = +0.0 in IEEE 754).",
 )
 def williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
@@ -531,8 +535,8 @@ SELECT event_id,
        CAST(hour(CAST(ts AS TIMESTAMP)) <= 9 AS INT)  AS is_tokyo,
        CAST(hour(CAST(ts AS TIMESTAMP)) >= 8 AND hour(CAST(ts AS TIMESTAMP)) <= 17 AS INT) AS is_london,
        CAST(hour(CAST(ts AS TIMESTAMP)) >= 13 AND hour(CAST(ts AS TIMESTAMP)) <= 22 AS INT) AS is_new_york,
-       round(sin(2 * pi() * hour(CAST(ts AS TIMESTAMP)) / 24), 6) AS hour_sin,
-       round(cos(2 * pi() * hour(CAST(ts AS TIMESTAMP)) / 24), 6) AS hour_cos,
+       round(sin(2 * pi() * hour(CAST(ts AS TIMESTAMP)) / 24), 6) + 0 AS hour_sin,
+       round(cos(2 * pi() * hour(CAST(ts AS TIMESTAMP)) / 24), 6) + 0 AS hour_cos,
        CASE WHEN hour(CAST(ts AS TIMESTAMP)) < 6 THEN 'night'
             WHEN hour(CAST(ts AS TIMESTAMP)) < 12 THEN 'morning'
             WHEN hour(CAST(ts AS TIMESTAMP)) < 18 THEN 'afternoon'
@@ -571,8 +575,8 @@ SELECT event_id,
        CAST(quarter(CAST(ts AS TIMESTAMP)) AS INT) AS quarter,
        CAST((dayofweek(CAST(ts AS TIMESTAMP)) + 6) % 7 AS INT) AS day_of_week,
        CAST((dayofweek(CAST(ts AS TIMESTAMP)) + 6) % 7 >= 5 AS INT) AS is_weekend,
-       round(sin(2 * pi() * month(CAST(ts AS TIMESTAMP)) / 12), 6) AS month_sin,
-       round(cos(2 * pi() * month(CAST(ts AS TIMESTAMP)) / 12), 6) AS month_cos
+       round(sin(2 * pi() * month(CAST(ts AS TIMESTAMP)) / 12), 6) + 0 AS month_sin,
+       round(cos(2 * pi() * month(CAST(ts AS TIMESTAMP)) / 12), 6) + 0 AS month_cos
 FROM events ORDER BY event_id
 """,
     doc="X3/X4/X5 — calendar + weekend features; day_of_week pinned to "
