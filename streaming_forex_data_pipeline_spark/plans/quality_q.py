@@ -614,10 +614,7 @@ import atexit  # noqa: E402
 atexit.register(_cleanup_ingest_dirs)
 
 
-@register(
-    "ingest_cycle",
-    oracle=CANDLES_CTE
-    + """
+_INGEST_ORACLE = CANDLES_CTE + """
 , numbered AS (
   SELECT symbol, ts, open, high, low, close, volume, n_events,
          row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
@@ -653,7 +650,12 @@ SELECT symbol, ts, round(open, 6) AS open, round(high, 6) AS high,
        CAST(transactions AS BIGINT) AS transactions
 FROM clean
 ORDER BY symbol, ts
-""",
+"""
+
+
+@register(
+    "ingest_cycle",
+    oracle=_INGEST_ORACLE,
     doc="S4/S5/S7 end-to-end incremental-ingest slice — the reference's "
     "fetch-validate-persist cycle (data_fetcher.py:60-101 -> "
     "repository.py:98-164) as one driver-runnable query: two "
@@ -673,8 +675,64 @@ ORDER BY symbol, ts
 def ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from ..sources import providers as PR
     from ..sources import sinks as SK
+
+    b1v, b2v = _ingest_batches(spark, sf_dir)
+    table_dir = tempfile.mkdtemp(prefix="ingest_cycle_")
+    _INGEST_DIRS.append(table_dir)
+    SK.upsert_append(b1v, table_dir, version=1.0)
+    SK.upsert_append(b2v, table_dir, version=2.0)
+    merged = SK.read_upserted(spark, table_dir, keys=["symbol", "ts"])
+    return _ingest_select(merged)
+
+
+@register(
+    "ingest_cycle_txn",
+    oracle=_INGEST_ORACLE,
+    doc="The ingest_cycle fetch-validate-persist slice routed through "
+    "the TRANSACTIONAL sink (sinks.py commit_append/read_committed): "
+    "each validated batch is staged then published by an atomic "
+    "manifest link, and the read side scans only manifest-listed "
+    "files with the commit id as the merge tie-break.  Same oracle as "
+    "ingest_cycle — the merge result must be byte-identical whichever "
+    "S7 write path carried it; what this row adds is driver-checked "
+    "evidence that the optimistic-concurrency protocol preserves "
+    "MERGE semantics end-to-end.",
+)
+def ingest_cycle_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources import sinks as SK
+
+    b1v, b2v = _ingest_batches(spark, sf_dir)
+    table_dir = tempfile.mkdtemp(prefix="ingest_cycle_txn_")
+    _INGEST_DIRS.append(table_dir)
+    SK.commit_append(b1v, table_dir, version=1.0)
+    SK.commit_append(b2v, table_dir, version=2.0)
+    merged = SK.read_committed(spark, table_dir, keys=["symbol", "ts"])
+    return _ingest_select(merged)
+
+
+def _ingest_select(merged: DataFrame) -> DataFrame:
+    return merged.select(
+        "symbol",
+        "ts",
+        F.round("open", R).alias("open"),
+        F.round("high", R).alias("high"),
+        F.round("low", R).alias("low"),
+        F.round("close", R).alias("close"),
+        F.round("volume", R).alias("volume"),
+        F.round("vwap", R).alias("vwap"),
+        F.col("transactions").cast("long").alias("transactions"),
+    ).orderBy("symbol", "ts")
+
+
+def _ingest_batches(spark: SparkSession, sf_dir: str):
+    """The two deterministic Polygon-payload batches of the ingest
+    slice, already JSON-round-tripped and validated (see ingest_cycle
+    doc): batch 1 = preliminary first-2/3 bars, batch 2 = corrected
+    last-2/3 bars overlapping the middle third."""
+    from ..sources import providers as PR
 
     c = candles_from_events(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("ts")
@@ -731,23 +789,7 @@ def ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.filter_positive_prices(Q.drop_null_prices(parsed))
         )
 
-    table_dir = tempfile.mkdtemp(prefix="ingest_cycle_")
-    _INGEST_DIRS.append(table_dir)
-    SK.upsert_append(
-        validate(PR.parse_polygon(to_payloads(b1))), table_dir, version=1.0
+    return (
+        validate(PR.parse_polygon(to_payloads(b1))),
+        validate(PR.parse_polygon(to_payloads(b2))),
     )
-    SK.upsert_append(
-        validate(PR.parse_polygon(to_payloads(b2))), table_dir, version=2.0
-    )
-    merged = SK.read_upserted(spark, table_dir, keys=["symbol", "ts"])
-    return merged.select(
-        "symbol",
-        "ts",
-        F.round("open", R).alias("open"),
-        F.round("high", R).alias("high"),
-        F.round("low", R).alias("low"),
-        F.round("close", R).alias("close"),
-        F.round("volume", R).alias("volume"),
-        F.round("vwap", R).alias("vwap"),
-        F.col("transactions").cast("long").alias("transactions"),
-    ).orderBy("symbol", "ts")

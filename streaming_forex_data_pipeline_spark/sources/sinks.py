@@ -41,6 +41,145 @@ def upsert_append(
     stamped.write.mode("append").parquet(table_dir)
 
 
+def commit_append(
+    updates: DataFrame, table_dir: str, version: float | None = None
+) -> int:
+    """S7 write side with an ATOMIC commit (the transactional MERGE
+    story plain `upsert_append` lacks): the batch's parquet files are
+    written to a staging directory readers never list, then published
+    by creating ONE manifest file in ``_log/`` with the next commit id.
+    ``os.link`` is the POSIX create-if-absent primitive — if two
+    writers race for the same id, exactly one link succeeds and the
+    loser retries with the next id, so the log is a total order of
+    all-or-nothing commits (Delta's optimistic-concurrency protocol on
+    a filesystem; the reference serializes through Postgres
+    row-at-a-time instead, repository.py:28-164).  A writer that
+    crashes after staging but before linking leaves only an orphan
+    staging dir — invisible to readers, reclaimed by ``vacuum``.
+
+    Scale shape: the commit is O(1) metadata (one manifest listing the
+    batch's files) regardless of batch size; readers pay one scan over
+    the union of committed files.  Returns the commit id."""
+    import json
+    import os
+    import uuid
+
+    stamp_col = (
+        F.lit(float(version))
+        if version is not None
+        else F.current_timestamp().cast("double")
+    )
+    staged = os.path.join(table_dir, "_staged", uuid.uuid4().hex)
+    updates.withColumn("__ingest_ts", stamp_col).write.mode(
+        "overwrite"
+    ).parquet(staged)
+    files = sorted(
+        f for f in os.listdir(staged)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    log_dir = os.path.join(table_dir, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    manifest = {
+        "staged": os.path.basename(staged),
+        "files": files,
+        "version": version,
+    }
+    tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        while True:
+            existing = _commit_ids(log_dir)
+            cid = (max(existing) + 1) if existing else 1
+            target = os.path.join(log_dir, f"{cid:020d}.json")
+            try:
+                os.link(tmp, target)  # atomic: exactly one winner per id
+                return cid
+            except FileExistsError:
+                continue  # lost the race for this id; take the next
+    finally:
+        os.unlink(tmp)
+
+
+def _commit_ids(log_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and not f.startswith(".")
+    )
+
+
+def read_committed(
+    spark: SparkSession, table_dir: str, keys: list[str]
+) -> DataFrame:
+    """Read side of ``commit_append``: scan ONLY manifest-listed files
+    (uncommitted staging data is invisible), then keep-latest per key
+    ordered by (__ingest_ts, commit id) — the commit id breaks stamp
+    ties with the log's total order, so concurrent writers with equal
+    version stamps still merge deterministically.
+
+    One parquet scan over all committed files; the file -> commit-id
+    map rides a broadcast join keyed on the (globally unique) parquet
+    part-file basename via input_file_name()."""
+    import json
+    import os
+
+    log_dir = os.path.join(table_dir, "_log")
+    rows = []
+    for cid in _commit_ids(log_dir):
+        with open(os.path.join(log_dir, f"{cid:020d}.json")) as fh:
+            m = json.load(fh)
+        for f in m["files"]:
+            rows.append(
+                (f, cid, os.path.join(table_dir, "_staged", m["staged"], f))
+            )
+    if not rows:
+        raise FileNotFoundError(f"no commits in {log_dir}")
+    df = spark.read.parquet(*[p for _, _, p in rows])
+    fmap = spark.createDataFrame(
+        [(f, cid) for f, cid, _ in rows], ["__file", "__cid"]
+    )
+    df = df.withColumn(
+        "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    ).join(F.broadcast(fmap), "__file")
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("__ingest_ts"), F.desc("__cid")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__ingest_ts", "__cid", "__file")
+    )
+
+
+def vacuum(table_dir: str) -> list[str]:
+    """Reclaim staging directories no manifest references — the debris
+    of writers that crashed between staging and publishing.  Never
+    touches committed data; returns the removed paths."""
+    import json
+    import os
+    import shutil
+
+    log_dir = os.path.join(table_dir, "_log")
+    referenced = set()
+    for cid in _commit_ids(log_dir):
+        with open(os.path.join(log_dir, f"{cid:020d}.json")) as fh:
+            referenced.add(json.load(fh)["staged"])
+    staged_root = os.path.join(table_dir, "_staged")
+    removed = []
+    if os.path.isdir(staged_root):
+        for d in sorted(os.listdir(staged_root)):
+            if d not in referenced:
+                path = os.path.join(staged_root, d)
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+    return removed
+
+
 def read_upserted(
     spark: SparkSession, table_dir: str, keys: list[str]
 ) -> DataFrame:

@@ -88,3 +88,78 @@ def test_normalization_validation(spark, sf_dir):
         row = N.validate_normalization(norm, ["value"], method).collect()[0]
         assert row["value_ok"], f"{method} failed validation"
         assert row["value_finite"], f"{method} produced NaN/null"
+
+
+def test_commit_append_atomic_merge(spark, tmp_path):
+    """Transactional S7: manifest-published batches merge keep-latest
+    with the commit id breaking stamp ties in log order."""
+    import datetime as dt
+
+    tdir = str(tmp_path / "txn")
+    t0 = dt.datetime(2024, 1, 1)
+    c1 = S.commit_append(
+        _candles(spark, [("S", t0, 1.0), ("S", t0 + dt.timedelta(hours=1), 2.0)]),
+        tdir,
+        version=1.0,
+    )
+    # same pinned version stamp: the commit id must decide the winner
+    c2 = S.commit_append(_candles(spark, [("S", t0, 9.0)]), tdir, version=1.0)
+    assert (c1, c2) == (1, 2)
+    got = {
+        (r["symbol"], r["ts"]): r["close"]
+        for r in S.read_committed(spark, tdir, ["symbol", "ts"]).collect()
+    }
+    assert got[("S", t0)] == 9.0
+    assert got[("S", t0 + dt.timedelta(hours=1))] == 2.0
+    assert len(got) == 2
+
+
+def test_commit_append_crash_invisible_and_vacuum(spark, tmp_path):
+    """A writer that staged files but never published a manifest must be
+    invisible to readers; vacuum reclaims exactly that debris."""
+    import os
+
+    tdir = str(tmp_path / "txn")
+    S.commit_append(_candles(spark, [("S", dt.datetime(2024, 1, 1), 1.0)]), tdir, version=1.0)
+    # simulate a crashed writer: stage parquet but skip the manifest
+    orphan = os.path.join(tdir, "_staged", "deadbeef")
+    _candles(spark, [("S", dt.datetime(2024, 1, 2), 666.0)]).withColumn(
+        "__ingest_ts", F.lit(2.0)
+    ).write.parquet(orphan)
+    rows = S.read_committed(spark, tdir, ["symbol", "ts"]).collect()
+    assert [r["close"] for r in rows] == [1.0]  # orphan invisible
+    removed = S.vacuum(tdir)
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
+    # committed data untouched
+    assert S.read_committed(spark, tdir, ["symbol", "ts"]).count() == 1
+
+
+def test_commit_append_id_race_retries(spark, tmp_path, monkeypatch):
+    """If another writer links the target id first, the loser must
+    retry with the next id instead of failing or overwriting."""
+    import os
+
+    tdir = str(tmp_path / "txn")
+    S.commit_append(_candles(spark, [("S", dt.datetime(2024, 1, 1), 1.0)]), tdir, version=1.0)
+
+    real_link = os.link
+    raced = {"n": 0}
+
+    def flaky_link(src, dst):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            # a rival writer wins this id just before us
+            with open(dst, "w") as fh:
+                fh.write('{"staged": "rival", "files": [], "version": null}')
+            raise FileExistsError(dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", flaky_link)
+    cid = S.commit_append(
+        _candles(spark, [("S", dt.datetime(2024, 1, 2), 2.0)]), tdir, version=2.0
+    )
+    assert cid == 3  # id 2 was taken by the rival mid-race
+    assert raced["n"] == 1
+    got = S.read_committed(spark, tdir, ["symbol", "ts"]).count()
+    assert got == 2  # rival's empty manifest contributes no files
