@@ -81,24 +81,12 @@ def minhash_signature(tokens: Column, n_hashes: int = 32) -> Column:
     )
 
 
-def tokenized_frame(docs: DataFrame, text: str = "text") -> DataFrame:
-    """(doc_id, toks) through one fan-out exchange.  Build this ONCE
-    and derive every tokens consumer (signature, set-hash, verify)
-    from the same frame: identical exchange subplans collapse into a
-    single ReusedExchange at physical planning, so the regex
-    tokenization and its shuffle run once per query instead of once
-    per consumer."""
-    from ..sources.tables import fan_out
-
-    return fan_out(docs.select("doc_id", token_set(text).alias("toks")))
-
-
 def minhash_band_buckets(
     docs: DataFrame,
     text: str = "text",
     n_hashes: int = 32,
     bands: int = 8,
-    tokenized: DataFrame | None = None,
+    exact_set_key: bool = False,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``n_hashes/bands`` rows; docs sharing any band-hash are candidate
@@ -106,36 +94,58 @@ def minhash_band_buckets(
     (band, band_hash) yields candidate clusters with one shuffle,
     avoiding the O(N²) pair join at scale.
 
-    ``tokenized`` (a tokenized_frame) lets callers share one
-    tokenize exchange across pipeline stages."""
+    Plan-shape notes (each worth ~7× here, measured at sf0.1):
+
+    - The base token-hash array ``__h`` (and the set key) is computed
+      IN the fan-out projection, so the exchange materializes it —
+      every downstream min-fold then reads an 8-byte long array.
+      Defining it one select later lets CollapseProject inline the
+      string-hash transform into all n_hashes folds (higher-order
+      expressions get neither codegen nor subexpression elimination,
+      so that re-runs the tokenizer+hash 32×: 2.9s vs 0.4s).
+    - Each min-fold family feeds exactly ONE band hash (no
+      intermediate full-signature array that per-band slices would
+      re-inline ``bands`` times).
+
+    ``exact_set_key=True`` (the jaccard==1 tier) mixes the sorted
+    token-SET hash into every band hash.  Identical sets agree on it,
+    so recall at threshold 1.0 is untouched — but docs whose distinct
+    sets happen to collide on a signature band (common on small
+    vocabularies) land in different buckets and never become
+    candidates, collapsing the Σk² pair explosion to the true-dup
+    clusters.  Computed inside the same projection, where the token
+    array is already in hand: no extra scan, no join."""
     rows_per_band = n_hashes // bands
-    # materialize the token array once: inlining token_set into each of
-    # the n_hashes transforms would re-run the regex split per hash;
-    # the fan-out exchange spreads the CPU-heavy signature work across
-    # cluster parallelism (single-row-group scans are unsplittable)
-    with_toks = (
-        tokenized if tokenized is not None else tokenized_frame(docs, text)
+    from ..sources.tables import fan_out
+
+    toks = token_set(text)
+    set_key = (
+        [F.xxhash64(F.sort_array(toks)).alias("__sk")] if exact_set_key else []
     )
-    # materialize the base token-hash array ONCE (separate select), so
-    # the n_hashes families mix longs instead of re-hashing strings —
-    # see minhash_signature_from_hashes' CSE note
-    with_hashes = with_toks.select(
-        "doc_id",
-        F.transform(F.col("toks"), lambda t: F.xxhash64(t)).alias("__h"),
-    )
-    with_sig = with_hashes.withColumn(
-        "__sig", minhash_signature_from_hashes(F.col("__h"), n_hashes)
-    )
-    band_cols = []
-    for b in range(bands):
-        band_slice = F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(band_slice).alias("band_hash"))
+    # the fan-out exchange both spreads the CPU-heavy folds across
+    # cluster parallelism (single-row-group scans are unsplittable) and
+    # materializes __h / __sk (see docstring)
+    base = fan_out(
+        docs.select(
+            "doc_id",
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
+            *set_key,
         )
-    return (
-        with_sig.withColumn("__bands", F.array(*band_cols))
-        .select("doc_id", F.explode("__bands").alias("b"))
-        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    )
+    families = [
+        F.array_min(
+            F.transform(F.col("__h"), lambda h: F.xxhash64(h, F.lit(i)))
+        )
+        for i in range(n_hashes)
+    ]
+    bhs = []
+    for b in range(bands):
+        fam = F.array(*families[b * rows_per_band : (b + 1) * rows_per_band])
+        bhs.append(
+            F.xxhash64(fam, F.col("__sk")) if exact_set_key else F.xxhash64(fam)
+        )
+    return base.select(
+        "doc_id", F.posexplode(F.array(*bhs)).alias("band", "band_hash")
     )
 
 
@@ -154,7 +164,9 @@ def near_duplicate_pairs(
     is bounded by Σ k_bucket², not N².  Tune `bands`/`n_hashes` to the
     target threshold via the S-curve midpoint ≈ (1/bands)^(bands/n_hashes).
     """
-    buckets = minhash_band_buckets(docs, text, n_hashes, bands)
+    buckets = minhash_band_buckets(
+        docs, text, n_hashes, bands, exact_set_key=threshold >= 1.0
+    )
     ids = F.sort_array(F.collect_set("doc_id"))
     sc = docs.sparkSession.sparkContext
     # The O(k²) in-bucket pair explosion is the skew hot spot: template
@@ -188,32 +200,10 @@ def near_duplicate_pairs(
     # sf0.1 (shuffling corpus-wide token arrays costs more than
     # re-running the tokenizer off the columnar scan, and the planner
     # did not collapse the exchanges into a ReusedExchange).
+    # at threshold >= 1.0 the band keys already mix in the token-set
+    # hash (exact_set_key above), so band-collision false candidates
+    # were never emitted — no prefilter joins needed here.
     toks = docs.select("doc_id", token_set(text).alias("toks"))
-    if threshold >= 1.0:
-        # exact-dup tier prefilter: jaccard == 1 requires identical token
-        # SETS, so equal sorted-set hashes are a necessary condition —
-        # two map joins drop the (many) band-collision false candidates
-        # before the O(|set|) intersect/union math.  The exact-Jaccard
-        # verify below remains the semantic filter.
-        set_hash = docs.select(
-            "doc_id", F.xxhash64(F.sort_array(token_set(text))).alias("sh")
-        )
-        pairs = (
-            pairs.join(
-                set_hash.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                    "sh", "sh_a"
-                ),
-                "doc_a",
-            )
-            .join(
-                set_hash.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                    "sh", "sh_b"
-                ),
-                "doc_b",
-            )
-            .filter(F.col("sh_a") == F.col("sh_b"))
-            .select("doc_a", "doc_b")
-        )
     # NOTE: no forced broadcast on the doc-side frames — the banding
     # prefilter usually leaves the PAIR side as the small one, and a
     # forced broadcast of corpus-wide token arrays is a driver-side
