@@ -523,6 +523,87 @@ def open_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_windows",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS symbol, CAST(ts AS TIMESTAMP) AS ts, "value"
+  FROM events
+),
+brk AS (
+  SELECT symbol, ts, "value",
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+ids AS (
+  SELECT symbol, ts, "value",
+         sum(is_new) OVER (PARTITION BY symbol ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM brk
+)
+SELECT symbol,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       round(CAST(epoch_us(max(ts) - min(ts)) AS DOUBLE) / 60000000.0, 6)
+         AS duration_min,
+       count(*) AS n_events,
+       round(min("value"), 6) AS min_value,
+       round(max("value"), 6) AS max_value
+FROM ids
+GROUP BY symbol, sid
+ORDER BY symbol, session_start
+""",
+    doc="ST8 — gap-based SESSION windows via Spark's native "
+    "session_window (dynamic-gap sessionization the reference's fixed "
+    "wall-clock trading sessions, market_filters.py:100-137, cannot "
+    "express): events closer than 30 minutes merge into one session; "
+    "session_window.end is last-event + gap, matching the oracle's "
+    "gaps-and-islands replay (a new island when the gap is >= the "
+    "timeout — Spark merges only OVERLAPPING [ts, ts+gap) windows).  "
+    "Aggregates are deliberately order-insensitive (count / min / max "
+    "/ exact timestamp arithmetic), so the row hash is "
+    "engine-portable.  One shuffle on the symbol key; Spark merges "
+    "sessions inside the aggregation, the streaming analog (watermark "
+    "+ append) is exercised in tests/test_streaming.py.",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    out = (
+        e.groupBy(F.col("event_type").alias("symbol"), sw)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            "symbol",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            # duration from exact INTEGER micros with one double
+            # division — the same operands DuckDB's epoch_us path
+            # divides, so both engines round the same double.
+            # (epoch(interval)/60.0 vs micros/6e7 differ in the last
+            # ulp and flipped a round(,6) digit in the strict sweep.)
+            F.round(
+                (
+                    F.unix_micros(F.col("session_window.end"))
+                    - F.unix_micros(F.col("session_window.start"))
+                    - F.lit(1_800_000_000).cast("long")
+                ).cast("double")
+                / 60000000.0,
+                6,
+            ).alias("duration_min"),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+    return out.orderBy("symbol", "session_start")
+
+
 # ---- market-context features (X-series) ------------------------------------
 
 

@@ -127,6 +127,60 @@ def candle_channel(
     )
 
 
+def session_channel(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST8 — gap-based SESSION windows on the event stream via Spark's
+    native session_window: events closer than ``gap`` merge into one
+    session, and a session closes only when the watermark passes its
+    end (last event + gap), so late arrivals inside the gap still
+    extend it.  State per key is one open session, bounded by the
+    watermark.  The aggregate list mirrors the batch `session_windows`
+    query exactly (count / min / max — order-insensitive), so the
+    availableNow parity test can compare against the batch result."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.session_window("ts", gap),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            "symbol",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def start_session_channel(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_table: str = "sessions_stream_sink",
+    gap: str = "30 minutes",
+):
+    """Wire the session channel end-to-end: events stream -> session
+    windows -> in-memory sink, availableNow semantics (see
+    start_candle_channel)."""
+    sessions = session_channel(read_events_stream(spark, sf_dir), gap=gap)
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def simulated_ticks(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """ST6 — simulated tick source on Spark's rate stream, mirroring the
     reference's fallback tick generator (premium_data_provider.py:

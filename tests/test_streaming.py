@@ -144,3 +144,37 @@ def test_ml_features_channel_runs_in_foreachbatch(spark, sf_dir):
         key = (r["symbol"], r["ts"])
         assert key in batch_map
         assert r["signal"] == batch_map[key], f"stream/batch signal diverged at {key}"
+
+
+def test_session_channel_matches_batch_session_windows(spark, sf_dir):
+    """ST8 parity: the streaming session_window channel over the same
+    events file must reproduce the batch session_windows aggregates on
+    every session it emits (append mode withholds sessions the
+    watermark hasn't closed — each symbol's open tail)."""
+    from streaming_forex_data_pipeline_spark.plans.timeseries import (
+        session_windows,
+    )
+
+    q = CH.start_session_channel(spark, sf_dir, sink_table="session_parity")
+    q.awaitTermination(120)
+
+    got = spark.table("session_parity").toPandas()
+    assert len(got) > 0, "stream emitted no sessions"
+
+    batch = (
+        session_windows(spark, sf_dir)
+        .select(
+            "symbol", "session_start", "session_end",
+            "n_events", "min_value", "max_value",
+        )
+        .toPandas()
+    )
+    keys = ["symbol", "session_start"]
+    merged = got.merge(batch, on=keys, suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "stream emitted a session absent from batch"
+    # all but the watermark-open tail must be emitted
+    assert len(got) >= len(batch) - 3 * batch["symbol"].nunique()
+    assert (merged["session_end_s"] == merged["session_end_b"]).all()
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    for c in ("min_value", "max_value"):
+        assert (merged[f"{c}_s"] - merged[f"{c}_b"]).abs().max() <= 1e-9
