@@ -162,3 +162,116 @@ def embedding_near_dup_candidates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer, deterministic flavor: the ``n_cells``
+    lowest-id vectors ARE the centroids (data-sampled, no iterative
+    fit — a standard IVF-flat bootstrap that keeps assignment pure
+    column algebra, reproducible, and SQL-expressible, unlike a
+    k-means fit whose float-aggregation order can drift between runs).
+    Every vector scores against the broadcast centroid set and joins
+    its argmax-cosine cell (ties broken by lowest centroid id).
+
+    Scale shape: assignment is the textbook IVF N×K scan — one
+    broadcast of K centroid vectors, one fanned-out pass, a map-side
+    max_by per vector (no window, no extra shuffle)."""
+    from ..sources.tables import fan_out
+
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    base = fan_out(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "id",
+        "v",
+        "n",
+        "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias(
+            "ccos"
+        ),
+    )
+    # argmax cell via max(struct): lexicographic (ccos, -cid) max picks
+    # the highest cosine, then the LOWEST centroid id on exact ties —
+    # deterministic on both engines since the dot products are
+    # bit-identical (sequential accumulation, see `dot`)
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"), (-F.col("cid")).alias("ncid"),
+                    F.col("v"), F.col("n"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "id",
+            (-F.col("best.ncid")).alias("cell"),
+            F.col("best.v").alias("v"),
+            F.col("best.n").alias("n"),
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: probe the query's ``nprobe`` nearest
+    cells, exact cosine only within them — the classic inverted-file
+    trade (scores ~nprobe/n_cells of the corpus; recall measured
+    against the exact tier in the differential test).  At scale the
+    assignment is precomputed once (a silver table partitioned by
+    cell) and each query touches nprobe partitions."""
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col)
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    q = query.select(
+        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "qcos"
+            ),
+        )
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    return (
+        assigned.join(F.broadcast(probe), assigned.cell == probe.cid)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("id").alias(id_col),
+            (dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn"))).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -262,6 +262,60 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_topk",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         list_dot_product(n.v, c.cv) / (n.nn * c.cn) AS ccos
+  FROM n, c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                             ORDER BY ccos DESC, c.cid ASC) = 1
+),
+q AS (SELECT v AS qv, nn AS qn FROM n WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid
+  FROM c, q
+  ORDER BY list_dot_product(q.qv, c.cv) / (q.qn * c.cn) DESC, c.cid ASC
+  LIMIT 2
+)
+SELECT n.vec_id,
+       round(list_dot_product(n.v, q.qv) / (n.nn * q.qn), 5) AS cos_sim
+FROM n
+JOIN assign a ON n.vec_id = a.vec_id
+JOIN probe p ON a.cid = p.cid, q
+ORDER BY list_dot_product(n.v, q.qv) / (n.nn * q.qn) DESC, n.vec_id ASC
+LIMIT 10
+""",
+    doc="ANN similarity search — IVF-flat top-k (the inverted-file "
+    "scale path, complementing the sign-bit LSH tier): the 16 "
+    "lowest-id vectors act as deterministic data-sampled centroids "
+    "(no k-means fit, whose float-aggregation order can drift between "
+    "runs), every vector joins its argmax-cosine cell via a map-side "
+    "max_by over the broadcast centroid set, the query probes its 2 "
+    "nearest cells, and exact cosine runs only inside them (~nprobe/"
+    "n_cells of the corpus).  Assignment, probing, and the final "
+    "top-k compare bit-identical doubles on both engines (sequential "
+    "dot-product accumulation), so the approximate result is still "
+    "exactly hash-checkable; recall vs the exact tier is measured in "
+    "tests/test_operators.py.",
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    out = SIM.ivf_topk(e, q, k=10, n_cells=16, nprobe=2)
+    return out.select(
+        "vec_id", F.round("cos_sim", 5).alias("cos_sim")
+    )
+
+
+@register(
     "multimodal_decode",
     oracle=f"""
 SELECT doc_id,

@@ -189,3 +189,32 @@ def test_simhash_band_bits_contract():
     guarantee (top bits in no band)."""
     with pytest.raises(ValueError, match="divisible"):
         DD.simhash_near_dup_pairs(None, bits=32, max_hamming=4)
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    """IVF-flat tier: measure recall@10 against the exact brute-force
+    top-k and assert the probe actually restricts work (candidates <
+    corpus).  The top-1 neighbor of the query is the query itself
+    (cosine 1.0 in its own cell), so recall can never be 0; the floor
+    asserts the inverted file is doing better than chance."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    approx = [r["vec_id"] for r in SIM.ivf_topk(e, q, k=10, n_cells=16, nprobe=2).collect()]
+    exact = [r["vec_id"] for r in SIM.brute_force_topk(e, q, k=10).collect()]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert 0 in approx, "query vector must be its own nearest neighbor"
+    assert recall >= 0.3, f"IVF recall@10 {recall:.2f} below floor"
+    # probing 2/16 cells must scan a strict subset of the corpus
+    assigned = SIM.ivf_assign(e, n_cells=16)
+    n_total = e.count()
+    probed = (
+        assigned.groupBy("cell").count()
+        .orderBy(F.desc("count")).limit(2)
+        .agg(F.sum("count")).collect()[0][0]
+    )
+    assert probed < n_total
+    # determinism across runs (no fitted model, no RNG)
+    again = [r["vec_id"] for r in SIM.ivf_topk(e, q, k=10, n_cells=16, nprobe=2).collect()]
+    assert again == approx
