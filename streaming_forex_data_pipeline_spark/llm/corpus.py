@@ -1,0 +1,228 @@
+"""Corpus-preparation operators for LLM-training-data pipelines.
+
+Beyond per-document text stats (`llm/text.py`) and near-dup removal
+(`llm/dedup.py`), a training-data pipeline needs corpus-level hygiene:
+
+- **repetition signals** (Gopher-style): duplicate-word fraction,
+  most-frequent-word fraction, most-frequent-bigram fraction — the
+  classic "templated / boilerplate document" detectors;
+- **deterministic dataset splits**: content-hash bucketing into
+  train/validation/test that is stable across runs, engines, and
+  cluster sizes (no RNG, no row order dependence);
+- **stratified sampling**: a deterministic per-stratum top-k by
+  portable hash, for building eval slices per language/source;
+- **benchmark decontamination**: word-n-gram overlap of every corpus
+  document against a held-out benchmark set, so test data can be
+  excised from training corpora.
+
+Everything is pure Column algebra (no Python UDFs): one explode +
+shuffled aggregation for the repetition counters, a broadcast-joined
+benchmark n-gram set for decontamination, and narrow projections for
+the split assignment.  All hash arithmetic uses the engine-portable
+md5-hex-prefix trick (`('0x'||substr(md5(x),1,15))::BIGINT` on the
+DuckDB side) so every query here is exactly hash-checkable.
+
+Scale notes (100 TB documents table):
+- repetition stats shuffle on (doc_id, gram) then (doc_id) — both keys
+  are high-cardinality and unskewed by construction;
+- the benchmark n-gram set is small by definition (benchmarks are
+  thousands of documents, not billions) — broadcast it;
+- split assignment is a narrow map stage: zero shuffles, and the
+  bucket is a pure function of doc_id so re-runs on different
+  partitionings agree row-for-row;
+- stratified sampling windows partition by the stratum: strata
+  (languages/sources) are the parallel axis; a single giant stratum
+  degrades to one task per stratum, the same sanctioned shape as the
+  per-symbol indicator kernels (SURVEY §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def words_array(text: str = "text") -> Column:
+    """Lowercased whitespace word array (keeps duplicates — repetition
+    counters need multiplicity, unlike dedup's `token_set`)."""
+    return F.split(F.lower(F.trim(F.col(text))), r"\s+")
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the
+    document has fewer than ``n`` words.  Pure `transform(sequence)`
+    algebra — the DuckDB mirror is
+    ``list_transform(range(1, len(ws)-(n-2)), i -> ws[i]||' '||...)``."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+
+
+def repetition_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Returns (doc_id, n_words, dup_word_frac, top_word_frac,
+    top_bigram_frac):
+
+    - ``dup_word_frac``  = 1 − |distinct words| / |words|
+    - ``top_word_frac``  = occurrences of the modal word / |words|
+    - ``top_bigram_frac``= occurrences of the modal bigram / |bigrams|
+      (0.0 for single-word documents)
+
+    High values flag templated/boilerplate documents that near-dup
+    passes miss because each instance is unique.
+
+    Plan shape: unigrams and bigrams are tagged and exploded in ONE
+    Generate, so the whole operator is a single scan + two shuffled
+    aggregations (by (doc_id, gram-kind, gram), then by doc_id) with
+    map-side partial counts.  The final per-kind pivot is a plain
+    conditional aggregation — no join between separately-built unigram
+    and bigram frames, hence no third shuffle.
+
+    Reference scope note: the reference pipeline has no corpus-hygiene
+    stage; this extends it with the standard quality signals from
+    Rae et al. 2021 (Gopher), §A1.1 repetition filters.
+    """
+    ws = words_array(text)
+    tagged = F.concat(
+        F.transform(
+            ws, lambda w: F.struct(F.lit(0).alias("g"), w.alias("gram"))
+        ),
+        F.transform(
+            word_ngrams(ws, 2),
+            lambda b: F.struct(F.lit(1).alias("g"), b.alias("gram")),
+        ),
+    )
+    ex = docs.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.g").alias("g"), F.col("t.gram").alias("gram")
+    )
+    per_gram = ex.groupBy("doc_id", "g", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_kind = per_gram.groupBy("doc_id", "g").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+    def kind(g: int, col: str) -> Column:
+        return F.max(F.when(F.col("g") == g, F.col(col)))
+
+    return per_kind.groupBy("doc_id").agg(
+        kind(0, "total").alias("n_words"),
+        F.round(
+            F.lit(1.0) - kind(0, "n_distinct").cast("double") / kind(0, "total"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            kind(0, "top_c").cast("double") / kind(0, "total"), 6
+        ).alias("top_word_frac"),
+        F.round(
+            F.coalesce(
+                kind(1, "top_c").cast("double") / kind(1, "total"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+def portable_bucket(key: Column, salt: str, n_buckets: int) -> Column:
+    """Deterministic engine-portable hash bucket in [0, n_buckets):
+    the first 60 bits of md5(salt || key) — DuckDB computes the
+    identical value via ``('0x'||substr(md5(salt||key),1,15))::BIGINT``.
+    Stable across runs, partitionings, and engines; the salt decouples
+    independent uses (split vs sample) so they don't correlate."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % n_buckets
+
+
+def assign_split(
+    docs: DataFrame,
+    key: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by content-hash
+    bucket.  A document's split is a pure function of its key: adding
+    or removing other rows never reshuffles assignments (critical for
+    incremental corpus builds — yesterday's training doc can't silently
+    migrate into today's test set).  Narrow map stage, zero shuffles."""
+    bucket = portable_bucket(F.col(key), "split:", 100)
+    return docs.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "validation")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, strata: str = "lang", k: int = 5, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum sample: the k documents with the
+    smallest portable hash inside each stratum.  Equivalent to uniform
+    sampling without replacement, but reproducible across engines and
+    cluster layouts.  Window partitions by the stratum — strata are the
+    parallel axis (documented degenerate case: one giant stratum =
+    one task, SURVEY §2.13)."""
+    hkey = portable_bucket(F.col(key), "sample:", 1 << 40)
+    w = Window.partitionBy(strata).orderBy(hkey.asc(), F.col(key).asc())
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark_filter: Column,
+    text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: word-``n``-gram overlap of every
+    corpus document against the benchmark subset.
+
+    Returns (doc_id, n_ngrams, n_matched, contamination) for corpus
+    (non-benchmark) documents with at least ``n`` words, where
+    ``contamination`` = |doc's distinct n-grams ∩ benchmark n-grams|
+    / |doc's distinct n-grams|.  Training pipelines drop or flag docs
+    above a threshold before the benchmark leaks into the model.
+
+    Plan shape: per-doc n-gram sets are deduped with `array_distinct`
+    BEFORE the explode (no shuffle spent on distinct), the benchmark
+    n-gram set is aggregated once and broadcast (benchmarks are small
+    by definition), and the per-doc aggregation is the only shuffle on
+    the 100 TB side.
+    """
+    ws = words_array(text)
+    grams = docs.select(
+        "doc_id",
+        benchmark_filter.alias("is_bench"),
+        F.explode(F.array_distinct(word_ngrams(ws, n))).alias("gram"),
+    )
+    bench = (
+        grams.filter(F.col("is_bench"))
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(~F.col("is_bench"))
+    return (
+        corpus.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_matched"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )
