@@ -52,13 +52,22 @@ def word_ngrams(words: Column, n: int) -> Column:
     """Word n-grams as space-joined strings; empty array when the
     document has fewer than ``n`` words.  Pure `transform(sequence)`
     algebra — the DuckDB mirror is
-    ``list_transform(range(1, len(ws)-(n-2)), i -> ws[i]||' '||...)``."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    return F.transform(
+    ``list_transform(range(1, len(ws)-(n-2)), i -> ws[i]||' '||...)``.
+
+    The short-document case must be guarded explicitly: Spark's
+    ``sequence(1, 0)`` yields a DESCENDING ``[1, 0]`` (step defaults to
+    -1 when start > stop), and ``element_at(_, 0)`` is an ANSI error —
+    so a (n-1)-word document would crash, not produce an empty array,
+    without the ``when`` below."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(words, i + j) for j in range(n)]
         ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -10,6 +10,7 @@ The modules are grouped by SURVEY §2 operator family:
 from . import (  # noqa: F401
     advanced_q,
     analysis_q,
+    corpus_q,
     ewm_q,
     llm_q,
     quality_q,

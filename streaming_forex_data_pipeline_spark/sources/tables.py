@@ -88,12 +88,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # JVM default.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong read path: ns → µs truncation, matching DuckDB's
-        # CAST(ts AS TIMESTAMP) over the same file.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanosAsLong read path (TIMESTAMP(NANOS) files): ns → µs
+            # truncation, matching DuckDB's CAST(ts AS TIMESTAMP).
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) files read as
+            # TIMESTAMP_NTZ.  Interpret the wall clock in the pinned
+            # UTC session — same instants, but restores the TIMESTAMP
+            # type every downstream plan expects (NTZ rejects
+            # cast-to-double, unix_micros, session_window extraction).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

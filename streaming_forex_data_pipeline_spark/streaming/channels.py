@@ -80,8 +80,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(f"{sf_dir}/events.parquet", f"{staging}/events.parquet")
         _STREAM_STAGING[key] = staging
     stream = spark.readStream.schema(schema).parquet(staging)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # µs-NTZ files: same UTC-wall-clock normalization as load_table
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
