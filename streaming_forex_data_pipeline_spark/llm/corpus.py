@@ -52,13 +52,16 @@ def word_ngrams(words: Column, n: int) -> Column:
     """Word n-grams as space-joined strings; empty array when the
     document has fewer than ``n`` words.  Pure `transform(sequence)`
     algebra — the DuckDB mirror is
-    ``list_transform(range(1, len(ws)-(n-2)), i -> ws[i]||' '||...)``.
+    ``list_transform(range(1, len(ws)-(n-2)), i -> ws[i]||' '||...)``,
+    where DuckDB's ``range()`` already returns an EMPTY list when
+    stop <= start, so only the Spark side needs the explicit short-
+    document guard below (oracles that iterate a range Spark-side, like
+    the contamination check, instead wrap theirs in ``greatest(...)``).
 
-    The short-document case must be guarded explicitly: Spark's
-    ``sequence(1, 0)`` yields a DESCENDING ``[1, 0]`` (step defaults to
-    -1 when start > stop), and ``element_at(_, 0)`` is an ANSI error —
-    so a (n-1)-word document would crash, not produce an empty array,
-    without the ``when`` below."""
+    Why Spark needs it: ``sequence(1, 0)`` yields a DESCENDING
+    ``[1, 0]`` (step defaults to -1 when start > stop), and
+    ``element_at(_, 0)`` is an ANSI error — so a (n-1)-word document
+    would crash, not produce an empty array, without the ``when``."""
     idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
     grams = F.transform(
         idx,

@@ -908,8 +908,8 @@ def mi_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reference's LassoCV, feature_importance.py:247-314): importance "
     "= |standardized coefficient| on the pooled feature matrix.  "
     "Model output, not SQL-expressible (driver rows-only check); "
-    "fixed-regularization determinism is asserted in "
-    "tests/test_importance.py.",
+    "fixed-regularization determinism plus an exact-output golden "
+    "(tests/goldens/) are asserted in tests/test_importance.py.",
 )
 def lasso_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import importance as IMP
@@ -932,8 +932,9 @@ def lasso_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n_select survive; sklearn ranking convention (selected=1, "
     "last-eliminated=2, ...), score = 1/rank.  Model-driven "
     "elimination path, not SQL-expressible (driver rows-only check); "
-    "fixed-seed determinism and the pinned elimination order are "
-    "asserted in tests/test_importance.py.",
+    "fixed-seed determinism, the pinned elimination order, and an "
+    "exact-output golden (tests/goldens/) are asserted in "
+    "tests/test_importance.py.",
 )
 def rfe_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import importance as IMP
@@ -1064,7 +1065,8 @@ def feature_importance_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RandomForestRegressor featureImportances (JVM MLlib; the "
     "container has no sklearn) on the pooled feature matrix "
     "(feature_importance.py:181-245).  Model output, not "
-    "SQL-expressible (driver rows-only check); invariants tested in "
+    "SQL-expressible (driver rows-only check); invariants plus an "
+    "exact-output golden (tests/goldens/) tested in "
     "tests/test_importance.py.",
 )
 def rf_importance(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -74,15 +74,17 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dataset_split",
     oracle=f"""
-SELECT doc_id,
-       {_HASH_SQL.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}
-         % 100 AS bucket,
-       CASE WHEN {_HASH_SQL.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}
-                 % 100 < 80 THEN 'train'
-            WHEN {_HASH_SQL.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}
-                 % 100 < 90 THEN 'validation'
+WITH b AS (
+  SELECT doc_id,
+         {_HASH_SQL.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}
+           % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
             ELSE 'test' END AS split
-FROM documents
+FROM b
 ORDER BY doc_id
 """,
     doc="Deterministic train/validation/test assignment by content-"

@@ -24,16 +24,16 @@ R = 6  # float rounding for cross-engine hash stability
     "pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)      AS sum_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_disc_price,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                      * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6)   AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)      AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)      AS avg_disc,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 6)      AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 6) AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 6) AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1000000.0, 6)   AS sum_charge,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(*), 6)      AS avg_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*), 6) AS avg_price,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 6)      AS avg_disc,
        count(*)                                                              AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -42,34 +42,40 @@ ORDER BY l_returnflag, l_linestatus
 """,
     doc="A1/A3-family pricing summary (TPC-H Q1 shape) — partial+final "
     "hash agg, filter pushed to parquet scan.  Money columns are exact "
-    "2dp values, so the sums run in DECIMAL on both engines: exact "
-    "integer-scaled arithmetic is aggregation-order-insensitive, "
-    "eliminating the double-sum drift that can flip a round(,6) "
-    "boundary between engines at larger SFs (the backtest_trades r2 "
-    "failure class); averages derive from the same exact sums.",
+    "2dp values, so the sums run as integer cents (bigint): exact "
+    "integer arithmetic is aggregation-order-insensitive like the "
+    "DECIMAL(18,2) variant it replaces — eliminating the double-sum "
+    "drift that can flip a round(,6) boundary between engines at larger "
+    "SFs (the backtest_trades r2 failure class) — but adds JVM longs "
+    "instead of BigDecimals inside codegen.  Products stay exact at "
+    "fixed scale: price(2dp)×(1−disc)(2dp) is 1e-4 units, ×(1+tax) is "
+    "1e-6 units; per-row magnitude ≤ ~2e11, so a partition sum stays "
+    "inside int64 up to ~4e7 rows/partition and the final sum to "
+    "~9e18 total units (≈ TPC-H SF10k for sum_charge) — headroom is "
+    "re-checked, not assumed, if the grid ever scales past that.  "
+    "Averages derive from the same exact sums.",
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    d2 = "decimal(18,2)"
-    qty = F.col("l_quantity").cast(d2)
-    price = F.col("l_extendedprice").cast(d2)
-    disc = F.col("l_discount").cast(d2)
-    tax = F.col("l_tax").cast(d2)
-    disc_price = price * (1 - disc)
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    qty_c = cents("l_quantity")
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    disc_price_c4 = price_c * (F.lit(100) - disc_c)  # 1e-4 dollar units
+    charge_c6 = disc_price_c4 * (F.lit(100) + tax_c)  # 1e-6 dollar units
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty).cast("double"), R).alias("sum_qty"),
-            F.round(F.sum(price).cast("double"), R).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), R).alias("sum_disc_price"),
-            F.round(
-                F.sum(disc_price * (1 + tax)).cast("double"), R
-            ).alias("sum_charge"),
-            F.round(F.sum(qty).cast("double") / n, R).alias("avg_qty"),
-            F.round(F.sum(price).cast("double") / n, R).alias("avg_price"),
-            F.round(F.sum(disc).cast("double") / n, R).alias("avg_disc"),
+            F.round(F.sum(qty_c) / 100.0, R).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, R).alias("sum_base_price"),
+            F.round(F.sum(disc_price_c4) / 10000.0, R).alias("sum_disc_price"),
+            F.round(F.sum(charge_c6) / 1000000.0, R).alias("sum_charge"),
+            F.round(F.sum(qty_c) / 100.0 / n, R).alias("avg_qty"),
+            F.round(F.sum(price_c) / 100.0 / n, R).alias("avg_price"),
+            F.round(F.sum(disc_c) / 100.0 / n, R).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -72,37 +72,55 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(app)
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp to session-aware TIMESTAMP(MICROS).
+
+    The driver-generated events.parquet has shipped with two physical
+    encodings across rounds, and both must read identically:
+
+    - INT64 TIMESTAMP(NANOS): a vanilla session refuses the scan
+      (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+      is set, after which the column arrives as ``bigint`` nanos → truncate
+      to µs, matching DuckDB's CAST(ts AS TIMESTAMP).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      ``timestamp_ntz`` → reinterpret the wall clock in the pinned UTC
+      session.  Same instants, but restores the TIMESTAMP type every
+      downstream plan expects (NTZ rejects cast-to-double, unix_micros,
+      withWatermark, session_window extraction).
+
+    This is THE single normalization point — batch (load_table), streaming
+    (read_events_stream), and test fixtures all route through it so an
+    encoding change can't be handled in one path and missed in another.
+    """
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def pin_portability_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs every reader of the testdata needs.
+
+    nanosAsLong lets a vanilla session scan INT64 TIMESTAMP(NANOS) files;
+    the UTC pin keeps date_trunc/hour()/NTZ-reinterpretation identical to
+    the DuckDB oracles regardless of the caller's JVM default timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch scan (S1/S8 seam). Predicates and projections applied by the
     caller reach the parquet reader via Catalyst pushdown."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     _ship_package(spark)
-    # Portability: the events table stores INT64 TIMESTAMP(NANOS), which a
-    # vanilla SparkSession refuses to scan (PARQUET_TYPE_ILLEGAL).  The conf
-    # is runtime-settable, so set it here instead of relying on the caller's
-    # session builder — any plain SparkSession can then read every table.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # date_trunc/hour() are session-timezone-dependent; the DuckDB oracles
-    # evaluate in UTC, so pin the session rather than trusting the caller's
-    # JVM default.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_portability_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # nanosAsLong read path (TIMESTAMP(NANOS) files): ns → µs
-            # truncation, matching DuckDB's CAST(ts AS TIMESTAMP).
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif ts_type == "timestamp_ntz":
-            # TIMESTAMP(MICROS, isAdjustedToUTC=false) files read as
-            # TIMESTAMP_NTZ.  Interpret the wall clock in the pinned
-            # UTC session — same instants, but restores the TIMESTAMP
-            # type every downstream plan expects (NTZ rejects
-            # cast-to-double, unix_micros, session_window extraction).
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(df)
     return df
 
 
@@ -189,8 +207,17 @@ def fan_out(df: DataFrame) -> DataFrame:
     products, array construction) would run on one core.  At real scale
     multi-file tables already arrive wide and this is a no-op; the
     condition keeps the extra exchange out of every plan that doesn't
-    need it."""
+    need it.
+
+    The probe is ``df.inputFiles()`` — a driver-side FileIndex metadata
+    call — NOT ``df.rdd.getNumPartitions()``, which would force a full
+    plan→RDD physical conversion on every call.  All call sites are
+    narrow transforms over a fresh scan, so leaf-file count equals scan
+    partition count for the unsplittable single-row-group testdata; a
+    table with fewer-than-parallelism huge splittable files may already
+    scan wide and gets one redundant exchange here, which these
+    CPU-heavy call sites tolerate by design."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if len(df.inputFiles()) < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df

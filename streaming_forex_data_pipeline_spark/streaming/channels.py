@@ -63,8 +63,12 @@ CHANNEL_TRIGGERS = {
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 file-source channel: stream the events table as if it were
     arriving (one-file micro-batch in tests via availableNow).  The
-    nanos-timestamp handling mirrors sources.tables.load_table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    timestamp handling is the same normalize_event_ts the batch loader
+    uses, and the same UTC pin — a self-built non-UTC session must not
+    get shifted instants in the streaming path only."""
+    from ..sources.tables import normalize_event_ts, pin_portability_confs
+
+    pin_portability_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file streaming source requires a DIRECTORY; stage a symlink dir
     # pointing at the single table file (testdata is read-only)
@@ -80,13 +84,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(f"{sf_dir}/events.parquet", f"{staging}/events.parquet")
         _STREAM_STAGING[key] = staging
     stream = spark.readStream.schema(schema).parquet(staging)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # µs-NTZ files: same UTC-wall-clock normalization as load_table
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def candle_channel(

@@ -101,3 +101,28 @@ def test_rfe_importance_contract(spark, sf_dir):
             "mom_5",
             "ret_1",
         }
+
+
+def test_importance_goldens_exact(spark, sf_dir):
+    """Exact-output golden check for the 3 oracle-less importance
+    queries (the driver can only rows-check them; this pins the full
+    value surface at round-6 under the fixed seeds and the container's
+    spark.ml version).  Regenerate ONLY for an explained change — see
+    tests/goldens/regen_importance.py."""
+    import json
+    import os
+
+    import __spark_entry__ as E
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", f"importance_{sf}.json"
+    )
+    if not os.path.exists(path):
+        pytest.skip(f"no golden for {sf}")
+    with open(path) as f:
+        golden = json.load(f)
+    qs = E.queries()
+    for name, want in golden.items():
+        got = [list(r) for r in qs[name](spark, sf_dir).collect()]
+        assert got == want, f"{name}: golden mismatch\n got={got}\nwant={want}"

@@ -15,7 +15,11 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from streaming_forex_data_pipeline_spark.sources.tables import candles_from_events
+from streaming_forex_data_pipeline_spark.sources.tables import (
+    candles_from_events,
+    normalize_event_ts,
+    pin_portability_confs,
+)
 from streaming_forex_data_pipeline_spark.streaming import channels as CH
 
 
@@ -57,11 +61,12 @@ def test_streaming_dedup_drops_duplicate_event_ids(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", staging / "a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", staging / "b.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the ONE shared normalization path (handles both the nanos-bigint
+    # and the timestamp_ntz encodings of events.parquet) — the engine
+    # and this fixture must never diverge on it again
+    pin_portability_confs(spark)
     schema = spark.read.parquet(str(staging / "a.parquet")).schema
-    stream = spark.readStream.schema(schema).parquet(str(staging))
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(spark.readStream.schema(schema).parquet(str(staging)))
 
     q = (
         CH.candle_channel(stream)
