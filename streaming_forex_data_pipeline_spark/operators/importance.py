@@ -85,7 +85,15 @@ def importance_scores(candles: DataFrame) -> DataFrame:
         F.abs(F.corr("rx", "ry")).alias("spearman_score"),
         F.corr("x", "y").alias("__r"),
     )
-    r2 = F.col("__r") * F.col("__r")
+    # F is derived from the 6dp-ROUNDED r, not the raw corr: the
+    # 1/(1-r²) amplification (~100×+ here) would otherwise lift
+    # aggregation-order double drift (thread/partition dependent in
+    # either engine) across the output's own round(,6) grid.  round(r)
+    # is drift-immune (r is O(1), drift ~1e-15), and every downstream
+    # value is then a pure per-row function of (rounded r, n) —
+    # bit-identical across engines and runs.  The oracle mirrors this.
+    r6 = F.round("__r", 6)
+    r2 = r6 * r6
     f_stat = F.when(r2 < 1.0, r2 / (1.0 - r2) * (F.col("n") - 2))
     agg = agg.withColumn("f_stat", f_stat).drop("__r")
     out = agg

@@ -808,8 +808,11 @@ agg AS (
          count(*) AS n,
          abs(corr(x, y)) AS pearson_score,
          abs(corr(rx, ry)) AS spearman_score,
-         CASE WHEN corr(x, y) * corr(x, y) < 1.0
-              THEN corr(x, y) * corr(x, y) / (1.0 - corr(x, y) * corr(x, y))
+         -- f_stat from the 6dp-ROUNDED r (mirrors the Spark side):
+         -- kills the 1/(1-r²) amplification of aggregation-order drift
+         CASE WHEN round(corr(x, y), 6) * round(corr(x, y), 6) < 1.0
+              THEN round(corr(x, y), 6) * round(corr(x, y), 6)
+                   / (1.0 - round(corr(x, y), 6) * round(corr(x, y), 6))
                    * (count(*) - 2) END AS f_stat
   FROM ranked
   GROUP BY symbol, feature

@@ -9,8 +9,10 @@ test gate is byte-identical to the driver's correctness gate.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,13 +42,62 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def _evidence_order() -> list[str]:
+    """Iteration order for the registry: least-recently-verified first.
+
+    The external driver samples a fixed-size prefix of this dict every
+    round, so a static order starves the tail of correctness evidence
+    forever (rounds 2-4 re-checked the identical first 50 queries).
+    This orders queries by how much a fresh check would tell us:
+
+      0. no driver record yet, or the latest record is an error /
+         hash mismatch (evidence stale or missing — check first);
+      1. latest record is green, oldest round first (round-robin
+         refresh);
+      2. latest record is ``no_oracle`` (rows-only check by
+         construction; goldens in tests/ carry the real evidence).
+
+    Ties keep registration order.  Reads the driver's own
+    ``CORRECTNESS_r*.json`` drops at the repo root; if none exist (or
+    parsing fails) the order degrades to plain registration order, so
+    this can never break the query surface itself.
+    """
+    reg_idx = {name: i for i, name in enumerate(_REGISTRY)}
+    latest: dict[str, tuple[int, dict]] = {}
+    try:
+        root = Path(__file__).resolve().parents[2]
+        for p in sorted(root.glob("CORRECTNESS_r*.json")):
+            rnd = int("".join(ch for ch in p.stem if ch.isdigit()) or 0)
+            for name, rec in json.loads(p.read_text()).items():
+                if name in reg_idx:
+                    latest[name] = (rnd, rec)
+    except Exception:  # noqa: BLE001 — ordering is best-effort only
+        latest = {}
+
+    def key(name: str) -> tuple[int, int, int]:
+        if name not in latest:
+            return (0, 0, reg_idx[name])
+        rnd, rec = latest[name]
+        if rec.get("err") == "no_oracle":
+            return (2, rnd, reg_idx[name])
+        if rec.get("err") or not rec.get("hash_match"):
+            return (0, 0, reg_idx[name])
+        return (1, rnd, reg_idx[name])
+
+    return sorted(_REGISTRY, key=key)
+
+
 def all_queries() -> dict[str, Query]:
-    return dict(_REGISTRY)
+    return {name: _REGISTRY[name] for name in _evidence_order()}
 
 
 def spark_queries() -> dict[str, SparkBuilder]:
-    return {q.name: q.spark for q in _REGISTRY.values()}
+    return {name: _REGISTRY[name].spark for name in _evidence_order()}
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {q.name: q.oracle for q in _REGISTRY.values() if q.oracle is not None}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _evidence_order()
+        if _REGISTRY[name].oracle is not None
+    }
