@@ -208,6 +208,52 @@ def compact(spark: SparkSession, table_dir: str, keys: list[str]) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+PARTITION_COL = "p_date"
+
+
+def write_partitioned(df: DataFrame, table_dir: str, ts_col: str = "ts") -> None:
+    """S11 scale path: persist date-partitioned in the Hive layout
+    (``p_date=YYYY-MM-DD/`` directories) — the Parquet analogue of the
+    reference's TimescaleDB 1-day hypertable chunks
+    (02-create-tables.sh:30-40).  Buys two things at 100 TB: retention
+    and range deletes become O(partitions-touched) directory operations
+    instead of full-table rewrites, and any reader filtering on the
+    event date gets partition pruning from Catalyst for free."""
+    (
+        df.withColumn(PARTITION_COL, F.to_date(F.col(ts_col)))
+        .write.mode("overwrite")
+        .partitionBy(PARTITION_COL)
+        .parquet(table_dir)
+    )
+
+
+def _partition_dirs(table_dir: str) -> list[tuple]:
+    """(date, path) for each Hive ``p_date=`` partition directory;
+    empty list means the table is unpartitioned."""
+    import datetime
+    import os
+
+    out = []
+    if os.path.isdir(table_dir):
+        for d in os.listdir(table_dir):
+            if d.startswith(PARTITION_COL + "="):
+                day = datetime.date.fromisoformat(d.split("=", 1)[1])
+                out.append((day, os.path.join(table_dir, d)))
+    return sorted(out)
+
+
+def _as_datetime(x):
+    import datetime
+
+    if isinstance(x, str):
+        return datetime.datetime.fromisoformat(x)
+    if isinstance(x, datetime.datetime):
+        return x
+    if isinstance(x, datetime.date):
+        return datetime.datetime.combine(x, datetime.time())
+    raise TypeError(f"unsupported bound type {type(x)!r}")
+
+
 def delete_range(
     spark: SparkSession,
     table_dir: str,
@@ -215,16 +261,57 @@ def delete_range(
     start,
     end,
 ) -> None:
-    """S10 — range delete as overwrite-excluding (repository.py:311-339);
-    on a date-partitioned table this prunes to partition drops."""
+    """S10 — range delete of rows with ``start <= ts <= end``
+    (repository.py:311-339).
+
+    On a ``write_partitioned`` table this is chunk-drop semantics
+    (TimescaleDB drop_chunks): partitions fully inside the range are
+    removed as whole directories, the at-most-two boundary partitions
+    are rewritten alone, and every surviving partition's files are not
+    read, rewritten, or even listed — O(partitions-touched), not
+    O(table).  On an unpartitioned table it falls back to the
+    overwrite-excluding rewrite."""
+    import datetime
     import shutil
 
-    df = spark.read.parquet(table_dir)
-    kept = df.filter(~((F.col(ts_col) >= start) & (F.col(ts_col) <= end)))
-    tmp = table_dir.rstrip("/") + ".del"
-    kept.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
-    shutil.rmtree(tmp, ignore_errors=True)
+    parts = _partition_dirs(table_dir)
+    if not parts:
+        df = spark.read.parquet(table_dir)
+        kept = df.filter(
+            ~((F.col(ts_col) >= start) & (F.col(ts_col) <= end))
+        )
+        tmp = table_dir.rstrip("/") + ".del"
+        kept.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+
+    lo, hi = _as_datetime(start), _as_datetime(end)
+    one_day = datetime.timedelta(days=1)
+    for day, path in parts:
+        p_lo = _as_datetime(day)
+        p_hi_excl = p_lo + one_day
+        if hi < p_lo or lo >= p_hi_excl:
+            continue  # fully surviving: never touched
+        if lo <= p_lo and hi >= p_hi_excl - datetime.timedelta(
+            microseconds=1
+        ):
+            shutil.rmtree(path)  # fully doomed: pure directory drop
+            continue
+        # boundary chunk: rewrite just this partition's rows
+        kept = spark.read.parquet(path).filter(
+            ~((F.col(ts_col) >= start) & (F.col(ts_col) <= end))
+        )
+        tmp = path.rstrip("/") + ".del"
+        kept.write.mode("overwrite").parquet(tmp)
+        # count survivors from the materialized tmp — ``kept`` itself
+        # still lazily references ``path``, which is about to vanish
+        n_left = spark.read.parquet(tmp).limit(1).count()
+        shutil.rmtree(path)
+        if n_left == 0:
+            shutil.rmtree(tmp, ignore_errors=True)  # empty chunk: drop
+        else:
+            shutil.move(tmp, path)
 
 
 def export_json(df: DataFrame, out_dir: str) -> None:
@@ -236,9 +323,20 @@ def apply_retention(
     spark: SparkSession, table_dir: str, ts_col: str, horizon
 ) -> None:
     """S11 — retention policy: drop rows older than ``horizon``
-    (02-create-tables.sh:180-186 auto-drops 30-90-day-old chunks).  On a
-    date-partitioned table this is pure partition drops; here it reuses
-    the range-delete overwrite with an open-ended lower bound."""
+    (02-create-tables.sh:180-186 auto-drops 30-90-day-old chunks).
+
+    On a ``write_partitioned`` table this needs no scan at all — the
+    doomed range is resolved from partition directory names and
+    ``delete_range`` turns it into directory drops (plus at most one
+    boundary-chunk rewrite).  Unpartitioned tables pay one min(ts)
+    scan and the full-table rewrite."""
+    parts = _partition_dirs(table_dir)
+    if parts:
+        if parts[0][0] <= _as_datetime(horizon).date():
+            delete_range(
+                spark, table_dir, ts_col, _as_datetime(parts[0][0]), horizon
+            )
+        return
     df = spark.read.parquet(table_dir)
     lo = df.agg(F.min(ts_col)).collect()[0][0]
     if lo is not None and lo <= horizon:

@@ -58,6 +58,119 @@ def test_range_delete(spark, tmp_path):
     assert left == [0.0, 1.0, 2.0, 7.0, 8.0, 9.0]
 
 
+def _file_identities(root):
+    """(relpath -> (inode, mtime_ns)) for every data file under root —
+    inode+mtime change iff a file was rewritten."""
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_ino, st.st_mtime_ns)
+    return out
+
+
+def test_partitioned_retention_drops_only_old_chunks(spark, tmp_path):
+    """S11 on a date-partitioned table: expired partitions vanish as
+    whole directories and surviving partitions' files are untouched
+    (same inode, same mtime — no rewrite, no re-listing)."""
+    import os
+
+    tdir = str(tmp_path / "part_candles")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("S", t0 + dt.timedelta(days=d, hours=h), float(d * 24 + h))
+        for d in range(5)
+        for h in range(4)
+    ]
+    S.write_partitioned(_candles(spark, rows), tdir)
+    assert len(S._partition_dirs(tdir)) == 5
+
+    before = _file_identities(tdir)
+    surviving = {
+        p: ident
+        for p, ident in before.items()
+        if not (p.startswith("p_date=2024-01-01") or p.startswith("p_date=2024-01-02"))
+    }
+    # horizon at end of Jan 2: days 1-2 expire as whole-directory drops
+    S.apply_retention(
+        spark, tdir, "ts", dt.datetime(2024, 1, 2, 23, 59, 59)
+    )
+    assert not os.path.exists(os.path.join(tdir, "p_date=2024-01-01"))
+    assert not os.path.exists(os.path.join(tdir, "p_date=2024-01-02"))
+    after = _file_identities(tdir)
+    assert after == surviving  # byte-for-byte the same files, untouched
+    left = sorted(r["close"] for r in spark.read.parquet(tdir).collect())
+    assert left == [
+        48.0, 49.0, 50.0, 51.0,
+        72.0, 73.0, 74.0, 75.0,
+        96.0, 97.0, 98.0, 99.0,
+    ]
+
+
+def test_partitioned_delete_range_boundary_chunk_rewrite(spark, tmp_path):
+    """S10 on a date-partitioned table: interior partitions drop as
+    directories, the boundary partition is rewritten alone, everything
+    else keeps its exact files."""
+    import os
+
+    tdir = str(tmp_path / "part_del")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("S", t0 + dt.timedelta(days=d, hours=h), float(d * 24 + h))
+        for d in range(4)
+        for h in range(4)
+    ]
+    S.write_partitioned(_candles(spark, rows), tdir)
+    before = _file_identities(tdir)
+    untouched = {
+        p: ident
+        for p, ident in before.items()
+        if not (p.startswith("p_date=2024-01-02") or p.startswith("p_date=2024-01-03"))
+    }
+    # [Jan 2 00:00, Jan 3 01:00]: Jan 2 fully doomed (directory drop),
+    # Jan 3 is a boundary chunk (rewrite keeps hours 2-3)
+    S.delete_range(
+        spark,
+        tdir,
+        "ts",
+        dt.datetime(2024, 1, 2),
+        dt.datetime(2024, 1, 3, 1, 0, 0),
+    )
+    assert not os.path.exists(os.path.join(tdir, "p_date=2024-01-02"))
+    assert os.path.exists(os.path.join(tdir, "p_date=2024-01-03"))
+    after = _file_identities(tdir)
+    assert {
+        p: i for p, i in after.items() if not p.startswith("p_date=2024-01-03")
+    } == untouched
+    left = sorted(r["close"] for r in spark.read.parquet(tdir).collect())
+    assert left == [0.0, 1.0, 2.0, 3.0, 50.0, 51.0, 72.0, 73.0, 74.0, 75.0]
+
+
+def test_partitioned_delete_range_empties_boundary_chunk(spark, tmp_path):
+    """A boundary chunk whose rows are all deleted disappears instead
+    of lingering as an empty directory."""
+    import os
+
+    tdir = str(tmp_path / "part_empty")
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("S", t0 + dt.timedelta(days=d, hours=h), float(d * 24 + h))
+            for d in range(2) for h in range(4)]
+    S.write_partitioned(_candles(spark, rows), tdir)
+    # covers every row of Jan 2 that exists (hours 0-3) but not the
+    # whole day, so it takes the boundary-rewrite path and empties it
+    S.delete_range(
+        spark, tdir, "ts",
+        dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 2, 3, 0, 0),
+    )
+    assert not os.path.exists(os.path.join(tdir, "p_date=2024-01-02"))
+    left = sorted(r["close"] for r in spark.read.parquet(tdir).collect())
+    assert left == [0.0, 1.0, 2.0, 3.0]
+
+
 def test_export_json(spark, tmp_path):
     out = str(tmp_path / "export")
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
