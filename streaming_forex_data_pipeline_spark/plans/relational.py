@@ -88,30 +88,29 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT count(*)                         AS n_rows,
        round(min(l_extendedprice), 6)   AS min_price,
        round(max(l_extendedprice), 6)   AS max_price,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
              / count(*), 6)             AS avg_price,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_qty,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 6) AS total_qty,
        count(DISTINCT l_orderkey)       AS n_orders
 FROM lineitem
 """,
     doc="A3 — scalar stats in one aggregate pass "
-    "(reference repository.py:234-309).  avg/sum run on exact DECIMAL "
-    "sums (order-insensitive; see pricing_summary).",
+    "(reference repository.py:234-309).  avg/sum run as integer-cents "
+    "bigint sums (exact, aggregation-order-insensitive, long-adds in "
+    "codegen instead of BigDecimal — see pricing_summary for the "
+    "headroom arithmetic).",
 )
 def scalar_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("l_extendedprice"), R).alias("min_price"),
         F.round(F.max("l_extendedprice"), R).alias("max_price"),
         F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
-            R,
+            F.sum(cents("l_extendedprice")) / 100.0 / F.count(F.lit(1)), R
         ).alias("avg_price"),
-        F.round(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), R
-        ).alias("total_qty"),
+        F.round(F.sum(cents("l_quantity")) / 100.0, R).alias("total_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -206,8 +205,8 @@ def range_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
 SELECT n.n_name AS nation,
-       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0, 6) AS revenue,
        count(*) AS n_items
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -218,28 +217,25 @@ ORDER BY n.n_name
 """,
     doc="J1-family 4-way join: fact-fact shuffle join on orderkey, dims "
     "broadcast (customer at SF is mid-size; nation tiny — Catalyst/AQE "
-    "picks broadcast; hinted explicitly for the dims).",
+    "picks broadcast; hinted explicitly for the dims).  Revenue sums as "
+    "integer 1e-4-dollar units (price cents × (100−disc cents)): exact "
+    "and order-insensitive like the DECIMAL variant it replaces, but "
+    "long-adds in codegen (see pricing_summary for headroom).",
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = lambda c_: F.round(F.col(c_) * 100).cast("bigint")  # noqa: E731
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            # DECIMAL revenue sum: exact 2dp money arithmetic is
-            # aggregation-order-insensitive (see pricing_summary)
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (1 - F.col("l_discount").cast("decimal(18,2)"))
-                ).cast("double"),
-                R,
-            ).alias("revenue"),
+            F.round(F.sum(rev_c4) / 10000.0, R).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("nation")

@@ -88,18 +88,26 @@ SELECT event_type,
        count(*) AS n,
        round(min("value"), 6) AS min_value,
        round(max("value"), 6) AS max_value,
-       round(avg("value"), 6) AS avg_value,
-       round(sum("value"), 6) AS sum_value,
+       round(sum(CAST(round("value" * 100) AS BIGINT)) / 100.0 / count(*), 6) AS avg_value,
+       round(sum(CAST(round("value" * 100) AS BIGINT)) / 100.0, 6) AS sum_value,
        CAST(count(*) FILTER (WHERE "value" > 180) AS BIGINT) AS n_high
 FROM events
 GROUP BY 1, 2
 ORDER BY event_type, day
 """,
     doc="A2 — daily stats view with FILTER'd count "
-    "(02-create-tables.sh:217-232); count_if on Spark side.",
+    "(02-create-tables.sh:217-232); count_if on Spark side.  avg/sum "
+    "run as integer-cents sums (value is on the 2dp grid): a group avg "
+    "of doubles is a parallel partial aggregation whose association "
+    "order drifts with partitioning/threading, and this query's true "
+    "avgs sit exactly ON round(,6) half-boundaries (boundary_audit.py "
+    "margin 7e-15) — the f_stat flake class.  Integer sums are exact "
+    "in any order.",
 )
 def daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    n = F.count(F.lit(1))
     return (
         e.groupBy(
             "event_type", F.date_trunc("day", "ts").alias("day")
@@ -108,8 +116,8 @@ def daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             _r(F.min("value"), "min_value"),
             _r(F.max("value"), "max_value"),
-            _r(F.avg("value"), "avg_value"),
-            _r(F.sum("value"), "sum_value"),
+            _r(F.sum(cents) / 100.0 / n, "avg_value"),
+            _r(F.sum(cents) / 100.0, "sum_value"),
             F.count_if(F.col("value") > 180).alias("n_high"),
         )
         .orderBy("event_type", "day")
@@ -770,17 +778,48 @@ SELECT c.symbol, c.ts,
        round(CASE WHEN s.sd <> 0 THEN (c.close - s.mu) / s.sd ELSE 0.0 END, 6)
          AS close_normalized
 FROM candles c
-JOIN (SELECT symbol, avg(close) AS mu, stddev_pop(close) AS sd FROM candles GROUP BY symbol) s
+JOIN (SELECT symbol,
+             (CAST(s1 AS DOUBLE) / n) / 100.0 AS mu,
+             sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / (100.0 * n) AS sd
+      FROM (SELECT symbol, count(*) AS n,
+                   sum(CAST(round(close * 100) AS BIGINT)) AS s1,
+                   sum(CAST(round(close * 100) AS BIGINT)
+                       * CAST(round(close * 100) AS BIGINT)) AS s2
+            FROM candles GROUP BY symbol) t) s
   ON c.symbol = s.symbol
 ORDER BY c.symbol, c.ts
 """,
     doc="N2/N4 — z-score with POPULATION std (ddof=0 like the reference "
-    "np.std, normalizer.py:150-160 — not Spark's default sample stddev).",
+    "np.std, normalizer.py:150-160 — not Spark's default sample "
+    "stddev).  mu and sd derive from exact integer-cents sums "
+    "(sd_pop = sqrt(n·Σc² − (Σc)²)/(100·n)): a whole-symbol avg/std is "
+    "a parallel partial aggregation whose double association order "
+    "drifts with partitioning, and z-scores land within 4e-11 of "
+    "round(,6) boundaries here (boundary_audit.py) — integer sums make "
+    "both engines' pre-round doubles bit-identical in any order.  "
+    "Spark sums the squares in DECIMAL(38,0) for headroom past the "
+    "int64 ~SF100 ceiling (DuckDB auto-promotes to HUGEINT).",
 )
 def normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
-    stats = c.groupBy("symbol").agg(
-        F.avg("close").alias("mu"), F.stddev_pop("close").alias("sd")
+    cents = F.round(F.col("close") * 100).cast("bigint")
+    sums = c.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("s2"),
+    )
+    stats = sums.select(
+        "symbol",
+        ((F.col("s1").cast("double") / F.col("n")) / 100.0).alias("mu"),
+        (
+            F.sqrt(
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("s2")
+                    - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+                ).cast("double")
+            )
+            / (100.0 * F.col("n"))
+        ).alias("sd"),
     )
     return (
         c.join(F.broadcast(stats), "symbol")
@@ -1241,7 +1280,7 @@ def asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT e.event_type AS symbol,
        CAST(date_trunc('day', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
        count(*) AS n_events,
-       round(avg(e."value"), 6) AS avg_value
+       round(sum(CAST(round(e."value" * 100) AS BIGINT)) / 100.0 / count(*), 6) AS avg_value
 FROM events e
 WHERE CAST(e.ts AS TIMESTAMP) >= date_trunc('day', CAST(e.ts AS TIMESTAMP)) + INTERVAL 7 HOURS
   AND CAST(e.ts AS TIMESTAMP) <  date_trunc('day', CAST(e.ts AS TIMESTAMP)) + INTERVAL 17 HOURS
@@ -1270,7 +1309,14 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _r(F.avg("value"), "avg_value"),
+            # integer-cents avg: exact under any partial-agg order
+            # (see daily_stats — same boundary-sitting avg values)
+            _r(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / 100.0
+                / F.count(F.lit(1)),
+                "avg_value",
+            ),
         )
         .orderBy("symbol", "day")
     )
