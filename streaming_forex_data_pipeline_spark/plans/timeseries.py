@@ -1154,7 +1154,9 @@ def normalize_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT symbol,
        date_trunc('day', ts) AS day,
-       round(sum(close * volume) / sum(volume), 6) AS vwap,
+       round((CAST(sum(CAST(round(close * 100) AS BIGINT)
+                   * CAST(round(volume * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+             / sum(CAST(round(volume * 100) AS BIGINT)), 6) AS vwap,
        CAST(sum(n_events) AS BIGINT) AS transactions
 FROM candles
 GROUP BY 1, 2
@@ -1163,14 +1165,22 @@ ORDER BY symbol, day
     doc="S5 — VWAP + transaction-count columns of the Polygon aggregates "
     "source (polygon_client.py:119-120): vwap = sum(price*vol)/sum(vol) "
     "re-expressed as a per-symbol/day aggregate over candles; one shuffle "
-    "with map-side partial agg.",
+    "with map-side partial agg.  Both factors sit on the 2dp grid, so "
+    "the sums run as exact integer 1e-4 units — vwap came within 4e-10 "
+    "of a round(,6) boundary at sf0.1 (boundary_audit.py) and a "
+    "parallel-partial double sum could drift across it.",
 )
 def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
+    pc = F.round(F.col("close") * 100).cast("bigint")
+    vc = F.round(F.col("volume") * 100).cast("bigint")
     return (
         c.groupBy("symbol", F.date_trunc("day", "ts").alias("day"))
         .agg(
-            _r(F.sum(F.col("close") * F.col("volume")) / F.sum("volume"), "vwap"),
+            _r(
+                (F.sum(pc * vc).cast("double") / 100.0) / F.sum(vc),
+                "vwap",
+            ),
             F.sum("n_events").alias("transactions"),
         )
         .orderBy("symbol", "day")
@@ -1187,18 +1197,21 @@ SELECT symbol,
        max(ts) AS last_ts,
        round(min(close), 6) AS min_close,
        round(max(close), 6) AS max_close,
-       round(avg(close), 6) AS avg_close,
-       round(sum(volume), 6) AS total_volume
+       round(sum(CAST(round(close * 100) AS BIGINT)) / 100.0 / count(*), 6) AS avg_close,
+       round(sum(CAST(round(volume * 100) AS BIGINT)) / 100.0, 6) AS total_volume
 FROM candles
 GROUP BY symbol
 ORDER BY symbol
 """,
     doc="A5 — whole-symbol summary stats: count, first/last timestamp, "
     "close min/max/avg, total volume (repository.py:506-538).  One "
-    "aggregation with map-side partial combine.",
+    "aggregation with map-side partial combine; avg/sum as exact "
+    "integer-cents (grid inputs, whole-symbol parallel partials — see "
+    "daily_stats).",
 )
 def symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
+    cents = lambda col: F.round(F.col(col) * 100).cast("bigint")  # noqa: E731
     return (
         c.groupBy("symbol")
         .agg(
@@ -1207,8 +1220,8 @@ def symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
             _r(F.min("close"), "min_close"),
             _r(F.max("close"), "max_close"),
-            _r(F.avg("close"), "avg_close"),
-            _r(F.sum("volume"), "total_volume"),
+            _r(F.sum(cents("close")) / 100.0 / F.count(F.lit(1)), "avg_close"),
+            _r(F.sum(cents("volume")) / 100.0, "total_volume"),
         )
         .orderBy("symbol")
     )

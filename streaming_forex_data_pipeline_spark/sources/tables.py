@@ -216,8 +216,13 @@ def fan_out(df: DataFrame) -> DataFrame:
     partition count for the unsplittable single-row-group testdata; a
     table with fewer-than-parallelism huge splittable files may already
     scan wide and gets one redundant exchange here, which these
-    CPU-heavy call sites tolerate by design."""
+    CPU-heavy call sites tolerate by design.  A non-file-backed plan
+    (createDataFrame, cached/derived) reports zero input files; those
+    fall back to the RDD partition-count probe — paying the plan
+    conversion only on that edge — instead of repartitioning
+    unconditionally."""
     sc = df.sparkSession.sparkContext
-    if len(df.inputFiles()) < sc.defaultParallelism:
+    n_parts = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    if n_parts < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df

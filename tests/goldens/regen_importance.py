@@ -33,7 +33,16 @@ def main() -> None:
     import __spark_entry__ as E
     from streaming_forex_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("golden-regen")
+    # the RF/RFE outputs depend on data partitioning (per-partition
+    # bagging seeds), so the goldens are only meaningful under a PINNED
+    # session shape — local[4], 4 shuffle partitions, regardless of any
+    # SPARK_GRAFT_CPUS override in the environment
+    spark = get_spark("golden-regen", cpus=4)
+    master = spark.sparkContext.master
+    assert master == "local[4]", (
+        f"golden regen needs a fresh local[4] session, got {master} "
+        "(an earlier getOrCreate in this process pinned another master?)"
+    )
     qs = E.queries()
     out_dir = os.path.dirname(os.path.abspath(__file__))
     for sf in SCALES:

@@ -114,6 +114,17 @@ def test_importance_goldens_exact(spark, sf_dir):
 
     import __spark_entry__ as E
 
+    # goldens are pinned to the regen script's session shape: RF/RFE
+    # importances shift with data partitioning (per-partition bagging
+    # seeds), so under a SPARK_GRAFT_CPUS override the exact values
+    # legitimately differ — skip rather than fail spuriously
+    master = spark.sparkContext.master
+    if master != "local[4]":
+        pytest.skip(
+            f"importance goldens are pinned under local[4]; session is "
+            f"{master} (unset SPARK_GRAFT_CPUS or set it to 4)"
+        )
+
     sf = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(
         os.path.dirname(__file__), "goldens", f"importance_{sf}.json"
