@@ -190,6 +190,28 @@ def rolling_corr(x: Column, y: Column, window: int, guard_extra: int = 0) -> Col
     return F.when((_rn() >= window + guard_extra) & (den != 0), num / den)
 
 
+def rolling_corr_exact(xc: Column, yc: Column, window: int) -> Column:
+    """W26 for 2dp-grid column pairs: the same closed form as
+    rolling_corr but over INTEGER cent values, so every power sum is
+    exact under any frame-evaluation order (Pearson r is
+    scale-invariant — cents cancel).  num and the two variance terms
+    each fit int64 for fixed frames (≤ ~1e12 at c ≤ 5e4, n = 20) and
+    cast to double exactly (< 2^53); the guard compares the integer
+    variance terms directly (A>0 AND B>0 ≡ A·B>0 by Cauchy-Schwarz,
+    and the int64 product would overflow).  boundary_audit.py caught
+    the float version within 9e-12 of a round(,6) boundary."""
+    fr = _frame(window)
+    n = F.lit(window)
+    sx, sy = F.sum(xc).over(fr), F.sum(yc).over(fr)
+    sxx, syy = F.sum(xc * xc).over(fr), F.sum(yc * yc).over(fr)
+    sxy = F.sum(xc * yc).over(fr)
+    a = n * sxx - sx * sx
+    b = n * syy - sy * sy
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt(a.cast("double") * b.cast("double"))
+    return F.when((_rn() >= window) & (a > 0) & (b > 0), num / den)
+
+
 def aroon(period: int = 25) -> tuple[Column, Column]:
     """W19 — aroon_up/down = 100·idx/period where idx is the 1-based
     position of the first rolling max/min inside the trailing frame

@@ -80,10 +80,42 @@ def momentum(col: str, n: int) -> Column:
     return F.when(prev != 0, (F.col(col) / prev - 1.0) * 100.0)
 
 
+def cents(col: str) -> Column:
+    """Exact integer 1e-2 units of a 2dp-grid column (close/open/high/
+    low/volume in this engine's candle model all come off the events
+    2dp value grid).  round() recovers the exact integer from the
+    double's ≤1e-12 representation error."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def sma_exact(col: str, n: int) -> Column:
+    """W1 on a 2dp-grid column via integer-cents frame sums: the sum is
+    exact under ANY frame-evaluation/association order, so the result
+    is bit-identical across engines and window implementations —
+    unlike a double avg, whose association order is an engine-internal
+    choice (boundary_audit.py found band values within 5e-11 of
+    round(,6) boundaries)."""
+    return _min_periods(n, F.sum(cents(col)).over(w_rows(n)).cast("double") / (100.0 * n))
+
+
+def rolling_std_exact(col: str, n: int) -> Column:
+    """Sample stddev (pandas ddof=1) on a 2dp-grid column from exact
+    integer power sums: sd = sqrt((n·Σc² − (Σc)²)/(n(n−1)))/100.
+    n·Σc² − (Σc)² is exact in int64 for any fixed frame (c ≤ ~5e4
+    cents, n ≤ ~1e3) and ≥ 0 by Cauchy-Schwarz."""
+    s1 = F.sum(cents(col)).over(w_rows(n))
+    s2 = F.sum(cents(col) * cents(col)).over(w_rows(n))
+    var_int = F.lit(n) * s2 - s1 * s1
+    return _min_periods(
+        n, F.sqrt(var_int.cast("double") / float(n * (n - 1))) / 100.0
+    )
+
+
 def bollinger(n: int = 20, k: float = 2.0) -> dict[str, Column]:
-    """W5 — Bollinger bands (feature_engineer.py:163-187)."""
-    mid = sma("close", n)
-    sd = rolling_std("close", n)
+    """W5 — Bollinger bands (feature_engineer.py:163-187); mid/sd from
+    exact integer-cents sums (close is grid-valued — see sma_exact)."""
+    mid = sma_exact("close", n)
+    sd = rolling_std_exact("close", n)
     upper = mid + k * sd
     lower = mid - k * sd
     width = F.when(mid != 0, (upper - lower) / mid)

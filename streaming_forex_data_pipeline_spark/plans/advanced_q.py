@@ -241,6 +241,10 @@ def rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
 , base AS (
   SELECT symbol, ts, open, high, low, close,
+         CAST(round(high * 100) AS BIGINT) AS hc,
+         CAST(round(low * 100) AS BIGINT) AS lc,
+         CAST(round(open * 100) AS BIGINT) AS oc,
+         CAST(round(close * 100) AS BIGINT) AS cc,
          CASE WHEN lag(close) OVER ({_W}) <> 0
               THEN (close - lag(close) OVER ({_W})) / lag(close) OVER ({_W}) END AS ret_c,
          CASE WHEN lag(high) OVER ({_W}) <> 0
@@ -250,23 +254,25 @@ def rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 ),
 s AS (
   SELECT symbol, ts, rn,
-         sum(high) OVER ({_fr(20)}) AS sx1, sum(low) OVER ({_fr(20)}) AS sy1,
-         sum(high*high) OVER ({_fr(20)}) AS sxx1, sum(low*low) OVER ({_fr(20)}) AS syy1,
-         sum(high*low) OVER ({_fr(20)}) AS sxy1,
-         sum(open) OVER ({_fr(20)}) AS sx2, sum(close) OVER ({_fr(20)}) AS sy2,
-         sum(open*open) OVER ({_fr(20)}) AS sxx2, sum(close*close) OVER ({_fr(20)}) AS syy2,
-         sum(open*close) OVER ({_fr(20)}) AS sxy2,
+         sum(hc) OVER ({_fr(20)}) AS sx1, sum(lc) OVER ({_fr(20)}) AS sy1,
+         sum(hc*hc) OVER ({_fr(20)}) AS sxx1, sum(lc*lc) OVER ({_fr(20)}) AS syy1,
+         sum(hc*lc) OVER ({_fr(20)}) AS sxy1,
+         sum(oc) OVER ({_fr(20)}) AS sx2, sum(cc) OVER ({_fr(20)}) AS sy2,
+         sum(oc*oc) OVER ({_fr(20)}) AS sxx2, sum(cc*cc) OVER ({_fr(20)}) AS syy2,
+         sum(oc*cc) OVER ({_fr(20)}) AS sxy2,
          sum(ret_c) OVER ({_fr(20)}) AS sx3, sum(ret_h) OVER ({_fr(20)}) AS sy3,
          sum(ret_c*ret_c) OVER ({_fr(20)}) AS sxx3, sum(ret_h*ret_h) OVER ({_fr(20)}) AS syy3,
          sum(ret_c*ret_h) OVER ({_fr(20)}) AS sxy3
   FROM base
 )
 SELECT symbol, ts,
-       round(CASE WHEN rn >= 20 AND (20*sxx1 - sx1*sx1) * (20*syy1 - sy1*sy1) > 0
-             THEN (20*sxy1 - sx1*sy1) / sqrt((20*sxx1 - sx1*sx1) * (20*syy1 - sy1*sy1))
+       round(CASE WHEN rn >= 20 AND 20*sxx1 - sx1*sx1 > 0 AND 20*syy1 - sy1*sy1 > 0
+             THEN CAST(20*sxy1 - sx1*sy1 AS DOUBLE)
+                  / sqrt(CAST(20*sxx1 - sx1*sx1 AS DOUBLE) * CAST(20*syy1 - sy1*sy1 AS DOUBLE))
              END, 6) AS high_low_corr,
-       round(CASE WHEN rn >= 20 AND (20*sxx2 - sx2*sx2) * (20*syy2 - sy2*sy2) > 0
-             THEN (20*sxy2 - sx2*sy2) / sqrt((20*sxx2 - sx2*sx2) * (20*syy2 - sy2*sy2))
+       round(CASE WHEN rn >= 20 AND 20*sxx2 - sx2*sx2 > 0 AND 20*syy2 - sy2*sy2 > 0
+             THEN CAST(20*sxy2 - sx2*sy2 AS DOUBLE)
+                  / sqrt(CAST(20*sxx2 - sx2*sx2 AS DOUBLE) * CAST(20*syy2 - sy2*sy2 AS DOUBLE))
              END, 6) AS open_close_corr,
        round(CASE WHEN rn >= 21 AND (20*sxx3 - sx3*sx3) * (20*syy3 - sy3*sy3) > 0
              THEN (20*sxy3 - sx3*sy3) / sqrt((20*sxx3 - sx3*sx3) * (20*syy3 - sy3*sy3))
@@ -277,7 +283,10 @@ ORDER BY symbol, ts
     doc="W26 — rolling Pearson correlations (high~low, open~close, "
     "returns~high-returns) from component sums — the identical closed "
     "form pandas rolling .corr evaluates "
-    "(advanced_feature_engineer.py:314-332).",
+    "(advanced_feature_engineer.py:314-332).  The two grid-valued "
+    "pairs run on exact integer-cents sums (rolling_corr_exact — "
+    "Pearson r is scale-invariant, so cents cancel); the returns pair "
+    "is float by nature and stays on the float closed form.",
 )
 def rolling_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
@@ -286,13 +295,14 @@ def rolling_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_h = F.lag("high").over(w)
     ret_c = F.when(prev_c != 0, (F.col("close") - prev_c) / prev_c)
     ret_h = F.when(prev_h != 0, (F.col("high") - prev_h) / prev_h)
+    cents = lambda col: F.round(F.col(col) * 100).cast("bigint")  # noqa: E731
     return c.select(
         "symbol",
         "ts",
-        F.round(A.rolling_corr(F.col("high"), F.col("low"), 20), R).alias(
+        F.round(A.rolling_corr_exact(cents("high"), cents("low"), 20), R).alias(
             "high_low_corr"
         ),
-        F.round(A.rolling_corr(F.col("open"), F.col("close"), 20), R).alias(
+        F.round(A.rolling_corr_exact(cents("open"), cents("close"), 20), R).alias(
             "open_close_corr"
         ),
         F.round(A.rolling_corr(ret_c, ret_h, 20, guard_extra=1), R).alias(

@@ -22,33 +22,36 @@ _W = "PARTITION BY symbol ORDER BY ts"
 _ML_CTE = f"""
 , d AS (
   SELECT symbol, ts, close, volume,
-         close - lag(close) OVER ({_W}) AS diff,
+         CAST(round(close * 100) AS BIGINT) AS pc,
+         CAST(round(volume * 100) AS BIGINT) AS vc,
+         CAST(round(close * 100) AS BIGINT)
+           - lag(CAST(round(close * 100) AS BIGINT)) OVER ({_W}) AS diffc,
          row_number() OVER ({_W}) AS rn
   FROM candles
 ),
 gl AS (
-  SELECT symbol, ts, close, volume, rn,
-         CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
-         CASE WHEN diff IS NOT NULL AND diff <= 0 THEN abs(diff) ELSE 0.0 END AS loss
+  SELECT symbol, ts, close, volume, rn, pc, vc,
+         CASE WHEN diffc > 0 THEN diffc ELSE 0 END AS gain,
+         CASE WHEN diffc IS NOT NULL AND diffc <= 0 THEN abs(diffc) ELSE 0 END AS loss
   FROM d
 ),
 f AS (
   SELECT symbol, ts, rn,
          close AS current_price,
-         avg(close) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)  AS sma_5,
-         avg(close) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)  AS sma_10,
-         avg(close) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma_20,
-         sum(gain) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) / 14.0 AS ag,
-         sum(loss) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) / 14.0 AS al,
+         CAST(sum(pc) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) / 500.0   AS sma_5,
+         CAST(sum(pc) OVER ({_W} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000.0  AS sma_10,
+         CAST(sum(pc) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE) / 2000.0 AS sma_20,
+         sum(gain) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sg,
+         sum(loss) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sl,
          volume,
-         avg(volume) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS avg_vol,
+         CAST(sum(vc) OVER ({_W} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS DOUBLE) / 2000.0 AS avg_vol,
          max(close) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
            - min(close) OVER ({_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS range_5
   FROM gl
 ),
 ml AS (
   SELECT symbol, ts, current_price, sma_5, sma_10, sma_20,
-         CASE WHEN al <> 0 THEN 100.0 * ag / (ag + al) ELSE 0.0 END AS rsi_14,
+         CASE WHEN sl <> 0 THEN 100.0 * sg / (sg + sl) ELSE 0.0 END AS rsi_14,
          CASE WHEN avg_vol > 0 THEN volume / avg_vol ELSE 1.0 END AS volume_ratio,
          (current_price - sma_20) / sma_20 AS price_dev_sma20,
          range_5
@@ -56,6 +59,9 @@ ml AS (
   WHERE rn >= 20
 )
 """
+# ^ SMAs/RSI from exact integer-cents sums (close/volume are 2dp-grid;
+#   the RSI /14 normalizers cancel into a pure integer ratio) — mirrors
+#   streaming.features.ml_features; see boundary_audit.py dispositions.
 
 
 @register(

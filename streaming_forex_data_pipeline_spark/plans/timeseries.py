@@ -232,14 +232,19 @@ SELECT symbol, ts, close,
        round(CASE WHEN mid <> 0 THEN 4 * sd / mid END, 6) AS bb_width
 FROM (
   SELECT symbol, ts, close,
-         {_guard(20, f'avg(close) OVER ({_frame(20)})')} AS mid,
-         {_guard(20, f'stddev_samp(close) OVER ({_frame(20)})')} AS sd
+         {_guard(20, f'CAST(sum(CAST(round(close * 100) AS BIGINT)) OVER ({_frame(20)}) AS DOUBLE) / 2000.0')} AS mid,
+         {_guard(20, f'''sqrt(CAST(20 * sum(CAST(round(close * 100) AS BIGINT) * CAST(round(close * 100) AS BIGINT)) OVER ({_frame(20)})
+                    - sum(CAST(round(close * 100) AS BIGINT)) OVER ({_frame(20)})
+                      * sum(CAST(round(close * 100) AS BIGINT)) OVER ({_frame(20)}) AS DOUBLE) / 380.0) / 100.0''')} AS sd
   FROM candles
 ) t
 ORDER BY symbol, ts
 """,
     doc="W5 — Bollinger(20, 2σ), sample stddev like pandas default "
-    "(feature_engineer.py:163-187).",
+    "(feature_engineer.py:163-187).  mid/sd from exact integer-cents "
+    "frame sums (operators/indicators.py sma_exact/rolling_std_exact): "
+    "band values sat within 5e-11 of round(,6) boundaries "
+    "(boundary_audit.py) and integer sums are association-order-proof.",
 )
 def bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
@@ -1065,20 +1070,22 @@ def volatility_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
 SELECT symbol, ts,
        round(CASE WHEN row_number() OVER ({_W_ORD}) >= 20
-             THEN avg(volume) OVER ({_frame(20)}) END, 6) AS volume_sma_20,
+             THEN CAST(sum(CAST(round(volume * 100) AS BIGINT)) OVER ({_frame(20)}) AS DOUBLE) / 2000.0 END, 6) AS volume_sma_20,
        round(coalesce(
          volume / (CASE WHEN row_number() OVER ({_W_ORD}) >= 20
-                   THEN avg(volume) OVER ({_frame(20)}) END), 1.0), 6)
+                   THEN CAST(sum(CAST(round(volume * 100) AS BIGINT)) OVER ({_frame(20)}) AS DOUBLE) / 2000.0 END), 1.0), 6)
          AS volume_ratio
 FROM candles
 ORDER BY symbol, ts
 """,
     doc="W7 — volume SMA(20) + volume/sma ratio with warm-up "
-    "coalesced to 1.0 (feature_engineer.py:206-219 fillna(1.0)).",
+    "coalesced to 1.0 (feature_engineer.py:206-219 fillna(1.0)).  SMA "
+    "from exact integer-cents sums (volume_ratio sat 8e-12 from a "
+    "round(,6) boundary — boundary_audit.py).",
 )
 def volume_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
-    sma_v = I.sma("volume", 20)
+    sma_v = I.sma_exact("volume", 20)
     return c.select(
         "symbol",
         "ts",

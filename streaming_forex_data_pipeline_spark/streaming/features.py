@@ -40,20 +40,39 @@ def ml_features(candles: DataFrame) -> DataFrame:
     rn = F.row_number().over(w)
     price = F.col("close")
 
-    def tavg(col: Column | str, n: int) -> Column:
-        return F.avg(col).over(w.rowsBetween(-(n - 1), 0))
+    # all window sums run on exact integer cents (close/volume are
+    # 2dp-grid): frame sums of integers are association-order-proof,
+    # so SMAs/RSI — and every band comparison derived from them — are
+    # bit-identical across engines and window implementations
+    # (boundary_audit.py caught the float versions within 8e-12 of
+    # round(,6) boundaries)
+    pc = F.round(price * 100).cast("bigint")
+    vc = F.round(F.col("volume") * 100).cast("bigint")
 
-    diff = price - F.lag("close").over(w)
-    gain = F.when(diff > 0, diff).otherwise(0.0)
-    loss = F.when(diff <= 0, F.abs(F.coalesce(diff, F.lit(0.0)))).otherwise(0.0)
-    avg_gain = F.sum(gain).over(w.rowsBetween(-13, 0)) / 14.0
-    avg_loss = F.sum(loss).over(w.rowsBetween(-13, 0)) / 14.0
-    rsi = F.when(avg_loss != 0, 100.0 * avg_gain / (avg_gain + avg_loss)).otherwise(
+    def tavg_cents(c: Column, n: int) -> Column:
+        return F.sum(c).over(w.rowsBetween(-(n - 1), 0)).cast("double") / (
+            100.0 * n
+        )
+
+    diffc = pc - F.lag(pc).over(w)
+    gain = F.when(diffc > 0, diffc).otherwise(F.lit(0))
+    loss = F.when(diffc <= 0, F.abs(F.coalesce(diffc, F.lit(0)))).otherwise(
+        F.lit(0)
+    )
+    sg = F.sum(gain).over(w.rowsBetween(-13, 0))
+    sl = F.sum(loss).over(w.rowsBetween(-13, 0))
+    # == 100·avg_gain/(avg_gain+avg_loss): the /14 normalizers cancel,
+    # leaving a pure integer-ratio — exact numerator and denominator
+    rsi = F.when(sl != 0, 100.0 * sg / (sg + sl)).otherwise(
         0.0  # rs = 0 branch: no losses -> rsi 0, reference quirk
     )
 
-    sma_5, sma_10, sma_20 = tavg(price, 5), tavg(price, 10), tavg(price, 20)
-    avg_volume = tavg("volume", 20)
+    sma_5, sma_10, sma_20 = (
+        tavg_cents(pc, 5),
+        tavg_cents(pc, 10),
+        tavg_cents(pc, 20),
+    )
+    avg_volume = tavg_cents(vc, 20)
     volume_ratio = F.when(avg_volume > 0, F.col("volume") / avg_volume).otherwise(
         1.0
     )
