@@ -262,9 +262,50 @@ def simhash_from_hashes(hashed: Column, bits: int = 32) -> Column:
 
 def simhash(tokens: Column, bits: int = 32) -> Column:
     """SimHash fingerprint of a token array; near-identical token sets
-    get small Hamming distance.  Convenience form — hot paths go
-    through simhash_from_hashes with a materialized hash column."""
+    get small Hamming distance.  Convenience column form — hot paths go
+    through simhash_table (exploded codegen aggregation)."""
     return simhash_from_hashes(F.transform(tokens, portable_token_hash), bits)
+
+
+def simhash_table(
+    docs: DataFrame,
+    text: str = "text",
+    bits: int = 32,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """(doc_id, sh) SimHash signatures as one whole-stage-codegen
+    aggregation: explode the token set to per-token rows, hash each row
+    (codegen'd — higher-order lambdas are interpreted, so even md5 ran
+    in the interpreter in the column form), then per doc compute the 32
+    bit-majorities as conditional sums in ONE grouped aggregate.
+
+    sign(Σ ±1 over bit b) >= 0  ⟺  2·popcount_b >= n — pure integer
+    logic, so the signatures are bit-identical to simhash_from_hashes
+    (ties keep the fold's +1 convention, incl. the empty-doc case:
+    n = 0 sets every bit).  Replaces 32 interpreted array folds with
+    map-side partial aggs + a ~#docs-row shuffle.  On the ~23-token
+    driver docs the signature stage is a wash (~0.45 s either way at
+    sf0.1 — the registered query's cost is pair expansion, not
+    hashing); the win is structural: interpreted-fold cost is
+    O(32·tokens/doc) per doc and would dominate on realistic
+    100-1000-token documents, while this shape stays codegen whatever
+    the document length."""
+    hash_fn = fast_token_hash if fast_hash else portable_token_hash
+    tok = docs.select("doc_id", F.explode_outer(token_set(text)).alias("t"))
+    h = tok.select("doc_id", hash_fn(F.col("t")).alias("h"))
+    aggs = [F.count(F.col("h")).alias("n")] + [
+        F.coalesce(
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))), F.lit(0)
+        ).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    g = h.groupBy("doc_id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for b in range(bits):
+        sh = sh + F.when(
+            2 * F.col(f"c{b}") >= F.col("n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("doc_id", sh.alias("sh"))
 
 
 def simhash_near_dup_pairs(
@@ -300,18 +341,11 @@ def simhash_near_dup_pairs(
     mask = (1 << band_bits) - 1
     from ..sources.tables import fan_out
 
-    # two-step select materializes the token-hash array ONCE per doc;
-    # the 32 bit-aggregates then fold over the materialized column
-    hash_fn = fast_token_hash if fast_hash else portable_token_hash
-    sh = (
-        fan_out(
-            docs.select(
-                "doc_id",
-                F.transform(token_set(text), hash_fn).alias("__h"),
-            )
-        )
-        .select("doc_id", simhash_from_hashes(F.col("__h"), bits).alias("sh"))
-    )
+    # exploded codegen aggregation (see simhash_table): hashing and the
+    # 32 bit-majorities run in whole-stage codegen instead of 32
+    # interpreted array folds; fan_out spreads the unsplittable scan
+    # before the per-token CPU work
+    sh = simhash_table(fan_out(docs), text, bits, fast_hash)
 
     # Work at SIGNATURE-VALUE granularity, not doc granularity: template
     # corpora map thousands of docs onto few distinct fingerprints, so

