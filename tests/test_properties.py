@@ -136,3 +136,118 @@ def test_dedup_keep_first_idempotent(spark, rows):
     # keep-FIRST: the surviving seq is the minimum per key
     for _sym, ts, _close, seq in got:
         assert seq == min(s for (_y, t, _c, s) in data if t == ts)
+
+
+def test_cents_sums_are_partition_order_invariant(spark):
+    """The integer-cents aggregation pattern (pricing_summary,
+    daily_stats, normalize_zscore, vwap_daily, ...) must produce
+    bit-identical results under ANY partitioning — including adversarial
+    data where plain double summation provably depends on association
+    order (catastrophic absorption: 1e13 + 0.01 == 1e13 in doubles, so
+    a float sum loses the small addends or not depending on merge
+    order).  This is the property that makes the engine's group
+    aggregates safe on a 1000-executor cluster."""
+    from decimal import Decimal
+
+    small = [0.01] * 10_000
+    data = [1e13] + small + [-1e13]
+    truth = Decimal("100.00")  # 10k cents, the big terms cancel exactly
+
+    cents = F.round(F.col("v") * 100).cast("bigint")
+    results = []
+    for parts in (1, 97):
+        df = spark.createDataFrame([(x,) for x in data], "v double")
+        df = df.repartition(parts)
+        r = df.agg(
+            (F.sum(cents) / 100.0).alias("exact"),
+            F.sum("v").alias("naive"),
+        ).collect()[0]
+        results.append((repr(r["exact"]), r["naive"]))
+        assert Decimal(repr(r["exact"])) == truth, parts
+    # bit-identical across partitionings (repr-compare, the gate's
+    # hash semantics)
+    assert results[0][0] == results[1][0]
+    # the float control shows the hazard is real on this data: at least
+    # one partitioning already absorbed the cents into the 1e13 terms
+    assert any(abs(naive - 100.0) > 1.0 for _e, naive in results)
+
+
+def test_exact_window_stats_match_float_definitions(spark):
+    """sma_exact / rolling_std_exact / rolling_corr_exact compute the
+    same statistic as the float window forms (to float tolerance) on
+    2dp-grid data — the exactness changes the arithmetic, never the
+    semantics."""
+    import random
+
+    from streaming_forex_data_pipeline_spark.operators import advanced as A
+    from streaming_forex_data_pipeline_spark.operators import indicators as I
+
+    rng = random.Random(7)
+    rows = [
+        (
+            "S",
+            float(i),
+            round(rng.uniform(1, 500), 2),   # open
+            round(rng.uniform(1, 500), 2),   # high
+            round(rng.uniform(1, 500), 2),   # low
+            round(rng.uniform(1, 500), 2),   # close
+            round(rng.uniform(0, 1000), 2),  # volume
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, ts double, open double, high double, low double, "
+        "close double, volume double",
+    )
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    out = df.select(
+        I.sma("close", 20).alias("sma_f"),
+        I.sma_exact("close", 20).alias("sma_i"),
+        I.rolling_std("close", 20).alias("std_f"),
+        I.rolling_std_exact("close", 20).alias("std_i"),
+        A.rolling_corr(F.col("open"), F.col("close"), 20).alias("corr_f"),
+        A.rolling_corr_exact(cents("open"), cents("close"), 20).alias(
+            "corr_i"
+        ),
+    ).collect()
+    for r in out:
+        for a, b in (
+            (r["sma_f"], r["sma_i"]),
+            (r["std_f"], r["std_i"]),
+            (r["corr_f"], r["corr_i"]),
+        ):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_simhash_table_matches_column_fold(spark):
+    """The exploded codegen SimHash (simhash_table) must produce
+    bit-identical signatures to the 32-fold column form it replaced,
+    including the all-bits-set empty-document convention."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "alpha beta gamma DELTA epsilon"),
+            (4, "completely different words entirely here"),
+            (5, ""),
+            (6, "   "),
+            (7, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    fold = docs.select(
+        "doc_id",
+        D.simhash_from_hashes(
+            F.transform(D.token_set("text"), D.portable_token_hash), 32
+        ).alias("sh"),
+    )
+    table = D.simhash_table(docs, "text", 32)
+    a = {r["doc_id"]: r["sh"] for r in fold.collect()}
+    b = {r["doc_id"]: r["sh"] for r in table.collect()}
+    assert a == b
+    assert a[1] == a[2]  # identical docs, identical fingerprints
