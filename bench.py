@@ -77,6 +77,7 @@ HEADLINE = [
     "doc_stats",
     "exact_dedup_groups",
     "minhash_near_dups",
+    "near_dup_clusters",
     "simhash_near_dups",
     "embedding_near_dups",
     "jaccard_vs_doc0",

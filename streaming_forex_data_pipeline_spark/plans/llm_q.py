@@ -674,3 +674,74 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orig_width",
         "orig_height",
     ).orderBy("doc_id")
+
+
+_PAIR_GRAPH_SQL = r"""
+toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.t = b.t
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+)"""
+
+
+@register(
+    "near_dup_clusters",
+    oracle=f"WITH RECURSIVE {_PAIR_GRAPH_SQL}\n"
+    """SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+ORDER BY doc_id
+""",
+    doc="Near-dup pair graph -> connected components -> cluster "
+    "assignment with sizes (llm/dedup.py connected_components): "
+    "min-label propagation + pointer jumping (Kiveris SoCC'14 star "
+    "technique as DataFrame joins, localCheckpoint per round), so "
+    "transitively-linked docs land in one cluster even when the LSH "
+    "stage never emitted the closing pair.  Reference parity: "
+    "data_quality.py stops at duplicate PAIR lists; the cluster "
+    "closure is what a dedup decision actually consumes.  Oracle: "
+    "DuckDB recursive-CTE reachability with min-label aggregation — "
+    "exact transitive closure, valid at oracle scales.",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.near_dup_clusters(
+        d, threshold=1.0, n_hashes=32, bands=1
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_canonical",
+    oracle=f"WITH RECURSIVE {_PAIR_GRAPH_SQL}\n"
+    """SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+ORDER BY doc_id
+""",
+    doc="The dedup keep-list: one canonical representative (min doc_id "
+    "= the cluster id itself, join-free) per near-dup cluster, "
+    "singletons untouched, via a left-anti join against the "
+    "non-canonical cluster members (llm/dedup.py dedup_canonical).",
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.dedup_canonical(d, threshold=1.0, n_hashes=32, bands=1).select(
+        "doc_id", "source", "lang", "n_chars"
+    ).orderBy("doc_id")

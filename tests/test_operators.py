@@ -218,3 +218,34 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
     # determinism across runs (no fitted model, no RNG)
     again = [r["vec_id"] for r in SIM.ivf_topk(e, q, k=10, n_cells=16, nprobe=2).collect()]
     assert again == approx
+
+
+def test_connected_components_closes_transitive_pairs(spark):
+    """A~B and B~C cluster A,B,C together even though (A,C) was never
+    emitted; separate components keep separate min-id labels; the
+    64-edge chain forces multiple pointer-jump rounds."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["node"]: r["cluster_id"] for r in DD.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    labs = DD.connected_components(chain).collect()
+    assert len(labs) == 65 and {r["cluster_id"] for r in labs} == {0}
+
+
+def test_dedup_canonical_keeps_one_per_cluster_plus_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(
+            ["a b c", "a b c", "c b a", "unique one", "other text here"]
+        )],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = sorted(r["doc_id"] for r in DD.dedup_canonical(docs).collect())
+    # docs 0,1,2 share a token set -> keep 0; 3 and 4 are singletons
+    assert kept == [0, 3, 4]

@@ -251,3 +251,44 @@ def test_simhash_table_matches_column_fold(spark):
     b = {r["doc_id"]: r["sh"] for r in table.collect()}
     assert a == b
     assert a[1] == a[2]  # identical docs, identical fingerprints
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components equals a sequential union-find on random
+    graphs — including self-loops, duplicate edges, and chains long
+    enough to need several propagation rounds."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+
+    edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    if not edges:
+        df = spark.createDataFrame([], "doc_a long, doc_b long")
+    else:
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in DD.connected_components(df).collect()
+    }
+    assert got == want
