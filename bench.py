@@ -75,6 +75,7 @@ HEADLINE = [
     "source_clean",
     # llm-pipeline
     "doc_stats",
+    "lm_quality",
     "exact_dedup_groups",
     "minhash_near_dups",
     "near_dup_clusters",

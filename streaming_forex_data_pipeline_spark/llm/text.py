@@ -113,3 +113,54 @@ def rolling_hash(text: str = "text", base: int = 31, mod: int = 2147483647) -> C
         F.lit(7).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
+
+
+def unigram_lm_nll(docs, text: str = "text"):
+    """CCNet-style language-model quality scoring: per-document average
+    negative log-likelihood under an add-one-smoothed unigram LM fit on
+    the corpus itself.  Low NLL = text made of common tokens (natural
+    prose); high NLL = rare-token soup (garbled extraction, boilerplate
+    explosions) — the standard perplexity-bucket filter for web-scale
+    training data, re-expressed without an external LM.
+
+    Determinism contract (the r2 drift class): the corpus token counts,
+    T and V are exact integers; each document folds
+    ``k_tok * -ln((c_tok + 1) / (T + V))`` over its DISTINCT tokens in
+    canonical token-sorted order via ``F.aggregate`` — a fixed-order
+    sequential fold, so the float result is bit-identical to the DuckDB
+    oracle's ``list_reduce`` over the same sorted list, with no
+    parallel-partial aggregation anywhere in the float's lineage.
+
+    Scale: two keyed shuffles (corpus token counts; per-doc regroup),
+    both with map-side combine; the Zipf-head token skew in the
+    per-token join is AQE skew-join territory; the totals frame is a
+    broadcast single row; the vocabulary is never collected to the
+    driver.  Returns (doc_id, n_tokens, nll_sum, avg_nll).
+    """
+    toks = docs.select("doc_id", F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("t"))
+    ex = toks.select("doc_id", F.explode("t").alias("tok"))
+    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("big_t"), F.count(F.lit(1)).alias("v")
+    )
+    per = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    arr = (
+        per.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("tok", "k", "c"))).alias("a"))
+    )
+    denom = (F.col("big_t") + F.col("v")).cast("double")
+    terms = F.transform(
+        "a", lambda s: s["k"] * -F.log((s["c"] + F.lit(1).cast("double")) / denom)
+    )
+    return (
+        arr.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.transform("a", lambda s: s["k"]), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("n_tokens"),
+            F.aggregate(terms, F.lit(0.0), lambda a, x: a + x).alias("nll_sum"),
+        )
+        .withColumn("avg_nll", F.col("nll_sum") / F.col("n_tokens"))
+    )

@@ -745,3 +745,51 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dedup_canonical(d, threshold=1.0, n_hashes=32, bands=1).select(
         "doc_id", "source", "lang", "n_chars"
     ).orderBy("doc_id")
+
+
+@register(
+    "lm_quality",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tot AS (SELECT sum(c) AS big_t, count(*) AS v FROM cnt),
+per AS (SELECT doc_id, tok, count(*) AS k FROM ex GROUP BY doc_id, tok),
+arr AS (
+  SELECT doc_id, list_sort(list({'tok': p.tok, 'k': p.k, 'c': c.c})) AS a
+  FROM per p JOIN cnt c ON p.tok = c.tok
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_transform(a, s -> s.k), (x, y) -> x + y) AS n_tokens,
+         list_reduce(
+           list_transform(a, s -> s.k * -ln((s.c + 1.0) / (big_t + v))),
+           (x, y) -> x + y
+         ) AS nll_sum
+  FROM arr, tot
+)
+SELECT doc_id, n_tokens, round(nll_sum, 6) AS nll_sum, round(nll_sum / n_tokens, 6) AS avg_nll
+FROM scored
+ORDER BY doc_id
+""",
+    doc="CCNet-style unigram-LM perplexity filter: add-one-smoothed "
+    "corpus unigram model, per-doc average negative log-likelihood "
+    "(llm/text.py unigram_lm_nll).  Exact-integer counts feed a "
+    "fixed-order token-sorted F.aggregate fold mirrored by DuckDB "
+    "list_reduce over the same canonical list, so the float lineage "
+    "has no parallel-partial aggregation (the r2 drift class).  The "
+    "standard quality bucket for web-scale pretraining corpora "
+    "(CCNet/C4 lineage), absent from the reference.",
+)
+def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = TX.unigram_lm_nll(d)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round("nll_sum", R).alias("nll_sum"),
+        F.round(F.col("avg_nll"), R).alias("avg_nll"),
+    ).orderBy("doc_id")

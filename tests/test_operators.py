@@ -249,3 +249,36 @@ def test_dedup_canonical_keeps_one_per_cluster_plus_singletons(spark):
     kept = sorted(r["doc_id"] for r in DD.dedup_canonical(docs).collect())
     # docs 0,1,2 share a token set -> keep 0; 3 and 4 are singletons
     assert kept == [0, 3, 4]
+
+
+def test_unigram_lm_nll_matches_hand_computation(spark):
+    """Corpus 'a b a c' + 'b b': counts a=2 b=3 c=1, T=6, V=3; doc NLL
+    is the add-one-smoothed fold in token-sorted order."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nll_sum"], r["avg_nll"])
+        for r in TX.unigram_lm_nll(docs).collect()
+    }
+    p = lambda c: (c + 1.0) / 9.0
+    want1 = 2 * -math.log(p(2)) + 1 * -math.log(p(3)) + 1 * -math.log(p(1))
+    want2 = 2 * -math.log(p(3))
+    assert got[1][0] == 4 and got[2][0] == 2
+    assert math.isclose(got[1][1], want1, rel_tol=1e-12)
+    assert math.isclose(got[2][1], want2, rel_tol=1e-12)
+    assert math.isclose(got[1][2], want1 / 4, rel_tol=1e-12)
+
+
+def test_unigram_lm_nll_ranks_rare_token_soup_above_common_prose(spark):
+    """The filter's point: a doc of corpus-rare tokens scores a higher
+    average NLL than one built from the corpus's common tokens."""
+    common = "the and of to " * 10
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(9)] + [(9, "zqx jvw kpf trd")],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["avg_nll"] for r in TX.unigram_lm_nll(docs).collect()}
+    assert scores[9] > scores[0]
