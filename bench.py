@@ -76,6 +76,8 @@ HEADLINE = [
     # llm-pipeline
     "doc_stats",
     "lm_quality",
+    "source_mix",
+    "corpus_pipeline",
     "exact_dedup_groups",
     "minhash_near_dups",
     "near_dup_clusters",

@@ -238,3 +238,90 @@ def contamination(
             ).alias("contamination"),
         )
     )
+
+
+def source_mix(
+    docs: DataFrame,
+    targets: dict[str, float],
+    text: str = "text",
+    source: str = "source",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Mixture reweighting (the Pile/Dolma "data mixing" stage): given
+    target weights per source, compute each source's token share and a
+    deterministic downsampling rate that moves the corpus toward the
+    target mixture, then report kept docs/tokens per source.
+
+    Rates scale to the binding source: raw_rate = target_share /
+    actual_share, normalized so the largest becomes exactly 1 (no
+    upsampling — the over-target source keeps everything, the rest
+    shed proportionally).  Selection is a pure function of the doc key
+    via the portable md5 bucket, so reruns and cluster layouts keep the
+    identical documents — the same no-reshuffle property as
+    ``assign_split``.
+
+    Determinism: doc/token counts are exact integers; weights are
+    literals; share/rate arithmetic is per-row over a ~|sources|-row
+    aggregate (no parallel float partials); the keep threshold is
+    floor(rate * 1e6) compared against an integer bucket.
+
+    Scale: one token-count aggregation over the corpus (map-side
+    combined), a broadcast join of the tiny per-source rate table back
+    onto the docs, one re-aggregation of the kept set.  |sources| is
+    hundreds at most; the rate table always broadcasts.
+    """
+    from .text import token_count
+
+    w_total = float(sum(targets.values()))
+    w_map = F.create_map(
+        *[x for s, w in sorted(targets.items()) for x in (F.lit(s), F.lit(w / w_total))]
+    )
+    # corpus totals and the binding-source peak are windows over the
+    # tiny per-source frame (|sources| rows; the unpartitioned window's
+    # single task is bounded by that), keeping the whole rate
+    # derivation one linear chain instead of crossJoined re-aggregates
+    # that re-scan the corpus per branch.  The integer window sum is
+    # order-exact; max is order-exact.  The lazy checkpoint lets the
+    # broadcast-join branch and the final summary join share ONE
+    # materialization — two corpus scans total (count pass + filter
+    # pass), the minimum for a fit-then-apply operator.
+    w_all = Window.partitionBy()
+    stats = docs.groupBy(source).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text)).alias("n_tokens"),
+    )
+    rated = (
+        stats.withColumn(
+            "share", F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+        )
+        .withColumn("w", w_map[F.col(source)])
+        .withColumn("raw_rate", F.col("w") / F.col("share"))
+        .withColumn(
+            "rate", F.col("raw_rate") / F.max("raw_rate").over(w_all)
+        )
+        .withColumn("thr", F.floor(F.col("rate") * F.lit(1_000_000)))
+        .localCheckpoint(eager=False)
+    )
+    kept = (
+        docs.join(
+            F.broadcast(rated.select(source, "thr")), source
+        )
+        .filter(portable_bucket(F.col(key), "mix:", 1_000_000) < F.col("thr"))
+        .groupBy(source)
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(token_count(text)).alias("kept_tokens"),
+        )
+    )
+    return (
+        rated.join(kept, source, "left")
+        .select(
+            source,
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round("rate", 6).alias("rate"),
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+    )

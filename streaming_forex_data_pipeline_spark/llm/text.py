@@ -139,11 +139,22 @@ def unigram_lm_nll(docs, text: str = "text"):
     """
     toks = docs.select("doc_id", F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("t"))
     ex = toks.select("doc_id", F.explode("t").alias("tok"))
-    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # single explode pass: corpus counts roll up from the per-doc
+    # aggregate (sum of exact integer k), not a second scan of ex.
+    # per is the LM's whole sufficient statistic and feeds three
+    # branches (cnt, tot via cnt, and the arr join); the lazy
+    # localCheckpoint materializes it once so the corpus is scanned
+    # once — AQE stage reuse alone still left 4 scans in the executed
+    # plan.
+    per = (
+        ex.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    cnt = per.groupBy("tok").agg(F.sum("k").alias("c"))
     tot = cnt.agg(
         F.sum("c").alias("big_t"), F.count(F.lit(1)).alias("v")
     )
-    per = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
     arr = (
         per.join(cnt, "tok")
         .groupBy("doc_id")

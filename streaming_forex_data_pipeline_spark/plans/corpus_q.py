@@ -177,3 +177,187 @@ def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.contamination(d, F.col("source") == "src0", n=3).orderBy(
         "doc_id"
     )
+
+
+def _mix_targets() -> dict[str, float]:
+    """Fixed demo mixture: double weight on even-numbered sources."""
+    return {f"src{i}": 2.0 if i % 2 == 0 else 1.0 for i in range(20)}
+
+
+_MIX_W_VALUES = ",\n  ".join(
+    f"('src{i}', {(2.0 if i % 2 == 0 else 1.0) / 30.0!r})" for i in range(20)
+)
+
+_TOKCOUNT_SQL = (
+    r"CASE WHEN trim(text) = '' THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+)
+
+
+@register(
+    "source_mix",
+    oracle=f"""
+WITH w(source, w) AS (VALUES
+  {_MIX_W_VALUES}
+),
+stats AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM stats),
+rated AS (
+  SELECT s.source, n_docs, n_tokens,
+         n_tokens / corpus_tokens AS share,
+         w.w / (n_tokens / corpus_tokens) AS raw_rate
+  FROM stats s, tot, w WHERE w.source = s.source
+),
+peak AS (SELECT max(raw_rate) AS peak FROM rated),
+rated2 AS (
+  SELECT source, n_docs, n_tokens, share,
+         raw_rate / peak AS rate,
+         CAST(floor((raw_rate / peak) * 1000000) AS BIGINT) AS thr
+  FROM rated, peak
+),
+kept AS (
+  SELECT d.source, count(*) AS kept_docs,
+         CAST(sum({_TOKCOUNT_SQL}) AS BIGINT) AS kept_tokens
+  FROM documents d JOIN rated2 r ON d.source = r.source
+  WHERE {_HASH_SQL.format(expr="'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000 < r.thr
+  GROUP BY d.source
+)
+SELECT r.source, n_docs, n_tokens,
+       round(share, 6) AS share, round(rate, 6) AS rate,
+       coalesce(kept_docs, 0) AS kept_docs,
+       coalesce(kept_tokens, 0) AS kept_tokens
+FROM rated2 r LEFT JOIN kept k ON r.source = k.source
+ORDER BY r.source
+""",
+    doc="Mixture reweighting (Pile/Dolma data-mixing stage, "
+    "llm/corpus.py:source_mix): per-source token shares -> "
+    "deterministic downsampling rates scaled to the binding source "
+    "(no upsampling), selection by the portable md5 bucket so reruns "
+    "keep identical documents.  Integer counts, per-row rate "
+    "arithmetic, broadcast rate table; no float parallel partials.",
+)
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CO.source_mix(d, _mix_targets()).orderBy("source")
+
+
+@register(
+    "corpus_pipeline",
+    oracle=r"""
+WITH RECURSIVE
+d1 AS (
+  SELECT * FROM documents
+  QUALIFY row_number() OVER (
+    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ORDER BY doc_id) = 1
+),
+toksnd AS (
+  SELECT doc_id,
+         list_sort(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
+  FROM d1
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM toksnd a JOIN toksnd b ON a.doc_id < b.doc_id AND a.t = b.t
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p
+),
+reach(node, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+d2 AS (
+  SELECT * FROM d1
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != cluster_id)
+),
+toks2 AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM d2
+),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks2),
+cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tot AS (SELECT sum(c) AS big_t, count(*) AS v FROM cnt),
+per AS (SELECT doc_id, tok, count(*) AS k FROM ex GROUP BY doc_id, tok),
+arr AS (
+  SELECT doc_id, list_sort(list({'tok': p2.tok, 'k': p2.k, 'c': c2.c})) AS a
+  FROM per p2 JOIN cnt c2 ON p2.tok = c2.tok
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_transform(a, s -> s.k), (x, y) -> x + y) AS n_tokens,
+         list_reduce(
+           list_transform(a, s -> s.k * -ln((s.c + 1.0) / (big_t + v))),
+           (x, y) -> x + y
+         ) AS nll_sum
+  FROM arr, tot
+),
+kept AS (
+  SELECT s.doc_id, s.n_tokens, s.nll_sum / s.n_tokens AS avg_nll, d2.lang
+  FROM scored s JOIN d2 USING (doc_id)
+  WHERE s.nll_sum / s.n_tokens < 3.405
+),
+sp AS (
+  SELECT lang, n_tokens, avg_nll,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS bucket
+  FROM kept
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(round(avg_nll * 1000000) AS BIGINT)) AS BIGINT) AS sum_nll_micro
+FROM sp
+GROUP BY 1, 2
+ORDER BY split, lang
+""",
+    doc="The flagship end-to-end training-corpus build, every stage an "
+    "already-oracle-checked operator composed into ONE lazy plan: "
+    "exact dedup keep-first (llm/dedup.py dedup_exact) -> near-dup "
+    "canonical keep via connected components (dedup_canonical) -> "
+    "unigram-LM perplexity filter fit on the deduped corpus "
+    "(llm/text.py unigram_lm_nll, fixed 3.405-nat gate) -> "
+    "deterministic split assignment (llm/corpus.py assign_split) -> "
+    "per-(split, lang) doc/token totals with the NLL mass as exact "
+    "integer micro-nats.  Catalyst sees the whole pipeline at once: "
+    "column pruning reaches the scan, the dedup window / CC loop / LM "
+    "shuffles schedule as one DAG, and no stage materializes between "
+    "steps.",
+)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import dedup as DD
+    from ..llm import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    d1 = DD.dedup_exact(d)
+    # the deduped corpus feeds both the LM fit and the lang join — in
+    # a real pipeline it is THE reusable artifact; materialize it once
+    # (lazily) instead of re-running the dedup window + anti-join per
+    # consumer branch
+    d2 = DD.dedup_canonical(d1).localCheckpoint(eager=False)
+    nll = TX.unigram_lm_nll(d2)
+    kept = nll.filter(F.col("avg_nll") < 3.405).join(
+        d2.select("doc_id", "lang"), "doc_id"
+    )
+    sp = CO.assign_split(kept)
+    return (
+        sp.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(
+                F.round(F.col("avg_nll") * 1_000_000, 0).cast("long")
+            ).alias("sum_nll_micro"),
+        )
+        .orderBy("split", "lang")
+    )

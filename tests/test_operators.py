@@ -282,3 +282,22 @@ def test_unigram_lm_nll_ranks_rare_token_soup_above_common_prose(spark):
     )
     scores = {r["doc_id"]: r["avg_nll"] for r in TX.unigram_lm_nll(docs).collect()}
     assert scores[9] > scores[0]
+
+
+def test_source_mix_scales_to_binding_source(spark):
+    """Equal targets over unequal sources: the under-represented source
+    keeps everything (rate 1), the over-represented one sheds toward
+    the target; counts stay exact integers."""
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10, "A") for i in range(40)]
+        + [(100 + i, "tok " * 10, "B") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in CO.source_mix(docs, {"A": 1.0, "B": 1.0}).collect()}
+    assert out["B"]["rate"] == 1.0 and out["B"]["kept_docs"] == 10
+    # A's target share is 0.5 but it holds 0.8 of tokens -> rate 0.25
+    assert abs(out["A"]["rate"] - 0.25) < 1e-9
+    assert out["A"]["kept_docs"] < 40
+    assert out["A"]["n_tokens"] == 40 * 10 and out["B"]["n_tokens"] == 10 * 10
