@@ -567,3 +567,25 @@ def dedup_canonical(
         F.col("node").alias("doc_id")
     )
     return docs.join(doomed, "doc_id", "left_anti")
+
+
+def dedup_identical_token_sets(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Canonical keep-list for threshold-1.0 near-dup semantics WITHOUT
+    the connected-components loop: token-SET equality is already an
+    equivalence relation (reflexive/symmetric/transitive), so clusters
+    are exactly the groups — ``min(doc_id)`` per sorted-token-set is
+    the cluster canonical, one keyed shuffle, zero iterations.
+
+    Exactly equivalent to ``dedup_canonical(docs, threshold=1.0)``
+    (LSH at threshold 1.0 has recall 1 on identical signatures, and no
+    chains can extend a group beyond set equality); the composed
+    corpus pipeline uses this fast path while the registered
+    ``near_dup_clusters`` query keeps the general iterative operator
+    under the driver's gate."""
+    key = F.md5(F.to_json(F.sort_array(token_set(text))))
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

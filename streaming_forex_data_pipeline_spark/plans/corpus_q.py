@@ -342,9 +342,11 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = DD.dedup_exact(d)
     # the deduped corpus feeds both the LM fit and the lang join — in
     # a real pipeline it is THE reusable artifact; materialize it once
-    # (lazily) instead of re-running the dedup window + anti-join per
-    # consumer branch
-    d2 = DD.dedup_canonical(d1).localCheckpoint(eager=False)
+    # (lazily) instead of re-running the dedup stage per consumer
+    # branch.  At threshold 1.0 the set-equality fast path replaces
+    # the iterative CC loop (equivalent by transitivity of set
+    # equality; asserted by test_identical_set_fast_path_matches_cc)
+    d2 = DD.dedup_identical_token_sets(d1).localCheckpoint(eager=False)
     nll = TX.unigram_lm_nll(d2)
     kept = nll.filter(F.col("avg_nll") < 3.405).join(
         d2.select("doc_id", "lang"), "doc_id"

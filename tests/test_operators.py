@@ -301,3 +301,14 @@ def test_source_mix_scales_to_binding_source(spark):
     assert abs(out["A"]["rate"] - 0.25) < 1e-9
     assert out["A"]["kept_docs"] < 40
     assert out["A"]["n_tokens"] == 40 * 10 and out["B"]["n_tokens"] == 10 * 10
+
+
+def test_identical_set_fast_path_matches_cc(spark, sf_dir):
+    """dedup_identical_token_sets (zero-iteration equivalence groups)
+    keeps exactly the same documents as the general CC-based
+    dedup_canonical at threshold 1.0 — the corpus_pipeline fast-path
+    contract."""
+    d = load_table(spark, sf_dir, "documents")
+    fast = {r["doc_id"] for r in DD.dedup_identical_token_sets(d).select("doc_id").collect()}
+    general = {r["doc_id"] for r in DD.dedup_canonical(d).select("doc_id").collect()}
+    assert fast == general and len(fast) > 0
