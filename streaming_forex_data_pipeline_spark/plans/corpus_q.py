@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import corpus as CO
+from ..llm import packing as PK
 from ..sources.tables import load_table
 from .registry import register
 
@@ -243,6 +244,95 @@ ORDER BY r.source
 def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return CO.source_mix(d, _mix_targets()).orderBy("source")
+
+
+@register(
+    "pack_chunks",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id,
+       CAST(u.cid AS BIGINT) AS chunk_id,
+       CAST(least(start + n_tokens, (u.cid + 1) * 64)
+            - greatest(start, u.cid * 64) AS BIGINT) AS n_tokens
+FROM c, LATERAL (SELECT unnest(generate_series(start // 64,
+                     (start + n_tokens - 1) // 64)) AS cid) u
+ORDER BY doc_id, chunk_id
+""",
+    doc="Concat-and-chunk sequence packing (llm/packing.py:pack_chunks) "
+    "— the GPT-style pretraining packer: slice the doc_id-ordered "
+    "token stream into 64-token chunks, one row per (doc, chunk) "
+    "overlap.  The global token prefix sum runs as a TWO-LEVEL "
+    "distributed prefix sum (per-bucket totals -> tiny offset window "
+    "-> within-bucket cumsum partitioned by bucket), so no window task "
+    "ever scans the corpus — the oracle's single global cumsum is the "
+    "semantic spec, not the plan.  All-integer arithmetic, exactly "
+    "portable.",
+)
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return PK.pack_chunks(d, chunk_tokens=64).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "pack_greedy",
+    oracle=r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+           AS BIGINT) AS rn
+  FROM t WHERE n_tokens > 0
+),
+fold AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS seq_fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN f.seq_fill + r.n_tokens <= 128
+              THEN f.seq_id ELSE f.seq_id + 1 END,
+         CASE WHEN f.seq_fill + r.n_tokens <= 128
+              THEN f.seq_fill + r.n_tokens ELSE r.n_tokens END
+  FROM fold f JOIN r ON r.bucket = f.bucket AND r.rn = f.rn + 1
+)
+SELECT bucket, doc_id, n_tokens, seq_id, seq_fill
+FROM fold
+ORDER BY bucket, doc_id
+""",
+    doc="Greedy no-split sequence packing (llm/packing.py:pack_greedy) "
+    "— the SFT packer: within each of 8 hash buckets, append each doc "
+    "to the current 128-token sequence or open a new one.  The "
+    "fill-with-reset recurrence is non-associative (no window "
+    "expresses it), so it runs as the sanctioned per-bucket "
+    "applyInPandas kernel class (SURVEY §2.13, like PSAR); buckets are "
+    "the parallel axis and each bucket wastes at most one partial "
+    "sequence, so #buckets scales with the cluster.  Oracle: a "
+    "recursive CTE folding the identical all-integer recurrence.",
+)
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return PK.pack_greedy(d, budget=128, n_buckets=8).orderBy(
+        "bucket", "doc_id"
+    )
 
 
 @register(

@@ -29,6 +29,7 @@ PANDAS_UDF_SANCTIONED = {
     "atr_ema",
     "ma_ratios",  # consumes the EMA family
     "psar",
+    "pack_greedy",  # fill-with-reset packing recurrence (non-associative)
     "volatility_regime",  # trailing percent-rank
     "aroon",  # window-trick primary, pandas fallback allowed
     "backtest_trades",
