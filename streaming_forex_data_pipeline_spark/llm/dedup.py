@@ -589,3 +589,93 @@ def dedup_identical_token_sets(docs: DataFrame, text: str = "text") -> DataFrame
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def cross_doc_ngram_coverage(
+    docs: DataFrame, n: int = 5, min_docs: int = 2, text: str = "text"
+) -> DataFrame:
+    """ExactSubstr-style cross-document duplication metric (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    for every document, how much of it is covered by word-``n``-grams
+    that also occur in at least ``min_docs`` distinct documents.
+
+    Returns (doc_id, n_tokens, n_ngrams, n_dup_ngrams, covered_tokens,
+    dup_coverage) where ``covered_tokens`` is the size of the UNION of
+    the duplicated n-gram spans (interval union via running-max-end
+    window — a token shared by overlapping duplicated windows counts
+    once) and ``dup_coverage`` = covered_tokens / n_tokens.  High
+    coverage flags boilerplate that document-level near-dup passes miss
+    because each surrounding document is unique.
+
+    The true suffix-array ExactSubstr is inherently sequential; this
+    n-gram relaxation is the standard distributed approximation
+    (fixed window instead of maximal match) and is what Dolma/RedPajama
+    report as "duplicate n-gram fraction".
+
+    Plan shape / 100 TB notes: positions ride along the gram explode
+    (one Generate), the gram-frequency aggregation is a keyed shuffle
+    with map-side combine, and the count table joins back 1:1 on the
+    gram key — occurrence rows never multiply, so a viral n-gram
+    appearing in millions of docs costs its occurrence count, not a
+    pair explosion (the failure mode this replaces).  The interval
+    union runs per-doc (window partitioned by doc_id, the parallel
+    axis).  All counters are integers — exactly portable.
+
+    Reference scope: the reference's dedup (data_quality.py:213-232)
+    is whole-row keep-first only; substring-level duplication has no
+    counterpart there.
+    """
+    from .corpus import word_ngrams, words_array
+    from .text import token_count
+
+    ws = words_array(text)
+    tc = token_count(text)
+    base = docs.select(
+        "doc_id",
+        tc.cast("long").alias("n_tokens"),
+        F.greatest(tc - (n - 1), F.lit(0)).cast("long").alias("n_ngrams"),
+    )
+    occ = docs.select(
+        "doc_id", F.posexplode(word_ngrams(ws, n)).alias("pos", "gram")
+    )
+    counts = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    dup = occ.join(counts, "gram").select(
+        "doc_id", "pos", (F.col("pos") + (n - 1)).alias("end")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dup.withColumn(
+        "prev_end", F.coalesce(F.max("end").over(w), F.lit(-1))
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_ngrams"),
+        F.sum(
+            F.greatest(
+                F.lit(0),
+                F.col("end") - F.greatest(F.col("pos") - 1, F.col("prev_end")),
+            )
+        ).alias("covered_tokens"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_ngrams",
+        F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_coverage"),
+    )

@@ -793,3 +793,220 @@ def lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nll_sum", R).alias("nll_sum"),
         F.round(F.col("avg_nll"), R).alias("avg_nll"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dup_ngram_coverage",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(tc AS BIGINT) AS n_tokens,
+         CAST(greatest(tc - 4, 0) AS BIGINT) AS n_ngrams
+  FROM ws
+),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS gram
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
+),
+cnt AS (
+  SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT o.doc_id, o.pos, o.pos + 4 AS e FROM occ o JOIN cnt USING (gram)
+),
+cov AS (
+  SELECT doc_id, pos, e,
+         coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS pme
+  FROM dup
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_dup_ngrams,
+         CAST(sum(greatest(0, e - greatest(pos - 1, pme))) AS BIGINT)
+           AS covered_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_ngrams,
+       coalesce(a.n_dup_ngrams, 0) AS n_dup_ngrams,
+       coalesce(a.covered_tokens, 0) AS covered_tokens,
+       round(CASE WHEN b.n_tokens > 0
+             THEN CAST(coalesce(a.covered_tokens, 0) AS DOUBLE) / b.n_tokens
+             ELSE 0.0 END, 6) AS dup_coverage
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY b.doc_id
+""",
+    doc="ExactSubstr-style cross-document duplication coverage "
+    "(llm/dedup.py:cross_doc_ngram_coverage; Lee et al. 2022): per "
+    "doc, the token mass covered by word-5-grams occurring in >= 2 "
+    "distinct documents — duplicated-span fraction as reported by "
+    "Dolma/RedPajama, the substring tier document-level near-dup "
+    "misses.  Positions ride the single gram Generate, the frequency "
+    "table joins back 1:1 on the gram key (no pair explosion for "
+    "viral grams), and the interval-union window partitions by doc — "
+    "the 100 TB-safe shape.  All-integer counters; the coverage ratio "
+    "is per-row arithmetic (no float partials).",
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.cross_doc_ngram_coverage(fan_out(d), n=5, min_docs=2).orderBy(
+        "doc_id"
+    )
+
+
+def _scrub_oracle() -> str:
+    """Build the scrub oracle from the SAME pattern literals the Spark
+    side uses (llm/scrub.py), so the two engines cannot drift."""
+    from ..llm import scrub as SC
+
+    terms = SC.term_pattern(_SCRUB_TERMS)
+    repl = "text"
+    counts = []
+    for name, pat in SC.PII_PATTERNS.items():
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        repl = f"regexp_replace({repl}, '{pat}', '<{name.upper()}>', 'g')"
+    counts.append(
+        f"CAST(len(regexp_extract_all(text, '{terms}')) AS BIGINT) AS n_terms"
+    )
+    repl = f"regexp_replace({repl}, '{terms}', '<TERM>', 'g')"
+    cols = ",\n       ".join(counts)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+       {cols},
+       {repl} AS scrubbed
+  FROM documents
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, n_terms,
+       n_email + n_ipv4 + n_phone + n_terms AS n_redactions,
+       CAST(length(scrubbed) AS BIGINT) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
+FROM s
+ORDER BY doc_id
+"""
+
+
+_SCRUB_TERMS = ("slow", "merge")
+
+
+@register(
+    "pii_scrub",
+    oracle=_scrub_oracle(),
+    doc="PII + blocklist scrubbing (llm/scrub.py:scrub): typed "
+    "placeholder redaction of emails/IPv4s/phone numbers plus "
+    "whole-word blocklist terms (the C4 bad-words stage), with "
+    "per-category match counts measured on the original text.  "
+    "Patterns stay inside the Java-regex ∩ RE2 dialect and the oracle "
+    "is GENERATED from the same literals, so redacted output is "
+    "exactly hash-checked via md5.  Pure codegen'd regexp expressions "
+    "— a 100 TB corpus is one scan-bound map stage, zero shuffles.  "
+    "(The synthetic corpus contains no real PII — the PII counters "
+    "read 0 here and are exercised on adversarial rows in "
+    "tests/test_scrub.py; the blocklist counters are live.)",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import scrub as SC
+
+    d = load_table(spark, sf_dir, "documents")
+    out = SC.scrub(d, terms=_SCRUB_TERMS)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_terms",
+        "n_redactions",
+        F.length("scrubbed").cast("long").alias("scrubbed_len"),
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+def _pq_piv_sql(m: int = 8) -> str:
+    cases = ",\n         ".join(
+        f"max(CASE WHEN sub = {j} THEN qd END) AS p{j}" for j in range(m)
+    )
+    total = " + ".join(f"p{j}" for j in range(m))
+    return cases, total
+
+
+_PQ_CASES, _PQ_TOTAL = _pq_piv_sql()
+
+
+@register(
+    "pq_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sp AS (SELECT unnest(generate_series(0, 7)) AS sub),
+cb AS (
+  SELECT e.vec_id AS cid, sp.sub,
+         list_slice(e.v, sp.sub * 8 + 1, sp.sub * 8 + 8) AS c
+  FROM e, sp WHERE e.vec_id < 16
+),
+vs AS (
+  SELECT e.vec_id AS id, sp.sub,
+         list_slice(e.v, sp.sub * 8 + 1, sp.sub * 8 + 8) AS s
+  FROM e, sp
+),
+dist AS (
+  SELECT vs.id, vs.sub, cb.cid,
+         list_reduce(list_transform(generate_series(1, 8),
+            i -> (vs.s[i] - cb.c[i]) * (vs.s[i] - cb.c[i])),
+            (x, y) -> x + y) AS l2
+  FROM vs JOIN cb USING (sub)
+),
+codes AS (
+  SELECT id, sub, cid AS code
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY id, sub ORDER BY l2, cid) = 1
+),
+lut AS (
+  SELECT c2.sub, c2.cid,
+         list_reduce(list_transform(generate_series(1, 8),
+            i -> (q.s[i] - c2.c[i]) * (q.s[i] - c2.c[i])),
+            (x, y) -> x + y) AS qd
+  FROM vs q JOIN cb c2 USING (sub)
+  WHERE q.id = 0
+),
+parts AS (
+  SELECT c.id, c.sub, l.qd
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cid
+),
+piv AS (
+  SELECT id,
+         {_PQ_CASES}
+  FROM parts GROUP BY id
+)
+SELECT id AS vec_id, round({_PQ_TOTAL}, 6) AS approx_dist
+FROM piv
+ORDER BY {_PQ_TOTAL} ASC, id ASC
+LIMIT 10
+""",
+    doc="Product-quantization ANN top-k (llm/similarity.py:pq_codes/"
+    "pq_topk; Jégou et al. 2011) — completes the ANN family "
+    "(brute-force / sign-bit LSH / IVF-flat / PQ-ADC): vectors encode "
+    "to 8 codebook indices over 8-dim subspaces (deterministic "
+    "data-sampled codebooks, same bootstrap as ivf_topk), the query "
+    "broadcasts an 8x16 squared-L2 lookup table, and each vector's "
+    "approximate distance is 8 table lookups — no float vector is "
+    "touched at query time, the memory trade that fits billion-scale "
+    "ANN in RAM.  The per-vector subspace sum is a conditional-agg "
+    "pivot added in fixed order as per-row arithmetic (no parallel "
+    "float partials), so ranking and distances hash-check exactly.  "
+    "Recall vs the exact tier is measured in tests/test_operators.py.",
+)
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    out = SIM.pq_topk(e, q, k=10)
+    return out.select(
+        "vec_id", F.round("approx_dist", R).alias("approx_dist")
+    )
