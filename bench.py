@@ -91,6 +91,15 @@ HEADLINE = [
     "mi_importance",
     "ingest_cycle",
     "simhash_near_dups_fast",
+    "pack_chunks",
+    "pack_greedy",
+    "dup_ngram_coverage",
+    "pii_scrub",
+    "quality_gate",
+    "tfidf_topk",
+    "bpe_pairs",
+    "pq_topk",
+    "substring_dedup",
 ]
 
 TIMED_SWEEPS = 2

@@ -325,3 +325,64 @@ def source_mix(
             F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
         )
     )
+
+
+def quality_gate(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Dolma-style per-document filter decision table: evaluate the
+    Gopher/C4 rule battery and emit the attributes PLUS the decision
+    and machine-readable reason codes, so downstream stages (and
+    audits) see WHY a document was dropped, not just that it vanished.
+
+    Rules (thresholds on the 6dp-rounded attributes, so the comparison
+    sees bit-identical values on both engines):
+
+    - ``too_short``       n_words  < 20
+    - ``too_long``        n_words  > 1000
+    - ``dup_words``       dup_word_frac > 0.6
+    - ``top_word``        top_word_frac > 0.15
+    - ``word_len``        avg_word_len outside [2, 10]
+
+    Returns (doc_id, n_words, dup_word_frac, top_word_frac,
+    avg_word_len, reasons, keep) — ``reasons`` is the comma-joined
+    failed-rule list in the fixed order above ('' when clean),
+    ``keep`` = no rule failed.
+
+    Plan: repetition_stats' single Generate + two keyed aggregations,
+    one broadcast-free join back to the per-row attributes on doc_id,
+    then pure row arithmetic.  Reference scope: the reference's
+    validation (`data_quality.py`) gates candles, not text; the rule
+    set here is the Rae et al. 2021 §A1.1 / Raffel et al. 2020 C4
+    battery adapted to attribute thresholds.
+    """
+    from .text import avg_word_len
+
+    rep = repetition_stats(docs, text=text)
+    base = docs.select(
+        "doc_id",
+        F.round(F.coalesce(avg_word_len(text), F.lit(0.0)), 6).alias(
+            "avg_word_len"
+        ),
+    )
+    j = base.join(rep, "doc_id")
+    rules = [
+        ("too_short", F.col("n_words") < 20),
+        ("too_long", F.col("n_words") > 1000),
+        ("dup_words", F.col("dup_word_frac") > 0.6),
+        ("top_word", F.col("top_word_frac") > 0.15),
+        (
+            "word_len",
+            (F.col("avg_word_len") < 2.0) | (F.col("avg_word_len") > 10.0),
+        ),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(code)) for code, cond in rules]
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "top_word_frac",
+        "avg_word_len",
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

@@ -679,3 +679,77 @@ def cross_doc_ngram_coverage(
             6,
         ).alias("dup_coverage"),
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, n: int = 5, min_docs: int = 2, text: str = "text"
+) -> DataFrame:
+    """The ExactSubstr REMOVAL transform: rewrite each document with
+    every cross-document duplicated word-``n``-gram span deleted
+    (policy: all occurrences are removed — the conservative C4-style
+    variant; a keep-one-copy policy needs a canonical-owner choice per
+    overlapping span chain, which the metric tier
+    `cross_doc_ngram_coverage` leaves to downstream dedup).
+
+    Returns (doc_id, n_tokens, n_kept, cleaned) where ``cleaned`` is
+    the surviving tokens joined by single spaces in original order
+    ('' when the whole document is duplicated span mass).
+
+    Plan shape: shares the occurrence/frequency stages with
+    cross_doc_ngram_coverage (gram explode -> keyed count -> 1:1 join
+    back), then expands duplicated intervals to covered positions
+    (explode of ≤n-element sequences), anti-joins the token stream on
+    (doc_id, position), and reassembles per doc with
+    array_sort(collect_list(struct(pos, tok))) — sort-in-array, so the
+    unordered collect is deterministic.  Every shuffle is keyed by
+    doc_id or the gram; reassembly partitions by doc_id (the parallel
+    axis, same sanctioned shape as per-symbol indicators).
+    """
+    from .corpus import word_ngrams, words_array
+    from .text import token_count
+
+    ws = words_array(text)
+    occ = docs.select(
+        "doc_id", F.posexplode(word_ngrams(ws, n)).alias("pos", "gram")
+    )
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        occ.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(ws).alias("p", "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "p"], "left_anti")
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("cleaned"),
+    )
+    base = docs.select(
+        "doc_id", token_count(text).cast("long").alias("n_tokens")
+    )
+    return base.join(re, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )

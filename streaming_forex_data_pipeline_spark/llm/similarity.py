@@ -275,3 +275,136 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array columns, accumulated in
+    double left-to-right (matches DuckDB list_reduce over an ascending
+    generate_series — bit-identical on both engines)."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _subchunks(vec: Column, m: int, dsub: int) -> Column:
+    """Split a vector into ``m`` contiguous ``dsub``-dim sub-vectors as
+    an array of (sub, s) structs — one Generate input for the subspace
+    explode."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("sub"),
+            F.slice(vec, j * dsub + 1, dsub).alias("s"),
+        ),
+    )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoder (Jégou et al. 2011), deterministic
+    flavor: the ``n_codes`` lowest-id vectors' sub-chunks ARE each
+    subspace's codebook (data-sampled, no k-means fit — same bootstrap
+    rationale as `ivf_assign`: assignment stays pure column algebra and
+    exactly reproducible).  Every vector is encoded as ``m`` codebook
+    indices — the 64-dim float vector compresses to m bytes, the
+    memory trade that makes billion-scale ANN fit in RAM.
+
+    Returns (id, sub, code).  Plan: one broadcast of the m×n_codes
+    codebook, one fanned-out subspace explode (m rows per vector), a
+    map-side min(struct) argmin per (vector, subspace) — ties break to
+    the lowest code id, deterministic because the L2 folds are
+    sequential (see `_l2sq`).
+    """
+    from ..sources.tables import fan_out
+
+    cb = (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x"),
+        )
+        .select("cid", F.col("x.sub").alias("sub"), F.col("x.s").alias("c"))
+    )
+    vs = fan_out(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    ).select(
+        "id", F.explode(_subchunks(F.col("v"), m, dsub)).alias("x")
+    ).select("id", F.col("x.sub").alias("sub"), F.col("x.s").alias("s"))
+    scored = vs.join(F.broadcast(cb), "sub").select(
+        "id", "sub", "cid", _l2sq(F.col("s"), F.col("c")).alias("l2")
+    )
+    return (
+        scored.groupBy("id", "sub")
+        .agg(F.min(F.struct(F.col("l2"), F.col("cid"))).alias("best"))
+        .select("id", "sub", F.col("best.cid").alias("code"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance computation (ADC):
+    the query precomputes its squared-L2 distance to every codebook
+    entry (an m×n_codes lookup table, broadcast), and each vector's
+    approximate distance is the sum of m table lookups over its codes —
+    no float vector is touched at query time, the scan is
+    codes-joined-to-LUT.
+
+    The per-vector sum over the m subspace partials is assembled as a
+    conditional-aggregation pivot (one non-null element per subspace
+    slot) and added in fixed subspace order as PER-ROW arithmetic, so
+    no parallel float partial aggregation exists anywhere in the
+    lineage — approx_dist is bit-identical across engines and cluster
+    layouts, and the top-k ranking is exactly hash-checkable.
+
+    Recall vs the exact tier is measured in tests (like IVF/LSH).
+    """
+    codes = pq_codes(emb, m, dsub, n_codes, id_col, vec_col)
+    cb = (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x"),
+        )
+        .select("cid", F.col("x.sub").alias("sub"), F.col("x.s").alias("c"))
+    )
+    qs = query.select(
+        F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x")
+    ).select(F.col("x.sub").alias("sub"), F.col("x.s").alias("qs"))
+    lut = qs.join(cb, "sub").select(
+        "sub", "cid", _l2sq(F.col("qs"), F.col("c")).alias("qd")
+    )
+    parts = codes.join(
+        F.broadcast(lut),
+        (codes.sub == lut.sub) & (codes.code == lut.cid),
+    ).select(codes.id, codes.sub, lut.qd)
+    piv = parts.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("sub") == j, F.col("qd"))).alias(f"p{j}")
+            for j in range(m)
+        ]
+    )
+    total = piv.select(
+        F.col("id").alias(id_col),
+        sum(
+            (F.col(f"p{j}") for j in range(1, m)), F.col("p0")
+        ).alias("approx_dist"),
+    )
+    return total.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k)

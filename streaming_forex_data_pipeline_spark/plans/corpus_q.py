@@ -453,3 +453,181 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "vocab_topk",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(w) AS token FROM ws)
+SELECT token, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM ex GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+""",
+    doc="Corpus vocabulary top-k (llm/vocab.py:vocab_counts): token "
+    "frequency + document frequency, the tokenizer-training / "
+    "corpus-drift statistic.  One explode + one keyed aggregation "
+    "with map-side combine, then TakeOrderedAndProject — the shuffle "
+    "carries the vocabulary (distinct tokens), not the corpus.",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VB
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        VB.vocab_counts(d)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "bpe_pairs",
+    oracle=r"""
+WITH ws AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+tok AS (SELECT unnest(w) AS word FROM ws),
+vocab AS (SELECT word, count(*) AS wc FROM tok GROUP BY word),
+pairs AS (
+  SELECT wc,
+         unnest([substring(word, i, 2)
+                 FOR i IN generate_series(1, length(word) - 1)]) AS pair
+  FROM vocab WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 50
+""",
+    doc="BPE-prep pair counts (llm/vocab.py:bpe_pair_counts): "
+    "adjacent-character-pair frequencies weighted by word frequency — "
+    "the statistic the first BPE merge maximizes (Sennrich et al. "
+    "2016).  The pair explode runs over the AGGREGATED vocabulary, not "
+    "the raw token stream, so a 100 TB corpus pays one word-count "
+    "shuffle and O(vocab * word_len) pair rows — the iteration cost "
+    "every real BPE trainer relies on.",
+)
+def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VB
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        VB.bpe_pair_counts(d)
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+@register(
+    "quality_gate",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+g AS (SELECT doc_id, unnest(w) AS tok FROM ws),
+c AS (SELECT doc_id, tok, count(*) AS k FROM g GROUP BY 1, 2),
+m AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+         round(1.0 - count(*) * 1.0 / sum(k), 6) AS dup_word_frac,
+         round(max(k) * 1.0 / sum(k), 6) AS top_word_frac
+  FROM c GROUP BY doc_id
+),
+a AS (
+  SELECT doc_id,
+         round(coalesce(
+           CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+                THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+           END, 0.0), 6) AS avg_word_len
+  FROM documents
+),
+r AS (
+  SELECT m.doc_id, n_words, dup_word_frac, top_word_frac, avg_word_len,
+         concat_ws(',',
+           CASE WHEN n_words < 20 THEN 'too_short' END,
+           CASE WHEN n_words > 1000 THEN 'too_long' END,
+           CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+           CASE WHEN top_word_frac > 0.15 THEN 'top_word' END,
+           CASE WHEN avg_word_len < 2.0 OR avg_word_len > 10.0
+                THEN 'word_len' END
+         ) AS reasons
+  FROM m JOIN a ON m.doc_id = a.doc_id
+)
+SELECT doc_id, n_words, dup_word_frac, top_word_frac, avg_word_len,
+       reasons, reasons = '' AS keep
+FROM r
+ORDER BY doc_id
+""",
+    doc="Dolma-style per-document filter decision table "
+    "(llm/corpus.py:quality_gate): the Gopher/C4 rule battery "
+    "evaluated into attributes + keep/drop + machine-readable reason "
+    "codes, so audits see WHY a document dropped.  Thresholds compare "
+    "the 6dp-ROUNDED attributes — bit-identical on both engines, so "
+    "the decision itself is exactly hash-checked, not just the "
+    "attributes.  Plan: repetition_stats' single Generate + two keyed "
+    "aggregations, a doc_id join back to per-row attributes, then "
+    "pure row arithmetic.",
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CO.quality_gate(d).orderBy("doc_id")
+
+
+@register(
+    "tfidf_topk",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(w) AS term FROM ws),
+per AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         p.tf * ln(CAST(n_docs AS DOUBLE) / d.df) AS tfidf
+  FROM per p JOIN dfreq d USING (term), n
+),
+r AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+FROM r WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+    doc="Per-document top-3 TF-IDF terms (llm/vocab.py:tfidf_top_terms) "
+    "— keyword extraction / corpus-drift monitoring.  Document "
+    "frequency re-aggregates the (doc, term) count output "
+    "(vocabulary-sized), N broadcasts as a 1-row frame, the top-k "
+    "window partitions by doc_id.  tf/df are exact integers; the "
+    "ranking compares per-row doubles that are bit-identical on both "
+    "engines, so rank — not just score — is exactly hash-checked.",
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VB
+
+    d = load_table(spark, sf_dir, "documents")
+    out = VB.tfidf_top_terms(d, k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round("tfidf", 6).alias("tfidf"),
+        "rank",
+    ).orderBy("doc_id", "rank")

@@ -1010,3 +1010,62 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.round("approx_dist", R).alias("approx_dist")
     )
+
+
+@register(
+    "substring_dedup",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tc
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS gram
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
+),
+dg AS (SELECT gram FROM occ GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT o.doc_id, unnest(generate_series(o.pos, o.pos + 4)) AS p
+    FROM occ o JOIN dg USING (gram)
+  ) t
+),
+toks AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS p, w[i] AS tok
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+),
+re AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.tc AS BIGINT) AS n_tokens,
+       coalesce(n_kept, 0) AS n_kept,
+       coalesce(cleaned, '') AS cleaned
+FROM ws b LEFT JOIN re USING (doc_id)
+ORDER BY b.doc_id
+""",
+    doc="ExactSubstr REMOVAL transform "
+    "(llm/dedup.py:remove_duplicated_spans): rewrite every document "
+    "with cross-document duplicated word-5-gram spans deleted (all "
+    "occurrences — the conservative C4-style policy), reassembling "
+    "surviving tokens in original order via "
+    "array_sort(collect_list(struct(pos, tok))).  Complements the "
+    "dup_ngram_coverage METRIC with the actual dedup rewrite; the "
+    "cleaned text itself is hash-checked.  Shares the gram-frequency "
+    "stages' scale shape (keyed shuffles, 1:1 count join, per-doc "
+    "reassembly partitioned by doc_id).",
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.remove_duplicated_spans(fan_out(d), n=5, min_docs=2).orderBy(
+        "doc_id"
+    )

@@ -312,3 +312,30 @@ def test_identical_set_fast_path_matches_cc(spark, sf_dir):
     fast = {r["doc_id"] for r in DD.dedup_identical_token_sets(d).select("doc_id").collect()}
     general = {r["doc_id"] for r in DD.dedup_canonical(d).select("doc_id").collect()}
     assert fast == general and len(fast) > 0
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ-ADC tier: the query vector is in the codebook, so its own
+    codes are exact (ADC distance 0) and it must rank first; recall@10
+    vs brute force has a floor (random 64-dim data with 16-entry
+    codebooks is PQ's worst case — 0.3-0.4 observed); reruns are
+    bit-identical (no fitted model, no RNG)."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    out = SIM.pq_topk(e, q, k=10).collect()
+    approx = [r["vec_id"] for r in out]
+    assert approx[0] == 0, "query must be its own nearest neighbor"
+    assert out[0]["approx_dist"] == 0.0
+    exact = [r["vec_id"] for r in SIM.brute_force_topk(e, q, k=10).collect()]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.2, f"PQ recall@10 {recall:.2f} below floor"
+    again = [r["vec_id"] for r in SIM.pq_topk(e, q, k=10).collect()]
+    assert again == approx
+    # every vector encodes to exactly m codes, all inside the codebook
+    codes = SIM.pq_codes(e)
+    n = e.count()
+    assert codes.count() == n * 8
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert rng[0] >= 0 and rng[1] < 16

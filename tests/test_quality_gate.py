@@ -1,0 +1,87 @@
+"""Semantics tests for the quality gate and tokenizer-prep operators.
+
+Oracle parity proves engine equality; these prove the operators are
+MEANINGFUL on the corpus (the gate actually splits it) and internally
+consistent (reasons agree with attributes, BPE counts agree with a
+direct recount).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_forex_data_pipeline_spark.llm import corpus as CO
+from streaming_forex_data_pipeline_spark.llm import vocab as VB
+from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+
+def test_quality_gate_splits_corpus_and_reasons_consistent(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    rows = CO.quality_gate(d).collect()
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows), "gate must actually split the corpus"
+    for r in rows:
+        want = []
+        if r["n_words"] < 20:
+            want.append("too_short")
+        if r["n_words"] > 1000:
+            want.append("too_long")
+        if r["dup_word_frac"] > 0.6:
+            want.append("dup_words")
+        if r["top_word_frac"] > 0.15:
+            want.append("top_word")
+        if not (2.0 <= r["avg_word_len"] <= 10.0):
+            want.append("word_len")
+        assert r["reasons"] == ",".join(want)
+        assert r["keep"] == (not want)
+
+
+def test_bpe_pair_counts_match_direct_recount(spark, sf_dir):
+    """The vocab-weighted pair count must equal counting pairs over the
+    raw token stream (the naive O(corpus) definition)."""
+    d = load_table(spark, sf_dir, "documents")
+    got = {
+        r["pair"]: r["n_occurrences"]
+        for r in VB.bpe_pair_counts(d).collect()
+    }
+    words = (
+        d.select(F.explode(CO.words_array()).alias("w"))
+        .collect()
+    )
+    want: dict[str, int] = {}
+    for row in words:
+        w = row["w"]
+        for i in range(len(w) - 1):
+            want[w[i : i + 2]] = want.get(w[i : i + 2], 0) + 1
+    assert got == want
+
+
+def test_vocab_counts_totals(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    v = VB.vocab_counts(d)
+    total = v.agg(F.sum("n_occurrences")).collect()[0][0]
+    n_tokens = d.select(
+        F.sum(F.size(CO.words_array()))
+    ).collect()[0][0]
+    assert total == n_tokens
+
+
+def test_substring_removal_agrees_with_coverage_metric(spark, sf_dir):
+    """The removal transform and the coverage metric must agree:
+    kept tokens == n_tokens - covered_tokens for every document."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    cov = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in DD.cross_doc_ngram_coverage(d, n=5, min_docs=2).collect()
+    }
+    rem = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"])
+        for r in DD.remove_duplicated_spans(d, n=5, min_docs=2).collect()
+    }
+    assert cov.keys() == rem.keys()
+    for doc_id, (nt, covered) in cov.items():
+        nt2, kept = rem[doc_id]
+        assert nt2 == nt
+        assert kept == nt - covered, (doc_id, kept, nt, covered)
