@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..llm import corpus as CO
 from ..llm import packing as PK
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .registry import register
 
 #: DuckDB mirror of corpus.portable_bucket: first 60 bits of
@@ -69,7 +69,9 @@ FROM per_kind GROUP BY doc_id ORDER BY doc_id
 )
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return CO.repetition_stats(d).orderBy("doc_id")
+    # single-row-group scan is unsplittable; the tagged-gram Generate
+    # is CPU-heavy — fan out first (8.3 s -> 1.9 s at sf0.1)
+    return CO.repetition_stats(fan_out(d)).orderBy("doc_id")
 
 
 @register(
@@ -175,9 +177,10 @@ ORDER BY c.doc_id
 )
 def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return CO.contamination(d, F.col("source") == "src0", n=3).orderBy(
-        "doc_id"
-    )
+    # fan out before the distinct-trigram Generate (7.6 s -> ~1 s)
+    return CO.contamination(
+        fan_out(d), F.col("source") == "src0", n=3
+    ).orderBy("doc_id")
 
 
 def _mix_targets() -> dict[str, float]:
@@ -580,7 +583,8 @@ ORDER BY doc_id
 )
 def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return CO.quality_gate(d).orderBy("doc_id")
+    # fan out before repetition_stats' Generate (9.3 s -> 1.8 s)
+    return CO.quality_gate(fan_out(d)).orderBy("doc_id")
 
 
 @register(
