@@ -628,15 +628,19 @@ def cross_doc_ngram_coverage(
     from .corpus import word_ngrams, words_array
     from .text import token_count
 
-    ws = words_array(text)
+    # tokenize once (base + the gram explode re-derive from the
+    # checkpointed array instead of re-scanning/re-splitting)
     tc = token_count(text)
-    base = docs.select(
+    ws0 = docs.select(
         "doc_id",
+        words_array(text).alias("ws"),
         tc.cast("long").alias("n_tokens"),
         F.greatest(tc - (n - 1), F.lit(0)).cast("long").alias("n_ngrams"),
-    )
-    occ = docs.select(
-        "doc_id", F.posexplode(word_ngrams(ws, n)).alias("pos", "gram")
+    ).localCheckpoint(eager=False)
+    base = ws0.select("doc_id", "n_tokens", "n_ngrams")
+    occ = ws0.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("ws"), n)).alias("pos", "gram"),
     )
     counts = (
         occ.groupBy("gram")
@@ -708,9 +712,18 @@ def remove_duplicated_spans(
     from .corpus import word_ngrams, words_array
     from .text import token_count
 
-    ws = words_array(text)
-    occ = docs.select(
-        "doc_id", F.posexplode(word_ngrams(ws, n)).alias("pos", "gram")
+    # tokenize ONCE: four consumers (gram occurrences x2, the token
+    # stream, the per-doc token count) otherwise each re-scan and
+    # re-split the corpus.  The checkpointed frame holds the compact
+    # array form; downstream explodes re-derive from it.
+    ws0 = docs.select(
+        "doc_id",
+        words_array(text).alias("ws"),
+        token_count(text).cast("long").alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    occ = ws0.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("ws"), n)).alias("pos", "gram"),
     )
     dup_grams = (
         occ.groupBy("gram")
@@ -728,8 +741,8 @@ def remove_duplicated_spans(
         )
         .distinct()
     )
-    toks = docs.select(
-        "doc_id", F.posexplode(ws).alias("p", "tok")
+    toks = ws0.select(
+        "doc_id", F.posexplode(F.col("ws")).alias("p", "tok")
     )
     kept = toks.join(covered, ["doc_id", "p"], "left_anti")
     re = kept.groupBy("doc_id").agg(
@@ -744,9 +757,7 @@ def remove_duplicated_spans(
             ),
         ).alias("cleaned"),
     )
-    base = docs.select(
-        "doc_id", token_count(text).cast("long").alias("n_tokens")
-    )
+    base = ws0.select("doc_id", "n_tokens")
     return base.join(re, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
