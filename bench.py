@@ -100,6 +100,8 @@ HEADLINE = [
     "bpe_pairs",
     "pq_topk",
     "substring_dedup",
+    "semdedup",
+    "pq_rerank",
 ]
 
 TIMED_SWEEPS = 2

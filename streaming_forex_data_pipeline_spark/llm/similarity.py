@@ -408,3 +408,114 @@ def pq_topk(
         ).alias("approx_dist"),
     )
     return total.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k)
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then deduplicate WITHIN each cluster by cosine —
+    pairs the corpus-level near-dup passes miss because the texts
+    differ while the meanings coincide.
+
+    Clustering reuses `ivf_assign`'s deterministic data-sampled
+    quantizer (lowest-id vectors are centroids; argmax-cosine cell,
+    ties to the lowest centroid id).  Keep policy, deterministic
+    greedy-by-id: a vector is dropped iff some LOWER-id vector in the
+    SAME cell has cosine >= ``threshold`` with it — one survivor per
+    duplicate chain, no RNG (the paper samples a random keeper).
+
+    Returns (id, cell, keep) — integers and booleans only: the
+    threshold comparison runs on bit-identical sequentially-folded
+    doubles, so the DECISION is exactly hash-checkable.
+
+    Scale shape: the all-pairs step is confined within cells — the
+    paper's own cost model (O(N²/K) per cell, K sized so a cell fits
+    a worker); the join is keyed by cell (the parallel axis), the
+    lower/higher sides pre-projected so no vector column survives
+    past the pair filter.  Reference scope: the reference has no
+    embedding surface; cites SURVEY §2.13's LLM mandate.
+    """
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col)
+    lo = assigned.select(
+        "cell",
+        F.col("id").alias("id_lo"),
+        F.col("v").alias("v_lo"),
+        F.col("n").alias("n_lo"),
+    )
+    hi = assigned.select(
+        "cell",
+        F.col("id").alias("id_hi"),
+        F.col("v").alias("v_hi"),
+        F.col("n").alias("n_hi"),
+    )
+    dups = (
+        lo.join(hi, "cell")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .filter(
+            dot(F.col("v_lo"), F.col("v_hi"))
+            / (F.col("n_lo") * F.col("n_hi"))
+            >= threshold
+        )
+        .select(F.col("id_hi").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dups, assigned.id == dups.dup_id, "left"
+    ).select(
+        F.col("id").alias(id_col),
+        "cell",
+        F.col("dup_id").isNull().alias("keep"),
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_candidates: int = 50,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC shortlists ``n_candidates`` by
+    approximate distance (codes + lookup table, no float vectors
+    touched), then the shortlist alone is re-scored with EXACT cosine
+    and cut to ``k`` — the standard IVF-PQ + refine architecture
+    (Jégou et al. 2011 §V; every production ANN service's shape).
+    Recall approaches the exact tier at a fraction of its cost: the
+    full-precision reads are O(n_candidates), not O(N).
+
+    Returns (id, approx_dist, cos_sim) ordered by exact cosine — the
+    approximate stage-1 distance rides along so callers can audit the
+    re-ranking shift.  The candidate id set broadcasts into the
+    re-score join (tiny by construction); both stages' floats are
+    sequentially folded, so ranking hash-checks exactly.
+    """
+    cands = pq_topk(
+        emb, query, n_candidates, m, dsub, n_codes, id_col, vec_col
+    )
+    q = query.select(
+        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+    )
+    return (
+        emb.join(F.broadcast(cands), id_col)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            "approx_dist",
+            (
+                dot(F.col(vec_col), F.col("qv"))
+                / (norm(F.col(vec_col)) * F.col("qn"))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1069,3 +1069,124 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.remove_duplicated_spans(fan_out(d), n=5, min_docs=2).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "semdedup",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT n.vec_id, c.cid AS cell,
+         list_dot_product(n.v, c.cv) / (n.nn * c.cn) AS ccos
+  FROM n, c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                             ORDER BY ccos DESC, c.cid ASC) = 1
+),
+av AS (
+  SELECT a.vec_id, a.cell, n.v, n.nn FROM assign a JOIN n USING (vec_id)
+),
+dups AS (
+  SELECT DISTINCT hi.vec_id AS dup_id
+  FROM av lo JOIN av hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+  WHERE list_dot_product(lo.v, hi.v) / (lo.nn * hi.nn) >= 0.45
+)
+SELECT av.vec_id, av.cell, d.dup_id IS NULL AS keep
+FROM av LEFT JOIN dups d ON av.vec_id = d.dup_id
+ORDER BY av.vec_id
+""",
+    doc="SemDeDup (llm/similarity.py:semdedup; Abbas et al. 2023): "
+    "semantic deduplication — cluster the embedding space with the "
+    "deterministic IVF quantizer, then drop any vector whose cosine "
+    "to a lower-id vector in the SAME cell reaches 0.45 (greedy-by-id "
+    "keep policy, one survivor per duplicate chain, no RNG).  The "
+    "all-pairs step is confined within cells (the paper's O(N^2/K) "
+    "cost model); output is integers+booleans only, so the DECISION "
+    "itself is exactly hash-checked.",
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.semdedup(e, n_cells=16, threshold=0.45).orderBy("vec_id")
+
+
+@register(
+    "pq_rerank",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sp AS (SELECT unnest(generate_series(0, 7)) AS sub),
+cb AS (
+  SELECT e.vec_id AS cid, sp.sub,
+         list_slice(e.v, sp.sub * 8 + 1, sp.sub * 8 + 8) AS c
+  FROM e, sp WHERE e.vec_id < 16
+),
+vs AS (
+  SELECT e.vec_id AS id, sp.sub,
+         list_slice(e.v, sp.sub * 8 + 1, sp.sub * 8 + 8) AS s
+  FROM e, sp
+),
+dist AS (
+  SELECT vs.id, vs.sub, cb.cid,
+         list_reduce(list_transform(generate_series(1, 8),
+            i -> (vs.s[i] - cb.c[i]) * (vs.s[i] - cb.c[i])),
+            (x, y) -> x + y) AS l2
+  FROM vs JOIN cb USING (sub)
+),
+codes AS (
+  SELECT id, sub, cid AS code
+  FROM dist
+  QUALIFY row_number() OVER (PARTITION BY id, sub ORDER BY l2, cid) = 1
+),
+lut AS (
+  SELECT c2.sub, c2.cid,
+         list_reduce(list_transform(generate_series(1, 8),
+            i -> (q.s[i] - c2.c[i]) * (q.s[i] - c2.c[i])),
+            (x, y) -> x + y) AS qd
+  FROM vs q JOIN cb c2 USING (sub)
+  WHERE q.id = 0
+),
+parts AS (
+  SELECT c.id, c.sub, l.qd
+  FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.cid
+),
+piv AS (
+  SELECT id,
+         {_PQ_CASES}
+  FROM parts GROUP BY id
+),
+cand AS (
+  SELECT id, {_PQ_TOTAL} AS approx_dist
+  FROM piv ORDER BY {_PQ_TOTAL} ASC, id ASC LIMIT 50
+),
+nrm AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+),
+q2 AS (SELECT v AS qv, nn AS qn FROM nrm WHERE vec_id = 0)
+SELECT c.id AS vec_id, round(c.approx_dist, 6) AS approx_dist,
+       round(list_dot_product(nrm.v, q2.qv) / (nrm.nn * q2.qn), 5)
+         AS cos_sim
+FROM cand c JOIN nrm ON nrm.vec_id = c.id, q2
+ORDER BY list_dot_product(nrm.v, q2.qv) / (nrm.nn * q2.qn) DESC, c.id ASC
+LIMIT 10
+""",
+    doc="Two-stage ANN retrieval (llm/similarity.py:pq_rerank_topk): "
+    "PQ-ADC shortlists 50 candidates from codes alone, then ONLY the "
+    "shortlist is re-scored with exact cosine and cut to 10 — the "
+    "IVF-PQ + refine architecture every production vector store uses "
+    "(full-precision reads O(candidates), not O(N)).  The stage-1 "
+    "approximate distance rides along so the re-ranking shift is "
+    "auditable; candidate ids broadcast into the re-score join.",
+)
+def pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    out = SIM.pq_rerank_topk(e, q, k=10, n_candidates=50)
+    return out.select(
+        "vec_id",
+        F.round("approx_dist", R).alias("approx_dist"),
+        F.round("cos_sim", 5).alias("cos_sim"),
+    )

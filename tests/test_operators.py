@@ -339,3 +339,55 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir):
     assert codes.count() == n * 8
     rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
     assert rng[0] >= 0 and rng[1] < 16
+
+
+def test_semdedup_drops_semantic_dups_consistently(spark, sf_dir):
+    """Keep decisions must agree with a direct recomputation: a vector
+    is dropped iff a lower-id same-cell vector reaches the threshold;
+    the gate must actually drop something (the corpus has planted
+    near-dups)."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.semdedup(e, n_cells=16, threshold=0.45).collect()
+    dropped = [r["vec_id"] for r in out if not r["keep"]]
+    assert len(dropped) > 0, "planted near-dups must be dropped"
+    assert len(dropped) < len(out)
+    # recompute one dropped vector's justification brute-force
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in e.collect()}
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    vid = dropped[0]
+    peers = [
+        o for o in vecs
+        if o < vid and cells[o] == cells[vid]
+    ]
+    best = max(
+        float(vecs[vid] @ vecs[o])
+        / (np.linalg.norm(vecs[vid]) * np.linalg.norm(vecs[o]))
+        for o in peers
+    )
+    assert best >= 0.45 - 1e-9
+
+
+def test_pq_rerank_beats_or_matches_pq_recall(spark, sf_dir):
+    """Exact re-scoring of a 50-candidate shortlist must recall at
+    least as much of the true top-10 as the raw PQ top-10, and the
+    query must rank itself first with cosine 1."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in SIM.brute_force_topk(e, q, k=10).collect()]
+    raw = [r["vec_id"] for r in SIM.pq_topk(e, q, k=10).collect()]
+    rr = SIM.pq_rerank_topk(e, q, k=10, n_candidates=50).collect()
+    rer = [r["vec_id"] for r in rr]
+    assert rer[0] == 0 and abs(rr[0]["cos_sim"] - 1.0) < 1e-12
+    r_raw = len(set(raw) & set(exact)) / 10
+    r_rer = len(set(rer) & set(exact)) / 10
+    assert r_rer >= r_raw, (r_rer, r_raw)
+    # within the shortlist, ordering is exactly by cosine
+    sims = [r["cos_sim"] for r in rr]
+    assert sims == sorted(sims, reverse=True)
