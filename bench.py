@@ -102,6 +102,7 @@ HEADLINE = [
     "substring_dedup",
     "semdedup",
     "pq_rerank",
+    "bpe_train",
 ]
 
 TIMED_SWEEPS = 2

@@ -17,7 +17,7 @@ reduction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .corpus import words_array
@@ -104,3 +104,103 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def _spaced(word: Column) -> Column:
+    """' h e l l o ' — space-delimited symbol string with sentinel
+    spaces, so a merge is a plain substring replace aligned on symbol
+    boundaries (symbols never contain spaces)."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(word, "(.)", "$1 ")
+    )
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """Array of (l, r) structs for adjacent symbols of a spaced
+    string; empty for single-symbol words (Spark's sequence(1, 0)
+    DESCENDS rather than returning empty — the word_ngrams guard)."""
+    arr = F.split(F.trim(sym), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.struct(
+            F.element_at(arr, i).alias("l"),
+            F.element_at(arr, i + 1).alias("r"),
+        ),
+    )
+    return F.when(F.size(arr) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<l:string,r:string>>")
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = 3, text: str = "text"
+) -> DataFrame:
+    """Actual BPE merge training (Sennrich et al. 2016), ``n_merges``
+    iterations: start from the character-split word-frequency table,
+    and per step (1) count adjacent symbol pairs weighted by word
+    frequency, (2) pick the argmax pair (ties to the lexicographically
+    smallest), (3) merge it in every word via a boundary-aligned
+    substring replace.  Returns (step, left, right, merged,
+    pair_count) — the merge table a tokenizer ships; strings and
+    integers only, exactly hash-checkable.
+
+    Fully declarative: the per-step argmax is a 1-row frame that
+    CROSS-JOINS (broadcast) back into the vocabulary — no driver-side
+    collect anywhere, the whole k-merge train is one lazy plan.  Each
+    step's vocabulary is lazily checkpointed: the pair-count
+    aggregation and the next step's rewrite both consume it, and the
+    checkpoint keeps the k-stage lineage flat.
+
+    Scale shape: every iteration is O(vocab), not O(corpus) — the one
+    corpus-wide shuffle is the initial word count; after that, pair
+    counting shuffles the vocabulary's adjacent-pair stream and the
+    merge is a map-only rewrite.  This is exactly why production BPE
+    trainers pre-aggregate to word counts before iterating.
+    """
+    vocab = (
+        docs.select(F.explode(words_array(text)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select("wc", _spaced(F.col("word")).alias("sym"))
+        .localCheckpoint(eager=False)
+    )
+    steps = []
+    cur = vocab
+    for step in range(1, n_merges + 1):
+        counts = (
+            cur.select("wc", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("pair_count"))
+        )
+        best = (
+            counts.orderBy(
+                F.desc("pair_count"), F.asc("l"), F.asc("r")
+            )
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        steps.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("left"),
+                F.col("r").alias("right"),
+                F.concat("l", "r").alias("merged"),
+                "pair_count",
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                "wc",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit(" "), "l", F.lit(" "), "r", F.lit(" ")),
+                    F.concat(F.lit(" "), "l", "r", F.lit(" ")),
+                ).alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out

@@ -635,3 +635,65 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("tfidf", 6).alias("tfidf"),
         "rank",
     ).orderBy("doc_id", "rank")
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Chained-CTE mirror of llm/vocab.py:bpe_train: vocab_0 is the
+    char-spaced word-frequency table; each stage recomputes weighted
+    adjacent-pair counts, picks the argmax (ties lexicographic), and
+    rewrites the vocabulary with a boundary-aligned replace — the SAME
+    1-row cross join the Spark plan uses."""
+    parts = [
+        r"""WITH ws AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+),
+vocab_0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym,
+         count(*) AS wc
+  FROM (SELECT unnest(w) AS word FROM ws) GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+pairs_{i} AS (
+  SELECT a[i] AS l, a[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS pair_count
+  FROM (SELECT wc, string_split(trim(sym), ' ') AS a FROM vocab_{i - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) g
+  GROUP BY 1, 2
+),
+best_{i} AS (
+  SELECT l, r, pair_count FROM pairs_{i}
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+),
+vocab_{i} AS (
+  SELECT replace(sym, ' ' || b.l || ' ' || b.r || ' ',
+                      ' ' || b.l || b.r || ' ') AS sym, wc
+  FROM vocab_{i - 1}, best_{i} b
+)""")
+        joined = ",".join(parts)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS left, r AS right, l || r AS merged, "
+        f"pair_count FROM best_{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"{joined}\nSELECT * FROM ({selects}) ORDER BY step"
+
+
+@register(
+    "bpe_train",
+    oracle=_bpe_oracle(3),
+    doc="BPE merge training, 3 iterations (llm/vocab.py:bpe_train; "
+    "Sennrich et al. 2016): per step, weighted adjacent-pair counts "
+    "over the vocabulary, argmax pair (lexicographic ties), boundary-"
+    "aligned merge rewrite.  Fully declarative — the per-step argmax "
+    "is a 1-row broadcast cross join, no driver collect; every "
+    "iteration is O(vocab) because the corpus pre-aggregates to word "
+    "counts first (the reason real BPE trainers scale).  Output is "
+    "the merge table a tokenizer ships — strings+integers only, "
+    "exactly hash-checked including the merge ORDER.",
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VB
+
+    d = load_table(spark, sf_dir, "documents")
+    return VB.bpe_train(d, n_merges=3).orderBy("step")

@@ -85,3 +85,39 @@ def test_substring_removal_agrees_with_coverage_metric(spark, sf_dir):
         nt2, kept = rem[doc_id]
         assert nt2 == nt
         assert kept == nt - covered, (doc_id, kept, nt, covered)
+
+
+def test_bpe_train_matches_textbook_implementation(spark, sf_dir):
+    """The 3-step merge table must equal a pure-Python textbook BPE
+    run (Sennrich et al. 2016 alg. 1) over the same word counts."""
+    d = load_table(spark, sf_dir, "documents")
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in VB.bpe_train(d, n_merges=3).orderBy("step").collect()
+    ]
+    counts: dict[tuple[str, ...], int] = {}
+    for row in d.select(F.explode(CO.words_array()).alias("w")).collect():
+        key = tuple(row["w"])
+        counts[key] = counts.get(key, 0) + 1
+    want = []
+    for step in range(1, 4):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, wc in counts.items():
+            for i in range(len(syms) - 1):
+                pc[syms[i], syms[i + 1]] = pc.get((syms[i], syms[i + 1]), 0) + wc
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, l, r, l + r, c))
+        merged: dict[tuple[str, ...], int] = {}
+        for syms, wc in counts.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + wc
+        counts = merged
+    assert got == want
