@@ -103,6 +103,7 @@ HEADLINE = [
     "semdedup",
     "pq_rerank",
     "bpe_train",
+    "bpe_segment",
 ]
 
 TIMED_SWEEPS = 2

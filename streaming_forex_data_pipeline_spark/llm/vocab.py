@@ -157,11 +157,21 @@ def bpe_train(
     merge is a map-only rewrite.  This is exactly why production BPE
     trainers pre-aggregate to word counts before iterating.
     """
+    steps, _ = _bpe_loop(docs, n_merges, text)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def _bpe_loop(docs: DataFrame, n_merges: int, text: str):
+    """Shared BPE iteration: returns (per-step merge frames, final
+    vocabulary as (word, wc, sym))."""
     vocab = (
         docs.select(F.explode(words_array(text)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
-        .select("wc", _spaced(F.col("word")).alias("sym"))
+        .select("word", "wc", _spaced(F.col("word")).alias("sym"))
         .localCheckpoint(eager=False)
     )
     steps = []
@@ -191,6 +201,7 @@ def bpe_train(
         cur = (
             cur.crossJoin(F.broadcast(best))
             .select(
+                "word",
                 "wc",
                 F.replace(
                     F.col("sym"),
@@ -200,7 +211,28 @@ def bpe_train(
             )
             .localCheckpoint(eager=False)
         )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionAll(s)
-    return out
+    return steps, cur
+
+
+def bpe_segment(
+    docs: DataFrame, n_merges: int = 3, text: str = "text"
+) -> DataFrame:
+    """Apply the learned BPE merges: the train→apply half of the
+    tokenizer story.  Trains ``n_merges`` merges (same loop as
+    `bpe_train`) and returns every vocabulary word's segmentation
+    under them: (word, wc, segmented, n_symbols), where ``segmented``
+    is the space-joined symbol sequence.
+
+    Segmentation costs nothing extra — the merge rewrites already
+    transform the vocabulary in-plan; this just exposes the final
+    state instead of the merge table.  At 100 TB the output is the
+    tokenizer's word→pieces cache (vocabulary-sized), which the
+    encode stage broadcast-joins against the corpus.
+    """
+    _, final = _bpe_loop(docs, n_merges, text)
+    return final.select(
+        "word",
+        "wc",
+        F.trim(F.col("sym")).alias("segmented"),
+        F.size(F.split(F.trim(F.col("sym")), " ")).alias("n_symbols"),
+    )

@@ -637,8 +637,8 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "rank")
 
 
-def _bpe_oracle(n_merges: int = 3) -> str:
-    """Chained-CTE mirror of llm/vocab.py:bpe_train: vocab_0 is the
+def _bpe_ctes(n_merges: int = 3) -> str:
+    """Chained-CTE mirror of llm/vocab.py:_bpe_loop: vocab_0 is the
     char-spaced word-frequency table; each stage recomputes weighted
     adjacent-pair counts, picks the argmax (ties lexicographic), and
     rewrites the vocabulary with a boundary-aligned replace — the SAME
@@ -648,7 +648,7 @@ def _bpe_oracle(n_merges: int = 3) -> str:
   SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
 ),
 vocab_0 AS (
-  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym,
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym,
          count(*) AS wc
   FROM (SELECT unnest(w) AS word FROM ws) GROUP BY word
 )"""
@@ -666,17 +666,28 @@ best_{i} AS (
   ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
 ),
 vocab_{i} AS (
-  SELECT replace(sym, ' ' || b.l || ' ' || b.r || ' ',
-                      ' ' || b.l || b.r || ' ') AS sym, wc
+  SELECT word, replace(sym, ' ' || b.l || ' ' || b.r || ' ',
+                            ' ' || b.l || b.r || ' ') AS sym, wc
   FROM vocab_{i - 1}, best_{i} b
 )""")
-        joined = ",".join(parts)
+    return ",".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, l AS left, r AS right, l || r AS merged, "
         f"pair_count FROM best_{i}"
         for i in range(1, n_merges + 1)
     )
-    return f"{joined}\nSELECT * FROM ({selects}) ORDER BY step"
+    return f"{_bpe_ctes(n_merges)}\nSELECT * FROM ({selects}) ORDER BY step"
+
+
+def _bpe_segment_oracle(n_merges: int = 3, k: int = 20) -> str:
+    return f"""{_bpe_ctes(n_merges)}
+SELECT word, CAST(wc AS BIGINT) AS wc, trim(sym) AS segmented,
+       CAST(len(string_split(trim(sym), ' ')) AS INT) AS n_symbols
+FROM vocab_{n_merges}
+ORDER BY wc DESC, word ASC LIMIT {k}"""
 
 
 @register(
@@ -697,3 +708,25 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return VB.bpe_train(d, n_merges=3).orderBy("step")
+
+
+@register(
+    "bpe_segment",
+    oracle=_bpe_segment_oracle(3, 20),
+    doc="BPE apply — the train->apply half of the tokenizer story "
+    "(llm/vocab.py:bpe_segment): the 20 most frequent words' "
+    "segmentations under the 3 learned merges.  The merge rewrites "
+    "already transform the vocabulary in-plan, so segmentation just "
+    "exposes the final state; at scale this output is the tokenizer's "
+    "word->pieces cache (vocabulary-sized) that the encode stage "
+    "broadcast-joins against the corpus.",
+)
+def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VB
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        VB.bpe_segment(d, n_merges=3)
+        .orderBy(F.desc("wc"), F.asc("word"))
+        .limit(20)
+    )

@@ -121,3 +121,23 @@ def test_bpe_train_matches_textbook_implementation(spark, sf_dir):
             merged[key] = merged.get(key, 0) + wc
         counts = merged
     assert got == want
+
+
+def test_bpe_segment_roundtrip_and_merge_consistency(spark, sf_dir):
+    """Every segmentation must concatenate back to its word, and no
+    learned merge pair may survive unmerged in any segmentation."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in VB.bpe_train(d, n_merges=3).collect()
+    ]
+    rows = VB.bpe_segment(d, n_merges=3).collect()
+    assert len(rows) > 0
+    for r in rows:
+        syms = r["segmented"].split(" ")
+        assert "".join(syms) == r["word"]
+        assert len(syms) == r["n_symbols"]
+        for left, right in merges:
+            for i in range(len(syms) - 1):
+                assert not (syms[i] == left and syms[i + 1] == right), (
+                    r["word"], left, right)
