@@ -60,31 +60,40 @@ CHANNEL_TRIGGERS = {
 }
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ST1 file-source channel: stream the events table as if it were
-    arriving (one-file micro-batch in tests via availableNow).  The
-    timestamp handling is the same normalize_event_ts the batch loader
-    uses, and the same UTC pin — a self-built non-UTC session must not
-    get shifted instants in the streaming path only."""
-    from ..sources.tables import normalize_event_ts, pin_portability_confs
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """File-source stream over one testdata table (one-file micro-batch
+    in tests via availableNow).  The file streaming source requires a
+    DIRECTORY; a symlink staging dir pointing at the single table file
+    is cached per (application, sf_dir, table) and removed at exit
+    (testdata is read-only)."""
+    from ..sources.tables import pin_portability_confs
 
     pin_portability_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file streaming source requires a DIRECTORY; stage a symlink dir
-    # pointing at the single table file (testdata is read-only)
+    schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     import os
     import tempfile
 
-    # one cached staging dir per (application, sf_dir): repeated calls
-    # reuse it instead of littering /tmp, and atexit removes it
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, f"{sf_dir}:{table}")
     staging = _STREAM_STAGING.get(key)
     if staging is None or not os.path.isdir(staging):
-        staging = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(f"{sf_dir}/events.parquet", f"{staging}/events.parquet")
+        staging = tempfile.mkdtemp(prefix=f"{table}_stream_")
+        os.symlink(
+            f"{sf_dir}/{table}.parquet", f"{staging}/{table}.parquet"
+        )
         _STREAM_STAGING[key] = staging
-    stream = spark.readStream.schema(schema).parquet(staging)
-    return normalize_event_ts(stream)
+    return spark.readStream.schema(schema).parquet(staging)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 file-source channel: stream the events table as if it were
+    arriving.  The timestamp handling is the same normalize_event_ts
+    the batch loader uses, and the same UTC pin — a self-built non-UTC
+    session must not get shifted instants in the streaming path only."""
+    from ..sources.tables import normalize_event_ts
+
+    return normalize_event_ts(read_table_stream(spark, sf_dir, "events"))
 
 
 def candle_channel(

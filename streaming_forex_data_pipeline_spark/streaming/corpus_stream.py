@@ -1,0 +1,88 @@
+"""Streaming corpus ingest: the quality gate as a stateless streaming
+channel.
+
+A training-corpus pipeline at 100 TB ingests continuously; the
+document-level gate (Gopher/C4 rule battery, `llm/corpus.py:
+quality_gate`) needs NO cross-document state — every attribute is a
+function of one document's text.  This module re-expresses the gate as
+pure per-row column algebra so it runs inside a Structured Streaming
+map stage: no shuffle, no watermark, no state store — the infinitely
+parallel shape.  Batch/stream parity is asserted in
+tests/test_streaming.py (same rows as the batch gate on the same
+table).
+
+The batch gate computes the repetition attributes with an
+explode+groupBy (cheaper per doc at O(d) vs the per-row fold's O(d^2)
+distinct-count scan, and reusable by other consumers); the streaming
+variant trades that for statelessness.  Outputs are identical by
+construction: both round the attributes to 6dp BEFORE thresholding,
+so keep/reasons agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..llm.corpus import words_array
+from ..llm.text import avg_word_len
+
+
+def streaming_quality_gate(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-row re-expression of `llm/corpus.py:quality_gate` — same
+    columns, same decisions, zero cross-row operations."""
+    ws = words_array(text)
+    distinct = F.array_distinct(ws)
+    total = F.size(ws)
+    top_c = F.array_max(
+        F.transform(
+            distinct, lambda t: F.size(F.filter(ws, lambda x: x == t))
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        total.cast("long").alias("n_words"),
+        F.round(
+            1.0 - F.size(distinct).cast("double") / total, 6
+        ).alias("dup_word_frac"),
+        F.round(top_c.cast("double") / total, 6).alias("top_word_frac"),
+        F.round(F.coalesce(avg_word_len(text), F.lit(0.0)), 6).alias(
+            "avg_word_len"
+        ),
+    )
+    rules = [
+        ("too_short", F.col("n_words") < 20),
+        ("too_long", F.col("n_words") > 1000),
+        ("dup_words", F.col("dup_word_frac") > 0.6),
+        ("top_word", F.col("top_word_frac") > 0.15),
+        (
+            "word_len",
+            (F.col("avg_word_len") < 2.0) | (F.col("avg_word_len") > 10.0),
+        ),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(code)) for code, cond in rules]
+    )
+    return base.select(
+        "*", reasons.alias("reasons"), (reasons == "").alias("keep")
+    )
+
+
+def start_corpus_gate_channel(
+    spark, sf_dir: str, sink_table: str = "corpus_gate_sink"
+):
+    """Wire the channel: documents stream -> stateless gate -> memory
+    sink (availableNow in tests; the real deployment points the same
+    writeStream at the bronze->silver table)."""
+    from .channels import read_table_stream
+
+    gated = streaming_quality_gate(
+        read_table_stream(spark, sf_dir, "documents")
+    )
+    return (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -183,3 +183,31 @@ def test_session_channel_matches_batch_session_windows(spark, sf_dir):
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     for c in ("min_value", "max_value"):
         assert (merged[f"{c}_s"] - merged[f"{c}_b"]).abs().max() <= 1e-9
+
+
+def test_corpus_gate_stream_matches_batch_gate(spark, sf_dir):
+    """The stateless streaming gate must emit exactly the batch gate's
+    rows (attributes AND decisions) for the same table."""
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_corpus_gate_channel,
+    )
+
+    q = start_corpus_gate_channel(spark, sf_dir, sink_table="corpus_gate_parity")
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["dup_word_frac"], r["top_word_frac"],
+            r["avg_word_len"], r["reasons"], r["keep"],
+        )
+        for r in spark.table("corpus_gate_parity").collect()
+    }
+    want = {
+        r["doc_id"]: (
+            r["n_words"], r["dup_word_frac"], r["top_word_frac"],
+            r["avg_word_len"], r["reasons"], r["keep"],
+        )
+        for r in CO.quality_gate(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert got == want and len(got) > 0
