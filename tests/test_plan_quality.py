@@ -99,3 +99,32 @@ def test_registry_values_are_dataframes(spark, sf_dir):
     for name, q in all_queries().items():
         out = q.spark(spark, sf_dir)
         assert isinstance(out, DataFrame), f"{name} returned {type(out)}"
+
+
+# queries whose CPU-heavy Generates must not run on the unsplittable
+# single-row-group scan: the plan must repartition (fan_out) before
+# the explode, or derive from a checkpointed RDD (scan count 0)
+FANOUT_EXPECTED = [
+    "repetition_stats",
+    "contamination",
+    "quality_gate",
+    "dup_ngram_coverage",
+    "substring_dedup",
+]
+
+
+@pytest.mark.parametrize("name", FANOUT_EXPECTED)
+def test_heavy_generates_are_fanned_out(spark, sf_dir, name):
+    """Regression gate for the round-5 one-core Generates (8-9 s ->
+    1.8 s at sf0.1): either the documents scan is repartitioned to
+    parallelism before the explode, or the tokenize-once checkpoint
+    replaced the scan entirely."""
+    df = all_queries()[name].spark(spark, sf_dir)
+    df.count()  # materialize lazy checkpoints so the final plan is real
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("documents.parquet")
+    if scans == 0:
+        return  # checkpointed — the scan ran wide inside the checkpoint
+    assert "Exchange RoundRobinPartitioning" in plan, (
+        f"{name}: {scans} documents scans with no fan-out repartition"
+    )
