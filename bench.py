@@ -104,6 +104,7 @@ HEADLINE = [
     "pq_rerank",
     "bpe_train",
     "bpe_segment",
+    "knn_graph",
 ]
 
 TIMED_SWEEPS = 2

@@ -519,3 +519,75 @@ def pq_rerank_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN-graph construction: every vector's top-``k`` cosine
+    neighbors WITHIN its LSH bucket — the index-building job behind
+    semantic dedup sweeps, graph-based retrieval (HNSW seeding), and
+    cluster-balance audits; the all-vectors counterpart to the
+    single-query ANN tiers.
+
+    Returns (src, dst, cos_sim, rank), both directions (kNN is a
+    directed relation).  Fewer planes than the query tier (4 → 16
+    buckets) trade pair volume for recall, the right default when the
+    consumer is a graph that tolerates missing edges but not sparse
+    neighborhoods.
+
+    Scale shape: the self-join is keyed by bucket (never all-pairs);
+    the top-k window partitions by the source vector.  At 100 TB the
+    bucket column is precomputed once (a silver table bucketed on it),
+    making the join co-located and shuffle-free.
+    """
+    from ..sources.tables import fan_out
+
+    b = fan_out(
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+    ).select(
+        "id",
+        "v",
+        norm(F.col("v")).alias("n"),
+        lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
+    )
+    lhs = b.select(
+        "bucket",
+        F.col("id").alias("src"),
+        F.col("v").alias("v_s"),
+        F.col("n").alias("n_s"),
+    )
+    rhs = b.select(
+        "bucket",
+        F.col("id").alias("dst"),
+        F.col("v").alias("v_d"),
+        F.col("n").alias("n_d"),
+    )
+    pairs = (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                dot(F.col("v_s"), F.col("v_d"))
+                / (F.col("n_s") * F.col("n_d"))
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cos_sim"), F.asc("dst")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )

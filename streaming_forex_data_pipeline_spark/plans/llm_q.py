@@ -1190,3 +1190,46 @@ def pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("approx_dist", R).alias("approx_dist"),
         F.round("cos_sim", 5).alias("cos_sim"),
     )
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn,
+         {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', n_planes=4)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+r AS (
+  SELECT src, dst, cos,
+         CAST(row_number() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, dst ASC) AS INT) AS rank
+  FROM pairs
+)
+SELECT src, dst, round(cos, 5) AS cos_sim, rank
+FROM r WHERE rank <= 3
+ORDER BY src, rank
+""",
+    doc="Batch kNN-graph construction (llm/similarity.py:knn_graph): "
+    "every vector's top-3 cosine neighbors within its 4-plane LSH "
+    "bucket — the index-building job behind semantic dedup sweeps and "
+    "graph-based retrieval; the all-vectors counterpart to the "
+    "single-query ANN tiers.  Self-join keyed by bucket (never "
+    "all-pairs), top-k window partitioned by the source vector; at "
+    "scale the bucket column lives in a silver table bucketed on it, "
+    "making the join co-located.  Sequentially-folded cosines keep "
+    "ranks exactly hash-checkable.",
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.knn_graph(e, k=3, n_planes=4)
+    return out.select(
+        "src", "dst", F.round("cos_sim", 5).alias("cos_sim"), "rank"
+    ).orderBy("src", "rank")

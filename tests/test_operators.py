@@ -391,3 +391,45 @@ def test_pq_rerank_beats_or_matches_pq_recall(spark, sf_dir):
     # within the shortlist, ordering is exactly by cosine
     sims = [r["cos_sim"] for r in rr]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_graph_recall_and_shape(spark, sf_dir):
+    """Every vector gets exactly k in-bucket neighbors (buckets are
+    larger than k at 4 planes), edges are symmetric in candidate
+    generation (dst's own list may differ — directed kNN), and
+    in-bucket ranking matches brute force for a sampled source."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = SIM.knn_graph(e, k=3, n_planes=4).collect()
+    n = e.count()
+    per_src: dict[int, list] = {}
+    for r in g:
+        per_src.setdefault(r["src"], []).append(r)
+    assert len(per_src) == n, "every vector must have a neighbor list"
+    assert all(len(v) == 3 for v in per_src.values())
+    # recompute one source's in-bucket ranking brute-force
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in e.collect()}
+    buckets = {
+        r["id"]: r["bucket"]
+        for r in (
+            e.select(
+                F.col("vec_id").alias("id"),
+                SIM.lsh_bucket(F.col("embedding"), n_planes=4).alias("bucket"),
+            ).collect()
+        )
+    }
+    src = min(per_src)
+    mates = [o for o in vecs if o != src and buckets[o] == buckets[src]]
+    want = sorted(
+        mates,
+        key=lambda o: (
+            -(vecs[src] @ vecs[o])
+            / (np.linalg.norm(vecs[src]) * np.linalg.norm(vecs[o])),
+            o,
+        ),
+    )[:3]
+    got = [r["dst"] for r in sorted(per_src[src], key=lambda r: r["rank"])]
+    assert got == want
