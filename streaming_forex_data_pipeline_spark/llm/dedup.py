@@ -715,11 +715,17 @@ def remove_duplicated_spans(
     # tokenize ONCE: four consumers (gram occurrences x2, the token
     # stream, the per-doc token count) otherwise each re-scan and
     # re-split the corpus.  The checkpointed frame holds the compact
-    # array form; downstream explodes re-derive from it.
+    # array form; downstream explodes re-derive from it.  The array is
+    # emptied for blank documents: words_array('') is [''] (split
+    # semantics), and exploding that phantom token would emit
+    # n_kept=1 against n_tokens=0.
+    tc = token_count(text).cast("long")
     ws0 = docs.select(
         "doc_id",
-        words_array(text).alias("ws"),
-        token_count(text).cast("long").alias("n_tokens"),
+        F.when(tc > 0, words_array(text))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("ws"),
+        tc.alias("n_tokens"),
     ).localCheckpoint(eager=False)
     occ = ws0.select(
         "doc_id",

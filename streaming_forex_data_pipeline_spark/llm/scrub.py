@@ -54,8 +54,15 @@ def scrub(
     Adds per-category match counts (``n_email``/``n_ipv4``/``n_phone``/
     ``n_terms``), the total, and the redacted text column ``scrubbed``
     (placeholders ``<EMAIL>``/``<IPV4>``/``<PHONE>``/``<TERM>``).
-    Counts are measured on the ORIGINAL text; replacements are applied
-    sequentially in the documented order.
+
+    Contract: counts are DETECTIONS on the ORIGINAL text, while
+    replacements apply sequentially in the documented order — so when
+    categories overlap (a phone-shaped digit run inside an email
+    local-part), an earlier replacement can consume a later category's
+    span and ``n_redactions`` exceeds the number of placeholders in
+    ``scrubbed``.  That is deliberate: the counts answer "what PII was
+    present" (the audit question), not "how many substitutions ran";
+    the oracle mirrors the same original-text counting.
     """
     counts: list[Column] = []
     out = F.col(text)

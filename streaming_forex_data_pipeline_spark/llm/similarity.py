@@ -303,6 +303,28 @@ def _subchunks(vec: Column, m: int, dsub: int) -> Column:
     )
 
 
+def _pq_codebook(
+    emb: DataFrame,
+    m: int,
+    dsub: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(cid, sub, c): the m×n_codes sub-vector codebook from the
+    n_codes lowest-id vectors — the SINGLE construction both the
+    encoder (pq_codes) and the query LUT (pq_topk) must share, or
+    codes and lookup distances silently diverge."""
+    return (
+        emb.filter(F.col(id_col) < n_codes)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x"),
+        )
+        .select("cid", F.col("x.sub").alias("sub"), F.col("x.s").alias("c"))
+    )
+
+
 def pq_codes(
     emb: DataFrame,
     m: int = 8,
@@ -327,14 +349,7 @@ def pq_codes(
     """
     from ..sources.tables import fan_out
 
-    cb = (
-        emb.filter(F.col(id_col) < n_codes)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x"),
-        )
-        .select("cid", F.col("x.sub").alias("sub"), F.col("x.s").alias("c"))
-    )
+    cb = _pq_codebook(emb, m, dsub, n_codes, id_col, vec_col)
     vs = fan_out(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).select(
@@ -377,14 +392,7 @@ def pq_topk(
     Recall vs the exact tier is measured in tests (like IVF/LSH).
     """
     codes = pq_codes(emb, m, dsub, n_codes, id_col, vec_col)
-    cb = (
-        emb.filter(F.col(id_col) < n_codes)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x"),
-        )
-        .select("cid", F.col("x.sub").alias("sub"), F.col("x.s").alias("c"))
-    )
+    cb = _pq_codebook(emb, m, dsub, n_codes, id_col, vec_col)
     qs = query.select(
         F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x")
     ).select(F.col("x.sub").alias("sub"), F.col("x.s").alias("qs"))

@@ -107,11 +107,24 @@ def tfidf_top_terms(
 
 
 def _spaced(word: Column) -> Column:
-    """' h e l l o ' — space-delimited symbol string with sentinel
-    spaces, so a merge is a plain substring replace aligned on symbol
-    boundaries (symbols never contain spaces)."""
+    """' h  e  l  l  o ' — DOUBLE-space separators with SINGLE-space
+    sentinels.  This exact geometry makes a plain leftmost
+    non-overlapping substring replace of ' l  r ' -> ' lr ' equal to
+    the textbook greedy BPE merge (Sennrich et al. 2016's re.sub
+    scan): the pattern's single-space bounds anchor both symbols at
+    true boundaries (no suffix/prefix false matches), and on
+    consecutive occurrences ('a a a a') the double separator donates
+    one space to the consumed trailing bound and keeps one as the
+    next match's leading bound — so overlapping chains merge
+    pairwise left-to-right exactly like the reference scan.  With
+    single-space separators the replace consumed the shared space
+    and skipped every second occurrence (caught by review; the
+    textbook differential test missed it because the synthetic
+    corpus has no repeated-pair words)."""
     return F.concat(
-        F.lit(" "), F.regexp_replace(word, "(.)", "$1 ")
+        F.lit(" "),
+        F.rtrim(F.regexp_replace(word, "(.)", "$1  ")),
+        F.lit(" "),
     )
 
 
@@ -119,7 +132,7 @@ def _adjacent_pairs(sym: Column) -> Column:
     """Array of (l, r) structs for adjacent symbols of a spaced
     string; empty for single-symbol words (Spark's sequence(1, 0)
     DESCENDS rather than returning empty — the word_ngrams guard)."""
-    arr = F.split(F.trim(sym), " ")
+    arr = F.split(F.trim(sym), "  ")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(arr) - 1),
         lambda i: F.struct(
@@ -205,7 +218,7 @@ def _bpe_loop(docs: DataFrame, n_merges: int, text: str):
                 "wc",
                 F.replace(
                     F.col("sym"),
-                    F.concat(F.lit(" "), "l", F.lit(" "), "r", F.lit(" ")),
+                    F.concat(F.lit(" "), "l", F.lit("  "), "r", F.lit(" ")),
                     F.concat(F.lit(" "), "l", "r", F.lit(" ")),
                 ).alias("sym"),
             )
@@ -233,6 +246,8 @@ def bpe_segment(
     return final.select(
         "word",
         "wc",
-        F.trim(F.col("sym")).alias("segmented"),
-        F.size(F.split(F.trim(F.col("sym")), " ")).alias("n_symbols"),
+        F.array_join(F.split(F.trim(F.col("sym")), "  "), " ").alias(
+            "segmented"
+        ),
+        F.size(F.split(F.trim(F.col("sym")), "  ")).alias("n_symbols"),
     )

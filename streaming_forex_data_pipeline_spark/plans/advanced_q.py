@@ -295,7 +295,7 @@ def rolling_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_h = F.lag("high").over(w)
     ret_c = F.when(prev_c != 0, (F.col("close") - prev_c) / prev_c)
     ret_h = F.when(prev_h != 0, (F.col("high") - prev_h) / prev_h)
-    cents = lambda col: F.round(F.col(col) * 100).cast("bigint")  # noqa: E731
+    from ..operators.indicators import cents
     return c.select(
         "symbol",
         "ts",

@@ -648,7 +648,8 @@ def _bpe_ctes(n_merges: int = 3) -> str:
   SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
 ),
 vocab_0 AS (
-  SELECT word, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym,
+  SELECT word,
+         ' ' || rtrim(regexp_replace(word, '(.)', '\1  ', 'g')) || ' ' AS sym,
          count(*) AS wc
   FROM (SELECT unnest(w) AS word FROM ws) GROUP BY word
 )"""
@@ -657,7 +658,7 @@ vocab_0 AS (
         parts.append(f"""
 pairs_{i} AS (
   SELECT a[i] AS l, a[i + 1] AS r, CAST(sum(wc) AS BIGINT) AS pair_count
-  FROM (SELECT wc, string_split(trim(sym), ' ') AS a FROM vocab_{i - 1}),
+  FROM (SELECT wc, string_split(trim(sym), '  ') AS a FROM vocab_{i - 1}),
        LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) g
   GROUP BY 1, 2
 ),
@@ -666,7 +667,7 @@ best_{i} AS (
   ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
 ),
 vocab_{i} AS (
-  SELECT word, replace(sym, ' ' || b.l || ' ' || b.r || ' ',
+  SELECT word, replace(sym, ' ' || b.l || '  ' || b.r || ' ',
                             ' ' || b.l || b.r || ' ') AS sym, wc
   FROM vocab_{i - 1}, best_{i} b
 )""")
@@ -684,8 +685,9 @@ def _bpe_oracle(n_merges: int = 3) -> str:
 
 def _bpe_segment_oracle(n_merges: int = 3, k: int = 20) -> str:
     return f"""{_bpe_ctes(n_merges)}
-SELECT word, CAST(wc AS BIGINT) AS wc, trim(sym) AS segmented,
-       CAST(len(string_split(trim(sym), ' ')) AS INT) AS n_symbols
+SELECT word, CAST(wc AS BIGINT) AS wc,
+       array_to_string(string_split(trim(sym), '  '), ' ') AS segmented,
+       CAST(len(string_split(trim(sym), '  ')) AS INT) AS n_symbols
 FROM vocab_{n_merges}
 ORDER BY wc DESC, word ASC LIMIT {k}"""
 

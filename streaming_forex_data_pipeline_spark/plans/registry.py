@@ -66,8 +66,15 @@ def _evidence_order() -> list[str]:
     latest: dict[str, tuple[int, dict]] = {}
     try:
         root = Path(__file__).resolve().parents[2]
-        for p in sorted(root.glob("CORRECTNESS_r*.json")):
-            rnd = int("".join(ch for ch in p.stem if ch.isdigit()) or 0)
+        # sort by PARSED round number — lexicographic file order puts
+        # r10 before r2..r9, which would freeze 'latest' at r9 forever
+        drops = sorted(
+            (
+                (int("".join(ch for ch in p.stem if ch.isdigit()) or 0), p)
+                for p in root.glob("CORRECTNESS_r*.json")
+            ),
+        )
+        for rnd, p in drops:
             for name, rec in json.loads(p.read_text()).items():
                 if name in reg_idx:
                     latest[name] = (rnd, rec)

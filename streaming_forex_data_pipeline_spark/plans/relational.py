@@ -57,7 +57,7 @@ ORDER BY l_returnflag, l_linestatus
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    from ..operators.indicators import cents
     qty_c = cents("l_quantity")
     price_c = cents("l_extendedprice")
     disc_c = cents("l_discount")
@@ -102,7 +102,7 @@ FROM lineitem
 )
 def scalar_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    from ..operators.indicators import cents
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.min("l_extendedprice"), R).alias("min_price"),
@@ -227,7 +227,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    cents = lambda c_: F.round(F.col(c_) * 100).cast("bigint")  # noqa: E731
+    from ..operators.indicators import cents
     rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

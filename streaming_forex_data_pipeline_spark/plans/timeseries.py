@@ -106,7 +106,8 @@ ORDER BY event_type, day
 )
 def daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    from ..operators.indicators import cents as _cents
+    cents = _cents("value")
     n = F.count(F.lit(1))
     return (
         e.groupBy(
@@ -807,7 +808,8 @@ ORDER BY c.symbol, c.ts
 )
 def normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
-    cents = F.round(F.col("close") * 100).cast("bigint")
+    from ..operators.indicators import cents as _cents
+    cents = _cents("close")
     sums = c.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s1"),
@@ -1179,8 +1181,9 @@ ORDER BY symbol, day
 )
 def vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
-    pc = F.round(F.col("close") * 100).cast("bigint")
-    vc = F.round(F.col("volume") * 100).cast("bigint")
+    from ..operators.indicators import cents as _cents
+    pc = _cents("close")
+    vc = _cents("volume")
     return (
         c.groupBy("symbol", F.date_trunc("day", "ts").alias("day"))
         .agg(
@@ -1218,7 +1221,7 @@ ORDER BY symbol
 )
 def symbol_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = candles_from_events(spark, sf_dir)
-    cents = lambda col: F.round(F.col(col) * 100).cast("bigint")  # noqa: E731
+    from ..operators.indicators import cents
     return (
         c.groupBy("symbol")
         .agg(
@@ -1316,6 +1319,8 @@ ORDER BY symbol, day
     "refine with the residual range predicate.",
 )
 def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indicators import cents as _scan_cents
+
     e = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
     in_session = (F.col("ts") >= day + F.expr("INTERVAL 7 HOURS")) & (
@@ -1332,7 +1337,7 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer-cents avg: exact under any partial-agg order
             # (see daily_stats — same boundary-sitting avg values)
             _r(
-                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                F.sum(_scan_cents("value"))
                 / 100.0
                 / F.count(F.lit(1)),
                 "avg_value",

@@ -237,7 +237,10 @@ def _partition_dirs(table_dir: str) -> list[tuple]:
     if os.path.isdir(table_dir):
         for d in os.listdir(table_dir):
             if d.startswith(PARTITION_COL + "="):
-                day = datetime.date.fromisoformat(d.split("=", 1)[1])
+                try:
+                    day = datetime.date.fromisoformat(d.split("=", 1)[1])
+                except ValueError:
+                    continue  # stray non-date dir (e.g. crashed temp)
                 out.append((day, os.path.join(table_dir, d)))
     return sorted(out)
 
@@ -298,11 +301,19 @@ def delete_range(
         ):
             shutil.rmtree(path)  # fully doomed: pure directory drop
             continue
-        # boundary chunk: rewrite just this partition's rows
+        # boundary chunk: rewrite just this partition's rows.  The
+        # temp dir is DOT-prefixed so a crash between write and move
+        # leaves a dir Spark's file listing AND _partition_dirs both
+        # ignore ('p_date=<date>.del' would make every later
+        # fromisoformat call crash)
         kept = spark.read.parquet(path).filter(
             ~((F.col(ts_col) >= start) & (F.col(ts_col) <= end))
         )
-        tmp = path.rstrip("/") + ".del"
+        import os
+
+        tmp = os.path.join(
+            table_dir, "." + os.path.basename(path.rstrip("/")) + ".del"
+        )
         kept.write.mode("overwrite").parquet(tmp)
         # count survivors from the materialized tmp — ``kept`` itself
         # still lazily references ``path``, which is about to vanish

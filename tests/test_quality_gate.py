@@ -141,3 +141,43 @@ def test_bpe_segment_roundtrip_and_merge_consistency(spark, sf_dir):
             for i in range(len(syms) - 1):
                 assert not (syms[i] == left and syms[i + 1] == right), (
                     r["word"], left, right)
+
+
+def test_bpe_merge_handles_overlapping_pair_chains(spark):
+    """'aaaa'/'banana'-class words: consecutive occurrences of the
+    winning pair must merge pairwise left-to-right (textbook greedy),
+    not skip every second occurrence — the single-space-separator
+    replace consumed the shared boundary space and got [aa, a, a]
+    for 'aaaa'."""
+    docs = spark.createDataFrame(
+        [(i, "aaaa banana aaaa aaaa xy") for i in range(3)],
+        "doc_id long, text string",
+    )
+    seg = {
+        r["word"]: (r["segmented"], r["n_symbols"])
+        for r in VB.bpe_segment(docs, n_merges=1).collect()
+    }
+    merges = VB.bpe_train(docs, n_merges=1).collect()
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    # 'aaaa' under merge (a,a): textbook greedy = [aa, aa]
+    assert seg["aaaa"] == ("aa aa", 2)
+    # 'banana': no adjacent 'a a'; unchanged
+    assert seg["banana"] == ("b a n a n a", 6)
+    assert seg["xy"] == ("x y", 2)
+
+
+def test_substring_removal_blank_document_edge(spark):
+    """A whitespace-only document must report n_tokens=0, n_kept=0 —
+    words_array('') is [''] and the phantom token must not survive."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(0, "   "), (1, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            DD.remove_duplicated_spans(docs, n=5, min_docs=2).collect()}
+    assert rows[0]["n_tokens"] == 0 and rows[0]["n_kept"] == 0
+    assert rows[0]["cleaned"] == ""
+    # docs 1 and 2 share every 5-gram: fully removed
+    assert rows[1]["n_kept"] == 0 and rows[2]["n_kept"] == 0
