@@ -353,8 +353,13 @@ def simhash_near_dup_pairs(
     # the end) replaces a multi-million-row candidate distinct with one
     # on value pairs.  This is also the 100 TB shape: candidate state is
     # O(#distinct signatures), independent of corpus row count.
-    groups = sh.groupBy("sh").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    # three consumers (intra tier + both sides of the band self-join)
+    # would otherwise re-run the scan+hash+aggregate chain three times;
+    # the frame is #distinct-signatures rows — checkpoint it lazily
+    groups = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .localCheckpoint(eager=False)
     )
 
     # hamming-0 tier: pairs within one signature group (element-parallel
