@@ -105,6 +105,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_segment",
     "knn_graph",
+    "incremental_dedup",
 ]
 
 TIMED_SWEEPS = 2

@@ -1233,3 +1233,44 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src", "dst", F.round("cos_sim", 5).alias("cos_sim"), "rank"
     ).orderBy("src", "rank")
+
+
+@register(
+    "incremental_dedup",
+    oracle=r"""
+WITH m AS (
+  SELECT ((max(doc_id) + 1) * 4) // 5 AS cutoff FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(1.0, 6) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.t = b.t, m
+WHERE a.doc_id >= m.cutoff OR b.doc_id >= m.cutoff
+ORDER BY doc_a, doc_b
+""",
+    doc="Incremental dedup (llm/dedup.py:incremental_near_dup_pairs) — "
+    "the daily-crawl-vs-historical-index shape a 100 TB pipeline "
+    "actually runs: only pairs touching a NEW document (here the top "
+    "20% of doc_ids stand in for today's batch) are emitted; OLD-OLD "
+    "pairs the index already resolved are never exploded, dropping "
+    "per-bucket cost from O((k_old+k_new)^2) to O(k_new^2 + "
+    "k_old*k_new) and skipping buckets with no new member.  "
+    "Registered at threshold 1.0 / 1 band (recall exactly 1, "
+    "set-equality oracle, same rationale as minhash_near_dups).",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(((F.max("doc_id") + 1) * 4) / 5).cast("long").alias("cutoff")
+    )
+    d2 = d.crossJoin(F.broadcast(cut))
+    pairs = DD.incremental_near_dup_pairs(
+        d2, F.col("doc_id") >= F.col("cutoff"), threshold=1.0, bands=1
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard", R).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

@@ -433,3 +433,25 @@ def test_knn_graph_recall_and_shape(spark, sf_dir):
     )[:3]
     got = [r["dst"] for r in sorted(per_src[src], key=lambda r: r["rank"])]
     assert got == want
+
+
+def test_incremental_dedup_is_exactly_the_new_touching_slice(spark, sf_dir):
+    """Incremental pairs == full pairs restricted to 'at least one side
+    new', and no old-old pair leaks through."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    cutoff = (d.agg(F.max("doc_id")).collect()[0][0] + 1) * 4 // 5
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.near_duplicate_pairs(d, threshold=1.0, bands=1).collect()
+    }
+    want = {p for p in full if p[0] >= cutoff or p[1] >= cutoff}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.incremental_near_dup_pairs(
+            d, F.col("doc_id") >= cutoff, threshold=1.0, bands=1
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    assert all(a >= cutoff or b >= cutoff for a, b in got)
