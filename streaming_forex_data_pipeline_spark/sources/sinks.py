@@ -352,3 +352,56 @@ def apply_retention(
     lo = df.agg(F.min(ts_col)).collect()[0][0]
     if lo is not None and lo <= horizon:
         delete_range(spark, table_dir, ts_col, lo, horizon)
+
+
+def export_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Training-shard export: write the corpus as ``n_shards``
+    content-keyed parquet shards plus a manifest — the final stage of
+    a corpus build (gate -> dedup -> pack -> SHARD), where trainers
+    consume fixed shard files and resumable data loaders index into
+    them.
+
+    Shard assignment is `llm.corpus.portable_bucket` of the key — a
+    pure function of content identity, so incremental rebuilds send a
+    document to the same shard every time (stable loader order,
+    diff-able shards), unlike round-robin or partition-id assignment
+    which reshuffles under any repartitioning.  Layout is Hive
+    ``shard=NN/`` so a trainer (or Spark itself) can read one shard
+    with partition pruning.
+
+    Writes ``_manifest.json`` (shard -> rows) alongside and returns
+    the manifest frame (shard, n_rows) — the loader's index.  The
+    repartition is BY THE SHARD COLUMN, so each shard's rows co-locate
+    into one task and each shard directory gets one file per writing
+    task, not one per (task x shard).
+    """
+    import json as _json
+    import os
+
+    from ..llm.corpus import portable_bucket
+
+    sharded = docs.withColumn(
+        "shard", portable_bucket(F.col(key_col), "shard:", n_shards)
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    spark = docs.sparkSession
+    manifest = (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("shard")
+    )
+    rows = {int(r["shard"]): int(r["n_rows"]) for r in manifest.collect()}
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+        _json.dump({"n_shards": n_shards, "rows": rows}, fh, sort_keys=True)
+    return manifest

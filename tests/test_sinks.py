@@ -276,3 +276,28 @@ def test_commit_append_id_race_retries(spark, tmp_path, monkeypatch):
     assert raced["n"] == 1
     got = S.read_committed(spark, tdir, ["symbol", "ts"]).count()
     assert got == 2  # rival's empty manifest contributes no files
+
+
+def test_export_shards_is_deterministic_and_complete(spark, sf_dir, tmp_path):
+    """Shard assignment is a pure function of the key: two exports of
+    the same corpus produce identical shard membership; every row
+    lands in exactly one shard; the manifest matches the files."""
+    import json
+
+    from streaming_forex_data_pipeline_spark.sources.sinks import export_shards
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = {(r["shard"], r["n_rows"]) for r in export_shards(d, out1, 4).collect()}
+    m2 = {(r["shard"], r["n_rows"]) for r in export_shards(d, out2, 4).collect()}
+    assert m1 == m2 and len(m1) == 4
+    back = spark.read.parquet(out1)
+    assert back.count() == d.count()
+    assert back.select("doc_id").distinct().count() == d.count()
+    a1 = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    a2 = {(r["doc_id"], r["shard"])
+          for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a1 == a2
+    man = json.load(open(out1 + "/_manifest.json"))
+    assert sum(man["rows"].values()) == d.count()
