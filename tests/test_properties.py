@@ -292,3 +292,91 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in DD.connected_components(df).collect()
     }
     assert got == want
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    ),
+    n_merges=st.integers(min_value=1, max_value=3),
+)
+@settings(**SETTINGS)
+def test_bpe_train_textbook_parity_on_random_corpora(spark, words, n_merges):
+    """The merge table equals a pure-Python textbook BPE over ANY word
+    multiset — including repeated-pair chains ('aaaa') and ties, the
+    shapes that exposed the single-space replace bug."""
+    from streaming_forex_data_pipeline_spark.llm import vocab as VB
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in VB.bpe_train(docs, n_merges=n_merges).orderBy("step").collect()
+    ]
+    counts: dict[tuple[str, ...], int] = {}
+    for w in words:
+        counts[tuple(w)] = counts.get(tuple(w), 0) + 1
+    want = []
+    for step in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, wc in counts.items():
+            for i in range(len(syms) - 1):
+                pc[syms[i], syms[i + 1]] = pc.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + wc
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((step, l, r, c))
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, wc in counts.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + wc
+        counts = nxt
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=8
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    cut_frac=st.floats(min_value=0.2, max_value=0.8),
+)
+@settings(**SETTINGS)
+def test_incremental_dedup_equals_restricted_full_set(spark, texts, cut_frac):
+    """For ANY corpus and cutoff, incremental pairs == full pairs
+    restricted to new-touching, at threshold 1.0."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    cutoff = int(len(texts) * cut_frac)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.near_duplicate_pairs(
+            docs, threshold=1.0, bands=1
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.incremental_near_dup_pairs(
+            docs, F.col("doc_id") >= cutoff, threshold=1.0, bands=1
+        ).collect()
+    }
+    want = {p for p in full if p[0] >= cutoff or p[1] >= cutoff}
+    assert got == want
