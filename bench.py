@@ -106,6 +106,7 @@ HEADLINE = [
     "bpe_segment",
     "knn_graph",
     "incremental_dedup",
+    "ivf_pq_topk",
 ]
 
 TIMED_SWEEPS = 2

@@ -599,3 +599,84 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cos_sim", "rank")
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed architecture real vector stores ship
+    (FAISS IndexIVFPQ) — the coarse quantizer restricts the search to
+    ``nprobe`` cells, and within them distance is PQ-ADC table lookups
+    over the byte codes; no full-precision vector is touched at query
+    time AND only ~nprobe/n_cells of the codes are scanned.
+
+    Composes the existing deterministic tiers: `ivf_assign` cells +
+    `pq_codes` codes + the broadcast query LUT.  At scale both
+    assignments are precomputed silver tables partitioned by cell, so
+    a query reads nprobe partitions of an m-byte-per-vector table —
+    the memory/IO geometry that serves billion-vector corpora from a
+    handful of machines.
+
+    Returns (id, approx_dist) like `pq_topk`; the same pivot +
+    fixed-order row arithmetic keeps distances exactly reproducible.
+    """
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col).select("id", "cell")
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    q = query.select(
+        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            (
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    codes = pq_codes(emb, m, dsub, n_codes, id_col, vec_col)
+    cb = _pq_codebook(emb, m, dsub, n_codes, id_col, vec_col)
+    qs = query.select(
+        F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x")
+    ).select(F.col("x.sub").alias("sub"), F.col("x.s").alias("qs"))
+    lut = qs.join(cb, "sub").select(
+        "sub", "cid", _l2sq(F.col("qs"), F.col("c")).alias("qd")
+    )
+    in_cells = codes.join(
+        assigned.join(F.broadcast(probe), assigned.cell == probe.cid)
+        .select("id"),
+        "id",
+    )
+    parts = in_cells.join(
+        F.broadcast(lut),
+        (in_cells.sub == lut.sub) & (in_cells.code == lut.cid),
+    ).select(in_cells.id, in_cells.sub, lut.qd)
+    piv = parts.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("sub") == j, F.col("qd"))).alias(f"p{j}")
+            for j in range(m)
+        ]
+    )
+    total = piv.select(
+        F.col("id").alias(id_col),
+        sum(
+            (F.col(f"p{j}") for j in range(1, m)), F.col("p0")
+        ).alias("approx_dist"),
+    )
+    return total.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k)

@@ -455,3 +455,38 @@ def test_incremental_dedup_is_exactly_the_new_touching_slice(spark, sf_dir):
     }
     assert got == want and len(got) > 0
     assert all(a >= cutoff or b >= cutoff for a, b in got)
+
+
+def test_ivf_pq_equals_pq_restricted_to_probed_cells(spark, sf_dir):
+    """IVF-PQ == the PQ-ADC ranking computed only over vectors whose
+    IVF cell is among the query's probed cells; the query probes its
+    own cell so it still ranks itself first."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    got = [(r["vec_id"], r["approx_dist"])
+           for r in SIM.ivf_pq_topk(e, q, k=10, nprobe=4).collect()]
+    assert got[0][0] == 0 and got[0][1] == 0.0
+    # reference: full PQ distances joined to cell membership
+    cells = {r["id"]: r["cell"]
+             for r in SIM.ivf_assign(e, 16).select("id", "cell").collect()}
+    full = {r["vec_id"]: r["approx_dist"]
+            for r in SIM.pq_topk(e, q, k=e.count()).collect()}
+    # probed cells: 4 centroids nearest the query by cosine
+    import numpy as np
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in e.collect()}
+    qv = vecs[0]
+    probes = sorted(
+        (cid for cid in range(16)),
+        key=lambda cid: (
+            -(qv @ vecs[cid]) / (np.linalg.norm(qv) * np.linalg.norm(vecs[cid])),
+            cid,
+        ),
+    )[:4]
+    want = sorted(
+        ((vid, d) for vid, d in full.items() if cells[vid] in probes),
+        key=lambda t: (t[1], t[0]),
+    )[:10]
+    assert got == want
