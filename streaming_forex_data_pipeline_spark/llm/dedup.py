@@ -194,31 +194,41 @@ def near_duplicate_pairs(
         # with a single band no duplicates are possible -> skip the
         # dedup shuffle entirely
         pairs = pairs.distinct()
-    # NOTE: toks/set_hash deliberately re-derive from the parquet scan
-    # (narrow, pushed-down) instead of sharing the signature path's
-    # fan-out exchange — routing them through it was measured SLOWER at
-    # sf0.1 (shuffling corpus-wide token arrays costs more than
-    # re-running the tokenizer off the columnar scan, and the planner
-    # did not collapse the exchanges into a ReusedExchange).
-    # at threshold >= 1.0 the band keys already mix in the token-set
-    # hash (exact_set_key above), so band-collision false candidates
-    # were never emitted — no prefilter joins needed here.
+    return _verify_exact_jaccard(docs, pairs, text, threshold)
+
+
+def _verify_exact_jaccard(
+    docs: DataFrame, pairs: DataFrame, text: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs —
+    the tail shared by the full and incremental pipelines (one
+    construction, or the incremental path silently verifies pairs
+    under a different contract than the full path its property test
+    compares against).
+
+    NOTE: toks deliberately re-derive from the parquet scan (narrow,
+    pushed-down) instead of sharing the signature path's fan-out
+    exchange — routing them through it was measured SLOWER at sf0.1
+    (shuffling corpus-wide token arrays costs more than re-running the
+    tokenizer off the columnar scan, and the planner did not collapse
+    the exchanges into a ReusedExchange).  At threshold >= 1.0 the
+    band keys already mix in the token-set hash, so band-collision
+    false candidates were never emitted — no prefilter joins needed.
+    No forced broadcast on the doc-side frames: the banding prefilter
+    usually leaves the PAIR side as the small one, and force-
+    broadcasting corpus-wide token arrays is a driver-side
+    collect+serialize of the whole corpus (measured ~3 s of the 4.7 s
+    registered-query wall at sf0.1).  AQE's runtime join selection
+    broadcasts whichever side is actually small and degrades to a
+    shuffled hash join when neither fits."""
     toks = docs.select("doc_id", token_set(text).alias("toks"))
-    # NOTE: no forced broadcast on the doc-side frames — the banding
-    # prefilter usually leaves the PAIR side as the small one, and a
-    # forced broadcast of corpus-wide token arrays is a driver-side
-    # collect+serialize of the whole corpus (measured ~3s of the 4.7s
-    # registered-query wall at sf0.1).  AQE's runtime join selection
-    # broadcasts whichever side is actually small, which also stays
-    # correct when neither fits (plain shuffled hash join on doc id).
-    verified = (
+    return (
         pairs.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
         .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
         .withColumn("jaccard", jaccard(F.col("toks_a"), F.col("toks_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
 
 
 def portable_token_hash(t: Column) -> Column:
@@ -801,7 +811,14 @@ def incremental_near_dup_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, exact-Jaccard
     verified like `near_duplicate_pairs`.
     """
-    flags = docs.select("doc_id", is_new.alias("is_new"))
+    # NULL predicate values must not silently drop a document from BOTH
+    # sides (F.when skips NULLs in collect_set): a left-join-derived
+    # flag (e.g. first_seen >= today with first_seen NULL for legacy
+    # docs) coalesces to the OLD/index side, so its pairs with new
+    # documents are still found.
+    flags = docs.select(
+        "doc_id", F.coalesce(is_new, F.lit(False)).alias("is_new")
+    )
     buckets = minhash_band_buckets(
         docs, text, n_hashes, bands, exact_set_key=threshold >= 1.0
     ).join(flags, "doc_id")
@@ -844,21 +861,4 @@ def incremental_near_dup_pairs(
     )
     if bands > 1:
         pairs = pairs.distinct()
-    toks = docs.select("doc_id", token_set(text).alias("toks"))
-    return (
-        pairs.join(
-            toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "toks", "toks_a"
-            ),
-            "doc_a",
-        )
-        .join(
-            toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "toks", "toks_b"
-            ),
-            "doc_b",
-        )
-        .withColumn("jaccard", jaccard(F.col("toks_a"), F.col("toks_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_exact_jaccard(docs, pairs, text, threshold)

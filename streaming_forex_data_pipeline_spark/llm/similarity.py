@@ -227,6 +227,39 @@ def ivf_assign(
     )
 
 
+def _probe_cells(
+    emb: DataFrame,
+    query: DataFrame,
+    n_cells: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(cid) of the query's ``nprobe`` nearest centroids by cosine —
+    the coarse-probe stage shared by ivf_topk and ivf_pq_topk (one
+    construction, or the two tiers' probe sets silently diverge)."""
+    cents = emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    q = query.select(
+        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+    )
+    return (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "qcos"
+            ),
+        )
+        .orderBy(F.desc("qcos"), F.asc("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -243,26 +276,10 @@ def ivf_topk(
     assignment is precomputed once (a silver table partitioned by
     cell) and each query touches nprobe partitions."""
     assigned = ivf_assign(emb, n_cells, id_col, vec_col)
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
-    )
     q = query.select(
         F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
     )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "cid",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
-                "qcos"
-            ),
-        )
-        .orderBy(F.desc("qcos"), F.asc("cid"))
-        .limit(nprobe)
-        .select("cid")
-    )
+    probe = _probe_cells(emb, query, n_cells, nprobe, id_col, vec_col)
     return (
         assigned.join(F.broadcast(probe), assigned.cell == probe.cid)
         .crossJoin(F.broadcast(q))
@@ -392,6 +409,25 @@ def pq_topk(
     Recall vs the exact tier is measured in tests (like IVF/LSH).
     """
     codes = pq_codes(emb, m, dsub, n_codes, id_col, vec_col)
+    return _adc_topk(codes, emb, query, k, m, dsub, n_codes, id_col, vec_col)
+
+
+def _adc_topk(
+    codes: DataFrame,
+    emb: DataFrame,
+    query: DataFrame,
+    k: int,
+    m: int,
+    dsub: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC tail shared by pq_topk and ivf_pq_topk: broadcast query LUT,
+    code-joined lookups, the conditional-agg pivot summed in fixed
+    subspace order (no parallel float partials).  ``codes`` may be the
+    full encoding or a cell-restricted subset — ONE construction, or
+    the two tiers' distances silently diverge."""
     cb = _pq_codebook(emb, m, dsub, n_codes, id_col, vec_col)
     qs = query.select(
         F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x")
@@ -630,53 +666,12 @@ def ivf_pq_topk(
     fixed-order row arithmetic keeps distances exactly reproducible.
     """
     assigned = ivf_assign(emb, n_cells, id_col, vec_col).select("id", "cell")
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
-    )
-    q = query.select(
-        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
-    )
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "cid",
-            (
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-            ).alias("qcos"),
-        )
-        .orderBy(F.desc("qcos"), F.asc("cid"))
-        .limit(nprobe)
-        .select("cid")
-    )
-    codes = pq_codes(emb, m, dsub, n_codes, id_col, vec_col)
-    cb = _pq_codebook(emb, m, dsub, n_codes, id_col, vec_col)
-    qs = query.select(
-        F.explode(_subchunks(F.col(vec_col), m, dsub)).alias("x")
-    ).select(F.col("x.sub").alias("sub"), F.col("x.s").alias("qs"))
-    lut = qs.join(cb, "sub").select(
-        "sub", "cid", _l2sq(F.col("qs"), F.col("c")).alias("qd")
-    )
-    in_cells = codes.join(
+    probe = _probe_cells(emb, query, n_cells, nprobe, id_col, vec_col)
+    in_cells = pq_codes(emb, m, dsub, n_codes, id_col, vec_col).join(
         assigned.join(F.broadcast(probe), assigned.cell == probe.cid)
         .select("id"),
         "id",
     )
-    parts = in_cells.join(
-        F.broadcast(lut),
-        (in_cells.sub == lut.sub) & (in_cells.code == lut.cid),
-    ).select(in_cells.id, in_cells.sub, lut.qd)
-    piv = parts.groupBy("id").agg(
-        *[
-            F.max(F.when(F.col("sub") == j, F.col("qd"))).alias(f"p{j}")
-            for j in range(m)
-        ]
+    return _adc_topk(
+        in_cells, emb, query, k, m, dsub, n_codes, id_col, vec_col
     )
-    total = piv.select(
-        F.col("id").alias(id_col),
-        sum(
-            (F.col(f"p{j}") for j in range(1, m)), F.col("p0")
-        ).alias("approx_dist"),
-    )
-    return total.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k)

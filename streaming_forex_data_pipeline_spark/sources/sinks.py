@@ -401,7 +401,19 @@ def export_shards(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("shard")
     )
-    rows = {int(r["shard"]): int(r["n_rows"]) for r in manifest.collect()}
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+    # an empty shard writes no shard=NN directory — record it as 0 so
+    # a loader iterating 0..n_shards-1 never KeyErrors/path-misses on
+    # a manifest that declares n_shards
+    rows = {s: 0 for s in range(n_shards)}
+    rows.update(
+        {int(r["shard"]): int(r["n_rows"]) for r in manifest.collect()}
+    )
+    # tmp-write-then-rename (the commit_append protocol): a crash mid-
+    # dump must not leave a truncated manifest beside complete-looking
+    # shards that an orchestrator would treat as export-complete
+    final = os.path.join(out_dir, "_manifest.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as fh:
         _json.dump({"n_shards": n_shards, "rows": rows}, fh, sort_keys=True)
+    os.replace(tmp, final)
     return manifest

@@ -478,10 +478,23 @@ def test_ivf_pq_equals_pq_restricted_to_probed_cells(spark, sf_dir):
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
             for r in e.collect()}
     qv = vecs[0]
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def seq_norm(a):
+        return seq_dot(a, a) ** 0.5
+
+    # sequential left-to-right fold, bit-identical to the engine's
+    # F.aggregate — numpy's pairwise/SIMD summation can differ in the
+    # last ulp and flip a knife-edge nprobe boundary
     probes = sorted(
         (cid for cid in range(16)),
         key=lambda cid: (
-            -(qv @ vecs[cid]) / (np.linalg.norm(qv) * np.linalg.norm(vecs[cid])),
+            -seq_dot(qv, vecs[cid]) / (seq_norm(qv) * seq_norm(vecs[cid])),
             cid,
         ),
     )[:4]

@@ -301,3 +301,5 @@ def test_export_shards_is_deterministic_and_complete(spark, sf_dir, tmp_path):
     assert a1 == a2
     man = json.load(open(out1 + "/_manifest.json"))
     assert sum(man["rows"].values()) == d.count()
+    # every declared shard has a row-count entry, empty ones as 0
+    assert sorted(map(int, man["rows"])) == list(range(man["n_shards"]))
