@@ -107,6 +107,7 @@ HEADLINE = [
     "knn_graph",
     "incremental_dedup",
     "ivf_pq_topk",
+    "bpe_encode_counts",
 ]
 
 TIMED_SWEEPS = 2

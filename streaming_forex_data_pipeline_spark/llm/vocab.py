@@ -251,3 +251,34 @@ def bpe_segment(
         ),
         F.size(F.split(F.trim(F.col("sym")), "  ")).alias("n_symbols"),
     )
+
+
+def bpe_encode_counts(
+    docs: DataFrame, n_merges: int = 3, text: str = "text"
+) -> DataFrame:
+    """The encode stage: per-document token counts under the trained
+    tokenizer — THE statistic training-budget planning runs on (how
+    many BPE tokens is this corpus?).
+
+    Trains ``n_merges`` merges (shared `_bpe_loop`), derives the
+    word→n_pieces cache from the final vocabulary, and joins it to the
+    corpus word stream: (doc_id, n_words, n_bpe_tokens).  At 100 TB
+    the cache is vocabulary-sized and the join is keyed by word — AQE
+    broadcasts it while it fits and degrades to a shuffled hash join
+    when a web-scale vocabulary doesn't."""
+    _, final = _bpe_loop(docs, n_merges, text)
+    seg = final.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), "  ")).alias("n_pieces"),
+    )
+    ex = docs.select(
+        "doc_id", F.explode(words_array(text)).alias("word")
+    )
+    return (
+        ex.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+        )
+    )

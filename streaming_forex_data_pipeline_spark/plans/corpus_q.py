@@ -645,7 +645,8 @@ def _bpe_ctes(n_merges: int = 3) -> str:
     1-row cross join the Spark plan uses."""
     parts = [
         r"""WITH ws AS (
-  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
 ),
 vocab_0 AS (
   SELECT word,
@@ -732,3 +733,33 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wc"), F.asc("word"))
         .limit(20)
     )
+
+
+@register(
+    "bpe_encode_counts",
+    oracle=f"""{_bpe_ctes(3)},
+seg AS (
+  SELECT word,
+         CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_pieces
+  FROM vocab_3
+),
+ex AS (SELECT doc_id, unnest(w) AS word FROM ws)
+SELECT ex.doc_id, count(*) AS n_words,
+       CAST(sum(seg.n_pieces) AS BIGINT) AS n_bpe_tokens
+FROM ex JOIN seg USING (word)
+GROUP BY ex.doc_id
+ORDER BY ex.doc_id
+""",
+    doc="BPE encode counts (llm/vocab.py:bpe_encode_counts): per-"
+    "document token counts under the 3-merge trained tokenizer — THE "
+    "statistic training-budget planning runs on.  The word->n_pieces "
+    "cache is vocabulary-sized and joins the corpus word stream keyed "
+    "by word (AQE broadcasts while it fits); integer outputs, exactly "
+    "hash-checked.  Closes the tokenizer loop: pair counts -> merge "
+    "training -> segmentation -> corpus encode.",
+)
+def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VB
+
+    d = load_table(spark, sf_dir, "documents")
+    return VB.bpe_encode_counts(d, n_merges=3).orderBy("doc_id")

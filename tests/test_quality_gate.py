@@ -181,3 +181,25 @@ def test_substring_removal_blank_document_edge(spark):
     assert rows[0]["cleaned"] == ""
     # docs 1 and 2 share every 5-gram: fully removed
     assert rows[1]["n_kept"] == 0 and rows[2]["n_kept"] == 0
+
+
+def test_bpe_encode_counts_consistent_with_segmentations(spark, sf_dir):
+    """Per-doc BPE token counts must equal summing each word's
+    segmentation length over the document's word stream."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = {
+        r["word"]: r["n_symbols"]
+        for r in VB.bpe_segment(d, n_merges=3).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in VB.bpe_encode_counts(d, n_merges=3).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in d.select("doc_id", "text").collect()
+    }
+    for doc_id, text in docs.items():
+        words = text.strip().lower().split()
+        want = (len(words), sum(pieces[w] for w in words))
+        assert got[doc_id] == want
