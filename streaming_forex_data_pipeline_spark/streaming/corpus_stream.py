@@ -86,3 +86,64 @@ def start_corpus_gate_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_incremental_dedup_channel(
+    spark,
+    sf_dir: str,
+    cutoff: int,
+    sink_table: str = "incremental_dedup_sink",
+):
+    """Streaming face of the incremental dedup: documents arrive as a
+    stream (today's crawl), and each micro-batch is checked against
+    the STATIC historical index (documents below ``cutoff``) plus
+    itself — `llm.dedup.incremental_near_dup_pairs` inside
+    ``foreachBatch``, the same per-micro-batch recompute pattern the
+    reference's channels use.  Pairs land in the sink as they are
+    found; the batch/stream parity test asserts the union over all
+    micro-batches equals the batch incremental result.
+
+    At scale the static side is the precomputed band-bucket index
+    table and each micro-batch joins it — state lives in the table,
+    not the stream, so the channel itself is stateless and restarts
+    cleanly from the checkpoint.
+
+    Scope note: pairs BETWEEN two different micro-batches are found
+    only after the earlier batch has been folded into the index table
+    (the production loop appends each processed batch to the index).
+    This demo channel checks batch-vs-index and batch-vs-itself; the
+    availableNow single-file source delivers one micro-batch, so the
+    parity test is exact.
+    """
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import incremental_near_dup_pairs
+    from ..sources.tables import load_table
+    from .channels import read_table_stream
+
+    index = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < cutoff
+    )
+    stream = read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= cutoff
+    )
+    spark.createDataFrame(
+        [], "doc_a long, doc_b long, jaccard double"
+    ).createOrReplaceTempView(sink_table)
+    sink_rows: list = []
+
+    def run_batch(batch_df, batch_id):
+        both = index.unionByName(batch_df)
+        pairs = incremental_near_dup_pairs(
+            both, F.col("doc_id") >= cutoff, threshold=1.0, bands=1
+        )
+        sink_rows.extend(pairs.collect())
+        spark.createDataFrame(
+            sink_rows or [], "doc_a long, doc_b long, jaccard double"
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -211,3 +211,31 @@ def test_corpus_gate_stream_matches_batch_gate(spark, sf_dir):
         for r in CO.quality_gate(load_table(spark, sf_dir, "documents")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_channel_matches_batch(spark, sf_dir):
+    """The streaming incremental-dedup channel's accumulated pairs must
+    equal the batch incremental result for the same cutoff."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_incremental_dedup_channel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cutoff = (d.agg(F.max("doc_id")).collect()[0][0] + 1) * 4 // 5
+    q = start_incremental_dedup_channel(
+        spark, sf_dir, cutoff, sink_table="inc_dedup_parity"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.table("inc_dedup_parity").collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.incremental_near_dup_pairs(
+            d, F.col("doc_id") >= cutoff, threshold=1.0, bands=1
+        ).collect()
+    }
+    assert got == want and len(got) > 0
