@@ -108,6 +108,7 @@ HEADLINE = [
     "incremental_dedup",
     "ivf_pq_topk",
     "bpe_encode_counts",
+    "semantic_dedup_apply",
 ]
 
 TIMED_SWEEPS = 2

@@ -1365,3 +1365,66 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.round("approx_dist", R).alias("approx_dist")
     )
+
+
+@register(
+    "semantic_dedup_apply",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT n.vec_id, c.cid AS cell,
+         list_dot_product(n.v, c.cv) / (n.nn * c.cn) AS ccos
+  FROM n, c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                             ORDER BY ccos DESC, c.cid ASC) = 1
+),
+av AS (
+  SELECT a.vec_id, a.cell, n.v, n.nn FROM assign a JOIN n USING (vec_id)
+),
+dups AS (
+  SELECT DISTINCT hi.vec_id AS dup_id
+  FROM av lo JOIN av hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+  WHERE list_dot_product(lo.v, hi.v) / (lo.nn * hi.nn) >= 0.45
+)
+SELECT d.doc_id, d.source, d.lang,
+       CASE WHEN trim(d.text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+       END AS n_tokens
+FROM documents d
+LEFT JOIN dups ON d.doc_id = dups.dup_id
+WHERE dups.dup_id IS NULL
+ORDER BY d.doc_id
+""",
+    doc="SemDeDup APPLIED (llm/similarity.py:semdedup -> documents "
+    "anti-join): the surviving text corpus after semantic dedup — "
+    "embeddings and documents share the id space (vec_id = doc_id of "
+    "the embedded document), so the keep-list anti-joins the corpus "
+    "table directly.  The metric tier (semdedup) shows the decisions; "
+    "this is the transform a pipeline actually feeds downstream.",
+)
+def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import text as TX
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    drops = (
+        SIM.semdedup(e, n_cells=16, threshold=0.45)
+        .filter(~F.col("keep"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        d.join(drops, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            TX.token_count().cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -503,3 +503,23 @@ def test_ivf_pq_equals_pq_restricted_to_probed_cells(spark, sf_dir):
         key=lambda t: (t[1], t[0]),
     )[:10]
     assert got == want
+
+
+def test_semantic_dedup_apply_matches_keep_flags(spark, sf_dir):
+    """The applied corpus == documents whose semdedup keep flag is
+    true (ids are shared between embeddings and documents)."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.plans.registry import all_queries
+
+    e = load_table(spark, sf_dir, "embeddings")
+    keeps = {
+        r["vec_id"]
+        for r in SIM.semdedup(e, 16, 0.45).filter(F.col("keep")).collect()
+    }
+    kept_docs = {
+        r["doc_id"]
+        for r in all_queries()["semantic_dedup_apply"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert kept_docs == keeps
