@@ -822,6 +822,9 @@ def incremental_near_dup_pairs(
     buckets = minhash_band_buckets(
         docs, text, n_hashes, bands, exact_set_key=threshold >= 1.0
     ).join(flags, "doc_id")
+    # two consumers (the new-new and old-new tiers) would re-run the
+    # whole signature+bucket chain; the frame is buckets-with-new-
+    # members rows — checkpoint it lazily (12 -> 2 table scans)
     grouped = (
         buckets.groupBy("band", "band_hash")
         .agg(
@@ -833,6 +836,7 @@ def incremental_near_dup_pairs(
             ).alias("new_ids"),
         )
         .filter(F.size("new_ids") > 0)
+        .localCheckpoint(eager=False)
     )
     sc = docs.sparkSession.sparkContext
     # new-new tier: element-parallel tail-slice explosion (the

@@ -485,7 +485,11 @@ def semdedup(
     past the pair filter.  Reference scope: the reference has no
     embedding surface; cites SURVEY §2.13's LLM mandate.
     """
-    assigned = ivf_assign(emb, n_cells, id_col, vec_col)
+    # three consumers (both pair sides + the keep-flag join) would
+    # re-run the N x K centroid assignment; checkpoint it lazily
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     lo = assigned.select(
         "cell",
         F.col("id").alias("id_lo"),
