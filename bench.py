@@ -109,6 +109,11 @@ HEADLINE = [
     "ivf_pq_topk",
     "bpe_encode_counts",
     "semantic_dedup_apply",
+    # real-codec multimodal tier + fitted-quantizer ANN tier (round 6)
+    "image_decode",
+    "image_resize",
+    "audio_decode",
+    "ivf_topk_kmeans",
 ]
 
 TIMED_SWEEPS = 2

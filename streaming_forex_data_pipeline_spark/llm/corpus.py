@@ -356,6 +356,12 @@ def quality_gate(docs: DataFrame, text: str = "text") -> DataFrame:
     """
     from .text import avg_word_len
 
+    # NULL text would vanish from repetition_stats (explode of a NULL
+    # array emits nothing) and thus from the inner join below, while
+    # the streaming face would emit it with NULL attributes — coalesce
+    # to '' so a NULL-text document is gated as too_short identically
+    # in both variants.
+    docs = docs.withColumn(text, F.coalesce(F.col(text), F.lit("")))
     rep = repetition_stats(docs, text=text)
     base = docs.select(
         "doc_id",

@@ -6,16 +6,25 @@ feature-extraction runs as an Arrow-batched pandas kernel over
 ``mapInPandas`` (per-batch, no per-row Python), because byte-level
 decoding is not expressible in Column algebra.
 
-The container has no image/audio codecs, so the decode stage is a
-DETERMINISTIC STUB: it parses real byte-level facts (length, header
-bytes, validity) instead of pixels/samples.  The Spark-side plumbing —
-schema, partitioning, UDF signature, Arrow batch shape — is real and
-oracle-tested; swapping the stub body for PIL/ffmpeg is a one-function
-change.
+Two tiers coexist:
 
-Payloads derive from the driver's documents table (UTF-8 bytes of
-``text``) so the pipeline runs on the provided testdata without
-synthesizing inputs.
+1. the original byte-level STUB stages (`decode_stub`, `resize_stub`,
+   `frame_sample_stub`) whose payloads are UTF-8 text bytes — kept
+   verbatim for the established `multimodal_*` oracle parity;
+2. REAL codec stages (`encode_images` / `decode_images` /
+   `resize_images`, `encode_audio` / `decode_audio`) backed by the
+   spec-compliant pure-stdlib PNG and RIFF/WAVE codecs in
+   `llm/codecs.py`.  Payload CONTENT is deterministic arithmetic in
+   ``doc_id`` (the testdata carries no real media), so a DuckDB oracle
+   can reproduce every decoded pixel/sample sum in closed form — the
+   hash check therefore verifies the actual inflate + unfilter work,
+   not just plumbing.  Per-scanline filters rotate through all five
+   PNG filter types keyed on (doc_id + row), so the corpus-wide
+   round-trip exercises every unfilter path.
+
+All stages are Arrow-batched pandas kernels over ``mapInPandas``
+(byte-level codec work is not expressible in Column algebra); per-row
+cost is the codec itself, embarrassingly parallel, no shuffle.
 """
 
 from __future__ import annotations
@@ -209,3 +218,217 @@ def frame_sample_stub(multimodal: DataFrame, every_n: int = 4) -> DataFrame:
         "doc_id", "payload"
     )
     return narrow.mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real-codec tier (PNG / WAV via llm/codecs.py)
+# ---------------------------------------------------------------------------
+#
+# Deterministic content contracts (what the DuckDB oracles replay):
+#   image  : w = doc_id % 60 + 4, h = doc_id % 40 + 4, grayscale,
+#            pixel[i] = (doc_id*31 + i*7) % 256  (row-major i),
+#            scanline y filtered with PNG filter (doc_id + y) % 5
+#   audio  : n = doc_id % 400 + 50 PCM16 mono samples at 8 kHz,
+#            sample[i] = (doc_id*131 + i*17) % 65536 - 32768
+#   resize : nearest-neighbor to (16, 12):
+#            out[y, x] = pixel[(y*h//12)*w + (x*w//16)]
+
+IMG_W_MOD, IMG_W_OFF = 60, 4
+IMG_H_MOD, IMG_H_OFF = 40, 4
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _image_pixels(doc_id: int):
+    import numpy as np
+
+    w = doc_id % IMG_W_MOD + IMG_W_OFF
+    h = doc_id % IMG_H_MOD + IMG_H_OFF
+    i = np.arange(w * h, dtype=np.int64)
+    return ((doc_id * 31 + i * 7) % 256).astype("uint8").reshape(h, w)
+
+
+def encode_images(docs: DataFrame) -> DataFrame:
+    """Produce a REAL spec-compliant PNG per document (content per the
+    module contract above).  Arrow-batched `mapInPandas`; any external
+    PNG reader can open the payloads."""
+    from .codecs import encode_png
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_png(
+                            _image_pixels(d),
+                            filter_for_row=lambda y, d=d: (d + y) % 5,
+                        )
+                        for d in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(encode, PAYLOAD_SCHEMA)
+
+
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def decode_images(images: DataFrame) -> DataFrame:
+    """REAL PNG decode (inflate + unfilter all five filter types) over
+    `mapInPandas`: width/height/channels come from the parsed IHDR and
+    pixel_sum from the reconstructed scanlines, so the oracle's
+    closed-form pixel arithmetic only matches if the codec is
+    byte-exact."""
+    from .codecs import decode_png
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in IMAGE_DECODE_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = decode_png(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["n_pixels"].append(w * h * ch)
+                rows["pixel_sum"].append(int(px.astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "n_pixels": pd.Series(rows["n_pixels"], dtype="int64"),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                }
+            )
+
+    return images.select("doc_id", "payload").mapInPandas(
+        decode, IMAGE_DECODE_SCHEMA
+    )
+
+
+def resize_images(
+    images: DataFrame, target_w: int = 16, target_h: int = 12
+) -> DataFrame:
+    """REAL resize: decode the PNG, nearest-neighbor sample to
+    (target_w, target_h) with numpy fancy indexing, re-encode as PNG.
+    Binary-in/binary-out — the same kernel shape a PIL/ffmpeg-backed
+    production resize uses."""
+    import numpy as np
+
+    from .codecs import decode_png, encode_png
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_payloads = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = decode_png(bytes(payload))
+                sy = (np.arange(target_h, dtype=np.int64) * h) // target_h
+                sx = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                small = px[np.ix_(sy, sx)]
+                out_ids.append(int(doc_id))
+                out_payloads.append(encode_png(small))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "payload": out_payloads,
+                }
+            )
+
+    return images.select("doc_id", "payload").mapInPandas(
+        resize, PAYLOAD_SCHEMA
+    )
+
+
+AUD_N_MOD, AUD_N_OFF, AUD_RATE = 400, 50, 8000
+
+
+def encode_audio(docs: DataFrame) -> DataFrame:
+    """Produce a REAL RIFF/WAVE (PCM16 mono 8 kHz) per document,
+    content per the module contract above."""
+    import numpy as np
+
+    from .codecs import encode_wav
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                n = d % AUD_N_MOD + AUD_N_OFF
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 131 + i * 17) % 65536 - 32768).astype("<i2")
+                payloads.append(encode_wav(samples, framerate=AUD_RATE))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(encode, PAYLOAD_SCHEMA)
+
+
+AUDIO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def decode_audio(audio: DataFrame) -> DataFrame:
+    """REAL WAV decode: header fields from the RIFF parse, sample_sum /
+    peak from the PCM frames — all exact integers the oracle replays in
+    closed form."""
+    import numpy as np
+
+    from .codecs import decode_wav
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in AUDIO_DECODE_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ch, _sw, rate, n, samples = decode_wav(bytes(payload))
+                s64 = samples.astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["sample_sum"].append(int(s64.sum()))
+                rows["peak"].append(int(np.abs(s64).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "channels": pd.Series(rows["channels"], dtype="int32"),
+                    "sample_rate": pd.Series(
+                        rows["sample_rate"], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "sample_sum": pd.Series(
+                        rows["sample_sum"], dtype="int64"
+                    ),
+                    "peak": pd.Series(rows["peak"], dtype="int32"),
+                }
+            )
+
+    return audio.select("doc_id", "payload").mapInPandas(
+        decode, AUDIO_DECODE_SCHEMA
+    )

@@ -52,8 +52,10 @@ from .text import token_count
 
 def _idiv(c: Column, k: int) -> Column:
     """Exact non-negative integer division (no double rounding even
-    past 2^53): subtract the remainder, then the division is exact."""
-    return ((c - c % k) / k).cast("long")
+    past 2^53): Spark's ``div`` operator divides longs in integer
+    arithmetic end-to-end.  (The earlier ``(c - c % k) / k`` routed
+    through double division, which itself rounds past 2^53.)"""
+    return F.call_function("div", c.cast("long"), F.lit(k))
 
 
 def doc_offsets(

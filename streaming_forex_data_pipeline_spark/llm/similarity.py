@@ -164,30 +164,33 @@ def embedding_near_dup_candidates(
     )
 
 
-def ivf_assign(
+def _bootstrap_centroids(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic data-sampled centroid frame: the ``n_cells``
+    lowest-id vectors, as (cid, cv, cn)."""
+    return emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+
+
+def assign_to_cells(
     emb: DataFrame,
-    n_cells: int = 16,
+    cents: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantizer, deterministic flavor: the ``n_cells``
-    lowest-id vectors ARE the centroids (data-sampled, no iterative
-    fit — a standard IVF-flat bootstrap that keeps assignment pure
-    column algebra, reproducible, and SQL-expressible, unlike a
-    k-means fit whose float-aggregation order can drift between runs).
-    Every vector scores against the broadcast centroid set and joins
-    its argmax-cosine cell (ties broken by lowest centroid id).
+    """Argmax-cosine cell assignment against an explicit centroid
+    frame (cid, cv, cn) — the quantizer-agnostic core both the
+    deterministic bootstrap tier and the k-means tier share.
 
     Scale shape: assignment is the textbook IVF N×K scan — one
     broadcast of K centroid vectors, one fanned-out pass, a map-side
     max_by per vector (no window, no extra shuffle)."""
     from ..sources.tables import fan_out
 
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
-    )
     base = fan_out(
         emb.select(
             F.col(id_col).alias("id"),
@@ -227,22 +230,34 @@ def ivf_assign(
     )
 
 
-def _probe_cells(
+def ivf_assign(
     emb: DataFrame,
-    query: DataFrame,
-    n_cells: int,
-    nprobe: int,
-    id_col: str,
-    vec_col: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """(cid) of the query's ``nprobe`` nearest centroids by cosine —
-    the coarse-probe stage shared by ivf_topk and ivf_pq_topk (one
-    construction, or the two tiers' probe sets silently diverge)."""
-    cents = emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
+    """IVF coarse quantizer, deterministic flavor: the ``n_cells``
+    lowest-id vectors ARE the centroids (data-sampled, no iterative
+    fit — a standard IVF-flat bootstrap that keeps assignment pure
+    column algebra, reproducible, and SQL-expressible, unlike a
+    k-means fit whose float-aggregation order can drift between runs).
+    Every vector scores against the broadcast centroid set and joins
+    its argmax-cosine cell (ties broken by lowest centroid id).
+    `kmeans_centroids` + `assign_to_cells` is the recall-tuned
+    production tier over the same core."""
+    return assign_to_cells(
+        emb, _bootstrap_centroids(emb, n_cells, id_col, vec_col),
+        id_col, vec_col,
     )
+
+
+def probe_cells_for(
+    cents: DataFrame, query: DataFrame, nprobe: int, vec_col: str
+) -> DataFrame:
+    """(cid) of the query's ``nprobe`` nearest centroids by cosine over
+    an explicit centroid frame — the coarse-probe core shared by every
+    IVF tier (one construction, or the tiers' probe sets silently
+    diverge)."""
     q = query.select(
         F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
     )
@@ -257,6 +272,22 @@ def _probe_cells(
         .orderBy(F.desc("qcos"), F.asc("cid"))
         .limit(nprobe)
         .select("cid")
+    )
+
+
+def _probe_cells(
+    emb: DataFrame,
+    query: DataFrame,
+    n_cells: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Coarse probe against the deterministic bootstrap centroids —
+    kept as the stable entry ivf_topk/ivf_pq_topk call."""
+    return probe_cells_for(
+        _bootstrap_centroids(emb, n_cells, id_col, vec_col),
+        query, nprobe, vec_col,
     )
 
 
@@ -280,6 +311,83 @@ def ivf_topk(
         F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
     )
     probe = _probe_cells(emb, query, n_cells, nprobe, id_col, vec_col)
+    return (
+        assigned.join(F.broadcast(probe), assigned.cell == probe.cid)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("id").alias(id_col),
+            (dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn"))).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fitted coarse quantizer: seeded spark.ml KMeans (k-means||
+    init) over the embedding column, returned in the same
+    (cid, cv, cn) centroid-frame contract as `_bootstrap_centroids`
+    so `assign_to_cells` / `probe_cells_for` compose unchanged.
+
+    This is the recall-tuned production tier the bootstrap quantizer
+    trades away: data-distribution-aware cells balance the inverted
+    lists on skewed corpora (the bootstrap's lowest-id vectors can
+    land arbitrarily).  Cost: one iterative fit (O(max_iter) passes,
+    each a broadcast-scan + tree-aggregated centroid update — no
+    driver-side data movement beyond the K centroid vectors, which is
+    exactly what every IVF index materializes).  Not DuckDB-replayable
+    (float-aggregation order inside the fit), hence no oracle — the
+    recall differential vs the bootstrap tier in
+    tests/test_operators.py is the evidence."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..sources.tables import fan_out
+
+    feats = fan_out(
+        emb.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+        )
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="fv"
+    ).fit(feats)
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cv array<double>",
+    )
+    return cents.select("cid", "cv", norm(F.col("cv")).alias("cn"))
+
+
+def ivf_topk_kmeans(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat top-k over the fitted k-means quantizer — identical
+    probe/scan shape to `ivf_topk`, only the centroid frame differs.
+    At scale the fit and the assignment are precomputed once into a
+    cell-partitioned silver table; queries touch nprobe partitions."""
+    cents = kmeans_centroids(emb, n_cells, seed, vec_col=vec_col)
+    assigned = assign_to_cells(emb, cents, id_col, vec_col)
+    q = query.select(
+        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+    )
+    probe = probe_cells_for(cents, query, nprobe, vec_col)
     return (
         assigned.join(F.broadcast(probe), assigned.cell == probe.cid)
         .crossJoin(F.broadcast(q))

@@ -211,15 +211,25 @@ def _bpe_loop(docs: DataFrame, n_merges: int, text: str):
                 "pair_count",
             )
         )
+        # left join (not crossJoin): when the corpus runs out of
+        # adjacent pairs before n_merges, `best` is empty and a cross
+        # join would wipe the whole vocabulary — the left join keeps
+        # every word with NULL l/r and the coalesce makes the step a
+        # no-op instead.
         cur = (
-            cur.crossJoin(F.broadcast(best))
+            cur.join(F.broadcast(best), F.lit(True), "left")
             .select(
                 "word",
                 "wc",
-                F.replace(
+                F.coalesce(
+                    F.replace(
+                        F.col("sym"),
+                        F.concat(
+                            F.lit(" "), "l", F.lit("  "), "r", F.lit(" ")
+                        ),
+                        F.concat(F.lit(" "), "l", "r", F.lit(" ")),
+                    ),
                     F.col("sym"),
-                    F.concat(F.lit(" "), "l", F.lit("  "), "r", F.lit(" ")),
-                    F.concat(F.lit(" "), "l", "r", F.lit(" ")),
                 ).alias("sym"),
             )
             .localCheckpoint(eager=False)

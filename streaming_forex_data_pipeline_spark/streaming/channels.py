@@ -266,26 +266,39 @@ class BroadcastSink:
     layer's edge, the one place the reference also centralizes state.
     """
 
-    def __init__(self, buffer_size: int = 1000):
+    def __init__(self, buffer_size: int = 1000, max_batch_rows: int = 10_000):
         from collections import defaultdict, deque
 
         self.buffers = defaultdict(lambda: deque(maxlen=buffer_size))
+        self.max_batch_rows = max_batch_rows
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # one JVM->driver transfer of the already-aggregated messages;
         # channel fan-out is a tiny per-batch loop over result rows.
-        # SCALE CONTRACT: batch_df is the post-aggregation channel
-        # message set — O(symbols × channels) rows per trigger (tens,
-        # not millions), NOT raw ticks.  This sink edge mirrors the
-        # reference's WebSocket broadcast loop; collect() here is safe
-        # only while that invariant holds — never point this sink at a
-        # pre-aggregation stream.
+        # SCALE CONTRACT (enforced below): batch_df is the
+        # post-aggregation channel message set — O(symbols × channels)
+        # rows per trigger (tens, not millions), NOT raw ticks.  This
+        # sink edge mirrors the reference's WebSocket broadcast loop;
+        # collect() here is safe only while that invariant holds —
+        # never point this sink at a pre-aggregation stream.
+        guarded = batch_df.limit(self.max_batch_rows + 1)
         rows = (
-            batch_df.select(
+            guarded.select(
                 F.col("stream_type"),
                 F.to_json(F.struct(*batch_df.columns)).alias("msg"),
             )
         ).collect()
+        if len(rows) > self.max_batch_rows:
+            # the limit(N+1) above bounds the driver transfer even in
+            # the failure case — we detect the breach from N+1 rows
+            # without ever materializing the full offending batch.
+            raise ValueError(
+                f"BroadcastSink batch {batch_id} exceeded the "
+                f"O(symbols x channels) contract (> "
+                f"{self.max_batch_rows} rows): this sink must only "
+                "receive post-aggregation channel messages, not a "
+                "pre-aggregation stream."
+            )
         for r in rows:
             self.buffers[r["stream_type"]].append(r["msg"])
 

@@ -31,6 +31,9 @@ from ..llm.text import avg_word_len
 def streaming_quality_gate(docs: DataFrame, text: str = "text") -> DataFrame:
     """Per-row re-expression of `llm/corpus.py:quality_gate` — same
     columns, same decisions, zero cross-row operations."""
+    # mirror quality_gate's NULL-text coalesce: NULL attributes would
+    # let every rule predicate evaluate NULL and keep=true slip through
+    docs = docs.withColumn(text, F.coalesce(F.col(text), F.lit("")))
     ws = words_array(text)
     distinct = F.array_distinct(ws)
     total = F.size(ws)
@@ -93,15 +96,24 @@ def start_incremental_dedup_channel(
     sf_dir: str,
     cutoff: int,
     sink_table: str = "incremental_dedup_sink",
+    sink_dir: str | None = None,
 ):
     """Streaming face of the incremental dedup: documents arrive as a
     stream (today's crawl), and each micro-batch is checked against
     the STATIC historical index (documents below ``cutoff``) plus
     itself — `llm.dedup.incremental_near_dup_pairs` inside
     ``foreachBatch``, the same per-micro-batch recompute pattern the
-    reference's channels use.  Pairs land in the sink as they are
-    found; the batch/stream parity test asserts the union over all
-    micro-batches equals the batch incremental result.
+    reference's channels use.
+
+    Pairs land through the transactional ``commit_append`` sink
+    (`sources/sinks.py`): each micro-batch's pairs are written
+    executor-side to ``sink_dir`` and published with one atomic
+    manifest — NO driver-side materialization, so per-batch cost
+    depends only on that batch's pairs, never on the total found so
+    far, and the driver holds O(1) state.  ``sink_table`` is refreshed
+    as a lazy view over the committed files; the batch id is the
+    commit version, so a replayed micro-batch (restart-after-crash)
+    merges idempotently via read_committed's keep-latest-per-pair.
 
     At scale the static side is the precomputed band-bucket index
     table and each micro-batch joins it — state lives in the table,
@@ -115,12 +127,17 @@ def start_incremental_dedup_channel(
     availableNow single-file source delivers one micro-batch, so the
     parity test is exact.
     """
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from ..llm.dedup import incremental_near_dup_pairs
+    from ..sources.sinks import commit_append, read_committed
     from ..sources.tables import load_table
     from .channels import read_table_stream
 
+    if sink_dir is None:
+        sink_dir = tempfile.mkdtemp(prefix="inc_dedup_pairs_")
     index = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < cutoff
     )
@@ -130,17 +147,21 @@ def start_incremental_dedup_channel(
     spark.createDataFrame(
         [], "doc_a long, doc_b long, jaccard double"
     ).createOrReplaceTempView(sink_table)
-    sink_rows: list = []
 
     def run_batch(batch_df, batch_id):
         both = index.unionByName(batch_df)
         pairs = incremental_near_dup_pairs(
             both, F.col("doc_id") >= cutoff, threshold=1.0, bands=1
         )
-        sink_rows.extend(pairs.collect())
-        spark.createDataFrame(
-            sink_rows or [], "doc_a long, doc_b long, jaccard double"
-        ).createOrReplaceTempView(sink_table)
+        commit_append(pairs, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(
+                spark, sink_dir, keys=["doc_a", "doc_b"]
+            )
+        except FileNotFoundError:
+            # every commit so far carried zero pairs: keep the empty view
+            return
+        committed.createOrReplaceTempView(sink_table)
 
     return (
         stream.writeStream.foreachBatch(run_batch)

@@ -12,8 +12,8 @@ an unexplained diff is a regression, not a reason to re-pin):
 
     cd /root/repo && python tests/goldens/regen_importance.py
 
-which rewrites ``tests/goldens/importance_<sf>.json`` for sf0.001 and
-sf0.01.  Review the diff before committing.
+which rewrites ``tests/goldens/importance_<sf>.json`` for sf0.001,
+sf0.01 and sf0.1.  Review the diff before committing.
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 sys.path.insert(0, REPO)
 
 QUERIES = ("rf_importance", "lasso_importance", "rfe_importance")
-SCALES = ("sf0.001", "sf0.01")
+SCALES = ("sf0.001", "sf0.01", "sf0.1")
 
 
 def main() -> None:

@@ -137,3 +137,8 @@ def test_importance_goldens_exact(spark, sf_dir):
     for name, want in golden.items():
         got = [list(r) for r in qs[name](spark, sf_dir).collect()]
         assert got == want, f"{name}: golden mismatch\n got={got}\nwant={want}"
+        # seed stability: the fixed-seed spark.ml fits are deterministic
+        # within a session shape — a second run must reproduce the
+        # golden bit-for-bit, not merely rank-equivalently
+        again = [list(r) for r in qs[name](spark, sf_dir).collect()]
+        assert again == want, f"{name}: run-to-run seed instability"

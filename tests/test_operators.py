@@ -220,6 +220,56 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
     assert again == approx
 
 
+def test_ivf_kmeans_tier_beats_bootstrap_recall(spark, sf_dir):
+    """The seeded spark.ml KMeans quantizer (the production tier) must
+    match or beat the deterministic bootstrap quantizer on mean
+    recall@10 over NON-centroid queries.  Centroid queries (vec_id <
+    n_cells) are excluded: the bootstrap trivially achieves perfect
+    recall on its own centroids, which says nothing about quantizer
+    quality.  Everything is seeded, so the comparison is exact and
+    reproducible, and a repeat run must reproduce the kmeans result
+    bit-for-bit (seed stability)."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vec = e.count()
+    qids = [qid for qid in (20, 50, 100, 150, 250) if qid < n_vec]
+    assert len(qids) >= 3, "fixture too small for the recall panel"
+    tot_boot = tot_km = 0.0
+    first_km: list[int] | None = None
+    for qid in qids:
+        q = e.filter(F.col("vec_id") == qid)
+        exact = {
+            r["vec_id"] for r in SIM.brute_force_topk(e, q, k=10).collect()
+        }
+        boot = {
+            r["vec_id"]
+            for r in SIM.ivf_topk(e, q, k=10, n_cells=16, nprobe=2).collect()
+        }
+        km_rows = [
+            r["vec_id"]
+            for r in SIM.ivf_topk_kmeans(
+                e, q, k=10, n_cells=16, nprobe=2
+            ).collect()
+        ]
+        if first_km is None:
+            first_km = km_rows
+            first_qid = qid
+        tot_boot += len(boot & exact) / len(exact)
+        tot_km += len(set(km_rows) & exact) / len(exact)
+    assert tot_km >= tot_boot, (
+        f"kmeans IVF mean recall {tot_km / len(qids):.2f} below bootstrap "
+        f"{tot_boot / len(qids):.2f}"
+    )
+    # seed stability: refit + requery reproduces exactly
+    q = e.filter(F.col("vec_id") == first_qid)
+    again = [
+        r["vec_id"]
+        for r in SIM.ivf_topk_kmeans(e, q, k=10, n_cells=16, nprobe=2).collect()
+    ]
+    assert again == first_km
+
+
 def test_connected_components_closes_transitive_pairs(spark):
     """A~B and B~C cluster A,B,C together even though (A,C) was never
     emitted; separate components keep separate min-id labels; the

@@ -165,6 +165,33 @@ def test_broadcast_sink_ring_buffer(spark):
         q.stop()
 
 
+def test_broadcast_sink_contract_guard(spark):
+    """S13 — the post-aggregation scale contract is ENFORCED, not just
+    documented: a batch larger than max_batch_rows (someone pointed the
+    sink at a pre-aggregation stream) fails the batch instead of
+    silently collecting millions of rows onto the driver — and the
+    breach is detected from max_batch_rows+1 rows via limit(), never by
+    materializing the offending batch."""
+    import pytest
+
+    from streaming_forex_data_pipeline_spark.streaming import channels as CH
+
+    sink = CH.BroadcastSink(buffer_size=10, max_batch_rows=100)
+    small = spark.range(5).select(
+        F.lit("candles").alias("stream_type"), F.col("id").alias("sequence")
+    )
+    sink(small, batch_id=0)
+    assert len(sink.buffers["candles"]) == 5
+
+    big = spark.range(500).select(
+        F.lit("raw").alias("stream_type"), F.col("id").alias("sequence")
+    )
+    with pytest.raises(ValueError, match="post-aggregation"):
+        sink(big, batch_id=1)
+    # the failed batch must not partially publish
+    assert len(sink.buffers["raw"]) == 0
+
+
 def test_failover_tick_source(spark, tmp_path):
     """S6 — empty/invalid primary falls back to the simulated source;
     a valid primary dir is selected."""

@@ -1,0 +1,92 @@
+"""Generate the sf1-class soak corpus: 10x documents/embeddings.
+
+Round-5 verdict task #6: soak the dedup/ANN family beyond sf0.1 and
+measure scaling exponents against the claimed Sigma-k^2 / O(N^2/K)
+bounds.  This synthesizes NOTHING new semantically — it tiles the
+driver's own sf0.1 tables into 10 cohorts engineered so the
+duplicate/similarity structure scales LINEARLY by construction:
+
+- documents: cohort k holds every sf0.1 document with
+  doc_id' = doc_id + 5000*k; for k > 0 every whitespace word gets a
+  ``~k`` suffix, so each cohort's intra-cohort near-dup structure is
+  isomorphic to the original while cross-cohort token sets are
+  disjoint (no artificial 10-way duplicate clusters whose pair counts
+  would scale quadratically no matter what the engine does).
+- embeddings: cohort k applies a seeded dimension permutation to every
+  vector (norm-preserving, intra-cohort geometry intact, cross-cohort
+  cosines scrambled to background level).
+
+Output: /tmp/sf1ish/{documents,embeddings}.parquet as multi-file
+datasets (32 files each) so scans arrive pre-parallelized, the way
+real multi-file tables do.  The soak queries only read these two
+tables.  Usage: python tools/make_sf1ish.py [out_dir] [n_cohorts]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1ish"
+    n_cohorts = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+    embs = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    n_docs, n_vecs = len(docs), len(embs)
+    dim = len(embs["embedding"].iloc[0])
+
+    doc_parts, emb_parts = [], []
+    for k in range(n_cohorts):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + n_docs * k
+        if k > 0:
+            suffix = f"~{k}"
+            d["text"] = d["text"].map(
+                lambda t, s=suffix: re.sub(r"(\S+)", r"\1" + s, t)
+                if isinstance(t, str)
+                else t
+            )
+            d["n_chars"] = d["text"].map(
+                lambda t: len(t) if isinstance(t, str) else 0
+            )
+        doc_parts.append(d)
+
+        e = embs.copy()
+        e["vec_id"] = e["vec_id"] + n_vecs * k
+        if k > 0:
+            perm = np.random.RandomState(k).permutation(dim)
+            e["embedding"] = e["embedding"].map(
+                lambda v, p=perm: np.asarray(v)[p]
+            )
+        emb_parts.append(e)
+
+    all_docs = pd.concat(doc_parts, ignore_index=True)
+    all_embs = pd.concat(emb_parts, ignore_index=True)
+
+    for name, pdf in (("documents", all_docs), ("embeddings", all_embs)):
+        path = os.path.join(out_dir, f"{name}.parquet")
+        os.makedirs(path, exist_ok=True)
+        n_files = 32
+        chunk = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            part = pdf.iloc[i * chunk : (i + 1) * chunk]
+            if len(part) == 0:
+                continue
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                os.path.join(path, f"part-{i:05d}.parquet"),
+            )
+        print(f"wrote {path}: {len(pdf)} rows, {n_files} files")
+
+
+if __name__ == "__main__":
+    main()
