@@ -114,6 +114,8 @@ HEADLINE = [
     "image_resize",
     "audio_decode",
     "ivf_topk_kmeans",
+    "contamination_report",
+    "decontaminate",
 ]
 
 TIMED_SWEEPS = 2

@@ -866,3 +866,80 @@ def incremental_near_dup_pairs(
     if bands > 1:
         pairs = pairs.distinct()
     return _verify_exact_jaccard(docs, pairs, text, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix C / PaLM-style n-gram scrub)
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlaps(
+    docs: DataFrame,
+    eval_pred: Column,
+    n: int = 4,
+    text: str = "text",
+) -> DataFrame:
+    """Per-training-document contamination stats against the held-out
+    evaluation split: (doc_id, n_shared_grams, n_eval_docs) for every
+    TRAIN document sharing at least one distinct word ``n``-gram with
+    at least one EVAL document (``eval_pred`` marks the eval rows of
+    ``docs``).
+
+    The standard pretraining-hygiene step (GPT-3 Brown et al. 2020
+    appendix C removes 13-gram collisions with benchmarks; the fixture
+    corpus is template-synthetic, so the registered query uses n=4 to
+    produce a non-trivial collision surface — the operator is
+    n-agnostic).
+
+    Scale shape: the eval side of a decontamination join is tiny
+    relative to a 100 TB corpus (benchmarks are megabytes), so the
+    distinct eval (gram, eval_id) frame is BROADCAST and the train
+    side never shuffles — one fanned-out scan, a broadcast hash join
+    on the gram string, one keyed aggregation by train doc.  No
+    gram-frequency table, no pair explosion: a viral gram costs
+    (train hits x eval docs containing it) rows only inside the
+    per-doc aggregation.
+    """
+    from .corpus import word_ngrams, words_array
+
+    from ..sources.tables import fan_out
+
+    grams = F.array_distinct(word_ngrams(words_array(text), n))
+    ex = fan_out(docs).select(
+        "doc_id", eval_pred.alias("__is_eval"), F.explode(grams).alias("gram")
+    )
+    ev = (
+        ex.filter(F.col("__is_eval"))
+        .select(F.col("gram"), F.col("doc_id").alias("eval_id"))
+        .distinct()
+    )
+    tr = ex.filter(~F.col("__is_eval")).select("doc_id", "gram")
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_pred: Column,
+    n: int = 4,
+    text: str = "text",
+) -> DataFrame:
+    """The scrub itself: TRAIN documents surviving decontamination —
+    every train row minus those `contamination_overlaps` flags.  The
+    anti-join keeps documents with no grams at all (short or NULL
+    text): no gram means no collision means clean, matching the
+    published scrubs which drop only positive overlaps.  Eval rows are
+    excluded from the output by definition (they are the benchmark,
+    not training data)."""
+    flagged = contamination_overlaps(docs, eval_pred, n, text).select("doc_id")
+    return (
+        docs.filter(~eval_pred)
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )

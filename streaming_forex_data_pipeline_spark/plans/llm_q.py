@@ -1545,3 +1545,79 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 100)
     out = SIM.ivf_topk_kmeans(e, q, k=10, n_cells=16, nprobe=2)
     return out.select("vec_id", F.round("cos_sim", R).alias("cos_sim"))
+
+
+_DECON_GRAMS = r"""
+ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, doc_id % 25 = 0 AS is_eval,
+         unnest(list_distinct(list_transform(range(1, len(w) - 2), i ->
+             list_aggregate(w[i:i+3], 'string_agg', ' ')))) AS gram
+  FROM ws
+)
+"""
+
+
+@register(
+    "contamination_report",
+    oracle=f"""
+WITH {_DECON_GRAMS},
+ev AS (SELECT DISTINCT gram, doc_id AS eval_id FROM ex WHERE is_eval),
+tr AS (SELECT doc_id, gram FROM ex WHERE NOT is_eval)
+SELECT t.doc_id,
+       count(DISTINCT t.gram) AS n_shared_grams,
+       count(DISTINCT e.eval_id) AS n_eval_docs
+FROM tr t JOIN ev e USING (gram)
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    doc="Benchmark-contamination report "
+    "(llm/dedup.py:contamination_overlaps; GPT-3 Brown et al. 2020 "
+    "appendix C): for every training document sharing a distinct "
+    "word 4-gram with the held-out eval split (doc_id % 25 == 0 "
+    "stands in for the benchmark), the count of shared grams and of "
+    "eval documents hit.  Scale plan: the distinct eval gram frame "
+    "is broadcast (benchmarks are megabytes against a 100 TB "
+    "corpus), so the train side joins map-side with no shuffle "
+    "before the per-doc aggregation; no gram-frequency table, no "
+    "pair explosion.",
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.contamination_overlaps(
+        d, F.col("doc_id") % 25 == 0, n=4
+    ).orderBy("doc_id")
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+WITH {_DECON_GRAMS},
+ev AS (SELECT DISTINCT gram FROM ex WHERE is_eval),
+bad AS (
+  SELECT DISTINCT t.doc_id
+  FROM ex t JOIN ev USING (gram)
+  WHERE NOT t.is_eval
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d ANTI JOIN bad b ON d.doc_id = b.doc_id
+WHERE d.doc_id % 25 <> 0
+ORDER BY d.doc_id
+""",
+    doc="The decontamination scrub itself "
+    "(llm/dedup.py:decontaminate): training documents surviving the "
+    "4-gram collision check against the eval split — anti-join of "
+    "the corpus against the contamination report, keeping gram-less "
+    "(short/NULL) documents, excluding eval rows by definition.  "
+    "Composes the broadcast contamination join with one anti-join; "
+    "the corpus is scanned twice (gram side + carry-through side), "
+    "the minimum for a scrub that outputs full rows.",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.decontaminate(d, F.col("doc_id") % 25 == 0, n=4).orderBy(
+        "doc_id"
+    )

@@ -134,3 +134,35 @@ def test_encode_decode_audio_distributed(spark, sf_dir):
         assert r["n_samples"] == n
         assert r["sample_sum"] == int(s.sum())
         assert r["peak"] == int(np.abs(s).max())
+
+
+def test_decontaminate_edge_semantics(spark):
+    """NULL-text and short (gram-less) train docs survive the scrub;
+    exact-overlap train docs are dropped; eval rows never appear."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+
+    rows = [
+        # doc 0: eval (doc_id % 5 == 0 below)
+        (0, "alpha beta gamma delta epsilon", "s", 30),
+        # doc 1: contains the eval 4-gram -> contaminated
+        (1, "x alpha beta gamma delta y", "s", 26),
+        # doc 2: clean long doc
+        (2, "one two three four five six", "s", 27),
+        # doc 3: too short for any 4-gram
+        (3, "tiny doc", "s", 8),
+        # doc 4: NULL text
+        (4, None, "s", 0),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    pred = F.col("doc_id") % 5 == 0
+    rep = {r["doc_id"]: r for r in DD.contamination_overlaps(d, pred, n=4).collect()}
+    assert set(rep) == {1}
+    # the single shared 4-gram is 'alpha beta gamma delta'
+    assert rep[1]["n_shared_grams"] == 1
+    assert rep[1]["n_eval_docs"] == 1
+    survivors = {r["doc_id"] for r in DD.decontaminate(d, pred, n=4).collect()}
+    assert survivors == {2, 3, 4}

@@ -45,6 +45,7 @@ BROADCAST_EXPECTED = [
     "customers_with_orders_semi",
     "knn_cosine_topk",
     "jaccard_vs_doc0",
+    "contamination_report",  # eval gram frame must broadcast (tiny vs corpus)
 ]
 
 PUSHDOWN_EXPECTED = [
