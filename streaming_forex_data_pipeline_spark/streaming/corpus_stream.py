@@ -168,3 +168,81 @@ def start_incremental_dedup_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_decontamination_channel(
+    spark,
+    sf_dir: str,
+    eval_mod: int = 25,
+    n: int = 4,
+    sink_table: str = "decontaminate_sink",
+):
+    """Streaming face of the decontamination scrub
+    (`llm/dedup.py:decontaminate`): training documents arrive as a
+    stream and every micro-batch is scrubbed against the STATIC
+    distinct eval-gram frame — the eval split is the benchmark, fixed
+    before the crawl starts, so the face is stateless per batch.  The
+    scrub (explode → broadcast semi-join → per-doc any-collision →
+    anti-join) mixes a stream-side aggregation with anti-joins, which
+    Structured Streaming's incremental planner cannot run in one
+    continuous plan — so, like the incremental-dedup channel, each
+    micro-batch recomputes the batch plan inside ``foreachBatch``
+    (batch/stream parity by construction: it IS the batch code).
+    Eval rows in the stream are dropped by definition.
+
+    At 100 TB-crawl scale the eval gram frame is megabytes and
+    broadcast; each micro-batch pays one map-side hash join and its
+    own per-doc aggregation — per-batch cost independent of history,
+    the same contract as the incremental-dedup channel."""
+    from pyspark.sql import functions as F
+
+    from ..llm.corpus import word_ngrams, words_array
+    from ..sources.tables import load_table
+    from .channels import read_table_stream
+
+    grams = F.array_distinct(word_ngrams(words_array("text"), n))
+    ev = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % eval_mod == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)  # one gram scan, not one per batch
+    )
+    stream = read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % eval_mod != 0
+    )
+    spark.createDataFrame(
+        [], "doc_id long, source string, n_chars long"
+    ).createOrReplaceTempView(sink_table)
+
+    import tempfile
+
+    from ..sources.sinks import commit_append, read_committed
+
+    sink_dir = tempfile.mkdtemp(prefix="decon_survivors_")
+
+    def run_batch(batch_df, batch_id):
+        ex = batch_df.select("doc_id", F.explode(grams).alias("gram"))
+        bad = (
+            ex.join(F.broadcast(ev), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        out = batch_df.select("doc_id", "source", "n_chars").join(
+            bad, "doc_id", "left_anti"
+        )
+        # executor-side append + atomic manifest (same O(1)-driver-state
+        # contract as the incremental-dedup channel; replays merge
+        # idempotently on doc_id)
+        commit_append(out, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(spark, sink_dir, keys=["doc_id"])
+        except FileNotFoundError:
+            return
+        committed.createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -239,3 +239,28 @@ def test_incremental_dedup_channel_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_decontamination_channel_matches_batch(spark, sf_dir):
+    """The streaming scrub's survivors must equal the batch
+    decontaminate result for the same eval split and gram size."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_decontamination_channel,
+    )
+
+    q = start_decontamination_channel(
+        spark, sf_dir, eval_mod=25, n=4, sink_table="decon_parity"
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["source"], r["n_chars"])
+        for r in spark.table("decon_parity").collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["doc_id"], r["source"], r["n_chars"])
+        for r in DD.decontaminate(d, F.col("doc_id") % 25 == 0, n=4).collect()
+    }
+    assert got == want and len(got) > 0
