@@ -116,6 +116,9 @@ HEADLINE = [
     "ivf_topk_kmeans",
     "contamination_report",
     "decontaminate",
+    "chunk_sliding",
+    "vocab_coverage",
+    "curriculum_bins",
 ]
 
 TIMED_SWEEPS = 2

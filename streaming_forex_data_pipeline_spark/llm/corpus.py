@@ -392,3 +392,93 @@ def quality_gate(docs: DataFrame, text: str = "text") -> DataFrame:
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "bin",
+    partitions: int = 32,
+) -> DataFrame:
+    """Distributed EXACT NTILE over a total order — without the
+    single-partition global window a naive ``ntile().over(orderBy)``
+    costs (which serializes the whole corpus through one task).
+
+    Construction (the `llm/packing.py doc_offsets` two-level pattern,
+    applied to ranks instead of token offsets): range-repartition on
+    ``order_cols`` (Spark's RangePartitioner gives ordered, disjoint
+    partitions), per-partition local row_number (each partition is its
+    own window task), per-partition counts -> exclusive prefix offsets
+    over the TINY #partitions-row frame, then global_rank = offset +
+    local rank.  The SQL-standard NTILE arithmetic (first n%k bins get
+    one extra row) is then per-row integer algebra on (rank, N).
+
+    ``order_cols`` must be a TOTAL order (append a unique id as the
+    last column) or ranks at partition boundaries would be
+    nondeterministic."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(partitions, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_loc))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    tot = counts.agg(F.sum("__c").alias("__n"))
+    rn = (F.col("__off") + F.col("__lrn")).cast("long")
+    n = F.col("__n")
+    q = F.call_function("div", n, F.lit(k))
+    r = (n % k).cast("long")
+    cut = r * (q + 1)  # ranks 1..cut live in the (q+1)-sized bins
+    bin_col = F.when(
+        rn <= cut,
+        F.call_function("div", rn - 1, F.greatest(q + 1, F.lit(1))) + 1,
+    ).otherwise(
+        r + F.call_function("div", rn - cut - 1, F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(out_col, bin_col.cast("int"))
+        .drop("__pid", "__lrn", "__off", "__n")
+    )
+
+
+def curriculum_bins(docs: DataFrame, k: int = 4, text: str = "text") -> DataFrame:
+    """Perplexity-curriculum binning: quantile buckets of the corpus by
+    unigram-LM average NLL (CCNet's head/middle/tail generalized to
+    ``k`` bins) with per-bin document and token mass — the statistic a
+    curriculum or quality-mixing schedule consumes.
+
+    Exact integer micro-nats order the documents (ties broken by
+    doc_id — a total order, so the binning is deterministic), ranked by
+    `exact_ntile` (distributed, no single-partition sort).  Returns
+    (bin, n_docs, n_tokens, min_nll_micro, max_nll_micro)."""
+    from .text import unigram_lm_nll
+
+    s = unigram_lm_nll(docs, text=text)
+    scored = s.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("avg_nll") * 1000000).cast("long").alias("nll_micro"),
+    )
+    binned = exact_ntile(scored, ["nll_micro", "doc_id"], k)
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("nll_micro").alias("min_nll_micro"),
+            F.max("nll_micro").alias("max_nll_micro"),
+        )
+        .orderBy("bin")
+    )

@@ -217,3 +217,45 @@ def pack_greedy(
         )
 
     return t.groupBy("bucket").applyInPandas(kernel, schema)
+
+
+def chunk_sliding(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 32,
+    text: str = "text",
+) -> DataFrame:
+    """RAG/context-window chunking: overlapping token windows per
+    document — start positions 0, stride, 2*stride, ... while
+    start < n_tokens; the final window may be short.  Complements
+    `chunk_packed` (pretraining concat-and-chunk): this one never
+    crosses document boundaries and preserves overlap for retrieval
+    context.
+
+    Pure per-document column algebra (sequence -> explode -> slice):
+    one Generate, no shuffle, no state — embarrassingly parallel at
+    any corpus size.  Output: (doc_id, chunk_idx, start_tok, n_toks,
+    chunk)."""
+    from .corpus import words_array
+
+    ws = words_array(text)
+    n = F.size(ws)
+    n_chunks = F.call_function("div", (n - 1).cast("long"), F.lit(stride)) + 1
+    starts = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: i * stride,
+    )
+    ex = docs.select(
+        "doc_id",
+        ws.alias("__ws"),
+        n.alias("__n"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    piece = F.slice(F.col("__ws"), F.col("start_tok") + 1, chunk_tokens)
+    return ex.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_toks"),
+        F.array_join(piece, " ").alias("chunk"),
+    )

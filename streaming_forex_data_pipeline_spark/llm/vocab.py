@@ -292,3 +292,42 @@ def bpe_encode_counts(
             F.sum("n_pieces").alias("n_bpe_tokens"),
         )
     )
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 100, text: str = "text") -> DataFrame:
+    """Zipf / vocabulary-coverage curve: the ``top_k`` most frequent
+    corpus tokens with rank, count, and CUMULATIVE coverage of the
+    total token mass in exact parts-per-million — the
+    tokenizer-design analysis ("how big a vocab covers 95% of the
+    stream?").
+
+    Scale shape: one keyed count shuffle, then TakeOrdered for the
+    top_k rows — the running-sum window runs over those top_k rows
+    only (bounded by the parameter, never by corpus size), with the
+    grand total riding a broadcast 1-row cross join.  Integer
+    arithmetic end-to-end (ppm via integer div), so the curve
+    hash-checks exactly."""
+    from pyspark.sql import Window
+
+    from .corpus import words_array
+
+    ex = docs.select(F.explode(words_array(text)).alias("tok"))
+    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cnt.agg(F.sum("c").alias("total"))
+    top = cnt.orderBy(F.desc("c"), F.asc("tok")).limit(top_k)
+    w = Window.orderBy(F.desc("c"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.withColumn("rank", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))))
+        .withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "c",
+            F.call_function(
+                "div", F.col("cum") * 1000000, F.col("total")
+            ).alias("coverage_ppm"),
+        )
+    )

@@ -1621,3 +1621,134 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(d, F.col("doc_id") % 25 == 0, n=4).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "chunk_sliding",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n
+  FROM documents
+),
+st AS (
+  SELECT doc_id, w, n, CAST(i AS INT) AS chunk_idx,
+         CAST(i * 32 AS BIGINT) AS start_tok
+  FROM ws, LATERAL (SELECT unnest(range(0, (n - 1) // 32 + 1)) AS i) r
+)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(least(64, n - start_tok) AS BIGINT) AS n_toks,
+       list_aggregate(
+         w[CAST(start_tok + 1 AS INT):CAST(least(start_tok + 64, n) AS INT)],
+         'string_agg', ' ') AS chunk
+FROM st
+ORDER BY doc_id, chunk_idx
+""",
+    doc="RAG/context-window chunking "
+    "(llm/packing.py:chunk_sliding): overlapping 64-token windows at "
+    "stride 32 per document, never crossing document boundaries — "
+    "the retrieval-side complement to pack_chunks' concat-and-chunk "
+    "pretraining packer.  One Generate, no shuffle, no state: "
+    "embarrassingly parallel at any corpus size.  The chunk text "
+    "itself is hash-checked.",
+)
+def chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import packing as PK
+
+    d = load_table(spark, sf_dir, "documents")
+    return PK.chunk_sliding(fan_out(d), chunk_tokens=64, stride=32).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@register(
+    "vocab_coverage",
+    oracle=r"""
+WITH ex AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+top AS (
+  SELECT tok, c,
+         CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS rank,
+         CAST(sum(c) OVER (ORDER BY c DESC, tok
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM cnt
+  QUALIFY rank <= 100
+)
+SELECT rank, tok, c, cum * 1000000 // total AS coverage_ppm
+FROM top, tot
+ORDER BY rank
+""",
+    doc="Zipf / vocabulary-coverage curve "
+    "(llm/vocab.py:vocab_coverage): top-100 corpus tokens with "
+    "cumulative token-mass coverage in exact integer ppm — the "
+    "how-big-a-vocab-covers-X%% tokenizer-design analysis.  Scale "
+    "shape: one keyed count shuffle + TakeOrdered(100); the running "
+    "sum windows over the 100 retained rows only (bounded by the "
+    "parameter, never the corpus), the grand total broadcast as a "
+    "1-row cross join.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VO
+
+    d = load_table(spark, sf_dir, "documents")
+    return VO.vocab_coverage(d, top_k=100).orderBy("rank")
+
+
+@register(
+    "curriculum_bins",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+tot AS (SELECT sum(c) AS big_t, count(*) AS v FROM cnt),
+per AS (SELECT doc_id, tok, count(*) AS k FROM ex GROUP BY doc_id, tok),
+arr AS (
+  SELECT doc_id, list_sort(list({'tok': p.tok, 'k': p.k, 'c': c.c})) AS a
+  FROM per p JOIN cnt c ON p.tok = c.tok
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_transform(a, s -> s.k), (x, y) -> x + y) AS n_tokens,
+         list_reduce(
+           list_transform(a, s -> s.k * -ln((s.c + 1.0) / (big_t + v))),
+           (x, y) -> x + y
+         ) AS nll_sum
+  FROM arr, tot
+),
+mic AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(round((nll_sum / n_tokens) * 1000000) AS BIGINT) AS nll_micro
+  FROM scored
+),
+b AS (
+  SELECT *, CAST(ntile(4) OVER (ORDER BY nll_micro, doc_id) AS INT) AS bin
+  FROM mic
+)
+SELECT bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(nll_micro) AS min_nll_micro, max(nll_micro) AS max_nll_micro
+FROM b
+GROUP BY bin
+ORDER BY bin
+""",
+    doc="Perplexity-curriculum binning "
+    "(llm/corpus.py:curriculum_bins): exact NTILE quartiles of the "
+    "corpus by unigram-LM average NLL in integer micro-nats (CCNet "
+    "head/middle/tail generalized), with per-bin doc and token mass. "
+    "The ranking uses a DISTRIBUTED exact ntile "
+    "(llm/corpus.py:exact_ntile — range repartition, per-partition "
+    "row_number, tiny prefix-offset frame), NOT a single-partition "
+    "global window, so the plan survives a 100 TB sort; the oracle "
+    "replays SQL-standard NTILE directly.",
+)
+def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import corpus as CO
+
+    d = load_table(spark, sf_dir, "documents")
+    return CO.curriculum_bins(fan_out(d), k=4)

@@ -166,3 +166,58 @@ def test_decontaminate_edge_semantics(spark):
     assert rep[1]["n_eval_docs"] == 1
     survivors = {r["doc_id"] for r in DD.decontaminate(d, pred, n=4).collect()}
     assert survivors == {2, 3, 4}
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """The distributed two-level exact_ntile must equal the SQL-standard
+    single-window ntile for every (N, k), including N < k, N % k != 0,
+    and heavy ties in the order key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.corpus import exact_ntile
+
+    for n, k in ((1, 4), (3, 4), (4, 4), (17, 4), (100, 7), (64, 8)):
+        rows = [(i, (i * 7) % 5) for i in range(n)]  # ties in `v`
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            r["id"]: r["bin"]
+            for r in exact_ntile(df, ["v", "id"], k, partitions=5).collect()
+        }
+        want = {
+            r["id"]: r["bin"]
+            for r in df.withColumn(
+                "bin", F.ntile(k).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want, f"n={n} k={k}: {got} != {want}"
+
+
+def test_chunk_sliding_edges(spark):
+    """Blank text yields one ''-chunk (the corpus-wide '' -token
+    convention); NULL text yields no chunks; overlap and tail-chunk
+    lengths follow the stride arithmetic."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.packing import chunk_sliding
+
+    d = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_sliding(d, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["start_tok"] for r in c1] == [0, 3, 6, 9]
+    assert [r["n_toks"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk"] == "w3 w4 w5 w6"  # stride-3 overlap of 1 token
+    assert c1[3]["chunk"] == "w9"
+    assert by_doc[2][0]["chunk"] == "" and by_doc[2][0]["n_toks"] == 1
