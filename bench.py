@@ -119,6 +119,8 @@ HEADLINE = [
     "chunk_sliding",
     "vocab_coverage",
     "curriculum_bins",
+    "temperature_mixture",
+    "random_projection",
 ]
 
 TIMED_SWEEPS = 2

@@ -482,3 +482,83 @@ def curriculum_bins(docs: DataFrame, k: int = 4, text: str = "text") -> DataFram
         )
         .orderBy("bin")
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    budget: int = 1_000_000,
+    text: str = "text",
+) -> DataFrame:
+    """Temperature-weighted source mixture with EXACT largest-remainder
+    token-budget apportionment (the XLM-R / multilingual-sampling
+    pattern at alpha = 0.5): per source, weight = sqrt(token mass)
+    renormalized, then ``budget`` tokens split as floor shares plus
+    one extra token-quantum for the largest fractional remainders so
+    the allocations sum exactly to ``budget``.
+
+    Determinism/portability contract: alpha is FIXED at 0.5 because
+    IEEE sqrt is correctly rounded on every engine, while pow(x, a)
+    for general a differs in the last ulp between libm
+    implementations — and the sqrt-of-integer-token-count form avoids
+    dividing by the corpus total before weighting (same normalized
+    shares, one fewer float op).  The weight normalizer folds the
+    per-source sqrt terms in source-sorted order (the lm_quality
+    fixed-order-fold pattern), so every double here is bit-identical
+    across engines and the floor/remainder apportionment hash-checks
+    exactly.
+
+    Scale shape: one per-source aggregation (map-side combined), then
+    all arithmetic on the tiny per-source frame; the sorted-fold
+    normalizer and remainder ranking cost O(#sources log #sources) in
+    one task — #sources is a catalog, not a corpus, dimension."""
+    from .text import token_count
+
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text).cast("long")).alias("n_tokens"),
+    )
+    # fixed-order fold of sqrt weights: collect the (source, sqrt) pairs,
+    # sort by source, fold left-to-right — aggregation-order-proof
+    wsum = per.select(
+        F.struct("source", F.sqrt(F.col("n_tokens")).alias("w")).alias("sw")
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("sw")),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("W")
+    )
+    scored = per.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.sqrt(F.col("n_tokens")) / F.col("W")).alias("q"),
+    )
+    exact = F.lit(float(budget)) * F.col("q")
+    based = scored.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "q",
+        F.floor(exact).cast("long").alias("base"),
+        (exact - F.floor(exact)).alias("rem"),
+    )
+    deficit = based.agg(
+        (F.lit(budget) - F.sum("base")).cast("long").alias("deficit")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    return (
+        based.crossJoin(F.broadcast(deficit))
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("q", 6).alias("weight"),
+            (
+                F.col("base")
+                + F.when(F.col("__rk") <= F.col("deficit"), 1).otherwise(0)
+            ).cast("long").alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -787,3 +787,76 @@ def ivf_pq_topk(
     return _adc_topk(
         in_cells, emb, query, k, m, dsub, n_codes, id_col, vec_col
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    m: int = 16,
+    dim: int = 64,
+    tag: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``m`` dims: each
+    output coordinate is the input dotted with a deterministic +-1
+    sign row, scaled by 1/sqrt(m) (Achlioptas 2003's database-friendly
+    JL — sign matrices preserve pairwise distances within (1 +- eps)
+    like Gaussian ones, with integer signs).  The cheap dimensionality
+    cut before ANN indexing: 4x fewer floats per vector at a bounded
+    distance distortion, measured in tests.
+
+    The sign matrix is ENGINE-PORTABLE: sign(j, i) = parity of the
+    first hex digit of md5('<tag>:<j>:<i>') — both engines derive the
+    identical matrix, so projections hash-check exactly.  It is built
+    once in a 1-row broadcast frame (16x64 literals), never
+    per-vector.
+
+    Output: (id, dim, value) long format, value folded left-to-right
+    over ascending i (the repo's sequential-`dot` contract) then
+    divided by the exact sqrt(m).
+
+    Scale shape: narrow map stage over the vectors — no shuffle; the
+    long-format explode multiplies rows by m (callers wanting packed
+    arrays group back or consume `transform` form directly)."""
+    spark = emb.sparkSession
+
+    def sign(j, i):
+        digit = F.conv(
+            F.substring(F.md5(F.lit(f"{tag}:{j}:{i}")), 1, 1), 16, 10
+        ).cast("long")
+        return F.when(digit % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    rows = F.array(
+        *[
+            F.array(*[sign(j, i) for i in range(dim)]).alias(f"r{j}")
+            for j in range(m)
+        ]
+    )
+    signs = spark.range(1).select(rows.alias("R"))
+    scale = float(m) ** 0.5
+    from ..sources.tables import fan_out
+
+    base = fan_out(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    ex = base.crossJoin(F.broadcast(signs)).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.col("R"),
+                lambda row: F.aggregate(
+                    F.zip_with(F.col("v"), row, lambda x, s: x * s),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+            )
+        ).alias("dim", "raw"),
+    )
+    return ex.select(
+        F.col("id").alias(id_col),
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("raw") / F.lit(scale)).alias("value"),
+    )

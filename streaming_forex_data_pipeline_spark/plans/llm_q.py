@@ -1752,3 +1752,92 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return CO.curriculum_bins(fan_out(d), k=4)
+
+
+@register(
+    "temperature_mixture",
+    oracle=r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wsum AS (
+  SELECT list_reduce(
+           list_transform(
+             list_sort(list({'source': source, 'w': sqrt(n_tokens)})),
+             s -> s.w),
+           (a, b) -> a + b) AS W
+  FROM per
+),
+scored AS (
+  SELECT source, n_docs, n_tokens, sqrt(n_tokens) / W AS q FROM per, wsum
+),
+based AS (
+  SELECT *, CAST(floor(1000000.0 * q) AS BIGINT) AS base,
+         1000000.0 * q - floor(1000000.0 * q) AS rem
+  FROM scored
+),
+d AS (SELECT 1000000 - sum(base) AS deficit FROM based),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM based
+)
+SELECT source, n_docs, n_tokens, round(q, 6) AS weight,
+       CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc_tokens
+FROM r, d
+ORDER BY source
+""",
+    doc="Temperature-weighted source mixture with exact "
+    "largest-remainder token apportionment "
+    "(llm/corpus.py:temperature_mixture; XLM-R-style multilingual "
+    "sampling at alpha=0.5): weight = sqrt(source token mass) "
+    "renormalized via a source-sorted fixed-order fold (bit-identical "
+    "across engines — sqrt is IEEE-exact where pow(x,a) is not), then "
+    "a 1M-token budget split as floor shares + one extra quantum per "
+    "largest remainder so allocations sum exactly to the budget.  "
+    "All heavy work is one per-source aggregation; the apportionment "
+    "runs on the catalog-sized source frame.",
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import corpus as CO
+
+    d = load_table(spark, sf_dir, "documents")
+    return CO.temperature_mixture(d, budget=1_000_000)
+
+
+@register(
+    "random_projection",
+    oracle=r"""
+WITH dims AS (SELECT unnest(range(0, 16)) AS j),
+sgn AS (
+  SELECT j, list_transform(range(0, 64), i ->
+           CASE WHEN ('0x' || substr(md5('rp:' || CAST(j AS VARCHAR) || ':'
+                                         || CAST(i AS VARCHAR)), 1, 1))::BIGINT
+                     % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS s
+  FROM dims
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, CAST(j AS INT) AS dim,
+       round(list_reduce(list_transform(range(1, 65), i -> v[i] * s[i]),
+                         (a, b) -> a + b) / sqrt(16.0), 6) + 0 AS value
+FROM e, sgn
+ORDER BY vec_id, dim
+""",
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims "
+    "(llm/similarity.py:random_projection; Achlioptas 2003 sign "
+    "matrix): the cheap dimensionality cut before ANN indexing, with "
+    "an engine-portable +-1 matrix derived from md5 parity so both "
+    "engines project identically.  Narrow map stage, no shuffle; the "
+    "sign matrix is built once in a broadcast 1-row frame.  Distance "
+    "preservation is measured in tests/test_operators.py.",
+)
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.random_projection(e, m=16, dim=64)
+    return out.select(
+        "vec_id", "dim", (F.round("value", R) + F.lit(0)).alias("value")
+    ).orderBy("vec_id", "dim")

@@ -573,3 +573,58 @@ def test_semantic_dedup_apply_matches_keep_flags(spark, sf_dir):
         .collect()
     }
     assert kept_docs == keeps
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL contract: 64->16 sign projection roughly preserves pairwise
+    squared L2 distances — correlation between original and projected
+    pair distances stays high, and every projection is deterministic
+    across runs."""
+    import numpy as np
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").limit(30)
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in e.collect()
+    }
+    rows = SIM.random_projection(e, m=16, dim=64).collect()
+    proj: dict[int, np.ndarray] = {}
+    for r in rows:
+        proj.setdefault(r["vec_id"], np.zeros(16))[r["dim"]] = r["value"]
+    ids = sorted(orig)
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d_orig = np.sum((orig[ids[i]] - orig[ids[j]]) ** 2)
+            d_proj = np.sum((proj[ids[i]] - proj[ids[j]]) ** 2)
+            ratios.append(d_proj / d_orig)
+    r = np.array(ratios)
+    # JL contract is the DISTORTION RATIO (not correlation — iid-vector
+    # pair distances concentrate, so correlation is uninformative):
+    # E[ratio] = 1 with spread ~ sqrt(2/m) ≈ 0.35 at m=16.  Measured on
+    # this fixture: mean 0.975, p5 0.49, p95 1.56.
+    assert 0.8 < r.mean() < 1.2, f"JL mean distortion {r.mean():.3f}"
+    assert (np.abs(r - 1.0) < 1.0).mean() > 0.9, (
+        f"too many pairs outside 2x distortion: p95={np.percentile(r, 95):.2f}"
+    )
+    again = SIM.random_projection(e, m=16, dim=64).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_temperature_mixture_apportionment(spark, sf_dir):
+    """Largest-remainder invariants: allocations are non-negative, sum
+    EXACTLY to the budget, and order consistently with token mass."""
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    d = load_table(spark, sf_dir, "documents")
+    out = CO.temperature_mixture(d, budget=999_983).collect()  # prime budget
+    assert len(out) > 1
+    assert sum(r["alloc_tokens"] for r in out) == 999_983
+    assert all(r["alloc_tokens"] >= 0 for r in out)
+    by_tokens = sorted(out, key=lambda r: r["n_tokens"])
+    # sqrt weighting is monotone: more tokens never means fewer allocs
+    # beyond the +-1 largest-remainder quantum
+    for a, b in zip(by_tokens, by_tokens[1:]):
+        assert b["alloc_tokens"] >= a["alloc_tokens"] - 1
