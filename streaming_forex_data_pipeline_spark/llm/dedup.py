@@ -943,3 +943,91 @@ def decontaminate(
         .join(flagged, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership tier for incremental exact dedup
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 18  # filter width; 32-bit words keep shifts portable
+BLOOM_K = 3  # hash functions
+_BLOOM_WORD = 32
+
+
+def _bloom_positions(fp: Column, k: int = BLOOM_K, m_bits: int = BLOOM_M_BITS):
+    """The ``k`` engine-portable bit positions for a fingerprint:
+    md5('<i>:'||fp) prefix mod m_bits — DuckDB derives the identical
+    positions (the portable_bucket trick per hash family)."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), fp)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    docs: DataFrame,
+    text: str = "text",
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Build a DISTRIBUTED Bloom filter over the index documents'
+    content fingerprints: (word_idx, bits) with ``bits`` the OR of
+    32-bit words — m_bits/32 rows total, small enough to broadcast at
+    any practical width (2^18 bits = 8192 rows here; a 100 TB index at
+    1e-4 target FP wants ~2^37 bits = 4 G rows x 4 B = still a
+    join-table, or per-executor segments).
+
+    This is the scale answer to "is this new document already in the
+    index?" WITHOUT anti-joining the full index: the index is folded
+    once into the bitmap (one explode + one bit_or aggregation), and
+    every future probe touches only the filter.  False positives are
+    bounded ((1-e^(-kn/m))^k); false negatives impossible — probes
+    that hit then verify against the (tiny) candidate set, never the
+    full index."""
+    fp = md5_fingerprint(text)
+    pos = F.array(*_bloom_positions(fp, k, m_bits))
+    ex = docs.select(F.explode(pos).alias("p")).select(
+        F.call_function("div", F.col("p"), F.lit(_BLOOM_WORD)).alias(
+            "word_idx"
+        ),
+        # SQL shiftleft: the bit count is a COLUMN (F.shiftleft only
+        # takes a literal)
+        F.expr(f"shiftleft(1L, cast(p % {_BLOOM_WORD} as int))").alias("m"),
+    )
+    return ex.groupBy("word_idx").agg(F.bit_or("m").alias("bits"))
+
+
+def bloom_probe(
+    docs: DataFrame,
+    bloom: DataFrame,
+    text: str = "text",
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """Probe: (doc_id, bloom_hit) — true iff ALL k positions are set.
+    One narrow projection + a broadcast join on word_idx; missing
+    words (never set by any index doc) count as unset via the left
+    join's NULL."""
+    fp = md5_fingerprint(text)
+    pos = F.array(*_bloom_positions(fp, k, m_bits))
+    ex = docs.select("doc_id", F.explode(pos).alias("p")).select(
+        "doc_id",
+        F.call_function("div", F.col("p"), F.lit(_BLOOM_WORD)).alias(
+            "word_idx"
+        ),
+        F.expr(f"shiftleft(1L, cast(p % {_BLOOM_WORD} as int))").alias("m"),
+    )
+    j = ex.join(F.broadcast(bloom), "word_idx", "left")
+    set_ok = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) != 0
+    )
+    return j.groupBy("doc_id").agg(
+        F.min(set_ok).alias("bloom_hit")
+    )

@@ -1841,3 +1841,83 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "dim", (F.round("value", R) + F.lit(0)).alias("value")
     ).orderBy("vec_id", "dim")
+
+
+@register(
+    "bloom_dedup_probe",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, f,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || f), 1, 15))::BIGINT
+           % 262144 AS p
+  FROM fp, LATERAL (SELECT unnest(range(0, 3)) AS i) r
+),
+idx AS (SELECT * FROM pos WHERE doc_id % 5 <> 0),
+bloom AS (
+  SELECT p // 32 AS word_idx, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM idx GROUP BY 1
+),
+probe AS (SELECT * FROM pos),
+hit AS (
+  SELECT pr.doc_id,
+         min(coalesce(b.bits, 0) & (1::BIGINT << CAST(pr.p % 32 AS INT)) <> 0)
+           AS bloom_hit
+  FROM probe pr LEFT JOIN bloom b ON pr.p // 32 = b.word_idx
+  GROUP BY pr.doc_id
+),
+exact AS (
+  SELECT pr.doc_id, count(ix.one) > 0 AS exact_hit
+  FROM (SELECT DISTINCT doc_id, f FROM probe) pr
+  LEFT JOIN (SELECT DISTINCT f, 1 AS one FROM idx) ix USING (f)
+  GROUP BY pr.doc_id
+)
+SELECT h.doc_id, h.bloom_hit, e.exact_hit
+FROM hit h JOIN exact e USING (doc_id)
+ORDER BY h.doc_id
+""",
+    doc="Bloom-filter membership tier for incremental exact dedup "
+    "(llm/dedup.py:bloom_build/bloom_probe): the index split "
+    "(doc_id %% 5 != 0) folds ONCE into a 2^18-bit distributed bitmap "
+    "(word_idx, bit_or of 32-bit words — engine-portable shifts), and "
+    "the probe split checks membership against the broadcast filter "
+    "instead of anti-joining the full index — the scale answer for "
+    "'have we crawled this before?' at 100 TB.  bloom_hit is compared "
+    "against the ground-truth exact_hit (fingerprint semi-join) in "
+    "the same output: every probed document is checked — index "
+    "members MUST hit (no false negatives by construction; the "
+    "testdata has no cross-doc exact dups, so exact_hit == membership) "
+    "and non-members expose the exact false-positive pattern, bounded "
+    "by (1-e^(-kn/m))^k.",
+)
+def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    from ..llm.text import md5_fingerprint
+
+    index = d.filter(F.col("doc_id") % 5 != 0)
+    probe = d  # probe EVERY doc: members must hit, non-members show FPs
+    bloom = DD.bloom_build(index)
+    hits = DD.bloom_probe(fan_out(probe), bloom)
+    truth = (
+        probe.select("doc_id", md5_fingerprint("text").alias("f"))
+        .join(
+            index.select(md5_fingerprint("text").alias("f"))
+            .distinct()
+            .withColumn("__m", F.lit(1)),
+            "f",
+            "left",
+        )
+        .groupBy("doc_id")
+        # count the RIGHT-side marker: the USING-join's f column is the
+        # probe's own value and is never NULL, matched or not
+        .agg((F.count("__m") > 0).alias("exact_hit"))
+    )
+    return (
+        hits.join(truth, "doc_id")
+        .select("doc_id", "bloom_hit", "exact_hit")
+        .orderBy("doc_id")
+    )

@@ -628,3 +628,41 @@ def test_temperature_mixture_apportionment(spark, sf_dir):
     # beyond the +-1 largest-remainder quantum
     for a, b in zip(by_tokens, by_tokens[1:]):
         assert b["alloc_tokens"] >= a["alloc_tokens"] - 1
+
+
+def test_bloom_filter_no_false_negatives_and_fp_bound(spark, sf_dir):
+    """Bloom invariants: every indexed fingerprint MUST probe true (no
+    false negatives, at any filter width); squeezing the filter to a
+    tiny width forces false positives, which must stay within a loose
+    multiple of the analytic (1-e^(-kn/m))^k bound."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents")
+    index = d.filter(F.col("doc_id") % 5 != 0)
+    others = d.filter(F.col("doc_id") % 5 == 0)
+    n = index.count()
+
+    # generous width: members all hit, non-members all miss (corpus has
+    # no cross-doc exact dups)
+    bloom = DD.bloom_build(index)
+    hits = {r["doc_id"]: r["bloom_hit"] for r in DD.bloom_probe(d, bloom).collect()}
+    assert all(hits[r["doc_id"]] for r in index.select("doc_id").collect())
+
+    # tiny width: FPs must appear (fill ratio ~1) but never FNs
+    m_tiny = 1 << 9
+    bloom_tiny = DD.bloom_build(index, m_bits=m_tiny)
+    tiny = {
+        r["doc_id"]: r["bloom_hit"]
+        for r in DD.bloom_probe(d, bloom_tiny, m_bits=m_tiny).collect()
+    }
+    assert all(tiny[r["doc_id"]] for r in index.select("doc_id").collect()), (
+        "false negative under a saturated filter — impossible for a "
+        "correct Bloom"
+    )
+    others_ids = [r["doc_id"] for r in others.select("doc_id").collect()]
+    fp_rate = sum(tiny[i] for i in others_ids) / len(others_ids)
+    bound = (1 - math.exp(-DD.BLOOM_K * n / m_tiny)) ** DD.BLOOM_K
+    assert fp_rate > 0.5, f"saturated filter should FP heavily, got {fp_rate}"
+    assert fp_rate <= min(1.0, 2 * bound + 0.05), (
+        f"fp_rate {fp_rate:.3f} vs bound {bound:.3f}"
+    )
