@@ -121,6 +121,7 @@ HEADLINE = [
     "curriculum_bins",
     "temperature_mixture",
     "random_projection",
+    "bloom_dedup_probe",
 ]
 
 TIMED_SWEEPS = 2
