@@ -114,13 +114,21 @@ def _commit_ids(log_dir: str) -> list[int]:
 
 
 def read_committed(
-    spark: SparkSession, table_dir: str, keys: list[str]
+    spark: SparkSession, table_dir: str, keys: list[str],
+    as_of: int | None = None,
 ) -> DataFrame:
     """Read side of ``commit_append``: scan ONLY manifest-listed files
     (uncommitted staging data is invisible), then keep-latest per key
     ordered by (__ingest_ts, commit id) — the commit id breaks stamp
     ties with the log's total order, so concurrent writers with equal
     version stamps still merge deterministically.
+
+    ``as_of`` gives TIME TRAVEL: read the table exactly as it stood
+    after commit id ``as_of`` by ignoring every later manifest — the
+    Delta-style snapshot read, free because commits are append-only
+    and totally ordered (no data is rewritten, so any historical
+    snapshot is just a manifest-prefix scan).  Raises if no commit
+    <= as_of exists.
 
     One parquet scan over all committed files; the file -> commit-id
     map rides a broadcast join keyed on the (globally unique) parquet
@@ -130,7 +138,10 @@ def read_committed(
 
     log_dir = os.path.join(table_dir, "_log")
     rows = []
-    for cid in _commit_ids(log_dir):
+    cids = _commit_ids(log_dir)
+    if as_of is not None:
+        cids = [c for c in cids if c <= as_of]
+    for cid in cids:
         with open(os.path.join(log_dir, f"{cid:020d}.json")) as fh:
             m = json.load(fh)
         for f in m["files"]:

@@ -303,3 +303,39 @@ def test_export_shards_is_deterministic_and_complete(spark, sf_dir, tmp_path):
     assert sum(man["rows"].values()) == d.count()
     # every declared shard has a row-count entry, empty ones as 0
     assert sorted(map(int, man["rows"])) == list(range(man["n_shards"]))
+
+
+def test_commit_append_time_travel(spark, tmp_path):
+    """as_of snapshot reads: each historical commit id reconstructs the
+    table exactly as it stood then — later commits are invisible, and
+    an as_of before the first commit raises."""
+    import datetime as dt
+
+    import pytest
+
+    tdir = str(tmp_path / "tt")
+    t0 = dt.datetime(2024, 1, 1)
+    S.commit_append(_candles(spark, [("S", t0, 1.0)]), tdir, version=1.0)
+    S.commit_append(_candles(spark, [("S", t0, 2.0)]), tdir, version=2.0)
+    S.commit_append(
+        _candles(spark, [("S", t0 + dt.timedelta(hours=1), 7.0)]),
+        tdir,
+        version=3.0,
+    )
+
+    def snap(as_of=None):
+        return {
+            (r["symbol"], r["ts"]): r["close"]
+            for r in S.read_committed(
+                spark, tdir, ["symbol", "ts"], as_of=as_of
+            ).collect()
+        }
+
+    assert snap(1) == {("S", t0): 1.0}
+    assert snap(2) == {("S", t0): 2.0}
+    assert snap(3) == snap() == {
+        ("S", t0): 2.0,
+        ("S", t0 + dt.timedelta(hours=1)): 7.0,
+    }
+    with pytest.raises(FileNotFoundError):
+        snap(0)
