@@ -221,3 +221,29 @@ def test_chunk_sliding_edges(spark):
     assert c1[1]["chunk"] == "w3 w4 w5 w6"  # stride-3 overlap of 1 token
     assert c1[3]["chunk"] == "w9"
     assert by_doc[2][0]["chunk"] == "" and by_doc[2][0]["n_toks"] == 1
+
+
+def test_png_round_trip_property():
+    """Property test: ANY uint8 image shape/content round-trips under
+    ANY per-row filter schedule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 30),
+        seed=st.integers(0, 2**31 - 1),
+        fseed=st.integers(0, 4),
+        rgb=st.booleans(),
+    )
+    def run(w, h, seed, fseed, rgb):
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        data = encode_png(px, filter_for_row=lambda y: (y + fseed) % 5)
+        W, H, C, out = decode_png(data)
+        assert (W, H) == (w, h) and C == (3 if rgb else 1)
+        assert (out == px).all()
+
+    run()
