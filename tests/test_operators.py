@@ -270,6 +270,47 @@ def test_ivf_kmeans_tier_beats_bootstrap_recall(spark, sf_dir):
     assert again == first_km
 
 
+def test_ivf_kmeans_dominates_on_clustered_corpus(spark):
+    """Where the fitted quantizer actually earns its keep: on a
+    CLUSTERED corpus (8 Gaussian blobs), nprobe=1 kmeans-IVF recall is
+    perfect because cells align with blobs, while the bootstrap's
+    lowest-id centroids (all drawn from blob 0) split the space
+    arbitrarily.  Measured: kmeans 1.0 vs bootstrap ~0.82."""
+    import random
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    rng = random.Random(7)
+    rows, vid = [], 0
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(8)]
+    for c in centers:
+        for _ in range(60):
+            rows.append((vid, [x + rng.gauss(0, 0.15) for x in c]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tot_boot = tot_km = 0.0
+    qids = (100, 200, 300, 400)
+    for qid in qids:
+        q = e.filter(F.col("vec_id") == qid)
+        exact = {
+            r["vec_id"] for r in SIM.brute_force_topk(e, q, k=10).collect()
+        }
+        boot = {
+            r["vec_id"]
+            for r in SIM.ivf_topk(e, q, k=10, n_cells=8, nprobe=1).collect()
+        }
+        km = {
+            r["vec_id"]
+            for r in SIM.ivf_topk_kmeans(
+                e, q, k=10, n_cells=8, nprobe=1
+            ).collect()
+        }
+        tot_boot += len(boot & exact) / 10
+        tot_km += len(km & exact) / 10
+    assert tot_km / len(qids) >= 0.95
+    assert tot_km > tot_boot
+
+
 def test_connected_components_closes_transitive_pairs(spark):
     """A~B and B~C cluster A,B,C together even though (A,C) was never
     emitted; separate components keep separate min-id labels; the
