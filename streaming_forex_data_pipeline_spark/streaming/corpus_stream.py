@@ -246,3 +246,28 @@ def start_decontamination_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_media_decode_channel(
+    spark, sf_dir: str, sink_table: str = "media_decode_sink"
+):
+    """Streaming face of the real-codec multimodal tier: documents
+    stream in, each micro-batch synthesizes its PNG payloads and
+    REAL-decodes them (`llm/multimodal.py encode_images/decode_images`)
+    inside the continuous plan itself — Arrow-batched ``mapInPandas``
+    is stateless, so unlike the dedup/decontamination faces no
+    foreachBatch recompute is needed: the codec kernels run as plain
+    map stages of the streaming query (the shape a 100 TB multimodal
+    ingest uses for decode/feature-extract on arrival)."""
+    from ..llm.multimodal import decode_images, encode_images
+    from .channels import read_table_stream
+
+    stream = read_table_stream(spark, sf_dir, "documents")
+    decoded = decode_images(encode_images(stream))
+    return (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -264,3 +264,23 @@ def test_decontamination_channel_matches_batch(spark, sf_dir):
         for r in DD.decontaminate(d, F.col("doc_id") % 25 == 0, n=4).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_media_decode_channel_matches_batch(spark, sf_dir):
+    """The codec kernels run INSIDE the continuous plan (stateless
+    mapInPandas, no foreachBatch) and agree with the batch tier."""
+    from streaming_forex_data_pipeline_spark.llm.multimodal import (
+        decode_images,
+        encode_images,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_media_decode_channel,
+    )
+
+    q = start_media_decode_channel(spark, sf_dir, sink_table="media_parity")
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.table("media_parity").collect()}
+    d = load_table(spark, sf_dir, "documents")
+    want = {tuple(r) for r in decode_images(encode_images(d)).collect()}
+    assert got == want and len(got) > 0
