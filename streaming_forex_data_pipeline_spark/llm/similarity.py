@@ -860,3 +860,56 @@ def random_projection(
         F.col("dim").cast("int").alias("dim"),
         (F.col("raw") / F.lit(scale)).alias("value"),
     )
+
+
+def write_ivf_silver(
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF assignment as the cell-partitioned silver
+    table the ivf_topk docstrings promise: one Hive-layout
+    ``cell=<k>/`` directory per inverted list, so a probe reads ONLY
+    its nprobe partitions (verified by partition pruning in the scan —
+    see tests/test_plan_quality.py).  At 100 TB this write happens
+    once per index build; every query after it touches nprobe/n_cells
+    of the data by construction."""
+    assigned = ivf_assign(emb, n_cells, id_col, vec_col)
+    assigned.select(
+        F.col("id").alias(id_col), "v", "n", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(out_dir)
+
+
+def probe_ivf_silver(
+    spark,
+    out_dir: str,
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the silver table: coarse-probe the centroids, scan only
+    the probed ``cell=`` partitions (the IN-filter prunes at the file
+    index, no data read outside them), exact cosine within."""
+    silver = spark.read.parquet(out_dir)
+    probe = _probe_cells(emb, query, n_cells, nprobe, id_col, vec_col)
+    q = query.select(
+        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+    )
+    return (
+        silver.join(F.broadcast(probe), silver.cell == probe.cid)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            (dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn"))).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

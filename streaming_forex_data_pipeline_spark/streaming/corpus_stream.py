@@ -1,5 +1,8 @@
-"""Streaming corpus ingest: the quality gate as a stateless streaming
-channel.
+"""Streaming corpus ingest: the corpus-hygiene operators as streaming
+channels — the stateless quality gate, incremental near-dup checking
+against a static index, decontamination against a static eval-gram
+frame, and the real-codec multimodal decode (all batch/stream
+parity-tested).
 
 A training-corpus pipeline at 100 TB ingests continuously; the
 document-level gate (Gopher/C4 rule battery, `llm/corpus.py:

@@ -129,3 +129,32 @@ def test_heavy_generates_are_fanned_out(spark, sf_dir, name):
     assert "Exchange RoundRobinPartitioning" in plan, (
         f"{name}: {scans} documents scans with no fan-out repartition"
     )
+
+
+def test_ivf_silver_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The cell-partitioned silver table delivers the promised scale
+    contract: a probe's scan carries a PartitionFilters entry on
+    `cell` (only nprobe directories are read), and its results equal
+    the in-memory ivf_topk tier exactly."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    out = str(tmp_path / "ivf_silver")
+    SIM.write_ivf_silver(e, out, n_cells=16)
+
+    probed = SIM.probe_ivf_silver(spark, out, e, q, k=10, n_cells=16, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    seg = [
+        s.split("]")[0]
+        for s in plan.split("PartitionFilters: [")[1:]
+        if "cell" in s.split("]")[0]
+    ]
+    assert seg, f"no partition filter on cell reached the silver scan:\n{plan}"
+
+    want = [tuple(r) for r in SIM.ivf_topk(e, q, k=10, n_cells=16, nprobe=2).collect()]
+    got = [tuple(r) for r in probed.collect()]
+    assert got == want
