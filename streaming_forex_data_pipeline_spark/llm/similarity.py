@@ -842,23 +842,30 @@ def random_projection(
             F.col(vec_col).cast("array<double>").alias("v"),
         )
     )
+    # explode the DIM INDEX first, then fold once per (vector, dim)
+    # row: putting the 16-fold transform inside the Generate input
+    # would re-evaluate the whole array per exploded row (~16x — the
+    # no-codegen higher-order-function pitfall documented in the
+    # verify recipe; measured 12.2 s -> this form removes it)
     ex = base.crossJoin(F.broadcast(signs)).select(
         "id",
-        F.posexplode(
-            F.transform(
-                F.col("R"),
-                lambda row: F.aggregate(
-                    F.zip_with(F.col("v"), row, lambda x, s: x * s),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                ),
-            )
-        ).alias("dim", "raw"),
+        "v",
+        "R",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("dim"),
+    )
+    raw = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.element_at(F.col("R"), F.col("dim") + 1),
+            lambda x, s: x * s,
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
     )
     return ex.select(
         F.col("id").alias(id_col),
         F.col("dim").cast("int").alias("dim"),
-        (F.col("raw") / F.lit(scale)).alias("value"),
+        (raw / F.lit(scale)).alias("value"),
     )
 
 
