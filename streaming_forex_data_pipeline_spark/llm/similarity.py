@@ -820,19 +820,20 @@ def random_projection(
     arrays group back or consume `transform` form directly)."""
     spark = emb.sparkSession
 
-    def sign(j, i):
-        digit = F.conv(
-            F.substring(F.md5(F.lit(f"{tag}:{j}:{i}")), 1, 1), 16, 10
-        ).cast("long")
-        return F.when(digit % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    # The sign CONTRACT is md5-parity of '<tag>:<j>:<i>' — the oracle
+    # derives it in SQL; here the same md5 runs at plan-BUILD time
+    # (hashlib) and the matrix ships as plain literals.  An earlier
+    # form built 1024 nested md5/conv Column expressions instead, and
+    # Catalyst constant-folding that tree cost ~9 s of DRIVER plan
+    # time on every query build — identical values, 1000x the price.
+    import hashlib
 
-    rows = F.array(
-        *[
-            F.array(*[sign(j, i) for i in range(dim)]).alias(f"r{j}")
-            for j in range(m)
-        ]
-    )
-    signs = spark.range(1).select(rows.alias("R"))
+    def sign(j: int, i: int) -> float:
+        digit = int(hashlib.md5(f"{tag}:{j}:{i}".encode()).hexdigest()[0], 16)
+        return 1.0 if digit % 2 == 0 else -1.0
+
+    matrix = [[sign(j, i) for i in range(dim)] for j in range(m)]
+    signs = spark.createDataFrame([(matrix,)], "R array<array<double>>")
     scale = float(m) ** 0.5
     from ..sources.tables import fan_out
 
