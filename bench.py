@@ -122,6 +122,7 @@ HEADLINE = [
     "temperature_mixture",
     "random_projection",
     "bloom_dedup_probe",
+    "hard_negatives",
 ]
 
 TIMED_SWEEPS = 2

@@ -921,3 +921,64 @@ def probe_ivf_silver(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    n_anchors: int = 8,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    ``k`` MOST similar vectors that are NOT near-duplicates — cosine
+    below ``dup_threshold`` (a near-dup is a false negative that
+    poisons the contrastive loss; the classic mining recipe keeps the
+    hardest true negatives just under the dup bar).
+
+    Returns (anchor_id, vec_id, cos_sim, rank).  Anchors here are the
+    ``n_anchors`` lowest-id vectors (deterministic, oracle-checkable);
+    production mines per training batch.
+
+    Scale shape: the anchor frame broadcasts (one corpus scan scores
+    all anchors at once — anchors x N work, never N x N); ranking
+    windows partition by anchor, the parallel axis.  At billions of
+    vectors the candidate set per anchor comes from the ANN tiers
+    (ivf_topk / lsh buckets) instead of the full scan — same
+    filter-and-rank tail."""
+    from pyspark.sql import Window
+
+    from ..sources.tables import fan_out
+
+    anchors = emb.filter(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("av"),
+        norm(F.col(vec_col)).alias("an"),
+    )
+    base = fan_out(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("n"),
+        )
+    )
+    scored = (
+        base.crossJoin(F.broadcast(anchors))
+        .filter(F.col("id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.col("id").alias(id_col),
+            (dot(F.col("v"), F.col("av")) / (F.col("n") * F.col("an"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") < dup_threshold)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

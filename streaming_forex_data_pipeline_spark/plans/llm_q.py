@@ -1921,3 +1921,53 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bloom_hit", "exact_hit")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+a AS (SELECT vec_id AS anchor_id, v AS av, nn AS an FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT a.anchor_id, e.vec_id,
+         list_dot_product(e.v, a.av) / (e.nn * a.an) AS cos_sim
+  FROM e, a
+  WHERE e.vec_id <> a.anchor_id
+),
+ranked AS (
+  SELECT anchor_id, vec_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY cos_sim DESC, vec_id) AS INT)
+           AS rank
+  FROM scored
+  WHERE cos_sim < 0.95
+)
+SELECT anchor_id, vec_id, round(cos_sim, {R}) AS cos_sim, rank
+FROM ranked
+WHERE rank <= 5
+ORDER BY anchor_id, rank
+""",
+    doc="Hard-negative mining for contrastive training "
+    "(llm/similarity.py:hard_negatives): per anchor, the 5 most "
+    "similar vectors BELOW the near-dup bar (cos < 0.95) — the "
+    "classic recipe that keeps the hardest true negatives while "
+    "excluding the false-negative near-dups that poison a "
+    "contrastive loss.  Broadcast anchors x one corpus scan; ranking "
+    "windows partition by anchor.  At billion scale the candidate "
+    "set per anchor comes from the ANN tiers instead of the full "
+    "scan.",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.hard_negatives(e, n_anchors=8, k=5, dup_threshold=0.95)
+    return out.select(
+        "anchor_id",
+        "vec_id",
+        F.round("cos_sim", R).alias("cos_sim"),
+        "rank",
+    ).orderBy("anchor_id", "rank")

@@ -428,3 +428,54 @@ def export_shards(
         _json.dump({"n_shards": n_shards, "rows": rows}, fh, sort_keys=True)
     os.replace(tmp, final)
     return manifest
+
+
+def export_shards_jsonl(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """JSON-Lines flavor of `export_shards` — the wire format LLM data
+    pipelines actually hand to trainers/tokenizer jobs (one JSON
+    object per line, gzip-able, streamable).  Same content-keyed
+    stable shard assignment, same Hive ``shard=NN/`` layout (one task
+    per shard, partition-prunable), same atomic ``_manifest.json``.
+
+    Spark's native json writer does the row -> JSONL encoding
+    JVM-side (no Python in the path); readers get schema-on-read via
+    ``spark.read.json`` or any line-oriented loader."""
+    import json as _json
+    import os
+    import uuid
+
+    from ..llm.corpus import portable_bucket
+
+    sharded = docs.withColumn(
+        "shard", portable_bucket(F.col(key_col), "shard:", n_shards)
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out_dir)
+    )
+    spark = docs.sparkSession
+    manifest = (
+        spark.read.json(out_dir)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("shard")
+    )
+    rows = {s: 0 for s in range(n_shards)}
+    rows.update(
+        {int(r["shard"]): int(r["n_rows"]) for r in manifest.collect()}
+    )
+    final = os.path.join(out_dir, "_manifest.json")
+    tmp = os.path.join(out_dir, f".manifest-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        _json.dump({"shards": rows, "format": "jsonl"}, fh, sort_keys=True)
+    os.replace(tmp, final)
+    return spark.createDataFrame(
+        sorted(rows.items()), "shard int, n_rows long"
+    )

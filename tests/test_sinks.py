@@ -339,3 +339,53 @@ def test_commit_append_time_travel(spark, tmp_path):
     }
     with pytest.raises(FileNotFoundError):
         snap(0)
+
+
+def test_export_shards_jsonl(spark, tmp_path, sf_dir):
+    """JSONL export: stable content-keyed shards, real line-oriented
+    JSON (parseable by plain json.loads), complete manifest, and the
+    same shard assignment as the parquet exporter."""
+    import json
+    import os
+
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(120)
+    out = str(tmp_path / "jsonl")
+    manifest = {
+        r["shard"]: r["n_rows"]
+        for r in S.export_shards_jsonl(d, out, n_shards=4).collect()
+    }
+    assert sum(manifest.values()) == 120 and set(manifest) == {0, 1, 2, 3}
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        disk = json.load(fh)
+    assert disk["format"] == "jsonl"
+    assert {int(k): v for k, v in disk["shards"].items()} == manifest
+
+    # every line in every shard is standalone JSON with the doc fields
+    n_lines = 0
+    for shard_dir in sorted(os.listdir(out)):
+        if not shard_dir.startswith("shard="):
+            continue
+        for f in os.listdir(os.path.join(out, shard_dir)):
+            if f.startswith(("_", ".")):
+                continue
+            with open(os.path.join(out, shard_dir, f)) as fh:
+                for line in fh:
+                    obj = json.loads(line)
+                    assert "doc_id" in obj and "text" in obj
+                    n_lines += 1
+    assert n_lines == 120
+
+    # same content-keyed assignment as the parquet exporter
+    pq_out = str(tmp_path / "pq")
+    S.export_shards(d, pq_out, n_shards=4)
+    pq = {
+        (r["doc_id"], r["shard"])
+        for r in spark.read.parquet(pq_out).select("doc_id", "shard").collect()
+    }
+    jl = {
+        (r["doc_id"], r["shard"])
+        for r in spark.read.json(out).select("doc_id", "shard").collect()
+    }
+    assert jl == pq
