@@ -38,6 +38,7 @@ SF1 = "/tmp/sf1ish"
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    queries = sys.argv[2:] or SOAK_QUERIES
     spark = get_spark("scale-soak", cpus=32)
     qs = plans.spark_queries()
 
@@ -51,7 +52,7 @@ def main() -> None:
 
     print(f"| query | t(sf0.1) | t(10x) | exponent | rows sf0.1 | rows 10x | rows exp |")
     print(f"|---|---|---|---|---|---|---|")
-    for name in SOAK_QUERIES:
+    for name in queries:
         t1, r1 = run(name, SF01)
         t10, r10 = run(name, SF1)
         texp = math.log(t10 / t1) / math.log(10)
