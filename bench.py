@@ -123,6 +123,7 @@ HEADLINE = [
     "random_projection",
     "bloom_dedup_probe",
     "hard_negatives",
+    "minhash_near_dups_ml",
 ]
 
 TIMED_SWEEPS = 2

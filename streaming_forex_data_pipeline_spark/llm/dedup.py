@@ -1031,3 +1031,62 @@ def bloom_probe(
     return j.groupBy("doc_id").agg(
         F.min(set_ok).alias("bloom_hit")
     )
+
+
+def near_duplicate_pairs_ml(
+    docs: DataFrame,
+    text: str = "text",
+    threshold: float = 0.7,
+    num_hash_tables: int = 8,
+    num_features: int = 1 << 18,
+    seed: int = 7,
+) -> DataFrame:
+    """spark.ml tier of the MinHash near-dup pipeline (the SURVEY §7
+    `approx_similarity_join` mandate): HashingTF binary token vectors
+    -> seeded MinHashLSH -> approxSimilarityJoin for candidates, then
+    the SAME exact-Jaccard verification tail as the hand-built
+    pipeline (`_verify_exact_jaccard`) so emitted pairs carry true
+    token-set Jaccard and precision is exactly 1 regardless of
+    HashingTF feature collisions.
+
+    Trade against `near_duplicate_pairs`: the hand-built tier is
+    engine-portable (md5/xxhash64 arithmetic, DuckDB-oracle-checkable,
+    element-parallel skew spreading) and stays the correctness-gated
+    path; this tier rides spark.ml's OR-amplified hash tables — the
+    API a Spark shop already operates — and is differential-tested for
+    recall against the exact truth instead (no oracle: JVM
+    MurmurHash3 + fitted hash coefficients are not replayable in
+    DuckDB).  Both are candidates-then-verify, so they differ only in
+    recall, never precision."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from ..sources.tables import fan_out
+
+    toks = fan_out(docs).select(
+        "doc_id", token_set(text).alias("toks")
+    ).filter(F.size("toks") > 0)
+    tf = HashingTF(
+        inputCol="toks",
+        outputCol="features",
+        numFeatures=num_features,
+        binary=True,
+    )
+    feat = tf.transform(toks).select("doc_id", "features")
+    mh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = mh.fit(feat)
+    cand = (
+        model.approxSimilarityJoin(
+            feat, feat, 1.0 - threshold, distCol="approx_dist"
+        )
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+    )
+    return _verify_exact_jaccard(docs, cand, text, threshold)

@@ -1971,3 +1971,27 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cos_sim", R).alias("cos_sim"),
         "rank",
     ).orderBy("anchor_id", "rank")
+
+
+@register(
+    "minhash_near_dups_ml",
+    # no oracle by construction: spark.ml HashingTF (JVM MurmurHash3)
+    # + fitted MinHashLSH coefficients are not DuckDB-replayable.
+    # Side evidence: differential test vs the exact-Jaccard truth
+    # (precision exactly 1, recall floor, rerun determinism) in
+    # tests/test_operators.py.
+    doc="spark.ml tier of MinHash near-dup "
+    "(llm/dedup.py:near_duplicate_pairs_ml; the SURVEY §7 "
+    "approx_similarity_join mandate): HashingTF binary vectors -> "
+    "seeded MinHashLSH approxSimilarityJoin candidates -> the same "
+    "exact-Jaccard verification tail as the portable pipeline, so "
+    "the tiers differ only in recall, never precision.  The "
+    "oracle-gated portable tier (minhash_near_dups) remains the "
+    "correctness path.",
+)
+def minhash_near_dups_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = DD.near_duplicate_pairs_ml(d, threshold=0.7)
+    return out.select(
+        "doc_a", "doc_b", F.round("jaccard", R).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

@@ -707,3 +707,34 @@ def test_bloom_filter_no_false_negatives_and_fp_bound(spark, sf_dir):
     assert fp_rate <= min(1.0, 2 * bound + 0.05), (
         f"fp_rate {fp_rate:.3f} vs bound {bound:.3f}"
     )
+
+
+def test_minhash_ml_tier_recall_and_precision(spark, duck, sf_dir):
+    """The spark.ml approxSimilarityJoin tier must match the hand-built
+    pipeline's contract: precision exactly 1 (candidates re-verified
+    with exact Jaccard) and recall >= the same floor, against the
+    DuckDB-computed exact truth; a reseeded rerun reproduces exactly."""
+    truth = duck.execute(
+        r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.t, b.t))) >= 0.7
+        """
+    ).fetchall()
+    truth_pairs = {(a, b) for a, b in truth}
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    got = DD.near_duplicate_pairs_ml(d, threshold=0.7).collect()
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert got_pairs <= truth_pairs, "ml tier precision must be 1"
+    recall = len(got_pairs) / max(len(truth_pairs), 1)
+    assert recall >= 0.6, f"ml tier recall {recall:.3f} below floor"
+    again = {(r["doc_a"], r["doc_b"])
+             for r in DD.near_duplicate_pairs_ml(d, threshold=0.7).collect()}
+    assert again == got_pairs
