@@ -124,6 +124,7 @@ HEADLINE = [
     "bloom_dedup_probe",
     "hard_negatives",
     "minhash_near_dups_ml",
+    "cms_frequencies",
 ]
 
 TIMED_SWEEPS = 2

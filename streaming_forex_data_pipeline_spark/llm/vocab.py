@@ -331,3 +331,97 @@ def vocab_coverage(docs: DataFrame, top_k: int = 100, text: str = "text") -> Dat
             ).alias("coverage_ppm"),
         )
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_build(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    text: str = "text",
+) -> DataFrame:
+    """Count-Min sketch of the corpus token frequencies: ``depth``
+    hash rows x ``width`` counters as a (row, bucket, c) frame — the
+    streaming-friendly frequency summary (Cormode & Muthukrishnan
+    2005).  depth*width counters summarize an unbounded vocabulary;
+    estimates only ever OVERcount (bounded by eps*N with eps = e/width
+    at confidence 1-e^-depth).
+
+    Hashes are the engine-portable md5-prefix family (row j hashes
+    '<j>#'||token), so DuckDB rebuilds the identical sketch and the
+    estimates hash-check exactly.  Plan: one explode + one (row,
+    bucket) keyed count — map-side combined, the same shuffle shape as
+    a plain word count but with a FIXED output cardinality
+    (depth*width rows) regardless of vocabulary size: that fixed size
+    is the point at 100 TB, and per-batch sketches merge by addition
+    (counter-wise sum), which is what a streaming ingest does."""
+    ex = docs.select(F.explode(words_array(text)).alias("tok"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{j}#"), F.col("tok"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        ex.select(F.explode(rows).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    tokens: DataFrame,
+    sketch: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Point-query the sketch: est = min over rows of the token's
+    counter.  The sketch is depth*width rows — broadcast it; missing
+    counters (bucket never touched) read as 0 via the left join."""
+    probes = tokens.select(
+        tok_col,
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}#"), F.col(tok_col))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias(f"b{j}")
+            for j in range(depth)
+        ],
+    )
+    est = probes
+    for j in range(depth):
+        side = sketch.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("c").alias(f"c{j}")
+        )
+        est = est.join(F.broadcast(side), f"b{j}", "left")
+    return est.select(
+        tok_col,
+        F.least(
+            *[F.coalesce(F.col(f"c{j}"), F.lit(0)) for j in range(depth)]
+        ).alias("est_count"),
+    )

@@ -1995,3 +1995,66 @@ def minhash_near_dups_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", F.round("jaccard", R).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "cms_frequencies",
+    oracle=r"""
+WITH ex AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, count(*) AS true_count FROM ex GROUP BY tok),
+rb AS (
+  SELECT tok, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || tok), 1, 15))::BIGINT
+           % 1024 AS bucket
+  FROM ex, LATERAL (SELECT unnest(range(0, 4)) AS j) r
+),
+sketch AS (
+  SELECT j AS row, bucket, count(*) AS c FROM rb GROUP BY 1, 2
+),
+probes AS (
+  SELECT c2.tok, c2.true_count, pj.j,
+         ('0x' || substr(md5(CAST(pj.j AS VARCHAR) || '#' || c2.tok), 1, 15))::BIGINT
+           % 1024 AS bucket
+  FROM cnt c2, LATERAL (SELECT unnest(range(0, 4)) AS j) pj
+),
+est AS (
+  SELECT p.tok, p.true_count, min(coalesce(s.c, 0)) AS est_count
+  FROM probes p LEFT JOIN sketch s ON p.j = s.row AND p.bucket = s.bucket
+  GROUP BY p.tok, p.true_count
+)
+SELECT tok, CAST(true_count AS BIGINT) AS true_count,
+       CAST(est_count AS BIGINT) AS est_count
+FROM est
+ORDER BY true_count DESC, tok
+""",
+    doc="Count-Min sketch frequency estimation "
+    "(llm/vocab.py:cms_build/cms_estimate; Cormode & Muthukrishnan "
+    "2005): a 4x1024-counter sketch of the corpus token stream, "
+    "point-queried for every vocabulary token beside its true count "
+    "— est >= true always, overestimates bounded by eps*N.  The "
+    "sketch has FIXED size regardless of vocabulary (the 100 TB "
+    "point: per-batch sketches merge by counter addition in a "
+    "streaming ingest); hashes are the portable md5-prefix family so "
+    "DuckDB rebuilds the identical sketch and the estimates "
+    "hash-check exactly.",
+)
+def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VO
+
+    d = load_table(spark, sf_dir, "documents")
+    sketch = VO.cms_build(fan_out(d))
+    truth = (
+        fan_out(d)
+        .select(F.explode(VO.words_array("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    est = VO.cms_estimate(truth, sketch)
+    return (
+        truth.join(est, "tok")
+        .select("tok", "true_count", "est_count")
+        .orderBy(F.desc("true_count"), "tok")
+    )

@@ -738,3 +738,46 @@ def test_minhash_ml_tier_recall_and_precision(spark, duck, sf_dir):
     again = {(r["doc_a"], r["doc_b"])
              for r in DD.near_duplicate_pairs_ml(d, threshold=0.7).collect()}
     assert again == got_pairs
+
+
+def test_cms_overcount_and_mergeability(spark, sf_dir):
+    """Count-Min invariants under FORCED collisions (width=4): every
+    estimate >= its true count, and the sketch of a union equals the
+    counter-wise SUM of per-part sketches — the property that lets a
+    streaming ingest maintain one sketch by addition."""
+    from streaming_forex_data_pipeline_spark.llm import vocab as VO
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+
+    tiny_w = 4
+    truth = (
+        d.select(F.explode(VO.words_array("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    sketch = VO.cms_build(d, width=tiny_w)
+    est = {
+        r["tok"]: r["est_count"]
+        for r in VO.cms_estimate(truth, sketch, width=tiny_w).collect()
+    }
+    true = {r["tok"]: r["true_count"] for r in truth.collect()}
+    assert all(est[t] >= c for t, c in true.items())
+    assert any(est[t] > c for t, c in true.items()), (
+        "width=4 must force collisions or the test is vacuous"
+    )
+
+    merged = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in VO.cms_build(a, width=tiny_w)
+        .unionByName(VO.cms_build(b, width=tiny_w))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in VO.cms_build(d, width=tiny_w).collect()
+    }
+    assert merged == whole
