@@ -1987,10 +1987,17 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact-Jaccard verification tail as the portable pipeline, so "
     "the tiers differ only in recall, never precision.  The "
     "oracle-gated portable tier (minhash_near_dups) remains the "
-    "correctness path.",
+    "correctness AND scale path: on this LOW-VOCABULARY corpus (31 "
+    "distinct tokens) many documents share identical minhash keys, "
+    "and approxSimilarityJoin's per-bucket pair blowup OOMed a "
+    "vanilla 1g session at the full sf0.1 corpus — the skew failure "
+    "the portable tier's exact-set-key + element-parallel explosion "
+    "is built to absorb (measured, see COVERAGE.md).  The registered "
+    "face therefore runs the spark.ml tier on the doc_id<1000 slice; "
+    "the full-corpus near-dup surface stays on minhash_near_dups.",
 )
 def minhash_near_dups_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     out = DD.near_duplicate_pairs_ml(d, threshold=0.7)
     return out.select(
         "doc_a", "doc_b", F.round("jaccard", R).alias("jaccard")
