@@ -125,6 +125,7 @@ HEADLINE = [
     "hard_negatives",
     "minhash_near_dups_ml",
     "cms_frequencies",
+    "bigram_lm_quality",
 ]
 
 TIMED_SWEEPS = 2

@@ -175,3 +175,83 @@ def unigram_lm_nll(docs, text: str = "text"):
         )
         .withColumn("avg_nll", F.col("nll_sum") / F.col("n_tokens"))
     )
+
+
+def bigram_lm_nll(docs, text: str = "text"):
+    """Bigram-LM quality scoring: per-document average negative
+    log-likelihood under an add-one-smoothed corpus BIGRAM model —
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), the order-2 extension of
+    `unigram_lm_nll` that penalizes improbable word TRANSITIONS
+    (shuffled/garbled text can have a perfectly ordinary unigram
+    profile and still light up here — the next quality axis after
+    token frequency).
+
+    Same determinism contract as the unigram scorer: all counts are
+    exact integers; each document folds
+    ``k * -ln((c2 + 1) / (c1 + V))`` over its DISTINCT bigrams in
+    canonical bigram-sorted order (F.aggregate, sequential), so the
+    float is bit-identical to the oracle's list_reduce.  Documents
+    with fewer than two words carry no bigrams and are absent (the
+    model is undefined for them; gate them with n_words rules).
+
+    Scale shape: one bigram explode + three keyed aggregations (per
+    doc-bigram, corpus bigram, context), all map-side combined; the
+    context counts derive from the bigram counts (vocabulary-sized,
+    no extra corpus scan); V broadcasts as one row.  Returns
+    (doc_id, n_bigrams, nll_sum, avg_nll)."""
+    from .corpus import word_ngrams
+
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("t")
+    )
+    bex = toks.select(
+        "doc_id", F.explode(word_ngrams(F.col("t"), 2)).alias("bg")
+    )
+    per = (
+        bex.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    c2 = per.groupBy("bg").agg(F.sum("k").alias("c2"))
+    first = F.element_at(F.split(F.col("bg"), " "), 1)
+    c1 = c2.select(first.alias("w1"), "c2").groupBy("w1").agg(
+        F.sum("c2").alias("c1")
+    )
+    uv = (
+        toks.select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    arr = (
+        per.join(c2, "bg")
+        .withColumn("w1", first)
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bg", "k", "c2", "c1"))
+            ).alias("a")
+        )
+    )
+    terms = F.transform(
+        "a",
+        lambda s: s["k"]
+        * -F.log(
+            (s["c2"] + F.lit(1).cast("double"))
+            / (s["c1"] + F.col("v")).cast("double")
+        ),
+    )
+    return (
+        arr.crossJoin(F.broadcast(uv))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.transform("a", lambda s: s["k"]),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("n_bigrams"),
+            F.aggregate(terms, F.lit(0.0), lambda a, x: a + x).alias(
+                "nll_sum"
+            ),
+        )
+        .withColumn("avg_nll", F.col("nll_sum") / F.col("n_bigrams"))
+    )

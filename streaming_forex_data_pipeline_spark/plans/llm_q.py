@@ -2065,3 +2065,68 @@ def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok", "true_count", "est_count")
         .orderBy(F.desc("true_count"), "tok")
     )
+
+
+@register(
+    "bigram_lm_quality",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+bex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+           AS bg
+  FROM toks
+),
+per AS (SELECT doc_id, bg, count(*) AS k FROM bex GROUP BY 1, 2),
+c2 AS (SELECT bg, sum(k) AS c2 FROM per GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+),
+uv AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(w) AS tok FROM toks) u
+),
+arr AS (
+  SELECT p.doc_id,
+         list_sort(list({'bg': p.bg, 'k': p.k, 'c2': c.c2, 'c1': o.c1})) AS a
+  FROM per p
+  JOIN c2 c USING (bg)
+  JOIN c1 o ON split_part(p.bg, ' ', 1) = o.w1
+  GROUP BY p.doc_id
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_transform(a, s -> s.k), (x, y) -> x + y)
+           AS n_bigrams,
+         list_reduce(
+           list_transform(a, s -> s.k * -ln((s.c2 + 1.0) / (s.c1 + v))),
+           (x, y) -> x + y
+         ) AS nll_sum
+  FROM arr, uv
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       round(nll_sum, 6) AS nll_sum,
+       round(nll_sum / n_bigrams, 6) AS avg_nll
+FROM scored
+ORDER BY doc_id
+""",
+    doc="Bigram-LM perplexity filter (llm/text.py:bigram_lm_nll): "
+    "add-one-smoothed P(w2|w1) = (c(w1 w2)+1)/(c(w1.)+V) fit on the "
+    "corpus itself — the order-2 extension of lm_quality that "
+    "penalizes improbable word TRANSITIONS (shuffled text passes a "
+    "unigram filter; it does not pass this).  Same exact-integer "
+    "counts + fixed-order fold determinism contract; context counts "
+    "derive from the bigram counts so the corpus is scanned once.",
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = TX.bigram_lm_nll(fan_out(d))
+    return s.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("nll_sum", R).alias("nll_sum"),
+        F.round("avg_nll", R).alias("avg_nll"),
+    ).orderBy("doc_id")

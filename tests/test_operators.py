@@ -781,3 +781,23 @@ def test_cms_overcount_and_mergeability(spark, sf_dir):
         for r in VO.cms_build(d, width=tiny_w).collect()
     }
     assert merged == whole
+
+
+def test_bigram_lm_detects_shuffled_text(spark):
+    """The motivating property: shuffling a document's words leaves its
+    unigram NLL unchanged (same token multiset) but raises its bigram
+    NLL (improbable transitions) — the quality axis the order-2 model
+    adds."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    words = base.split()
+    shuffled = " ".join(words[::2] + words[1::2][::-1])
+    # background corpus: many natural copies + one shuffled doc
+    rows = [(i, base) for i in range(20)] + [(99, shuffled)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r["doc_id"]: r["avg_nll"] for r in TX.unigram_lm_nll(d).collect()}
+    bi = {r["doc_id"]: r["avg_nll"] for r in TX.bigram_lm_nll(d).collect()}
+    assert uni[99] == pytest.approx(uni[0]), "unigram must not distinguish"
+    assert bi[99] > bi[0] * 1.5, (
+        f"bigram must punish shuffling: {bi[99]:.3f} vs {bi[0]:.3f}"
+    )
