@@ -255,3 +255,87 @@ def bigram_lm_nll(docs, text: str = "text"):
         )
         .withColumn("avg_nll", F.col("nll_sum") / F.col("n_bigrams"))
     )
+
+
+def dsir_logratio(docs, target, n_buckets: int = 1024, text: str = "text"):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document
+    importance log-weight ``log p_target(x) - log p_raw(x)`` under two
+    add-one-smoothed HASHED-unigram bag-of-words models — the target
+    model fit on ``target`` (a doc_id frame naming the in-domain
+    subset), the raw model fit on the whole corpus.  High weight =
+    the document looks like the target distribution; resampling by
+    these weights is the paper's recipe for picking pretraining data
+    that matches a quality domain.  Hashing tokens into ``n_buckets``
+    fixed buckets (the paper's trick) caps both models' parameter
+    count regardless of vocabulary size — the scale lever at 100 TB.
+
+    Determinism contract (the r2 drift class): all bucket counts are
+    exact integers; each document folds
+    ``k_b * (ln((ct_b+1)/(tt+B)) - ln((cr_b+1)/(tr+B)))`` over its
+    DISTINCT buckets in canonical bucket-sorted order via
+    ``F.aggregate`` — a fixed-order sequential fold, bit-identical to
+    the DuckDB oracle's ``list_reduce`` over the same sorted list.
+
+    Scale: one explode pass; per-(doc,bucket) counts are the shared
+    sufficient statistic (checkpointed — feeds raw counts, target
+    counts and the per-doc regroup); both models are ≤``n_buckets``
+    rows; totals broadcast as one row.  No driver materialization.
+    Returns (doc_id, n_tokens, logratio).
+    """
+    from .dedup import portable_token_hash
+
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("t")
+    )
+    ex = toks.select("doc_id", F.explode("t").alias("tok")).select(
+        "doc_id", (portable_token_hash(F.col("tok")) % n_buckets).alias("b")
+    )
+    per = (
+        ex.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    raw = per.groupBy("b").agg(F.sum("k").alias("cr"))
+    tgt = (
+        per.join(target.select("doc_id"), "doc_id")
+        .groupBy("b")
+        .agg(F.sum("k").alias("ct"))
+    )
+    cnt = (
+        raw.join(tgt, "b", "left")
+        .select("b", "cr", F.coalesce("ct", F.lit(0).cast("long")).alias("ct"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cnt.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    arr = (
+        per.join(cnt, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("b", "k", "ct", "cr"))).alias("a")
+        )
+    )
+    big_b = F.lit(n_buckets).cast("long")
+    terms = F.transform(
+        "a",
+        lambda s: s["k"]
+        * (
+            F.log(
+                (s["ct"] + F.lit(1).cast("double"))
+                / (F.col("tt") + big_b).cast("double")
+            )
+            - F.log(
+                (s["cr"] + F.lit(1).cast("double"))
+                / (F.col("tr") + big_b).cast("double")
+            )
+        ),
+    )
+    return arr.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.aggregate(
+            F.transform("a", lambda s: s["k"]),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_tokens"),
+        F.aggregate(terms, F.lit(0.0), lambda a, x: a + x).alias("logratio"),
+    )

@@ -425,3 +425,140 @@ def cms_estimate(
             *[F.coalesce(F.col(f"c{j}"), F.lit(0)) for j in range(depth)]
         ).alias("est_count"),
     )
+
+
+HLL_P = 6  # 2^6 = 64 registers; alpha_64 = 0.709 (Flajolet et al. 2007)
+_HLL_WBITS = 60 - HLL_P  # md5-prefix hash is 15 hex digits = 60 bits
+_HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
+
+
+def hll_registers(items: DataFrame, col: str = "item", p: int = HLL_P) -> DataFrame:
+    """HyperLogLog register file over a column of values (Flajolet,
+    Fusy, Gandouet & Meunier 2007): bucket = low ``p`` bits of the
+    engine-portable 60-bit md5-prefix hash, rho = position of the
+    first 1-bit in the remaining ``60-p`` bits, register = max(rho)
+    per bucket.  The COMPLETE file is emitted — untouched buckets read
+    0 via a generated bucket spine — so the output is always exactly
+    ``2^p`` rows.
+
+    This is the cardinality sketch: 2^p integers summarize the
+    distinct count of an unbounded stream, registers merge across
+    partitions/batches by element-wise MAX (what the groupBy already
+    is), and the estimate never touches the driver.  All register
+    arithmetic is exact-integer (bin/lpad/instr string ops, no
+    floats), so the DuckDB oracle rebuilds the identical file.
+
+    Feed OCCURRENCES, not pre-distinct values: duplicates hash to the
+    same (bucket, rho) and vanish in the max — skipping the distinct
+    keeps the plan one explode + one keyed max at 100 TB."""
+    from .dedup import portable_token_hash
+
+    m = 1 << p
+    wbits = 60 - p
+    h = portable_token_hash(F.col(col))
+    hashed = items.select(
+        (h % m).alias("bucket"),
+        F.call_function("div", h, F.lit(m)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        F.instr(F.lpad(F.bin("w"), wbits, "0"), "1")
+    )
+    touched = (
+        hashed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    spine = (
+        items.sparkSession.range(m)
+        .select(F.col("id").cast("long").alias("bucket"))
+    )
+    return spine.join(touched, "bucket", "left").select(
+        "bucket",
+        F.coalesce("max_rho", F.lit(0).cast("int")).alias("max_rho"),
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = HLL_P) -> DataFrame:
+    """Fold a complete HLL register file into the cardinality
+    estimate: E = alpha_m * m^2 / sum_j 2^-M[j], with the paper's
+    small-range correction E <= 2.5m -> linear counting m*ln(m/V)
+    when V (zero registers) > 0.
+
+    Determinism contract: the harmonic sum is carried as the EXACT
+    integer S* = sum_j 2^((60-p+1) - M[j])  (every term a power of
+    two <= 2^55, 2^p terms — fits a long with headroom), so the only
+    floats are one constant multiply + one division (+ one ln on the
+    small-range branch) on a single row: no aggregation-order freedom
+    anywhere.  The alpha*m^2*2^(wbits+1) constant folds in Python and
+    ships as a literal (Catalyst constant-folding of big expression
+    trees costs driver seconds — the r6 lesson).
+
+    Returns one row: (m, v_zero, s_star, raw_est, hll_est)."""
+    m = 1 << p
+    wbits = 60 - p
+    alpha = _HLL_ALPHA[p]
+    c = alpha * float(m * m) * float(2 ** (wbits + 1))
+    folded = regs.agg(
+        # F.shiftleft only takes a Python-int shift; the SQL form
+        # shifts by an expression
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({wbits + 1} - max_rho AS INT))"
+            )
+        ).alias("s_star"),
+        F.count(F.when(F.col("max_rho") == 0, 1)).alias("v_zero"),
+    )
+    raw = F.lit(c) / F.col("s_star").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return folded.select(
+        F.lit(m).cast("long").alias("m"),
+        "v_zero",
+        "s_star",
+        raw.alias("raw_est"),
+        est.alias("hll_est"),
+    )
+
+
+def bpe_fertility(
+    docs: DataFrame, n_merges: int = 3, text: str = "text"
+) -> DataFrame:
+    """Tokenizer fertility / compression statistics per document under
+    the trained BPE: fertility = BPE tokens per word (the standard
+    cross-lingual tokenizer-quality metric — high fertility means the
+    vocabulary fragments this text) and chars_per_token = word
+    characters per BPE token (the compression ratio that converts a
+    byte budget into a token budget).  Same plan shape as
+    ``bpe_encode_counts`` — the word->pieces cache is vocabulary-sized
+    and joins the corpus word stream keyed by word — with the
+    char-mass sum riding the same aggregation; the ratios are single
+    divisions of exact integer sums."""
+    _, final = _bpe_loop(docs, n_merges, text)
+    seg = final.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), "  ")).alias("n_pieces"),
+    )
+    ex = docs.select("doc_id", F.explode(words_array(text)).alias("word"))
+    per = (
+        ex.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_word_chars"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        "n_word_chars",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias(
+            "fertility"
+        ),
+        (F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens")).alias(
+            "chars_per_token"
+        ),
+    )

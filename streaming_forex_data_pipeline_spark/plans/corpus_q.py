@@ -763,3 +763,50 @@ def bpe_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return VB.bpe_encode_counts(d, n_merges=3).orderBy("doc_id")
+
+
+@register(
+    "bpe_fertility",
+    oracle=f"""{_bpe_ctes(3)},
+seg AS (
+  SELECT word,
+         CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS n_pieces
+  FROM vocab_3
+),
+ex AS (SELECT doc_id, unnest(w) AS word FROM ws),
+per AS (
+  SELECT ex.doc_id, count(*) AS n_words,
+         CAST(sum(seg.n_pieces) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(length(ex.word)) AS BIGINT) AS n_word_chars
+  FROM ex JOIN seg USING (word)
+  GROUP BY ex.doc_id
+)
+SELECT doc_id, n_words, n_bpe_tokens, n_word_chars,
+       round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS fertility,
+       round(CAST(n_word_chars AS DOUBLE) / n_bpe_tokens, 6)
+         AS chars_per_token
+FROM per
+ORDER BY doc_id
+""",
+    doc="Tokenizer fertility / compression per document "
+    "(llm/vocab.py:bpe_fertility): BPE-tokens-per-word (the standard "
+    "cross-lingual tokenizer-quality metric) and word-chars-per-BPE-"
+    "token (the byte-budget -> token-budget conversion) under the "
+    "3-merge trained tokenizer.  Same vocabulary-sized cache join as "
+    "bpe_encode_counts with the char mass riding the same "
+    "aggregation; the ratios are single divisions of exact integer "
+    "sums, so they hash-check exactly.",
+)
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VB
+
+    d = load_table(spark, sf_dir, "documents")
+    s = VB.bpe_fertility(d, n_merges=3)
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_tokens",
+        "n_word_chars",
+        F.round("fertility", 6).alias("fertility"),
+        F.round("chars_per_token", 6).alias("chars_per_token"),
+    ).orderBy("doc_id")

@@ -2130,3 +2130,248 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nll_sum", R).alias("nll_sum"),
         F.round("avg_nll", R).alias("avg_nll"),
     ).orderBy("doc_id")
+
+
+_DSIR_SCORED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 15))::BIGINT) % 1024 AS b
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+),
+per AS (SELECT doc_id, b, count(*) AS k FROM ex GROUP BY doc_id, b),
+raw AS (SELECT b, sum(k) AS cr FROM per GROUP BY b),
+tgt AS (
+  SELECT b, sum(k) AS ct
+  FROM per JOIN documents USING (doc_id)
+  WHERE lang = 'en'
+  GROUP BY b
+),
+cnt AS (
+  SELECT r.b, r.cr, coalesce(t.ct, 0) AS ct
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b
+),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM cnt),
+arr AS (
+  SELECT doc_id,
+         list_sort(list({'b': p.b, 'k': p.k, 'ct': c.ct, 'cr': c.cr})) AS a
+  FROM per p JOIN cnt c ON p.b = c.b
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id,
+         list_reduce(list_transform(a, s -> s.k), (x, y) -> x + y)
+           AS n_tokens,
+         list_reduce(
+           list_transform(
+             a,
+             s -> s.k * (ln((s.ct + 1.0) / (tt + 1024))
+                         - ln((s.cr + 1.0) / (tr + 1024)))
+           ),
+           (x, y) -> x + y
+         ) AS logratio
+  FROM arr, tot
+)
+"""
+
+
+@register(
+    "dsir_weights",
+    oracle=_DSIR_SCORED_SQL
+    + r"""
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(logratio, 6) AS dsir_logratio
+FROM scored
+ORDER BY doc_id
+""",
+    doc="DSIR importance weights (llm/text.py:dsir_logratio; Xie et "
+    "al. 2023): log p_target - log p_raw per document under two "
+    "add-one-smoothed HASHED-unigram models (1024 md5 buckets — the "
+    "paper's fixed-parameter trick), target = the lang='en' slice, "
+    "raw = the whole corpus.  Exact-integer bucket counts feed a "
+    "fixed-order bucket-sorted F.aggregate fold mirrored by DuckDB "
+    "list_reduce, so the float lineage has no parallel-partial "
+    "aggregation.  The standard importance-resampling scorer for "
+    "matching pretraining data to a quality domain.",
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = TX.dsir_logratio(fan_out(d), d.filter(F.col("lang") == "en"))
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round("logratio", R).alias("dsir_logratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dsir_select",
+    oracle=_DSIR_SCORED_SQL
+    + r"""
+, ranked AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         round(logratio, 6) AS dsir_logratio,
+         row_number() OVER (ORDER BY round(logratio, 6) DESC, doc_id)
+           AS sel_rank
+  FROM scored
+)
+SELECT doc_id, n_tokens, dsir_logratio, sel_rank
+FROM ranked WHERE sel_rank <= 50
+ORDER BY sel_rank
+""",
+    doc="DSIR selection: the top-50 documents by importance weight — "
+    "the resampling step of Xie et al. 2023 made deterministic (rank "
+    "on the ROUNDED weight with doc_id tie-break, so the cut is "
+    "reproducible across engines; the unrounded double's last ulp "
+    "never decides membership).  At scale the rank is a single "
+    "ordered window over the scored frame; the scored frame itself "
+    "never leaves the executors.",
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    s = TX.dsir_logratio(fan_out(d), d.filter(F.col("lang") == "en"))
+    scored = s.select(
+        "doc_id",
+        "n_tokens",
+        F.round("logratio", R).alias("dsir_logratio"),
+    )
+    w = Window.orderBy(F.desc("dsir_logratio"), "doc_id")
+    return (
+        scored.withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= 50)
+        .orderBy("sel_rank")
+    )
+
+
+# HLL oracle fragments: the register file over 5-gram shingle
+# occurrences, shared by hll_registers / hll_distinct.  The estimate
+# constant alpha*m^2*2^(wbits+1) folds in Python (vocab._HLL_C) and
+# ships as a literal on both engines.
+_HLL_REGS_SQL = r"""
+WITH ws AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+occ AS (
+  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS gram
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
+),
+hr AS (
+  SELECT hv % 64 AS bucket, hv // 64 AS wv
+  FROM (SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM occ)
+),
+rr AS (
+  SELECT bucket,
+         CASE WHEN wv = 0 THEN 55
+              ELSE instr(lpad(bin(wv), 54, '0'), '1') END AS rho
+  FROM hr
+),
+touched AS (SELECT bucket, max(rho) AS max_rho FROM rr GROUP BY bucket),
+spine AS (SELECT unnest(range(0, 64)) AS bucket),
+regs AS (
+  SELECT CAST(s.bucket AS BIGINT) AS bucket,
+         CAST(coalesce(t.max_rho, 0) AS INT) AS max_rho
+  FROM spine s LEFT JOIN touched t USING (bucket)
+)
+"""
+
+
+def _hll_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.corpus import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    return toks.select(F.explode(word_ngrams(F.col("t"), 5)).alias("item"))
+
+
+@register(
+    "hll_registers",
+    oracle=_HLL_REGS_SQL
+    + r"""
+SELECT bucket, max_rho FROM regs ORDER BY bucket
+""",
+    doc="HyperLogLog register file (llm/vocab.py:hll_registers; "
+    "Flajolet et al. 2007) over the corpus' word-5-gram shingle "
+    "occurrences: 64 integers summarize the distinct-shingle count "
+    "of an unbounded stream.  Registers are exact integers (portable "
+    "md5-prefix hash, bin/lpad/instr rho extraction — no floats), "
+    "merge across partitions/batches by element-wise MAX, and the "
+    "complete 64-row file is emitted via a bucket spine so untouched "
+    "registers read 0.  One explode + one keyed max at any scale.",
+)
+def hll_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VO
+
+    return VO.hll_registers(_hll_items(spark, sf_dir)).orderBy("bucket")
+
+
+def _hll_distinct_oracle() -> str:
+    from ..llm.vocab import _HLL_ALPHA, HLL_P
+
+    m = 1 << HLL_P
+    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** (60 - HLL_P + 1))
+    return (
+        _HLL_REGS_SQL
+        + f"""
+, folded AS (
+  SELECT CAST(sum(1::BIGINT << (55 - max_rho)) AS BIGINT) AS s_star,
+         count(*) FILTER (max_rho = 0) AS v_zero
+  FROM regs
+),
+exact AS (SELECT count(DISTINCT gram) AS n_exact FROM occ),
+est AS (
+  SELECT s_star, v_zero, n_exact,
+         CASE WHEN ({c!r} / CAST(s_star AS DOUBLE)) <= {2.5 * m!r}
+                   AND v_zero > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST(v_zero AS DOUBLE))
+              ELSE ({c!r} / CAST(s_star AS DOUBLE)) END AS hll_est
+  FROM folded, exact
+)
+SELECT CAST({m} AS BIGINT) AS m, CAST(v_zero AS BIGINT) AS v_zero, s_star,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       round(hll_est, 6) AS hll_est,
+       round((hll_est - n_exact) / n_exact, 6) AS rel_err
+FROM est
+"""
+    )
+
+
+@register(
+    "hll_distinct",
+    oracle=_hll_distinct_oracle(),
+    doc="HyperLogLog distinct-count estimate (llm/vocab.py:"
+    "hll_estimate) for the corpus' word-5-gram shingles, beside the "
+    "exact distinct count and the relative error.  The harmonic sum "
+    "is carried as the exact integer S* = sum 2^(55 - M[j]) — the "
+    "only floats are one constant multiply + one division (+ ln on "
+    "the paper's small-range branch) on a single row, so there is no "
+    "aggregation-order freedom and the estimate hash-checks exactly. "
+    "At 100 TB the exact count is the expensive yardstick (a full "
+    "distinct shuffle) and the 64-integer sketch is the product.",
+)
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VO
+    from ..llm.vocab import HLL_P
+
+    m = 1 << HLL_P
+    items = _hll_items(spark, sf_dir).localCheckpoint(eager=False)
+    est = VO.hll_estimate(VO.hll_registers(items))
+    exact = items.agg(F.count_distinct("item").alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "m",
+        "v_zero",
+        "s_star",
+        "n_exact",
+        F.round("hll_est", R).alias("hll_est"),
+        F.round(
+            (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), R
+        ).alias("rel_err"),
+    )

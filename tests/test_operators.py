@@ -801,3 +801,68 @@ def test_bigram_lm_detects_shuffled_text(spark):
     assert bi[99] > bi[0] * 1.5, (
         f"bigram must punish shuffling: {bi[99]:.3f} vs {bi[0]:.3f}"
     )
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR's motivating property (Xie et al. 2023): documents drawn
+    from the target distribution get HIGHER importance log-weights
+    than out-of-domain documents, so resampling by weight shifts the
+    corpus toward the target domain."""
+    en = "the cat sat on the mat and the dog ran to the park"
+    de = "der hund lief durch den wald und der fuchs sprang hoch"
+    rows = (
+        [(i, en, "en") for i in range(10)]
+        + [(100 + i, de, "de") for i in range(10)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = d.filter(d.lang == "en")
+    w = {r["doc_id"]: r["logratio"] for r in TX.dsir_logratio(d, target).collect()}
+    assert len(w) == 20
+    assert w[0] > 0 > w[100], (
+        f"target-like docs must score above out-of-domain: {w[0]:.3f} vs {w[100]:.3f}"
+    )
+    # weights are per-document functions of the two fitted models:
+    # identical docs get identical weights
+    assert w[0] == w[9] and w[100] == w[109]
+
+
+def test_hll_estimates_within_expected_error(spark):
+    """HLL with m=64 registers has relative standard error
+    1.04/sqrt(64) = 13%: on 5000 distinct values (fed with duplicates
+    — the sketch must be insensitive to multiplicity) the estimate
+    lands within 4 sigma, and the register file is insensitive to
+    duplicate occurrences by construction."""
+    from streaming_forex_data_pipeline_spark.llm import vocab as VO
+
+    items = spark.range(5000).select(
+        F.concat(F.lit("value-"), F.col("id")).alias("item")
+    )
+    dups = items.union(items).union(items)  # multiplicity 3
+    regs_once = {
+        (r["bucket"], r["max_rho"]) for r in VO.hll_registers(items).collect()
+    }
+    regs_dup = {
+        (r["bucket"], r["max_rho"]) for r in VO.hll_registers(dups).collect()
+    }
+    assert regs_once == regs_dup, "duplicates must not move any register"
+    est = VO.hll_estimate(VO.hll_registers(dups)).collect()[0]["hll_est"]
+    assert abs(est - 5000) / 5000 < 4 * 1.04 / 8, (
+        f"estimate {est:.0f} outside 4-sigma of 5000"
+    )
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The streaming/partition-merge contract: the register file of a
+    union equals the element-wise MAX of the parts' files — what lets
+    per-batch sketches combine without re-reading data."""
+    from streaming_forex_data_pipeline_spark.llm import vocab as VO
+
+    a = spark.range(0, 800).select(F.concat(F.lit("a-"), "id").alias("item"))
+    b = spark.range(0, 900).select(F.concat(F.lit("b-"), "id").alias("item"))
+    ra = {r["bucket"]: r["max_rho"] for r in VO.hll_registers(a).collect()}
+    rb = {r["bucket"]: r["max_rho"] for r in VO.hll_registers(b).collect()}
+    ru = {
+        r["bucket"]: r["max_rho"]
+        for r in VO.hll_registers(a.union(b)).collect()
+    }
+    assert ru == {k: max(ra[k], rb[k]) for k in ra}
