@@ -1090,3 +1090,100 @@ def near_duplicate_pairs_ml(
         )
     )
     return _verify_exact_jaccard(docs, cand, text, threshold)
+
+
+def source_minhash_similarity(
+    docs: DataFrame, n_hashes: int = 16, text: str = "text"
+) -> DataFrame:
+    """Dataset-level MinHash similarity matrix: for every pair of
+    ``source`` values, the estimated AND exact Jaccard similarity of
+    their word-5-gram shingle SETS — the corpus-mixing diagnostic
+    (two sources with high overlap double-count their mass in a
+    mixture; the same signal drives dataset-level dedup decisions at
+    ingest, cf. the MinHash corpus audits in web-scale pipeline
+    papers).
+
+    The signature is built RELATIONALLY — per (source, hash_j) the
+    min of the portable seeded token hash over the source's distinct
+    shingles — so no shingle set is ever collected into an array:
+    one distinct + one keyed min (both map-side combined) at any
+    corpus size.  The pair comparison joins signatures on the hash
+    index: O(sources^2 * n_hashes) rows, bounded by the source
+    TAXONOMY (dozens), not the corpus.  The exact tier joins the
+    distinct shingle sets pairwise — the expensive yardstick the
+    estimate replaces at scale, kept beside it here because the
+    driver's tables make it cheap.
+
+    Returns (src_a, src_b, n_match, jaccard_est, n_inter, n_union,
+    jaccard_exact) — integers plus single divisions, exactly
+    hash-checkable."""
+    from .corpus import word_ngrams
+
+    toks = docs.select(
+        "source",
+        F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("t"),
+    )
+    shingles = (
+        toks.select("source", F.explode(word_ngrams(F.col("t"), 5)).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seeded = shingles.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
+        "g",
+    ).select(
+        "source",
+        "j",
+        portable_token_hash(
+            F.concat(F.col("j").cast("string"), F.lit("#"), F.col("g"))
+        ).alias("h"),
+    )
+    sig = seeded.groupBy("source", "j").agg(F.min("h").alias("mh"))
+    a, b = sig.alias("a"), sig.alias("b")
+    est = (
+        a.join(b, F.col("a.j") == F.col("b.j"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("a.mh") == F.col("b.mh"), 1).otherwise(0)
+            ).alias("n_match")
+        )
+    )
+    sizes = shingles.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa, sb = shingles.alias("sa"), shingles.alias("sb")
+    inter = (
+        sa.join(sb, F.col("sa.g") == F.col("sb.g"))
+        .filter(F.col("sa.source") < F.col("sb.source"))
+        .groupBy(
+            F.col("sa.source").alias("src_a"),
+            F.col("sb.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_match",
+            (F.col("n_match").cast("double") / F.lit(n_hashes)).alias(
+                "jaccard_est"
+            ),
+            F.coalesce("n_inter", F.lit(0).cast("long")).alias("n_inter"),
+            (
+                F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0))
+            ).alias("n_union"),
+            (
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+            ).alias("jaccard_exact"),
+        )
+    )

@@ -2375,3 +2375,71 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), R
         ).alias("rel_err"),
     )
+
+
+@register(
+    "source_similarity",
+    oracle=r"""
+WITH ws AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS g
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
+),
+seeded AS (
+  SELECT source, j,
+         ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || g), 1, 15))::BIGINT
+           AS h
+  FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS j) hs
+),
+sig AS (SELECT source, j, min(h) AS mh FROM seeded GROUP BY 1, 2),
+est AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_match
+  FROM sig a JOIN sig b ON a.j = b.j AND a.source < b.source
+  GROUP BY 1, 2
+),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b, e.n_match,
+       round(CAST(e.n_match AS DOUBLE) / 16, 6) AS jaccard_est,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(za.n + zb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (za.n + zb.n - coalesce(i.n_inter, 0)), 6) AS jaccard_exact
+FROM est e
+LEFT JOIN inter i USING (src_a, src_b)
+JOIN sizes za ON za.source = e.src_a
+JOIN sizes zb ON zb.source = e.src_b
+ORDER BY src_a, src_b
+""",
+    doc="Dataset-level MinHash similarity matrix "
+    "(llm/dedup.py:source_minhash_similarity): estimated + exact "
+    "Jaccard of every source pair's 5-gram shingle SETS — the corpus-"
+    "mixing / ingest-dedup diagnostic.  Signatures build relationally "
+    "(per-(source,seed) keyed MIN over distinct shingles — no set is "
+    "ever collected), the pair comparison is O(sources^2 * n_hashes) "
+    "— bounded by the source taxonomy, not the corpus — and the "
+    "exact tier is the yardstick the estimate replaces at 100 TB.",
+)
+def source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = DD.source_minhash_similarity(fan_out(d), n_hashes=16)
+    return s.select(
+        "src_a",
+        "src_b",
+        "n_match",
+        F.round("jaccard_est", R).alias("jaccard_est"),
+        "n_inter",
+        "n_union",
+        F.round("jaccard_exact", R).alias("jaccard_exact"),
+    ).orderBy("src_a", "src_b")

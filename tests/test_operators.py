@@ -866,3 +866,26 @@ def test_hll_registers_merge_by_max(spark):
         for r in VO.hll_registers(a.union(b)).collect()
     }
     assert ru == {k: max(ra[k], rb[k]) for k in ra}
+
+
+def test_source_similarity_estimates_track_exact_jaccard(spark):
+    """MinHash correctness on controlled sets: a source pair sharing
+    most shingles must estimate high, a disjoint pair must estimate 0,
+    and the exact tier must agree with hand-computed Jaccard."""
+    mk = lambda words: " ".join(words)
+    base = [f"w{i}" for i in range(40)]
+    rows = [
+        (0, mk(base), "A"),
+        (1, mk(base[:36] + ["x1", "x2", "x3", "x4"]), "B"),
+        (2, mk([f"z{i}" for i in range(40)]), "C"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in DD.source_minhash_similarity(d, n_hashes=16).collect()
+    }
+    ab, ac = out[("A", "B")], out[("A", "C")]
+    # A/B share 32 of their 5-gram shingles (36 each, 32 common):
+    assert ab["jaccard_exact"] == 32 / 40
+    assert ab["jaccard_est"] > 0.5
+    assert ac["n_inter"] == 0 and ac["jaccard_est"] == 0.0
