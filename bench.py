@@ -126,6 +126,11 @@ HEADLINE = [
     "minhash_near_dups_ml",
     "cms_frequencies",
     "bigram_lm_quality",
+    # data-selection + sketch additions (round 6, continued)
+    "dsir_weights",
+    "hll_distinct",
+    "bpe_fertility",
+    "source_similarity",
 ]
 
 TIMED_SWEEPS = 2
