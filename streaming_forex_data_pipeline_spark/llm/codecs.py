@@ -95,23 +95,30 @@ def _unfilter_row(
         for c in range(bpp):
             out[c::bpp] = np.cumsum(r[c::bpp])
         return (out % 256).astype(np.uint8)
-    out = np.zeros(n, dtype=np.int64)
-    prev64 = prev.astype(np.int64)
+    # Filters 3/4: the left-neighbor dependence forces a sequential
+    # scan.  Run it on plain Python lists — per-element numpy indexing
+    # costs ~10x a list index, so tolist()-ing first makes the
+    # unavoidable O(w*ch) interpreter scan several times cheaper.  All
+    # operands are in [0, 511], so ``>> 1`` == floor-div-2 and
+    # ``& 255`` == mod-256 exactly.
+    rl = resid.tolist()
+    pl = prev.tolist()
+    out = [0] * n
     if ftype == 3:  # Average
         for i in range(n):
             left = out[i - bpp] if i >= bpp else 0
-            out[i] = (r[i] + (left + prev64[i]) // 2) % 256
-        return out.astype(np.uint8)
+            out[i] = (rl[i] + ((left + pl[i]) >> 1)) & 255
+        return np.array(out, dtype=np.uint8)
     if ftype == 4:  # Paeth
         for i in range(n):
             left = out[i - bpp] if i >= bpp else 0
-            up = prev64[i]
-            ul = prev64[i - bpp] if i >= bpp else 0
+            up = pl[i]
+            ul = pl[i - bpp] if i >= bpp else 0
             p = left + up - ul
             pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
             pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-            out[i] = (r[i] + pred) % 256
-        return out.astype(np.uint8)
+            out[i] = (rl[i] + pred) & 255
+        return np.array(out, dtype=np.uint8)
     raise ValueError(f"bad PNG filter type {ftype}")
 
 
@@ -160,16 +167,27 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     inflates the IDAT stream and reverses the scanline filters.
     """
     try:  # optional fast path — absent in this container
-        from io import BytesIO
-
         from PIL import Image  # type: ignore[import-not-found]
-
-        img = Image.open(BytesIO(data))
-        arr = np.asarray(img, dtype=np.uint8)
-        ch = 1 if arr.ndim == 2 else arr.shape[2]
-        return img.width, img.height, ch, arr
     except ImportError:
-        pass
+        Image = None
+    if Image is not None:
+        # The fast path must not WEAKEN the contract: only trust PIL
+        # for the modes the pure decoder is specified for ('L'/'RGB',
+        # i.e. color types 0/2 at depth 8), and fall through to the
+        # pure decoder — the declared arbiter — on any other mode or
+        # any PIL exception, so corrupt input still surfaces as this
+        # module's ValueError (with CRC verification), never as a PIL
+        # internal error.
+        try:
+            from io import BytesIO
+
+            img = Image.open(BytesIO(data))
+            if img.mode in ("L", "RGB"):
+                arr = np.asarray(img, dtype=np.uint8)
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                return img.width, img.height, ch, arr
+        except Exception:  # noqa: BLE001 — arbiter is the pure decoder
+            pass
 
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")

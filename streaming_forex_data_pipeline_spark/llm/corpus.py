@@ -515,7 +515,13 @@ def temperature_mixture(
 
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(text).cast("long")).alias("n_tokens"),
+        # coalesce: a source whose documents ALL have NULL text sums to
+        # NULL, and one NULL sqrt term would poison the fixed-order fold
+        # below, nulling W (and hence weight/alloc) for EVERY source —
+        # coalesce to 0 so a degenerate source just gets weight 0.
+        F.coalesce(
+            F.sum(token_count(text).cast("long")), F.lit(0).cast("long")
+        ).alias("n_tokens"),
     )
     # fixed-order fold of sqrt weights: collect the (source, sqrt) pairs,
     # sort by source, fold left-to-right — aggregation-order-proof

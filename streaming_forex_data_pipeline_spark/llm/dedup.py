@@ -1093,15 +1093,17 @@ def near_duplicate_pairs_ml(
 
 
 def source_minhash_similarity(
-    docs: DataFrame, n_hashes: int = 16, text: str = "text"
+    docs: DataFrame,
+    n_hashes: int = 16,
+    text: str = "text",
+    include_exact: bool = False,
 ) -> DataFrame:
     """Dataset-level MinHash similarity matrix: for every pair of
-    ``source`` values, the estimated AND exact Jaccard similarity of
-    their word-5-gram shingle SETS — the corpus-mixing diagnostic
-    (two sources with high overlap double-count their mass in a
-    mixture; the same signal drives dataset-level dedup decisions at
-    ingest, cf. the MinHash corpus audits in web-scale pipeline
-    papers).
+    ``source`` values, the estimated Jaccard similarity of their
+    word-5-gram shingle SETS — the corpus-mixing diagnostic (two
+    sources with high overlap double-count their mass in a mixture;
+    the same signal drives dataset-level dedup decisions at ingest,
+    cf. the MinHash corpus audits in web-scale pipeline papers).
 
     The signature is built RELATIONALLY — per (source, hash_j) the
     min of the portable seeded token hash over the source's distinct
@@ -1109,13 +1111,17 @@ def source_minhash_similarity(
     one distinct + one keyed min (both map-side combined) at any
     corpus size.  The pair comparison joins signatures on the hash
     index: O(sources^2 * n_hashes) rows, bounded by the source
-    TAXONOMY (dozens), not the corpus.  The exact tier joins the
-    distinct shingle sets pairwise — the expensive yardstick the
-    estimate replaces at scale, kept beside it here because the
-    driver's tables make it cheap.
+    TAXONOMY (dozens), not the corpus.
 
-    Returns (src_a, src_b, n_match, jaccard_est, n_inter, n_union,
-    jaccard_exact) — integers plus single divisions, exactly
+    ``include_exact`` additionally computes the exact Jaccard by
+    joining the distinct shingle sets pairwise — a corpus-sized
+    shuffle for a dozens-of-rows diagnostic, so it is the YARDSTICK
+    tier, default OFF: tests use it to prove est tracks exact (the
+    embedding_near_dups precedent); the registered query and any
+    100 TB run keep only the taxonomy-bounded estimate plan.
+
+    Returns (src_a, src_b, n_match, jaccard_est[, n_inter, n_union,
+    jaccard_exact]) — integers plus single divisions, exactly
     hash-checkable."""
     from .corpus import word_ngrams
 
@@ -1153,6 +1159,15 @@ def source_minhash_similarity(
             ).alias("n_match")
         )
     )
+    if not include_exact:
+        return est.select(
+            "src_a",
+            "src_b",
+            "n_match",
+            (F.col("n_match").cast("double") / F.lit(n_hashes)).alias(
+                "jaccard_est"
+            ),
+        )
     sizes = shingles.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     sa, sb = shingles.alias("sa"), shingles.alias("sb")
     inter = (

@@ -339,3 +339,69 @@ def dsir_logratio(docs, target, n_buckets: int = 1024, text: str = "text"):
         ).alias("n_tokens"),
         F.aggregate(terms, F.lit(0.0), lambda a, x: a + x).alias("logratio"),
     )
+
+
+def gumbel_noise(key: Column, seed: str = "g1") -> Column:
+    """Seeded, ENGINE-PORTABLE standard Gumbel(0,1) draw per row:
+    u = (first 13 md5 hex digits of '<seed>:<key>' + 0.5) / 2^52 — a
+    52-bit uniform strictly inside (0,1), exactly representable as a
+    double on both engines (the JL-sign-matrix md5 trick) — then the
+    inverse-CDF transform  -ln(-ln(u)).  DuckDB derives the identical
+    value via ('0x' || substr(md5(...), 1, 13))::BIGINT, so
+    Gumbel-perturbed scores hash-check exactly."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)  # 2^52
+    return -F.log(-F.log(u))
+
+
+def dsir_gumbel_topk(
+    docs,
+    target,
+    k: int = 50,
+    seed: str = "g1",
+    n_buckets: int = 1024,
+    text: str = "text",
+):
+    """DSIR SAMPLED selection — the paper's actual resampling step
+    (Xie et al. 2023 resample by importance weight, not rank): via the
+    Gumbel-top-k identity, taking the top ``k`` of
+    ``logweight_i + Gumbel_i`` draws k documents WITHOUT replacement
+    with probability proportional to exp(logweight_i) — one ordered
+    selection instead of sequential sampling, which is what makes the
+    sampler distributed-friendly.  The Gumbel draws are seeded and
+    hash-derived (`gumbel_noise`), so the "random" sample is
+    deterministic, engine-portable, and reproducible run-to-run — a
+    property the paper's np.random sampler does not have and a 100 TB
+    rerun needs.
+
+    The deterministic top-k face (`dsir_select` in plans/llm_q.py)
+    keeps the argmax documents; this tier trades peak weight for
+    diversity exactly as importance resampling prescribes.  Scale
+    shape: per-row noise on the scored frame, then one rank — Catalyst
+    compiles the rank-filter to TakeOrderedAndProject, no
+    single-partition window (the dsir_select precedent).
+
+    Returns (doc_id, n_tokens, gumbel_key, sel_rank), membership
+    decided on the 6dp-rounded perturbed key with doc_id tie-break so
+    the cut never hangs on an unrounded ulp."""
+    from pyspark.sql import Window
+
+    s = dsir_logratio(docs, target, n_buckets, text)
+    keyed = s.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("logratio") + gumbel_noise(F.col("doc_id"), seed), 6
+        ).alias("gumbel_key"),
+    )
+    w = Window.orderBy(F.desc("gumbel_key"), "doc_id")
+    return (
+        keyed.withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= k)
+    )

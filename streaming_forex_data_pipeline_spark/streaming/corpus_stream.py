@@ -179,6 +179,7 @@ def start_decontamination_channel(
     eval_mod: int = 25,
     n: int = 4,
     sink_table: str = "decontaminate_sink",
+    sink_dir: str | None = None,
 ):
     """Streaming face of the decontamination scrub
     (`llm/dedup.py:decontaminate`): training documents arrive as a
@@ -218,11 +219,15 @@ def start_decontamination_channel(
         [], "doc_id long, source string, n_chars long"
     ).createOrReplaceTempView(sink_table)
 
-    import tempfile
-
     from ..sources.sinks import commit_append, read_committed
 
-    sink_dir = tempfile.mkdtemp(prefix="decon_survivors_")
+    # sink_dir is a parameter (matching the incremental-dedup channel's
+    # signature) so a restarted channel can resume the SAME commit log
+    # and replays merge idempotently; mkdtemp is only the demo default.
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="decon_survivors_")
 
     def run_batch(batch_df, batch_id):
         ex = batch_df.select("doc_id", F.explode(grams).alias("gram"))

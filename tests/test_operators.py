@@ -882,10 +882,104 @@ def test_source_similarity_estimates_track_exact_jaccard(spark):
     d = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = {
         (r["src_a"], r["src_b"]): r
-        for r in DD.source_minhash_similarity(d, n_hashes=16).collect()
+        for r in DD.source_minhash_similarity(
+            d, n_hashes=16, include_exact=True
+        ).collect()
     }
     ab, ac = out[("A", "B")], out[("A", "C")]
     # A/B share 32 of their 5-gram shingles (36 each, 32 common):
     assert ab["jaccard_exact"] == 32 / 40
     assert ab["jaccard_est"] > 0.5
     assert ac["n_inter"] == 0 and ac["jaccard_est"] == 0.0
+
+
+def test_gumbel_noise_is_standard_gumbel_and_deterministic(spark):
+    """The seeded md5-derived Gumbel draws must (a) be reproducible,
+    (b) vary with the seed, and (c) match Gumbel(0,1) moments: mean ~
+    Euler-Mascheroni 0.5772, var ~ pi^2/6 ~ 1.6449."""
+    import math
+
+    base = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    g1 = base.select(TX.gumbel_noise(F.col("doc_id"), "s1").alias("g"))
+    stats = g1.agg(
+        F.avg("g").alias("m"), F.var_pop("g").alias("v")
+    ).collect()[0]
+    assert abs(stats["m"] - 0.5772) < 0.08
+    assert abs(stats["v"] - math.pi**2 / 6) < 0.25
+    a = [r["g"] for r in g1.limit(50).collect()]
+    b = [
+        r["g"]
+        for r in base.select(
+            TX.gumbel_noise(F.col("doc_id"), "s1").alias("g")
+        ).limit(50).collect()
+    ]
+    c = [
+        r["g"]
+        for r in base.select(
+            TX.gumbel_noise(F.col("doc_id"), "s2").alias("g")
+        ).limit(50).collect()
+    ]
+    assert a == b  # same seed -> bit-identical draws
+    assert a != c  # different seed -> different draws
+
+
+def test_gumbel_topk_samples_proportional_to_weight(spark):
+    """Gumbel-top-k distribution sanity: items with e^2 ~ 7.4x weight
+    must win selection slots at far above their 20% population share
+    (expected share ~ 65%), and an equal-weight population must NOT
+    concentrate (uniform sampling)."""
+    base = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 20, 2.0).otherwise(0.0).alias("logw"),
+    )
+    heavy = total = 0
+    for seed in ("s1", "s2", "s3", "s4", "s5"):
+        top = (
+            base.select(
+                "doc_id",
+                (F.col("logw") + TX.gumbel_noise(F.col("doc_id"), seed)).alias(
+                    "key"
+                ),
+            )
+            .orderBy(F.desc("key"), "doc_id")
+            .limit(10)
+            .collect()
+        )
+        heavy += sum(1 for r in top if r["doc_id"] < 20)
+        total += 10
+    assert heavy / total > 0.40  # ~0.65 expected; 0.20 under no weighting
+    # equal weights: selections spread across the id range, not the head
+    flat = (
+        base.select(
+            "doc_id", TX.gumbel_noise(F.col("doc_id"), "s9").alias("key")
+        )
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(10)
+        .collect()
+    )
+    assert sum(1 for r in flat if r["doc_id"] < 20) <= 6
+
+
+def test_dsir_gumbel_topk_matches_manual_perturbation(spark, sf_dir):
+    """The sampled tier must equal top-k over logratio + gumbel_noise
+    computed independently — i.e. the registered face adds NOTHING
+    beyond the documented perturb-then-rank."""
+    d = load_table(spark, sf_dir, "documents")
+    tgt = d.filter(F.col("lang") == "en")
+    got = {
+        r["doc_id"]: r["sel_rank"]
+        for r in TX.dsir_gumbel_topk(d, tgt, k=20, seed="g1").collect()
+    }
+    scored = TX.dsir_logratio(d, tgt)
+    manual = (
+        scored.select(
+            "doc_id",
+            F.round(
+                F.col("logratio") + TX.gumbel_noise(F.col("doc_id"), "g1"), 6
+            ).alias("key"),
+        )
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    assert {r["doc_id"] for r in manual} == set(got)

@@ -158,3 +158,20 @@ def test_ivf_silver_probe_prunes_partitions(spark, sf_dir, tmp_path):
     want = [tuple(r) for r in SIM.ivf_topk(e, q, k=10, n_cells=16, nprobe=2).collect()]
     got = [tuple(r) for r in probed.collect()]
     assert got == want
+
+
+def test_registered_ivf_silver_topk_prunes_partitions(spark, sf_dir):
+    """The REGISTERED production ANN query carries the same pruning
+    contract as the raw probe helper: its silver scan lists a
+    PartitionFilters entry on `cell`, so per-query IO is bounded by
+    nprobe directories regardless of corpus size."""
+    df = all_queries()["ivf_silver_topk"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = [
+        s.split("]")[0]
+        for s in plan.split("PartitionFilters: [")[1:]
+        if "cell" in s.split("]")[0]
+    ]
+    assert seg, (
+        f"registered ivf_silver_topk lost partition pruning on cell:\n{plan}"
+    )

@@ -7,7 +7,7 @@ driver's own sf0.1 tables into 10 cohorts engineered so the
 duplicate/similarity structure scales LINEARLY by construction:
 
 - documents: cohort k holds every sf0.1 document with
-  doc_id' = doc_id + 5000*k; for k > 0 every whitespace word gets a
+  doc_id' = doc_id + (max_id+1)*k; for k > 0 every whitespace word gets a
   ``~k`` suffix, so each cohort's intra-cohort near-dup structure is
   isomorphic to the original while cross-cohort token sets are
   disjoint (no artificial 10-way duplicate clusters whose pair counts
@@ -41,13 +41,18 @@ def main() -> None:
     n_cohorts = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
     embs = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
-    n_docs, n_vecs = len(docs), len(embs)
+    # cohort id stride = max_id + 1, NOT row count: if the source ids
+    # are ever sparse (max id >= row count), striding by len() would
+    # collide cohorts on doc_id and silently corrupt the
+    # linear-by-construction duplicate structure the soak relies on.
+    doc_stride = int(docs["doc_id"].max()) + 1
+    vec_stride = int(embs["vec_id"].max()) + 1
     dim = len(embs["embedding"].iloc[0])
 
     doc_parts, emb_parts = [], []
     for k in range(n_cohorts):
         d = docs.copy()
-        d["doc_id"] = d["doc_id"] + n_docs * k
+        d["doc_id"] = d["doc_id"] + doc_stride * k
         if k > 0:
             suffix = f"~{k}"
             d["text"] = d["text"].map(
@@ -61,7 +66,7 @@ def main() -> None:
         doc_parts.append(d)
 
         e = embs.copy()
-        e["vec_id"] = e["vec_id"] + n_vecs * k
+        e["vec_id"] = e["vec_id"] + vec_stride * k
         if k > 0:
             perm = np.random.RandomState(k).permutation(dim)
             e["embedding"] = e["embedding"].map(
