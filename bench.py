@@ -131,6 +131,9 @@ HEADLINE = [
     "hll_distinct",
     "bpe_fertility",
     "source_similarity",
+    # round 7: production silver-table ANN probe + sampled DSIR tier
+    "ivf_silver_topk",
+    "dsir_gumbel_select",
 ]
 
 TIMED_SWEEPS = 2
@@ -155,6 +158,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # host-contention telemetry: ambient load on shared hosts has
+    # repeatedly inflated per-query samples 1.3-1.6x with zero code
+    # delta (r5/r6 A-B dispositions) — recording loadavg at start/end
+    # lets a later reader separate host noise from real regression
+    # without rerunning.
+    load_start = os.getloadavg()
     spark = get_spark("sfdp-bench", cpus=cpus)
 
     qs = dict(plans.spark_queries(), **EXTRA)
@@ -179,6 +188,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
 

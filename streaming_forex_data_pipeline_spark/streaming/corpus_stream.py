@@ -279,3 +279,124 @@ def start_media_decode_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_cms_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "cms_sink",
+    sink_dir: str | None = None,
+    stream=None,
+):
+    """Streaming face of the Count-Min sketch (`llm/vocab.py:
+    cms_build`): documents arrive as micro-batches; each batch builds
+    its OWN depth x width sketch and appends it as a delta through the
+    transactional ``commit_append`` sink, keyed (row, bucket, batch).
+    The live sketch is a lazy VIEW that merges the delta log by
+    counter-wise SUM — the CMS merge law (sketches over disjoint
+    streams add), proven against the batch sketch in
+    tests/test_streaming.py across multiple micro-batches.
+
+    This is the sketch-state-in-the-table shape: the driver holds
+    O(1); a replayed micro-batch rewrites the same (row, bucket,
+    batch) keys and ``read_committed``'s keep-latest dedups it, so
+    restarts merge idempotently; and the view's aggregation input is
+    #batches x depth x width rows — the FIXED sketch size is what
+    bounds it, never the vocabulary or the corpus."""
+    from pyspark.sql import functions as F
+
+    from ..llm.vocab import cms_build
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="cms_sketch_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "documents")
+    spark.createDataFrame(
+        [], "row int, bucket long, c long"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        delta = cms_build(batch_df).withColumn(
+            "batch", F.lit(int(batch_id)).cast("long")
+        )
+        commit_append(delta, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(
+                spark, sink_dir, keys=["row", "bucket", "batch"]
+            )
+        except FileNotFoundError:
+            return
+        committed.groupBy("row", "bucket").agg(
+            F.sum("c").alias("c")
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_hll_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "hll_sink",
+    sink_dir: str | None = None,
+    stream=None,
+):
+    """Streaming face of HyperLogLog (`llm/vocab.py:hll_registers`):
+    each micro-batch emits its own complete 2^p register file as a
+    delta keyed (bucket, batch) through ``commit_append``; the live
+    register file is a lazy VIEW merging the delta log by element-wise
+    MAX — the HLL merge law (the register union of two streams is the
+    bucket-wise max), proven against the batch register file across
+    multiple micro-batches in tests/test_streaming.py.
+
+    Same state contract as the CMS channel: sketch lives in the sink
+    table, driver state O(1), replays idempotent via keep-latest on
+    (bucket, batch), view input bounded by #batches x 2^p rows
+    regardless of stream cardinality.  `hll_estimate` folds the
+    merged view into the live distinct count whenever a consumer asks
+    — the register file IS the streaming state, estimates are free."""
+    from pyspark.sql import functions as F
+
+    from ..llm.corpus import words_array
+    from ..llm.vocab import hll_registers
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="hll_regs_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "documents")
+    spark.createDataFrame(
+        [], "bucket long, max_rho int"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        items = batch_df.select(F.explode(words_array("text")).alias("item"))
+        delta = hll_registers(items).withColumn(
+            "batch", F.lit(int(batch_id)).cast("long")
+        )
+        commit_append(delta, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(
+                spark, sink_dir, keys=["bucket", "batch"]
+            )
+        except FileNotFoundError:
+            return
+        committed.groupBy("bucket").agg(
+            F.max("max_rho").alias("max_rho")
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

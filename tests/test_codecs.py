@@ -247,3 +247,82 @@ def test_png_round_trip_property():
         assert (out == px).all()
 
     run()
+
+
+def _fake_pil(monkeypatch, open_impl):
+    """Install a minimal fake PIL package whose Image.open is
+    ``open_impl`` — lets the fast-path guard be tested in containers
+    where real PIL is absent."""
+    import sys
+    import types
+
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = open_impl
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_pil_fast_path_unsupported_mode_falls_through(monkeypatch):
+    """A PIL that reports a mode outside the pure decoder's contract
+    (palette, RGBA, 16-bit) must NOT be trusted: decode_png falls
+    through to the pure decoder and still returns the contract shape."""
+
+    class _Weird:
+        mode = "P"  # palette — outside the L/RGB contract
+        width = height = 1
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(9, 7, 3)).astype(np.uint8)
+    data = encode_png(px, filter_for_row=lambda y: y % 5)
+    _fake_pil(monkeypatch, lambda bio: _Weird())
+    w, h, ch, out = decode_png(data)
+    assert (w, h, ch) == (7, 9, 3)
+    assert np.array_equal(out, px)
+
+
+def test_pil_fast_path_exception_falls_through_and_corruption_raises(
+    monkeypatch,
+):
+    """A raising PIL must not change error semantics: good input still
+    decodes via the pure decoder; corrupt input still surfaces as THIS
+    module's ValueError (CRC check), never a PIL internal error."""
+
+    def _boom(bio):
+        raise RuntimeError("PIL internal failure")
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_png(px)
+    _fake_pil(monkeypatch, _boom)
+    w, h, ch, out = decode_png(data)
+    assert np.array_equal(out, px)
+    bad = bytearray(data)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
+def test_pil_fast_path_equivalence_when_available():
+    """When REAL PIL is present, the fast path must agree with the
+    pure decoder bit-for-bit on contract images (L and RGB, all
+    filter types).  Skips where PIL is absent — the fake-PIL tests
+    above cover the guard logic there."""
+    pytest.importorskip("PIL")
+    import sys
+
+    rng = np.random.RandomState(11)
+    for shape in ((17, 13), (17, 13, 3)):
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        data = encode_png(px, filter_for_row=lambda y: y % 5)
+        fast = decode_png(data)
+        saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+                 if k == "PIL" or k.startswith("PIL.")}
+        sys.modules["PIL"] = None  # force ImportError inside decode_png
+        try:
+            pure = decode_png(data)
+        finally:
+            del sys.modules["PIL"]
+            sys.modules.update(saved)
+        assert fast[:3] == pure[:3]
+        assert np.array_equal(fast[3], pure[3])

@@ -284,3 +284,86 @@ def test_media_decode_channel_matches_batch(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     want = {tuple(r) for r in decode_images(encode_images(d)).collect()}
     assert got == want and len(got) > 0
+
+
+def _two_batch_docs_stream(spark, sf_dir, tmp_path):
+    """Stage documents as TWO parquet files and stream them one file
+    per trigger, so the sketch channels must genuinely MERGE across
+    micro-batches (a single-batch parity test would pass even with no
+    merge law at all)."""
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_2files")
+    d.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return d, stream
+
+
+def test_cms_channel_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """Per-batch CMS deltas summed through the commit log must equal
+    the batch sketch over the whole table — the CMS merge law, proven
+    across (at least) two real micro-batches."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.llm import vocab as VO
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_cms_channel,
+    )
+
+    d, stream = _two_batch_docs_stream(spark, sf_dir, tmp_path)
+    sink_dir = str(tmp_path / "cms_sink")
+    q = start_cms_channel(
+        spark, sf_dir, sink_table="cms_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — merge law untested"
+    )
+    got = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in spark.table("cms_parity").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["c"] for r in VO.cms_build(d).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_hll_channel_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """Per-batch HLL register files max-merged through the commit log
+    must equal the batch register file over the whole table, and fold
+    to the identical cardinality estimate."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.llm import vocab as VO
+    from streaming_forex_data_pipeline_spark.llm.corpus import words_array
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_hll_channel,
+    )
+
+    d, stream = _two_batch_docs_stream(spark, sf_dir, tmp_path)
+    sink_dir = str(tmp_path / "hll_sink")
+    q = start_hll_channel(
+        spark, sf_dir, sink_table="hll_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2
+    merged = spark.table("hll_parity")
+    got = {(r["bucket"]): r["max_rho"] for r in merged.collect()}
+    items = d.select(F.explode(words_array("text")).alias("item"))
+    want = {
+        (r["bucket"]): r["max_rho"]
+        for r in VO.hll_registers(items).collect()
+    }
+    assert got == want and len(got) == 64
+    est_stream = VO.hll_estimate(merged).collect()[0]
+    est_batch = VO.hll_estimate(VO.hll_registers(items)).collect()[0]
+    assert est_stream["s_star"] == est_batch["s_star"]
+    assert est_stream["hll_est"] == est_batch["hll_est"]
