@@ -132,8 +132,10 @@ HEADLINE = [
     "bpe_fertility",
     "source_similarity",
     # round 7: production silver-table ANN probe + sampled DSIR tier
+    # + weighted reservoir sampling
     "ivf_silver_topk",
     "dsir_gumbel_select",
+    "reservoir_sample",
 ]
 
 TIMED_SWEEPS = 2

@@ -568,3 +568,59 @@ def temperature_mixture(
         )
         .orderBy("source")
     )
+
+
+def weighted_reservoir_sample(
+    docs,
+    k: int = 50,
+    weight_col: str | None = None,
+    seed: str = "res1",
+    id_col: str = "doc_id",
+):
+    """Distributed weighted reservoir sampling without replacement
+    (Efraimidis & Spirakis 2006, A-Res): each row draws a seeded
+    uniform u and keeps key = ln(u)/w (the log form of u^(1/w) —
+    monotone-identical ranking, no pow drift between libms); the
+    sample IS the k largest keys.  With ``weight_col`` None every row
+    weighs 1 and this degrades to a uniform reservoir sample.
+
+    This is THE shard-sampling primitive for training pipelines: the
+    key is a pure per-row function, so the "reservoir" needs no
+    sequential pass — it is a global top-k, which Spark executes as
+    per-partition partial top-k + a k-row merge (TakeOrderedAndProject)
+    and a streaming ingest maintains by keeping the k best keys seen
+    (max-merge across micro-batches, same law as the sketch channels).
+
+    The uniforms are the engine-portable md5 draws (`llm/text.py:
+    gumbel_noise`'s construction): u = (first 13 hex digits of
+    md5('<seed>:<id>') + 0.5)/2^52, so the sample is deterministic,
+    reproducible, and DuckDB derives the identical ranking — a seeded
+    rerun of a 100 TB sampling job picks the same rows.
+
+    Rows with NULL or non-positive weight are EXCLUDED (A-Res is
+    defined for w > 0).  Returns the sampled rows with (res_key,
+    sample_rank) appended; membership is decided on the 6dp-rounded
+    key with id tie-break (the dsir_select contract)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)  # 2^52
+    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    keyed = docs.filter(w > 0).select(
+        "*", F.round(F.log(u) / w, 6).alias("res_key")
+    )
+    win = Window.orderBy(F.desc("res_key"), F.asc(id_col))
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )

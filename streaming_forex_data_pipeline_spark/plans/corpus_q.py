@@ -851,3 +851,44 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "reservoir_sample",
+    oracle=r"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(ln((('0x' || substr(md5('res1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 13))::BIGINT + 0.5)
+                  / 4503599627370496.0)
+               / n_chars, 6) AS res_key
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, source, n_chars, res_key,
+         row_number() OVER (ORDER BY res_key DESC, doc_id) AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, res_key, sample_rank
+FROM r WHERE sample_rank <= 50
+ORDER BY sample_rank
+""",
+    doc="Distributed weighted reservoir sampling without replacement "
+    "(llm/corpus.py:weighted_reservoir_sample; Efraimidis & Spirakis "
+    "2006 A-Res, log form): 50 documents drawn with probability "
+    "proportional to n_chars via key = ln(u)/w with seeded "
+    "engine-portable md5 uniforms — the shard-sampling primitive.  "
+    "Because the key is a pure per-row function, the 'reservoir' is "
+    "just a global top-k: per-partition partial top-k + a 50-row "
+    "merge (TakeOrderedAndProject), and a streaming ingest maintains "
+    "it by max-merging keys across micro-batches.  Deterministic and "
+    "reproducible: a seeded rerun at 100 TB picks the same rows, and "
+    "DuckDB derives the identical ranking.",
+)
+def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return CO.weighted_reservoir_sample(
+        d, k=50, weight_col="n_chars", seed="res1"
+    ).orderBy("sample_rank")

@@ -983,3 +983,50 @@ def test_dsir_gumbel_topk_matches_manual_perturbation(spark, sf_dir):
         .collect()
     )
     assert {r["doc_id"] for r in manual} == set(got)
+
+
+def test_weighted_reservoir_sample_proportional_and_mergeable(spark):
+    """A-Res sanity: (a) heavy rows win slots roughly in proportion to
+    weight across seeds, (b) the sample is a pure top-k on the key, so
+    merging per-partition top-ks equals the global sample (the
+    streaming merge law), and (c) non-positive weights are excluded."""
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    base = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 20, 10.0).otherwise(1.0).alias("w"),
+    )
+    heavy = total = 0
+    for seed in ("r1", "r2", "r3", "r4", "r5"):
+        got = CO.weighted_reservoir_sample(
+            base, k=10, weight_col="w", seed=seed
+        ).collect()
+        heavy += sum(1 for r in got if r["doc_id"] < 20)
+        total += 10
+    # heavy mass 200 of 280 => ~0.71 expected share; 0.20 if unweighted
+    assert heavy / total > 0.45
+
+    full = CO.weighted_reservoir_sample(base, k=10, weight_col="w", seed="r1")
+    lo = CO.weighted_reservoir_sample(
+        base.filter(F.col("doc_id") < 50), k=10, weight_col="w", seed="r1"
+    )
+    hi = CO.weighted_reservoir_sample(
+        base.filter(F.col("doc_id") >= 50), k=10, weight_col="w", seed="r1"
+    )
+    merged = (
+        lo.select("doc_id", "res_key")
+        .unionByName(hi.select("doc_id", "res_key"))
+        .orderBy(F.desc("res_key"), "doc_id")
+        .limit(10)
+    )
+    assert [r["doc_id"] for r in merged.collect()] == [
+        r["doc_id"] for r in full.orderBy("sample_rank").collect()
+    ]
+
+    with_bad = base.withColumn(
+        "w", F.when(F.col("doc_id") == 3, -1.0).otherwise(F.col("w"))
+    )
+    got = CO.weighted_reservoir_sample(
+        with_bad, k=100, weight_col="w", seed="r1"
+    ).collect()
+    assert all(r["doc_id"] != 3 for r in got) and len(got) == 99
