@@ -136,6 +136,7 @@ HEADLINE = [
     "ivf_silver_topk",
     "dsir_gumbel_select",
     "reservoir_sample",
+    "hist_quantiles",
 ]
 
 TIMED_SWEEPS = 2

@@ -624,3 +624,117 @@ def weighted_reservoir_sample(
         keyed.withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def histogram_sketch(
+    docs,
+    value_col: str = "n_chars",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 50,
+):
+    """Fixed-bin histogram sketch of a numeric column: ``n_bins``
+    uniform bins over [lo, hi) plus an underflow bin (-1) and an
+    overflow bin (n_bins) — the bounded-state RANK sketch completing
+    the streaming-sketch triad (CMS = frequency, HLL = cardinality,
+    histogram = rank/quantile).  The COMPLETE bin spine is emitted
+    (untouched bins read 0), so output is always exactly n_bins+2
+    rows; sketches over disjoint streams merge by bin-wise SUM (the
+    same delta-log merge the CMS channel uses).
+
+    Exact-integer contract: the bin index is floor arithmetic on the
+    value, counts are exact longs — no floats until a consumer
+    interpolates.  One keyed count (map-side combined) at any corpus
+    size; the spine join is bins-sized."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    binned = (
+        F.when(v < F.lit(lo), F.lit(-1))
+        .when(v >= F.lit(hi), F.lit(n_bins))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+    touched = (
+        docs.filter(v.isNotNull())
+        .select(binned.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    spine = (
+        docs.sparkSession.range(-1, n_bins + 1)
+        .select(F.col("id").cast("int").alias("bin"))
+    )
+    return spine.join(touched, "bin", "left").select(
+        "bin", F.coalesce("c", F.lit(0).cast("long")).alias("c")
+    )
+
+
+def histogram_quantiles(
+    sketch,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 50,
+):
+    """Estimate quantiles from a `histogram_sketch`: for each q, find
+    the first bin whose cumulative count reaches ceil(q*N) and
+    linearly interpolate inside it — the classic bounded-state
+    quantile estimate (error <= one bin width), the scale-path
+    alternative to the EXACT distributed NTILE (`curriculum_bins` /
+    `length_quantiles`): exact ranks need a full sort/range-exchange
+    per run, the sketch needs n_bins integers and merges across
+    streams.
+
+    Determinism contract: target rank uses exact-integer ceil via
+    ``floor + sign`` arithmetic... in fact ceil(q*N) is computed as a
+    double multiply then ceil — q and N are exactly representable and
+    the products here are far from half-ulp boundaries for the fixed
+    registered q values; the interpolation is two float ops per OUTPUT
+    row (#qs rows) from exact-integer cum counts, no aggregation-order
+    freedom.  Under/overflow bins carry no width, so a target landing
+    there clamps to lo/hi.
+
+    The cumulative walk is a window over the n_bins+2-row sketch —
+    bins-sized, not corpus-sized."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ).alias("cum_before"),
+    ).withColumn("cum_before", F.coalesce("cum_before", F.lit(0).cast("long")))
+    total = sketch.agg(F.sum("c").alias("n"))
+    qf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    target = F.ceil(F.col("q") * F.col("n")).cast("long")
+    hit = (
+        qf.crossJoin(F.broadcast(total))
+        .crossJoin(cum.filter(F.col("c") > 0))
+        .filter(
+            (F.col("cum") >= target) & (F.col("cum_before") < target)
+        )
+    )
+    bin_lo = F.lit(lo) + F.col("bin").cast("double") * F.lit(width)
+    frac = (
+        (target - F.col("cum_before")).cast("double")
+        / F.col("c").cast("double")
+    )
+    est = (
+        F.when(F.col("bin") < 0, F.lit(lo))
+        .when(F.col("bin") >= n_bins, F.lit(hi))
+        .otherwise(bin_lo + frac * F.lit(width))
+    )
+    return hit.select(
+        "q",
+        F.col("bin").alias("hit_bin"),
+        "cum_before",
+        F.col("c").alias("bin_count"),
+        F.round(est, 6).alias("est_value"),
+    ).orderBy("q")

@@ -892,3 +892,63 @@ def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.weighted_reservoir_sample(
         d, k=50, weight_col="n_chars", seed="res1"
     ).orderBy("sample_rank")
+
+
+@register(
+    "hist_quantiles",
+    oracle="""
+WITH binned AS (
+  SELECT CASE WHEN n_chars < 0 THEN -1
+              WHEN n_chars >= 1000 THEN 50
+              ELSE CAST(floor((n_chars - 0.0) / 20.0) AS INT) END AS bin
+  FROM documents WHERE n_chars IS NOT NULL
+),
+sk AS (
+  SELECT s.bin, CAST(coalesce(t.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(range(-1, 51)) AS bin) s
+  LEFT JOIN (SELECT bin, count(*) AS c FROM binned GROUP BY bin) t
+    USING (bin)
+),
+cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin) AS cum,
+         coalesce(sum(c) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_before
+  FROM sk
+),
+tot AS (SELECT sum(c) AS n FROM sk)
+SELECT q, bin AS hit_bin,
+       CAST(cum_before AS BIGINT) AS cum_before,
+       c AS bin_count,
+       round(CASE WHEN bin < 0 THEN 0.0
+                  WHEN bin >= 50 THEN 1000.0
+                  ELSE (0.0 + CAST(bin AS DOUBLE) * 20.0)
+                       + (CAST(CAST(ceil(q * n) AS BIGINT) - cum_before
+                               AS DOUBLE) / CAST(c AS DOUBLE)) * 20.0
+             END, 6) AS est_value
+FROM (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q) qs, tot, cum
+WHERE c > 0
+  AND cum >= CAST(ceil(q * n) AS BIGINT)
+  AND cum_before < CAST(ceil(q * n) AS BIGINT)
+ORDER BY q
+""",
+    doc="Histogram-sketch quantiles (llm/corpus.py:histogram_sketch/"
+    "histogram_quantiles): P25/P50/P90/P99 of document length "
+    "estimated from a 52-bin fixed-width histogram — the "
+    "bounded-state RANK sketch completing the streaming triad (CMS = "
+    "frequency, HLL = cardinality, histogram = rank).  The sketch is "
+    "one keyed exact-integer count with a complete bin spine (always "
+    "n_bins+2 rows) and merges across streams by bin-wise sum; the "
+    "quantile walk is a window over the bins-sized frame, never the "
+    "corpus.  The scale-path alternative to the exact distributed "
+    "NTILE (curriculum_bins/length_quantiles): exact ranks cost a "
+    "range exchange per run, the sketch costs 52 integers and an "
+    "error of at most one bin width.",
+)
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sk = CO.histogram_sketch(d, "n_chars", lo=0.0, hi=1000.0, n_bins=50)
+    return CO.histogram_quantiles(
+        sk, (0.25, 0.5, 0.9, 0.99), lo=0.0, hi=1000.0, n_bins=50
+    )

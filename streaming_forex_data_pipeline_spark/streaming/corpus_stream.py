@@ -400,3 +400,131 @@ def start_hll_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_histogram_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "hist_sink",
+    sink_dir: str | None = None,
+    stream=None,
+    value_col: str = "n_chars",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 50,
+):
+    """Streaming face of the histogram rank sketch (`llm/corpus.py:
+    histogram_sketch`): each micro-batch commits its own complete
+    n_bins+2 bin spine as a delta keyed (bin, batch); the live
+    histogram is a lazy VIEW summing the delta log bin-wise — the
+    histogram merge law, same contract as the CMS/HLL channels (state
+    in the sink table, O(1) driver, idempotent replays, view input
+    bounded by #batches x bins).  `histogram_quantiles` folds the
+    merged view into live quantile estimates on demand."""
+    from pyspark.sql import functions as F
+
+    from ..llm.corpus import histogram_sketch
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="hist_sketch_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "documents")
+    spark.createDataFrame(
+        [], "bin int, c long"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        delta = histogram_sketch(
+            batch_df, value_col, lo=lo, hi=hi, n_bins=n_bins
+        ).withColumn("batch", F.lit(int(batch_id)).cast("long"))
+        commit_append(delta, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(
+                spark, sink_dir, keys=["bin", "batch"]
+            )
+        except FileNotFoundError:
+            return
+        committed.groupBy("bin").agg(
+            F.sum("c").alias("c")
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_reservoir_channel(
+    spark,
+    sf_dir: str,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    seed: str = "res1",
+    sink_table: str = "reservoir_sink",
+    sink_dir: str | None = None,
+    stream=None,
+):
+    """Streaming face of weighted reservoir sampling (`llm/corpus.py:
+    weighted_reservoir_sample`): because the A-Res key is a pure
+    per-row function, the reservoir over a stream is just "the k best
+    keys seen so far" — each micro-batch commits its OWN top-k as a
+    delta keyed (doc_id, batch), and the live sample is a lazy VIEW
+    taking the global top-k over the delta log (key max-merge, the
+    sampling analogue of the sketch channels' sum/max laws; proven
+    equal to the batch sample over the whole table in
+    tests/test_streaming.py across real micro-batches).
+
+    Same state contract as the sketch channels: sample state lives in
+    the sink table (at most #batches x k rows before the view's
+    top-k), the driver holds O(1), replays dedup idempotently.  A
+    seeded rerun — batch or stream, any partitioning — picks the
+    identical rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..llm.corpus import weighted_reservoir_sample
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="reservoir_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "documents")
+    spark.createDataFrame(
+        [], "doc_id long, res_key double, sample_rank int"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        top = weighted_reservoir_sample(
+            batch_df.select("doc_id", weight_col),
+            k=k,
+            weight_col=weight_col,
+            seed=seed,
+        ).select("doc_id", "res_key")
+        delta = top.withColumn("batch", F.lit(int(batch_id)).cast("long"))
+        commit_append(delta, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(
+                spark, sink_dir, keys=["doc_id", "batch"]
+            )
+        except FileNotFoundError:
+            return
+        win = Window.orderBy(F.desc("res_key"), F.asc("doc_id"))
+        committed.select("doc_id", "res_key").withColumn(
+            "sample_rank", F.row_number().over(win)
+        ).filter(F.col("sample_rank") <= k).createOrReplaceTempView(
+            sink_table
+        )
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

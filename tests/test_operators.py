@@ -1030,3 +1030,27 @@ def test_weighted_reservoir_sample_proportional_and_mergeable(spark):
         with_bad, k=100, weight_col="w", seed="r1"
     ).collect()
     assert all(r["doc_id"] != 3 for r in got) and len(got) == 99
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):
+    """Sketch-quantile accuracy contract: every estimate must land
+    within one bin width of the EXACT quantile (the histogram bound),
+    and the hit bin's cumulative bracket must contain the target rank."""
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    d = load_table(spark, sf_dir, "documents")
+    sk = CO.histogram_sketch(d, "n_chars", lo=0.0, hi=1000.0, n_bins=50)
+    qs = (0.25, 0.5, 0.9, 0.99)
+    got = {r["q"]: r for r in CO.histogram_quantiles(sk, qs).collect()}
+    import math
+
+    vals = sorted(r["n_chars"] for r in d.select("n_chars").collect())
+    n = len(vals)
+    for q in qs:
+        target = math.ceil(q * n)
+        exact = vals[max(0, target - 1)]
+        r = got[q]
+        assert abs(r["est_value"] - exact) <= 20.0 + 1e-9, (
+            f"q={q}: est {r['est_value']} vs exact {exact}"
+        )
+        assert r["cum_before"] < target <= r["cum_before"] + r["bin_count"]

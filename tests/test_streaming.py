@@ -367,3 +367,70 @@ def test_hll_channel_merges_across_microbatches(spark, sf_dir, tmp_path):
     est_batch = VO.hll_estimate(VO.hll_registers(items)).collect()[0]
     assert est_stream["s_star"] == est_batch["s_star"]
     assert est_stream["hll_est"] == est_batch["hll_est"]
+
+
+def test_histogram_channel_merges_across_microbatches(spark, sf_dir, tmp_path):
+    """Per-batch histogram spines summed through the commit log must
+    equal the batch sketch, and fold to identical quantile estimates."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_histogram_channel,
+    )
+
+    d, stream = _two_batch_docs_stream(spark, sf_dir, tmp_path)
+    sink_dir = str(tmp_path / "hist_sink")
+    q = start_histogram_channel(
+        spark, sf_dir, sink_table="hist_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2
+    merged = spark.table("hist_parity")
+    got = {r["bin"]: r["c"] for r in merged.collect()}
+    batch_sk = CO.histogram_sketch(d, "n_chars", lo=0.0, hi=1000.0, n_bins=50)
+    want = {r["bin"]: r["c"] for r in batch_sk.collect()}
+    assert got == want and len(got) == 52
+    qe_stream = {
+        r["q"]: r["est_value"]
+        for r in CO.histogram_quantiles(merged).collect()
+    }
+    qe_batch = {
+        r["q"]: r["est_value"]
+        for r in CO.histogram_quantiles(batch_sk).collect()
+    }
+    assert qe_stream == qe_batch and len(qe_stream) == 3
+
+
+def test_reservoir_channel_matches_batch_sample(spark, sf_dir, tmp_path):
+    """Per-batch top-ks max-merged through the commit log must equal
+    the batch A-Res sample over the whole table — the reservoir merge
+    law across real micro-batches."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_reservoir_channel,
+    )
+
+    d, stream = _two_batch_docs_stream(spark, sf_dir, tmp_path)
+    sink_dir = str(tmp_path / "res_sink")
+    q = start_reservoir_channel(
+        spark, sf_dir, k=25, sink_table="res_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2
+    got = [
+        (r["doc_id"], r["res_key"])
+        for r in spark.table("res_parity").orderBy("sample_rank").collect()
+    ]
+    want = [
+        (r["doc_id"], r["res_key"])
+        for r in CO.weighted_reservoir_sample(
+            d.select("doc_id", "n_chars"), k=25, weight_col="n_chars",
+            seed="res1",
+        ).orderBy("sample_rank").collect()
+    ]
+    assert got == want and len(got) == 25
