@@ -137,6 +137,7 @@ HEADLINE = [
     "dsir_gumbel_select",
     "reservoir_sample",
     "hist_quantiles",
+    "hll_by_source",
 ]
 
 TIMED_SWEEPS = 2

@@ -562,3 +562,74 @@ def bpe_fertility(
             "chars_per_token"
         ),
     )
+
+
+def hll_by_group(
+    items: DataFrame,
+    group_col: str = "source",
+    col: str = "item",
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-GROUP HyperLogLog estimates — the cardinality sketch
+    composed relationally: one (group, bucket) keyed max builds every
+    group's register file in a single pass, then each group folds to
+    its estimate with the same exact-integer S* contract as
+    `hll_estimate`.  The per-dataset distinct-token audit shape: at
+    100 TB the output is #groups rows and the shuffle key carries the
+    group, so skewed group sizes parallelize across buckets within
+    the key (64 subkeys per group).
+
+    Spine-free formulation: untouched buckets would each contribute
+    2^(wbits+1) to S*, so instead of materializing a #groups x 2^p
+    spine, S* = S*_touched + (m - n_touched) * 2^(wbits+1) and
+    v_zero = m - n_touched — all exact longs, bit-identical to the
+    spine+fold path (asserted in tests against `hll_registers` +
+    `hll_estimate` per group).
+
+    Returns (group, v_zero, s_star, hll_est) ordered by group."""
+    from .dedup import portable_token_hash
+
+    m = 1 << p
+    wbits = 60 - p
+    alpha = _HLL_ALPHA[p]
+    c = alpha * float(m * m) * float(2 ** (wbits + 1))
+    h = portable_token_hash(F.col(col))
+    hashed = items.select(
+        F.col(group_col).alias("grp"),
+        (h % m).alias("bucket"),
+        F.call_function("div", h, F.lit(m)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        F.instr(F.lpad(F.bin("w"), wbits, "0"), "1")
+    )
+    touched = (
+        hashed.select("grp", "bucket", rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    per = touched.groupBy("grp").agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({wbits + 1} - max_rho AS INT))"
+            )
+        ).alias("s_touched"),
+        F.count(F.lit(1)).alias("n_touched"),
+    )
+    empty_term = F.lit(int(2 ** (wbits + 1))).cast("long")
+    s_star = (
+        F.col("s_touched")
+        + (F.lit(m).cast("long") - F.col("n_touched")) * empty_term
+    )
+    v_zero = F.lit(m).cast("long") - F.col("n_touched")
+    raw = F.lit(c) / s_star.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        F.col("grp").alias(group_col),
+        v_zero.alias("v_zero"),
+        s_star.alias("s_star"),
+        est.alias("hll_est"),
+    ).orderBy(group_col)

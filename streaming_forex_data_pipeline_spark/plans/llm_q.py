@@ -2542,3 +2542,90 @@ def dsir_gumbel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(d), d.filter(F.col("lang") == "en"), k=50, seed="g1"
     )
     return out.orderBy("sel_rank")
+
+
+def _hll_by_source_oracle() -> str:
+    from ..llm.vocab import _HLL_ALPHA, HLL_P
+
+    m = 1 << HLL_P
+    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** (60 - HLL_P + 1))
+    return rf"""
+WITH ws AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+occ AS (
+  SELECT source,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS gram
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
+),
+hr AS (
+  SELECT source, hv % {m} AS bucket, hv // {m} AS wv
+  FROM (SELECT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv
+        FROM occ)
+),
+rr AS (
+  SELECT source, bucket,
+         CASE WHEN wv = 0 THEN 55
+              ELSE instr(lpad(bin(wv), 54, '0'), '1') END AS rho
+  FROM hr
+),
+touched AS (
+  SELECT source, bucket, max(rho) AS max_rho FROM rr GROUP BY 1, 2
+),
+per AS (
+  SELECT source,
+         CAST(sum(1::BIGINT << (55 - max_rho)) AS BIGINT) AS s_touched,
+         count(*) AS n_touched
+  FROM touched GROUP BY 1
+),
+folded AS (
+  SELECT source,
+         CAST({m} - n_touched AS BIGINT) AS v_zero,
+         CAST(s_touched + ({m} - n_touched) * (1::BIGINT << 55) AS BIGINT)
+           AS s_star
+  FROM per
+)
+SELECT source, v_zero, s_star,
+       round(CASE WHEN ({c!r} / CAST(s_star AS DOUBLE)) <= {2.5 * m!r}
+                       AND v_zero > 0
+                  THEN {float(m)!r}
+                       * ln({float(m)!r} / CAST(v_zero AS DOUBLE))
+                  ELSE ({c!r} / CAST(s_star AS DOUBLE)) END, 6) AS hll_est
+FROM folded
+ORDER BY source
+"""
+
+
+@register(
+    "hll_by_source",
+    oracle=_hll_by_source_oracle(),
+    doc="Per-source HyperLogLog distinct-shingle estimates "
+    "(llm/vocab.py:hll_by_group) — the cardinality sketch composed "
+    "relationally: ONE (source, bucket) keyed max builds every "
+    "source's register file in a single pass, and each source folds "
+    "to its estimate with the exact-integer S* contract.  Spine-free: "
+    "untouched buckets contribute (m - n_touched) * 2^56 to S* in "
+    "closed form instead of materializing a #sources x 64 spine — "
+    "bit-identical to the spine path (asserted in tests).  The "
+    "per-dataset distinct-token audit at 100 TB: output is #sources "
+    "rows, state is 64 integers per source, and the sketch merges "
+    "across ingest batches by register max exactly like the global "
+    "tier.",
+)
+def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VO
+    from ..llm.corpus import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    items = toks.select(
+        "source", F.explode(word_ngrams(F.col("t"), 5)).alias("item")
+    )
+    out = VO.hll_by_group(items, "source")
+    return out.select(
+        "source", "v_zero", "s_star", F.round("hll_est", R).alias("hll_est")
+    ).orderBy("source")

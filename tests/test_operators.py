@@ -1054,3 +1054,31 @@ def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):
             f"q={q}: est {r['est_value']} vs exact {exact}"
         )
         assert r["cum_before"] < target <= r["cum_before"] + r["bin_count"]
+
+
+def test_hll_by_group_matches_spine_path_per_group(spark, sf_dir):
+    """The spine-free grouped fold must be BIT-identical to running
+    the global register-file + estimate path on each group's items
+    separately (same S*, same v_zero, same float estimate)."""
+    from streaming_forex_data_pipeline_spark.llm import vocab as VO
+    from streaming_forex_data_pipeline_spark.llm.corpus import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    toks = d.select(
+        "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    items = toks.select(
+        "source", F.explode(word_ngrams(F.col("t"), 5)).alias("item")
+    )
+    got = {
+        r["source"]: (r["v_zero"], r["s_star"], r["hll_est"])
+        for r in VO.hll_by_group(items, "source").collect()
+    }
+    assert len(got) == 3
+    for src in got:
+        solo = VO.hll_estimate(
+            VO.hll_registers(items.filter(F.col("source") == src))
+        ).collect()[0]
+        assert got[src] == (solo["v_zero"], solo["s_star"], solo["hll_est"])
