@@ -138,6 +138,7 @@ HEADLINE = [
     "reservoir_sample",
     "hist_quantiles",
     "hll_by_source",
+    "ivf_cell_stats",
 ]
 
 TIMED_SWEEPS = 2

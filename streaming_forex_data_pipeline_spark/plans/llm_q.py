@@ -2629,3 +2629,68 @@ def hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "source", "v_zero", "s_star", F.round("hll_est", R).alias("hll_est")
     ).orderBy("source")
+
+
+@register(
+    "ivf_cell_stats",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         list_dot_product(n.v, c.cv) / (n.nn * c.cn) AS ccos
+  FROM n, c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                             ORDER BY ccos DESC, c.cid ASC) = 1
+),
+tot AS (SELECT count(*) AS total FROM n)
+SELECT CAST(cid AS INT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(count(*) AS DOUBLE) / total, 6) AS frac,
+       round(CAST(count(*) AS DOUBLE) * 16.0 / total, 6) AS skew
+FROM assign, tot
+GROUP BY cid, total
+ORDER BY cell
+""",
+    doc="IVF index-health diagnostic over the cell-partitioned silver "
+    "table: vectors per inverted list, the list's corpus fraction, "
+    "and its skew vs the ideal 1/n_cells balance (skew >> 1 means a "
+    "hot cell that degrades probe latency — the signal that triggers "
+    "a re-fit or cell split in production ANN serving).  The "
+    "registered plan reads ONLY the silver table's partition metadata "
+    "column (column-pruned scan of a count per directory); the "
+    "oracle recomputes the assignment from first principles, so this "
+    "also re-proves write_ivf_silver's assignment end-to-end.",
+)
+def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out_dir = _ivf_silver_dir(sf_dir)
+    if not (Path(out_dir) / "_SUCCESS").exists():
+        SIM.write_ivf_silver(e, out_dir, n_cells=16)
+    silver = spark.read.parquet(out_dir)
+    per = silver.groupBy(F.col("cell").cast("int").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = per.agg(F.sum("n_vecs").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("n_vecs").cast("double") / F.col("total"), R).alias(
+                "frac"
+            ),
+            F.round(
+                F.col("n_vecs").cast("double") * F.lit(16.0) / F.col("total"),
+                R,
+            ).alias("skew"),
+        )
+        .orderBy("cell")
+    )

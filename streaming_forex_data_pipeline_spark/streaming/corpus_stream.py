@@ -528,3 +528,79 @@ def start_reservoir_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_dsir_model_channel(
+    spark,
+    sf_dir: str,
+    n_buckets: int = 1024,
+    target_pred=None,
+    sink_table: str = "dsir_model_sink",
+    sink_dir: str | None = None,
+    stream=None,
+):
+    """Streaming face of the DSIR hashed-unigram models (`llm/text.py:
+    dsir_logratio`): the models' whole sufficient statistic is a pair
+    of per-bucket token counts (raw corpus, target slice) — exact
+    integers that merge by ADDITION — so a continuous ingest keeps
+    them live with the same delta-log contract as the sketch
+    channels: each micro-batch commits its (bucket, cr, ct) deltas
+    keyed (b, batch), the live model is a lazy VIEW summing the log,
+    and importance weights for any document are computable against
+    the view at any moment without rescanning history.  Parity with
+    the batch models is proven across real micro-batches in
+    tests/test_streaming.py.
+
+    ``target_pred`` is the Column predicate naming the in-domain
+    slice (default lang = 'en', matching the registered dsir_weights
+    query)."""
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import portable_token_hash
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="dsir_model_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "documents")
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    spark.createDataFrame(
+        [], "b long, cr long, ct long"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        ex = batch_df.select(
+            target_pred.alias("is_target"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        ).select(
+            "is_target",
+            (portable_token_hash(F.col("tok")) % n_buckets).alias("b"),
+        )
+        delta = (
+            ex.groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("cr"),
+                F.count(F.when(F.col("is_target"), 1)).alias("ct"),
+            )
+            .withColumn("batch", F.lit(int(batch_id)).cast("long"))
+        )
+        commit_append(delta, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(spark, sink_dir, keys=["b", "batch"])
+        except FileNotFoundError:
+            return
+        committed.groupBy("b").agg(
+            F.sum("cr").alias("cr"), F.sum("ct").alias("ct")
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

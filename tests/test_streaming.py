@@ -434,3 +434,50 @@ def test_reservoir_channel_matches_batch_sample(spark, sf_dir, tmp_path):
         ).orderBy("sample_rank").collect()
     ]
     assert got == want and len(got) == 25
+
+
+def test_dsir_model_channel_matches_batch_models(spark, sf_dir, tmp_path):
+    """The streamed DSIR bucket models (raw + target counts merged by
+    sum through the commit log) must equal the batch models computed
+    in one pass over the whole table."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        portable_token_hash,
+    )
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_dsir_model_channel,
+    )
+
+    d, stream = _two_batch_docs_stream(spark, sf_dir, tmp_path)
+    sink_dir = str(tmp_path / "dsir_sink")
+    q = start_dsir_model_channel(
+        spark, sf_dir, sink_table="dsir_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2
+    got = {
+        r["b"]: (r["cr"], r["ct"])
+        for r in spark.table("dsir_parity").collect()
+    }
+    want = {
+        r["b"]: (r["cr"], r["ct"])
+        for r in d.select(
+            (F.col("lang") == "en").alias("is_target"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .select(
+            "is_target", (portable_token_hash(F.col("tok")) % 1024).alias("b")
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.count(F.when(F.col("is_target"), 1)).alias("ct"),
+        )
+        .collect()
+    }
+    # the fixture corpus has ~31 distinct tokens, so ~31 touched buckets
+    assert got == want and len(got) >= 25
