@@ -139,6 +139,7 @@ HEADLINE = [
     "hist_quantiles",
     "hll_by_source",
     "ivf_cell_stats",
+    "source_kl",
 ]
 
 TIMED_SWEEPS = 2

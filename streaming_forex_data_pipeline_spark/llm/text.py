@@ -405,3 +405,72 @@ def dsir_gumbel_topk(
         keyed.withColumn("sel_rank", F.row_number().over(w))
         .filter(F.col("sel_rank") <= k)
     )
+
+
+def source_kl_divergence(docs, n_buckets: int = 1024, text: str = "text"):
+    """Per-source KL divergence from the corpus token distribution:
+    KL(p_source || p_corpus) over hashed unigram buckets (the DSIR
+    model family's fixed-parameter trick) — the dataset DRIFT
+    diagnostic beside the MinHash overlap matrix: overlap says two
+    sources share content, KL says a source's token MIX deviates from
+    the corpus (over-represented boilerplate, different language
+    register, template floods).  High-KL sources are reweighting /
+    inspection candidates in mixture design.
+
+    No smoothing is needed: every bucket a source touches is by
+    definition touched by the corpus (c_b >= k_b > 0), so q_b > 0
+    wherever p_b > 0 and the KL sum is finite.
+
+    Determinism contract: all bucket counts are exact integers; each
+    source folds (k_b/ts) * ln((k_b/ts) / (c_b/T)) over its touched
+    buckets in canonical bucket-sorted order via ``F.aggregate`` —
+    the lm_quality fixed-order-fold pattern, bit-identical to the
+    DuckDB oracle's list_reduce over the same sorted list.
+
+    Scale: one explode pass; per-(source, bucket) counts are the
+    sufficient statistic (checkpointed — feeds the corpus rollup and
+    the per-source regroup); the fold arrays are <= n_buckets entries
+    per source.  Returns (source, n_tokens, kl)."""
+    from .dedup import portable_token_hash
+
+    ex = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text))), r"\s+")
+        ).alias("tok"),
+    ).select("source", (portable_token_hash(F.col("tok")) % n_buckets).alias("b"))
+    per = (
+        ex.groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    cnt = per.groupBy("b").agg(F.sum("k").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("big_t"))
+    arr = (
+        per.join(cnt, "b")
+        .groupBy("source")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("b", "k", "c"))).alias("a")
+        )
+    )
+    ts = F.aggregate(
+        F.transform("a", lambda s: s["k"]),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    keyed = arr.crossJoin(F.broadcast(tot)).select(
+        "source", "a", "big_t", ts.alias("n_tokens")
+    )
+    terms = F.transform(
+        "a",
+        lambda s: (s["k"].cast("double") / F.col("n_tokens"))
+        * F.log(
+            (s["k"].cast("double") / F.col("n_tokens"))
+            / (s["c"].cast("double") / F.col("big_t"))
+        ),
+    )
+    return keyed.select(
+        "source",
+        "n_tokens",
+        F.aggregate(terms, F.lit(0.0), lambda a, x: a + x).alias("kl"),
+    )

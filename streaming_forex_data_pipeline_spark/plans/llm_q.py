@@ -2694,3 +2694,64 @@ def ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "source_kl",
+    oracle=r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+),
+ex AS (
+  SELECT source,
+         (('0x' || substr(md5(tok), 1, 15))::BIGINT) % 1024 AS b
+  FROM (SELECT source, unnest(t) AS tok FROM toks)
+),
+per AS (SELECT source, b, count(*) AS k FROM ex GROUP BY source, b),
+cnt AS (SELECT b, sum(k) AS c FROM per GROUP BY b),
+tot AS (SELECT sum(c) AS big_t FROM cnt),
+arr AS (
+  SELECT source, list_sort(list({'b': p.b, 'k': p.k, 'c': c.c})) AS a
+  FROM per p JOIN cnt c USING (b)
+  GROUP BY source
+),
+keyed AS (
+  SELECT source, a, big_t,
+         list_reduce(list_transform(a, s -> s.k), (x, y) -> x + y)
+           AS n_tokens
+  FROM arr, tot
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(list_reduce(
+         list_transform(
+           a,
+           s -> (CAST(s.k AS DOUBLE) / n_tokens)
+                * ln((CAST(s.k AS DOUBLE) / n_tokens)
+                     / (CAST(s.c AS DOUBLE) / big_t))
+         ),
+         (x, y) -> x + y
+       ), 6) AS kl
+FROM keyed
+ORDER BY source
+""",
+    doc="Per-source KL divergence from the corpus token distribution "
+    "(llm/text.py:source_kl_divergence) over the DSIR-style hashed "
+    "1024-bucket unigram models — the dataset DRIFT diagnostic "
+    "beside the MinHash overlap matrix: overlap says two sources "
+    "share content, KL says a source's token MIX deviates from the "
+    "corpus (boilerplate floods, register shift) — the reweighting/"
+    "inspection signal in mixture design.  No smoothing needed "
+    "(source buckets are a subset of corpus buckets, so q > 0 "
+    "wherever p > 0); exact-integer counts feed a bucket-sorted "
+    "fixed-order F.aggregate fold mirrored by DuckDB list_reduce, "
+    "the lm_quality determinism contract.  One explode pass, "
+    "checkpointed (source,bucket) sufficient statistic, output = "
+    "#sources rows.",
+)
+def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = TX.source_kl_divergence(fan_out(d))
+    return s.select(
+        "source", "n_tokens", F.round("kl", R).alias("kl")
+    ).orderBy("source")

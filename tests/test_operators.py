@@ -1082,3 +1082,27 @@ def test_hll_by_group_matches_spine_path_per_group(spark, sf_dir):
             VO.hll_registers(items.filter(F.col("source") == src))
         ).collect()[0]
         assert got[src] == (solo["v_zero"], solo["s_star"], solo["hll_est"])
+
+
+def test_source_kl_detects_distribution_drift(spark):
+    """KL sanity on controlled sources: a source matching the corpus
+    mix scores near 0, a token-flooded source scores well above it,
+    and every KL is non-negative (Gibbs)."""
+    from streaming_forex_data_pipeline_spark.llm.text import (
+        source_kl_divergence,
+    )
+
+    balanced = " ".join(f"w{i}" for i in range(40))
+    flood = " ".join(["spam"] * 40)
+    rows = (
+        [(i, balanced, "bal") for i in range(10)]
+        + [(100 + i, balanced, "bal2") for i in range(10)]
+        + [(200 + i, flood, "flood") for i in range(10)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kl = {r["source"]: r["kl"] for r in source_kl_divergence(d).collect()}
+    assert all(v >= -1e-12 for v in kl.values())
+    # bal/bal2 are identical mixes of 2/3 of the corpus mass; flood is
+    # one token carrying 1/3 of corpus mass concentrated at p=1
+    assert kl["flood"] > kl["bal"] + 0.5
+    assert abs(kl["bal"] - kl["bal2"]) < 1e-12
