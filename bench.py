@@ -140,6 +140,7 @@ HEADLINE = [
     "hll_by_source",
     "ivf_cell_stats",
     "source_kl",
+    "split_leakage",
 ]
 
 TIMED_SWEEPS = 2

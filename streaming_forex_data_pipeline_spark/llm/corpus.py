@@ -738,3 +738,62 @@ def histogram_quantiles(
         F.col("c").alias("bin_count"),
         F.round(est, 6).alias("est_value"),
     ).orderBy("q")
+
+
+def split_leakage(
+    docs,
+    n: int = 4,
+    text: str = "text",
+    train_pct: int = 80,
+    val_pct: int = 10,
+):
+    """Train→validation n-gram leakage audit: per source, how many
+    validation documents share at least one word-``n``-gram with ANY
+    training document under the deterministic hash split
+    (`assign_split`).  Decontamination (`llm/dedup.py:decontaminate`)
+    protects an EXTERNAL benchmark; this audits the INTERNAL held-out
+    split — near-duplicates straddling the split boundary make
+    validation loss lie, which is exactly what the random-by-hash
+    split cannot prevent on its own (dedup must run first; this
+    measures how much leakage the current corpus state carries).
+
+    Scale shape: both sides' gram frames are corpus-sized, so unlike
+    the broadcast decontamination scrub the leak check is a plain
+    hash join ON THE GRAM KEY (shuffle both sides, AQE handles the
+    Zipf-head skew) followed by a per-doc any-collision distinct —
+    the shape of a train/val overlap job at 100 TB.  The distinct
+    train-gram frame is checkpointed so it builds once.
+
+    Returns (source, n_val_docs, n_leaked, leak_frac) by source."""
+    s = assign_split(docs, train_pct=train_pct, val_pct=val_pct)
+    grams = F.array_distinct(word_ngrams(words_array(text), n))
+    train_g = (
+        s.filter(F.col("split") == "train")
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    val = s.filter(F.col("split") == "validation")
+    val_ex = val.select("doc_id", F.explode(grams).alias("g"))
+    leaked = (
+        val_ex.join(train_g, "g", "left_semi").select("doc_id").distinct()
+    )
+    flagged = val.select("doc_id", "source").join(
+        leaked.withColumn("leak", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_val_docs"),
+            F.sum(F.coalesce("leak", F.lit(0))).cast("long").alias("n_leaked"),
+        )
+        .select(
+            "source",
+            "n_val_docs",
+            "n_leaked",
+            (
+                F.col("n_leaked").cast("double") / F.col("n_val_docs")
+            ).alias("leak_frac"),
+        )
+        .orderBy("source")
+    )

@@ -952,3 +952,69 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.histogram_quantiles(
         sk, (0.25, 0.5, 0.9, 0.99), lo=0.0, hi=1000.0, n_bins=50
     )
+
+
+@register(
+    "split_leakage",
+    oracle=rf"""
+WITH s AS (
+  SELECT doc_id, source, text,
+         {_HASH_SQL.format(expr="'split:' || CAST(doc_id AS VARCHAR)")}
+           % 100 AS bucket
+  FROM documents
+),
+labeled AS (
+  SELECT doc_id, source, text,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM s
+),
+ws AS (
+  SELECT doc_id, source, split,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM labeled
+),
+grams AS (
+  SELECT DISTINCT doc_id, split,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) r
+),
+train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+leaked AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE split = 'validation' AND g IN (SELECT g FROM train_g)
+)
+SELECT l.source,
+       CAST(count(*) AS BIGINT) AS n_val_docs,
+       CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_leaked,
+       round(CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS leak_frac
+FROM labeled l LEFT JOIN leaked k USING (doc_id)
+WHERE l.split = 'validation'
+GROUP BY l.source
+ORDER BY l.source
+""",
+    doc="Train-to-validation n-gram leakage audit "
+    "(llm/corpus.py:split_leakage): per source, the fraction of "
+    "validation documents sharing at least one word-4-gram with ANY "
+    "training document under the deterministic hash split.  "
+    "Decontamination protects an external benchmark; this audits the "
+    "INTERNAL held-out split — near-duplicates straddling the split "
+    "boundary make validation loss lie, and a random-by-hash split "
+    "cannot prevent that by itself (dedup must run first; this "
+    "measures what leakage remains).  Scale shape: both gram frames "
+    "are corpus-sized, so the check is a plain hash join on the gram "
+    "key (AQE absorbs Zipf-head skew) + per-doc any-collision — "
+    "deliberately NOT the broadcast decontamination shape.",
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = CO.split_leakage(fan_out(d), n=4)
+    return out.select(
+        "source",
+        "n_val_docs",
+        "n_leaked",
+        F.round("leak_frac", 6).alias("leak_frac"),
+    ).orderBy("source")

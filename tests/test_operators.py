@@ -1106,3 +1106,31 @@ def test_source_kl_detects_distribution_drift(spark):
     # one token carrying 1/3 of corpus mass concentrated at p=1
     assert kl["flood"] > kl["bal"] + 0.5
     assert abs(kl["bal"] - kl["bal2"]) < 1e-12
+
+
+def test_split_leakage_flags_straddling_duplicates(spark):
+    """Controlled fixture: a validation doc sharing 4-grams with a
+    training doc must be flagged; one with unique text must not."""
+    import hashlib
+
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    def bucket(i: int) -> int:
+        h = hashlib.md5(f"split:{i}".encode()).hexdigest()[:15]
+        return int(h, 16) % 100
+
+    train_ids = [i for i in range(400) if bucket(i) < 80]
+    val_ids = [i for i in range(400) if 80 <= bucket(i) < 90]
+    assert len(train_ids) >= 2 and len(val_ids) >= 2
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (train_ids[0], shared, "A"),
+        (train_ids[1], "one two three four five six", "A"),
+        (val_ids[0], shared + " eta", "A"),  # leaks via the shared 4-grams
+        (val_ids[1], "u1 u2 u3 u4 u5 u6", "A"),  # unique -> clean
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in CO.split_leakage(d, n=4).collect()}
+    a = out["A"]
+    assert a["n_val_docs"] == 2 and a["n_leaked"] == 1
+    assert abs(a["leak_frac"] - 0.5) < 1e-12
