@@ -42,7 +42,10 @@ def upsert_append(
 
 
 def commit_append(
-    updates: DataFrame, table_dir: str, version: float | None = None
+    updates: DataFrame,
+    table_dir: str,
+    version: float | None = None,
+    replaces: list[int] | None = None,
 ) -> int:
     """S7 write side with an ATOMIC commit (the transactional MERGE
     story plain `upsert_append` lacks): the batch's parquet files are
@@ -84,6 +87,12 @@ def commit_append(
         "files": files,
         "version": version,
     }
+    if replaces:
+        # compaction commit: this manifest logically SUBSUMES the
+        # listed earlier commits — readers skip them from the moment
+        # this single link lands (see compact_log), so replacement is
+        # as atomic as a normal commit
+        manifest["replaces"] = sorted(int(c) for c in replaces)
     tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -116,6 +125,7 @@ def _commit_ids(log_dir: str) -> list[int]:
 def read_committed(
     spark: SparkSession, table_dir: str, keys: list[str],
     as_of: int | None = None,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Read side of ``commit_append``: scan ONLY manifest-listed files
     (uncommitted staging data is invisible), then keep-latest per key
@@ -141,9 +151,21 @@ def read_committed(
     cids = _commit_ids(log_dir)
     if as_of is not None:
         cids = [c for c in cids if c <= as_of]
+    manifests = {}
     for cid in cids:
         with open(os.path.join(log_dir, f"{cid:020d}.json")) as fh:
-            m = json.load(fh)
+            manifests[cid] = json.load(fh)
+    # compaction: a manifest's "replaces" list names earlier commits it
+    # logically subsumes — skip them (their files may or may not still
+    # exist; GC is lazy).  Computed WITHIN the as_of scope, so time
+    # travel to a pre-compaction snapshot still reads the original
+    # commits until compact_log's GC physically reclaims them.
+    replaced = set()
+    for m in manifests.values():
+        replaced.update(m.get("replaces", ()))
+    for cid, m in manifests.items():
+        if cid in replaced:
+            continue
         for f in m["files"]:
             rows.append(
                 (f, cid, os.path.join(table_dir, "_staged", m["staged"], f))
@@ -160,10 +182,86 @@ def read_committed(
     w = Window.partitionBy(*keys).orderBy(
         F.desc("__ingest_ts"), F.desc("__cid")
     )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__ingest_ts", "__cid", "__file")
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    if keep_meta:
+        # compaction needs the winning rows' stamps to re-stamp the
+        # folded commit without disturbing keep-latest ordering
+        return out.drop("__rn", "__file")
+    return out.drop("__rn", "__ingest_ts", "__cid", "__file")
+
+
+def compact_log(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str],
+    merge=None,
+    keep_last: int = 1,
+) -> int | None:
+    """Compact the delta log: fold every commit EXCEPT the newest
+    ``keep_last`` into one equivalent commit, so a long-running
+    channel's readers scan O(keep_last + 1) manifests forever instead
+    of one per micro-batch — the bounded-state guarantee the sketch
+    channels' docstrings promise, made true for unbounded streams.
+
+    ``merge`` optionally aggregates the folded state before writing
+    (e.g. sum CMS deltas per (row, bucket) into a single delta row),
+    shrinking ROWS as well as files; it must preserve the consuming
+    view's semantics.  ``keep_last >= 1`` keeps the newest commits
+    untouched because Structured Streaming may REPLAY the in-flight
+    micro-batch after a crash — replays dedup against their original
+    keys via keep-latest, which an aggregated fold would break; older
+    commits are checkpoint-settled and safe to fold.
+
+    Crash safety (the Delta checkpoint protocol on a filesystem): the
+    compacted state is staged invisibly, then published as ONE new
+    manifest carrying ``replaces=[folded ids]`` — a single atomic
+    link.  Readers skip replaced commits from that moment; a crash
+    before the link leaves only an orphan staging dir (vacuum
+    reclaims it), a crash after leaves stale-but-ignored manifests
+    that this function garbage-collects on its next run.  Returns the
+    compaction commit id, or None if there was nothing to fold."""
+    import json
+    import os
+    import shutil
+
+    log_dir = os.path.join(table_dir, "_log")
+    cids = _commit_ids(log_dir)
+    # GC debris from earlier compactions: manifests some surviving
+    # manifest replaces, plus their staged dirs
+    replaced_now = set()
+    manifests = {}
+    for cid in cids:
+        with open(os.path.join(log_dir, f"{cid:020d}.json")) as fh:
+            manifests[cid] = json.load(fh)
+        replaced_now.update(manifests[cid].get("replaces", ()))
+    for cid in sorted(replaced_now):
+        if cid in manifests:
+            staged = manifests[cid]["staged"]
+            os.unlink(os.path.join(log_dir, f"{cid:020d}.json"))
+            shutil.rmtree(
+                os.path.join(table_dir, "_staged", staged),
+                ignore_errors=True,
+            )
+    live = [c for c in cids if c not in replaced_now]
+    if len(live) <= keep_last + 1:
+        return None  # nothing worth folding
+    fold = live[:-keep_last] if keep_last > 0 else live
+    cutoff = fold[-1]
+    state = read_committed(
+        spark, table_dir, keys, as_of=cutoff, keep_meta=True
+    )
+    # the compacted commit must NOT outrank retained commits in the
+    # keep-latest order, so stamp it with the folded state's own max
+    # ingest stamp (stamping with e.g. the cutoff COMMIT id would beat
+    # a retained batch whose version is numerically lower)
+    fold_ts = state.agg(F.max("__ingest_ts")).collect()[0][0]
+    state = state.drop("__ingest_ts", "__cid")
+    if merge is not None:
+        state = merge(state)
+    return commit_append(
+        state, table_dir, version=float(fold_ts), replaces=fold
     )
 
 

@@ -175,3 +175,25 @@ def test_registered_ivf_silver_topk_prunes_partitions(spark, sf_dir):
     assert seg, (
         f"registered ivf_silver_topk lost partition pruning on cell:\n{plan}"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["dsir_select", "dsir_gumbel_select", "reservoir_sample"]
+)
+def test_topk_selections_compile_to_take_ordered(spark, sf_dir, name):
+    """The rank-filter top-k faces must compile to a distributed
+    TakeOrderedAndProject (per-partition partial top-k + k-row merge),
+    with any Window sitting ABOVE it in the plan — i.e. ranking only
+    the <= k surviving rows, never the corpus through a
+    single-partition window."""
+    df = all_queries()[name].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, f"{name} lost the top-k rewrite"
+    if "Window" in plan:
+        # executed plans print parents first: Window must appear before
+        # (above) the TakeOrdered that bounds its input
+        assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+            f"{name}: a Window runs below the limit — corpus-sized "
+            f"single-partition sort:\n{plan}"
+        )

@@ -389,3 +389,107 @@ def test_export_shards_jsonl(spark, tmp_path, sf_dir):
         for r in spark.read.json(out).select("doc_id", "shard").collect()
     }
     assert jl == pq
+
+
+def test_compact_log_preserves_state_and_bounds_manifests(spark, tmp_path):
+    """Folding all-but-the-newest commits into one replaces-manifest
+    must preserve read_committed's state exactly, and a later
+    compaction must garbage-collect the folded manifests + files so
+    the log stays O(keep_last + 1) forever."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        commit_append,
+        compact_log,
+        read_committed,
+    )
+
+    d = str(tmp_path / "tbl")
+    for b in range(4):
+        rows = [(k, f"v{b}") for k in range(b, b + 3)]
+        commit_append(
+            spark.createDataFrame(rows, "k long, v string"), d,
+            version=float(b),
+        )
+    before = {(r["k"], r["v"]) for r in read_committed(spark, d, ["k"]).collect()}
+    cid = compact_log(spark, d, keys=["k"])
+    assert cid is not None
+    after = {(r["k"], r["v"]) for r in read_committed(spark, d, ["k"]).collect()}
+    assert after == before
+    # stale manifests still on disk (lazy GC) but logically ignored;
+    # two more batches + a second compaction must GC them
+    for b in (4, 5):
+        commit_append(
+            spark.createDataFrame([(99 + b, f"v{b}")], "k long, v string"),
+            d, version=float(b),
+        )
+    compact_log(spark, d, keys=["k"])
+    log = os.path.join(d, "_log")
+    # live manifests now: newest batch + 2nd compaction (+ nothing
+    # stale from round 1 — GC removed the replaced ones)
+    import json
+
+    live = []
+    replaced = set()
+    for f in sorted(os.listdir(log)):
+        with open(os.path.join(log, f)) as fh:
+            m = json.load(fh)
+        replaced.update(m.get("replaces", ()))
+        live.append(int(f.split(".")[0]))
+    assert len([c for c in live if c not in replaced]) <= 3
+    final = {(r["k"], r["v"]) for r in read_committed(spark, d, ["k"]).collect()}
+    assert final == before | {(103, "v4"), (104, "v5")}
+
+
+def test_compact_log_with_aggregating_merge_bounds_rows(spark, sf_dir, tmp_path):
+    """The CMS channel's delta log compacts with a summing merge: the
+    merged view still equals the batch sketch, and the folded commit
+    holds sketch-sized rows instead of #batches x sketch."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import vocab as VO
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        compact_log,
+        read_committed,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_cms_channel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs2")
+    d.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_dir = str(tmp_path / "cms")
+    q = start_cms_channel(
+        spark, sf_dir, sink_table="cms_compact_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+
+    def merge(df):
+        return (
+            df.groupBy("row", "bucket")
+            .agg(F.sum("c").alias("c"), F.max("batch").alias("batch"))
+        )
+
+    # the availableNow stream has terminated — no replay is possible,
+    # so every commit is settled and keep_last=0 may fold them all
+    cid = compact_log(
+        spark, sink_dir, keys=["row", "bucket", "batch"], merge=merge,
+        keep_last=0,
+    )
+    assert cid is not None
+    merged = (
+        read_committed(spark, sink_dir, keys=["row", "bucket", "batch"])
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    want = {(r["row"], r["bucket"]): r["c"] for r in VO.cms_build(d).collect()}
+    assert got == want
