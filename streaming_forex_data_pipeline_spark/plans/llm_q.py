@@ -2014,7 +2014,8 @@ WITH ex AS (
 cnt AS (SELECT tok, count(*) AS true_count FROM ex GROUP BY tok),
 rb AS (
   SELECT tok, j,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || tok), 1, 15))::BIGINT
+         (('0x' || substr(md5('1#' || tok), 1, 15))::BIGINT
+          + j * ('0x' || substr(md5('2#' || tok), 1, 15))::BIGINT)
            % 1024 AS bucket
   FROM ex, LATERAL (SELECT unnest(range(0, 4)) AS j) r
 ),
@@ -2023,7 +2024,8 @@ sketch AS (
 ),
 probes AS (
   SELECT c2.tok, c2.true_count, pj.j,
-         ('0x' || substr(md5(CAST(pj.j AS VARCHAR) || '#' || c2.tok), 1, 15))::BIGINT
+         (('0x' || substr(md5('1#' || c2.tok), 1, 15))::BIGINT
+          + pj.j * ('0x' || substr(md5('2#' || c2.tok), 1, 15))::BIGINT)
            % 1024 AS bucket
   FROM cnt c2, LATERAL (SELECT unnest(range(0, 4)) AS j) pj
 ),
@@ -2044,9 +2046,11 @@ ORDER BY true_count DESC, tok
     "— est >= true always, overestimates bounded by eps*N.  The "
     "sketch has FIXED size regardless of vocabulary (the 100 TB "
     "point: per-batch sketches merge by counter addition in a "
-    "streaming ingest); hashes are the portable md5-prefix family so "
-    "DuckDB rebuilds the identical sketch and the estimates "
-    "hash-check exactly.",
+    "streaming ingest); the depth row hashes derive from TWO portable "
+    "md5 prefixes via Kirsch-Mitzenmacher 2006 double hashing "
+    "(g_j = h1 + j*h2 mod w, guarantee-preserving, 2 md5 per token "
+    "instead of depth) so DuckDB rebuilds the identical sketch and "
+    "the estimates hash-check exactly.",
 )
 def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import vocab as VO
