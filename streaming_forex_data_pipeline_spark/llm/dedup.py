@@ -1134,16 +1134,32 @@ def source_minhash_similarity(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # the n_hashes row hashes derive from TWO 56-bit md5 prefixes by
+    # Kirsch-Mitzenmacher double hashing (h_j = h1 + j*h2): 2 md5 per
+    # distinct shingle instead of n_hashes.  56-bit prefixes keep
+    # h1 + (n_hashes-1)*h2 < 16*2^56 = 2^60 inside int64 for up to 16
+    # rows (asserted); min-wise estimates under a pairwise-derived
+    # family remain accurate (est-tracks-exact proven in tests).
+    assert n_hashes <= 16, "double-hash sum overflows int64 beyond 16 rows"
+
+    def h56(seed: str) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col("g"))), 1, 14),
+            16,
+            10,
+        ).cast("long")
+
     seeded = shingles.select(
         "source",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
-        "g",
+        h56("1#").alias("h1"),
+        h56("2#").alias("h2"),
     ).select(
         "source",
-        "j",
-        portable_token_hash(
-            F.concat(F.col("j").cast("string"), F.lit("#"), F.col("g"))
-        ).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
+        "h1",
+        "h2",
+    ).select(
+        "source", "j", (F.col("h1") + F.col("j") * F.col("h2")).alias("h")
     )
     sig = seeded.groupBy("source", "j").agg(F.min("h").alias("mh"))
     a, b = sig.alias("a"), sig.alias("b")

@@ -2396,8 +2396,8 @@ sh AS (
 ),
 seeded AS (
   SELECT source, j,
-         ('0x' || substr(md5(CAST(j AS VARCHAR) || '#' || g), 1, 15))::BIGINT
-           AS h
+         ('0x' || substr(md5('1#' || g), 1, 14))::BIGINT
+         + j * ('0x' || substr(md5('2#' || g), 1, 14))::BIGINT AS h
   FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS j) hs
 ),
 sig AS (SELECT source, j, min(h) AS mh FROM seeded GROUP BY 1, 2)
