@@ -380,3 +380,53 @@ def test_incremental_dedup_equals_restricted_full_set(spark, texts, cut_frac):
     }
     want = {p for p in full if p[0] >= cutoff or p[1] >= cutoff}
     assert got == want
+
+
+def test_reservoir_sample_invariant_under_partitioning(spark):
+    """The A-Res sample is a pure function of (seed, id, weight), so
+    ANY physical partitioning must pick the identical rows in the
+    identical order — the determinism contract a 100 TB rerun needs."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    base = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 17 + 1.0).alias("w")
+    )
+    picks = []
+    for parts in (1, 3, 11):
+        got = CO.weighted_reservoir_sample(
+            base.repartition(parts), k=20, weight_col="w", seed="p1"
+        ).orderBy("sample_rank").collect()
+        picks.append([(r["doc_id"], r["res_key"]) for r in got])
+    assert picks[0] == picks[1] == picks[2] and len(picks[0]) == 20
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=1100), min_size=5, max_size=120
+    )
+)
+@settings(**SETTINGS)
+def test_histogram_quantile_within_one_bin(spark, vals):
+    """For arbitrary integer value multisets, the histogram-sketch
+    quantile estimate lands within one bin width of the exact order
+    statistic (under/overflow clamp to lo/hi), for every q."""
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, x long"
+    )
+    sk = CO.histogram_sketch(df, "x", lo=0.0, hi=1000.0, n_bins=50)
+    qs = (0.1, 0.5, 0.95)
+    got = {
+        r["q"]: r["est_value"]
+        for r in CO.histogram_quantiles(
+            sk, qs, lo=0.0, hi=1000.0, n_bins=50
+        ).collect()
+    }
+    svals = sorted(vals)
+    for q in qs:
+        exact = svals[max(0, math.ceil(q * len(svals)) - 1)]
+        clamped = min(max(exact, 0), 1000)
+        assert abs(got[q] - clamped) <= 20.0 + 1e-9
