@@ -141,6 +141,7 @@ HEADLINE = [
     "ivf_cell_stats",
     "source_kl",
     "split_leakage",
+    "gate_by_source",
 ]
 
 TIMED_SWEEPS = 2

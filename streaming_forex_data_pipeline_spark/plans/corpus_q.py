@@ -1018,3 +1018,107 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_leaked",
         F.round("leak_frac", 6).alias("leak_frac"),
     ).orderBy("source")
+
+
+@register(
+    "gate_by_source",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+g AS (SELECT doc_id, unnest(w) AS tok FROM ws),
+c AS (SELECT doc_id, tok, count(*) AS k FROM g GROUP BY 1, 2),
+m AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+         round(1.0 - count(*) * 1.0 / sum(k), 6) AS dup_word_frac,
+         round(max(k) * 1.0 / sum(k), 6) AS top_word_frac
+  FROM c GROUP BY doc_id
+),
+a AS (
+  SELECT doc_id,
+         round(coalesce(
+           CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+                THEN CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / (CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+           END, 0.0), 6) AS avg_word_len
+  FROM documents
+),
+r AS (
+  SELECT m.doc_id, concat_ws(',',
+           CASE WHEN n_words < 20 THEN 'too_short' END,
+           CASE WHEN n_words > 1000 THEN 'too_long' END,
+           CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+           CASE WHEN top_word_frac > 0.15 THEN 'top_word' END,
+           CASE WHEN avg_word_len < 2.0 OR avg_word_len > 10.0
+                THEN 'word_len' END
+         ) AS reasons
+  FROM m JOIN a ON m.doc_id = a.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN reasons = '' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       round(CAST(sum(CASE WHEN reasons = '' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_frac,
+       CAST(sum(CASE WHEN list_contains(string_split(reasons, ','),
+                                        'too_short') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_too_short,
+       CAST(sum(CASE WHEN list_contains(string_split(reasons, ','),
+                                        'too_long') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_too_long,
+       CAST(sum(CASE WHEN list_contains(string_split(reasons, ','),
+                                        'dup_words') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_words,
+       CAST(sum(CASE WHEN list_contains(string_split(reasons, ','),
+                                        'top_word') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top_word,
+       CAST(sum(CASE WHEN list_contains(string_split(reasons, ','),
+                                        'word_len') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_word_len
+FROM r JOIN documents d ON r.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+    doc="Per-source quality-gate dashboard: keep rate and per-rule "
+    "drop counts for the Gopher/C4 battery (llm/corpus.py:"
+    "quality_gate joined back to the source column) — the ingest "
+    "compliance view every corpus pipeline watches (a source whose "
+    "keep_frac collapses or whose rule mix shifts is a crawler or "
+    "extraction regression).  Decisions are the gate's own "
+    "6dp-rounded-attribute decisions, so the aggregation is exactly "
+    "hash-checked; one extra doc_id join + a source-keyed aggregation "
+    "over the gate output, output = #sources rows.",
+)
+def gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = CO.quality_gate(fan_out(d)).select("doc_id", "reasons", "keep")
+    j = g.join(d.select("doc_id", "source"), "doc_id")
+    rules = ["too_short", "too_long", "dup_words", "top_word", "word_len"]
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        *[
+            F.sum(
+                F.when(
+                    F.array_contains(F.split("reasons", ","), rl), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n_{rl}")
+            for rl in rules
+        ],
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.round(
+            F.col("n_keep").cast("double") / F.col("n_docs"), 6
+        ).alias("keep_frac"),
+        *[f"n_{rl}" for rl in rules],
+    ).orderBy("source")
