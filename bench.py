@@ -142,6 +142,7 @@ HEADLINE = [
     "source_kl",
     "split_leakage",
     "gate_by_source",
+    "ann_multiprobe_topk",
 ]
 
 TIMED_SWEEPS = 2

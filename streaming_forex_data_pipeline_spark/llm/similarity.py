@@ -84,6 +84,22 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 42) ->
     return bucket
 
 
+def multiprobe_buckets(qbucket: Column, n_planes: int = 8) -> Column:
+    """Multi-probe LSH probe set (Lv et al. 2007): the query's own
+    bucket plus every bucket at Hamming distance 1 (each sign bit
+    flipped) — n_planes+1 probes.  A sign bit flips exactly when the
+    query sits close to that hyperplane, so the Hamming-1 neighbors
+    are precisely where near neighbors that straddled a plane landed:
+    the classic recall lever that multiplies probed candidates by
+    ~(n_planes+1)/2^n_planes of the corpus instead of building more
+    hash tables.  Pure bit arithmetic on the bucket id — the probe
+    set ships as a broadcast array; recall-vs-single-probe is
+    measured in tests."""
+    return F.array(
+        qbucket, *[qbucket.bitwiseXOR(F.lit(2 ** p)) for p in range(n_planes)]
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, threshold: float, id_col: str = "vec_id",
     vec_col: str = "embedding",

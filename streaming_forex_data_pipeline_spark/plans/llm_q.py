@@ -2759,3 +2759,59 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "source", "n_tokens", F.round("kl", R).alias("kl")
     ).orderBy("source")
+
+
+def _multiprobe_pred_sql(n_planes: int = 8) -> str:
+    terms = ["b.bucket = q.qb"] + [
+        f"b.bucket = xor(q.qb, {2 ** p})" for p in range(n_planes)
+    ]
+    return "(" + " OR ".join(terms) + ")"
+
+
+@register(
+    "ann_multiprobe_topk",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_dot_product(b.e, q.qe)
+             / (sqrt(list_dot_product(b.e, b.e))
+                * sqrt(list_dot_product(q.qe, q.qe))), 5) AS cos_sim
+FROM b, q
+WHERE {_multiprobe_pred_sql(8)}
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    doc="ANN similarity search — multi-probe sign-bit LSH top-k (Lv "
+    "et al. 2007; llm/similarity.py:multiprobe_buckets): the query "
+    "scores its own bucket PLUS the 8 buckets at Hamming distance 1 "
+    "(each hyperplane sign flipped), because a near neighbor that "
+    "straddled one plane lands exactly there — the standard recall "
+    "lever that probes (n_planes+1)/2^n_planes of the corpus instead "
+    "of building more hash tables.  Probe set is pure bit arithmetic "
+    "broadcast with the query; exact cosine within the probed "
+    "buckets; recall-vs-single-probe measured in tests.  Oracle "
+    "embeds the identical plane literals and xor probes.",
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = fan_out(e).withColumn("bucket", SIM.lsh_bucket(F.col("embedding")))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"),
+        SIM.multiprobe_buckets(F.col("bucket")).alias("probes"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.array_contains(F.col("probes"), F.col("bucket")))
+        .select(
+            "vec_id",
+            F.round(
+                SIM.cosine(F.col("embedding"), F.col("q_embedding")), 5
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)

@@ -1134,3 +1134,79 @@ def test_split_leakage_flags_straddling_duplicates(spark):
     a = out["A"]
     assert a["n_val_docs"] == 2 and a["n_leaked"] == 1
     assert abs(a["leak_frac"] - 0.5) < 1e-12
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark):
+    """Multi-probe must find at least as many of the true top-k as the
+    single-bucket probe on every query, and strictly more in aggregate
+    on a fixture where near neighbors straddle hyperplanes."""
+    import random
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for _base in range(30):
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        rows.append((vid, v))
+        vid += 1
+        for _ in range(3):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in v]))
+            vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = e.withColumn("bucket", SIM.lsh_bucket(F.col("embedding")))
+
+    def topk_found(probe_multi: bool, qid: int, k: int = 5) -> set:
+        q = b.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qe"),
+            F.col("bucket").alias("qb"),
+            SIM.multiprobe_buckets(F.col("bucket")).alias("probes"),
+        )
+        j = b.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != qid)
+        j = j.filter(
+            F.array_contains(F.col("probes"), F.col("bucket"))
+            if probe_multi
+            else (F.col("bucket") == F.col("qb"))
+        )
+        got = (
+            j.select(
+                "vec_id", SIM.cosine(F.col("embedding"), F.col("qe")).alias("c")
+            )
+            .orderBy(F.desc("c"), "vec_id")
+            .limit(k)
+            .collect()
+        )
+        return {r["vec_id"] for r in got}
+
+    truth = {}
+    base = b.select("vec_id", "embedding").collect()
+    import math
+
+    vecs = {r["vec_id"]: r["embedding"] for r in base}
+
+    def cos(a, bb):
+        d = sum(x * y for x, y in zip(a, bb))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in bb))
+        return d / (na * nb)
+
+    single_hits = multi_hits = 0
+    for qid in (0, 4, 8, 12):
+        qv = vecs[qid]
+        exact = {
+            v
+            for v, _ in sorted(
+                ((v, cos(qv, w)) for v, w in vecs.items() if v != qid),
+                key=lambda t: (-t[1], t[0]),
+            )[:5]
+        }
+        s = topk_found(False, qid)
+        m = topk_found(True, qid)
+        single_hits += len(s & exact)
+        multi_hits += len(m & exact)
+        assert len(m & exact) >= len(s & exact)
+    assert multi_hits > single_hits, (
+        f"multi-probe found no extra true neighbors "
+        f"({multi_hits} vs {single_hits})"
+    )
