@@ -143,6 +143,7 @@ HEADLINE = [
     "split_leakage",
     "gate_by_source",
     "ann_multiprobe_topk",
+    "ann_recall_report",
 ]
 
 TIMED_SWEEPS = 2

@@ -2815,3 +2815,122 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+WITH brute AS (
+  SELECT vec_id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qe, qe))), 5) AS cos_sim
+  FROM embeddings,
+       (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        WHERE vec_id = 0)
+  ORDER BY cos_sim DESC, vec_id
+  LIMIT 10
+),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+lsh AS (
+  SELECT b.vec_id,
+         round(list_dot_product(b.e, q.qe)
+               / (sqrt(list_dot_product(b.e, b.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 5) AS cos_sim
+  FROM b, q WHERE b.bucket = q.qb
+  ORDER BY cos_sim DESC, vec_id LIMIT 10
+),
+mp AS (
+  SELECT b.vec_id,
+         round(list_dot_product(b.e, q.qe)
+               / (sqrt(list_dot_product(b.e, b.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 5) AS cos_sim
+  FROM b, q WHERE {_multiprobe_pred_sql(8)}
+  ORDER BY cos_sim DESC, vec_id LIMIT 10
+),
+n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         list_dot_product(n.v, c.cv) / (n.nn * c.cn) AS ccos
+  FROM n, c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                             ORDER BY ccos DESC, c.cid ASC) = 1
+),
+nq AS (SELECT v AS qv, nn AS qn FROM n WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid FROM c, nq
+  ORDER BY list_dot_product(nq.qv, c.cv) / (nq.qn * c.cn) DESC, c.cid ASC
+  LIMIT 2
+),
+ivf AS (
+  SELECT n.vec_id,
+         round(list_dot_product(n.v, nq.qv) / (n.nn * nq.qn), 5) AS cos_sim
+  FROM n JOIN assign a ON n.vec_id = a.vec_id
+  JOIN probe p ON a.cid = p.cid, nq
+  ORDER BY list_dot_product(n.v, nq.qv) / (n.nn * nq.qn) DESC, n.vec_id ASC
+  LIMIT 10
+)
+SELECT tier, n_hits, recall_at_10 FROM (
+  SELECT 'brute' AS tier, CAST(count(*) AS BIGINT) AS n_hits,
+         round(count(*) / 10.0, 6) AS recall_at_10
+  FROM brute t JOIN brute USING (vec_id)
+  UNION ALL
+  SELECT 'ivf', CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
+  FROM ivf t JOIN brute USING (vec_id)
+  UNION ALL
+  SELECT 'lsh', CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
+  FROM lsh t JOIN brute USING (vec_id)
+  UNION ALL
+  SELECT 'multiprobe', CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
+  FROM mp t JOIN brute USING (vec_id)
+)
+ORDER BY tier
+""",
+    doc="ANN evaluation as a first-class query: measured recall@10 of "
+    "each approximate tier (single-probe LSH, multi-probe LSH, "
+    "IVF-flat) against the brute-force exact top-10, in ONE plan — "
+    "the index-quality dashboard a production ANN deployment watches "
+    "(recall collapse after a re-index or distribution shift is the "
+    "paging signal).  Each tier's top-10 reuses the registered "
+    "tier's exact construction (same rounding, same tie-breaks), so "
+    "the recall numbers are deterministic and hash-checked — "
+    "evaluation results as reproducible as the queries they grade; "
+    "the brute row is the =1.0 sanity invariant.  All tiers share "
+    "one corpus scan lineage; the report is 4 rows.",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute_ids = knn_cosine_topk(spark, sf_dir).select("vec_id")
+
+    def hits(tier_df: DataFrame, name: str) -> DataFrame:
+        return (
+            tier_df.select("vec_id")
+            .join(brute_ids, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(name).alias("tier"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(10.0), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+
+    out = (
+        hits(knn_cosine_topk(spark, sf_dir), "brute")
+        .unionByName(hits(ivf_topk(spark, sf_dir), "ivf"))
+        .unionByName(hits(ann_lsh_topk(spark, sf_dir), "lsh"))
+        .unionByName(hits(ann_multiprobe_topk(spark, sf_dir), "multiprobe"))
+    )
+    return out.orderBy("tier")
