@@ -144,6 +144,9 @@ HEADLINE = [
     "gate_by_source",
     "ann_multiprobe_topk",
     "ann_recall_report",
+    "embedding_stats",
+    "ivf_nprobe_curve",
+    "packing_stats",
 ]
 
 TIMED_SWEEPS = 2

@@ -1122,3 +1122,77 @@ def gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_frac"),
         *[f"n_{rl}" for rl in rules],
     ).orderBy("source")
+
+
+@register(
+    "packing_stats",
+    oracle=r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+           AS BIGINT) AS rn
+  FROM t WHERE n_tokens > 0
+),
+fold AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS seq_fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+         CASE WHEN f.seq_fill + r.n_tokens <= 128
+              THEN f.seq_id ELSE f.seq_id + 1 END,
+         CASE WHEN f.seq_fill + r.n_tokens <= 128
+              THEN f.seq_fill + r.n_tokens ELSE r.n_tokens END
+  FROM fold f JOIN r ON r.bucket = f.bucket AND r.rn = f.rn + 1
+),
+seqs AS (
+  SELECT bucket, seq_id, max(seq_fill) AS final_fill, count(*) AS n_docs
+  FROM fold GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sequences,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs_packed,
+       CAST(sum(final_fill) AS BIGINT) AS total_tokens,
+       round(CAST(sum(final_fill) AS DOUBLE) / (count(*) * 128.0), 6)
+         AS avg_fill_frac,
+       CAST(count(*) FILTER (final_fill > 128) AS BIGINT) AS n_overfull,
+       CAST(max(final_fill) AS BIGINT) AS max_fill
+FROM seqs
+""",
+    doc="Packing-efficiency dashboard over the greedy packer "
+    "(llm/packing.py:pack_greedy, budget 128, 8 buckets): sequence "
+    "count, packed docs/tokens, average fill fraction (= padding "
+    "waste complement — the number that decides whether the packer "
+    "earns its complexity vs plain concat-and-chunk), over-budget "
+    "singleton count, and max fill.  Final fill per sequence is the "
+    "max of the running fill (monotone within a sequence); every "
+    "token lands in exactly one sequence so Σ final_fill equals the "
+    "packed token mass — both facts the oracle recomputes through "
+    "the identical recursive-CTE recurrence.  All-integer until two "
+    "final divisions on the one-row summary.",
+)
+def packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    packed = PK.pack_greedy(d, budget=128, n_buckets=8)
+    seqs = packed.groupBy("bucket", "seq_id").agg(
+        F.max("seq_fill").alias("final_fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("n_docs").alias("n_docs_packed"),
+        F.sum("final_fill").alias("total_tokens"),
+        F.round(
+            F.sum("final_fill").cast("double")
+            / (F.count(F.lit(1)) * F.lit(128.0)),
+            6,
+        ).alias("avg_fill_frac"),
+        F.count(F.when(F.col("final_fill") > 128, 1)).alias("n_overfull"),
+        F.max("final_fill").alias("max_fill"),
+    )

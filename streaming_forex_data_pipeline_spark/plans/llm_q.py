@@ -2934,3 +2934,143 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hits(ann_multiprobe_topk(spark, sf_dir), "multiprobe"))
     )
     return out.orderBy("tier")
+
+
+@register(
+    "embedding_stats",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         len(CAST(embedding AS DOUBLE[])) AS dim,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 5)
+           AS nrm
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(dim) AS BIGINT) AS min_dim,
+       CAST(max(dim) AS BIGINT) AS max_dim,
+       round(min(nrm), 5) AS min_norm,
+       round(max(nrm), 5) AS max_norm,
+       CAST(count(*) FILTER (nrm = 0.0) AS BIGINT) AS n_zero,
+       CAST(count(*) FILTER (dim != 64) AS BIGINT) AS n_bad_dim
+FROM n
+""",
+    doc="Embedding-table QA audit: corpus size, dimension min/max, "
+    "norm range, zero-vector and wrong-dimension counts — the "
+    "validation gate a vector pipeline runs before (re)building an "
+    "ANN index, because one zero vector NaN-poisons cosine scoring "
+    "and one ragged dimension crashes every dot product downstream.  "
+    "Min/max over per-row exact values (norms pre-rounded to the "
+    "repo's 5dp cosine contract before the order-insensitive min/"
+    "max), so the audit is exactly hash-checked; single scan, "
+    "single-row output.",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = fan_out(e).select(
+        "vec_id",
+        F.size(F.col("embedding")).cast("long").alias("dim"),
+        F.round(SIM.norm(F.col("embedding")), 5).alias("nrm"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.round(F.min("nrm"), 5).alias("min_norm"),
+        F.round(F.max("nrm"), 5).alias("max_norm"),
+        F.count(F.when(F.col("nrm") == 0.0, 1)).alias("n_zero"),
+        F.count(F.when(F.col("dim") != 64, 1)).alias("n_bad_dim"),
+    )
+
+
+def _ivf_nprobe_tier_sql(nprobe: int) -> str:
+    return f"""
+  SELECT n.vec_id,
+         round(list_dot_product(n.v, nq.qv) / (n.nn * nq.qn), 5) AS cos_sim
+  FROM n JOIN assign a ON n.vec_id = a.vec_id
+  JOIN (SELECT c.cid FROM c, nq
+        ORDER BY list_dot_product(nq.qv, c.cv) / (nq.qn * c.cn) DESC,
+                 c.cid ASC
+        LIMIT {nprobe}) p ON a.cid = p.cid, nq
+  ORDER BY list_dot_product(n.v, nq.qv) / (n.nn * nq.qn) DESC, n.vec_id ASC
+  LIMIT 10"""
+
+
+@register(
+    "ivf_nprobe_curve",
+    oracle=f"""
+WITH brute AS (
+  SELECT vec_id,
+         round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qe, qe))), 5) AS cos_sim
+  FROM embeddings,
+       (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        WHERE vec_id = 0)
+  ORDER BY cos_sim DESC, vec_id
+  LIMIT 10
+),
+n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT n.vec_id, c.cid,
+         list_dot_product(n.v, c.cv) / (n.nn * c.cn) AS ccos
+  FROM n, c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                             ORDER BY ccos DESC, c.cid ASC) = 1
+),
+nq AS (SELECT v AS qv, nn AS qn FROM n WHERE vec_id = 0),
+t1 AS ({_ivf_nprobe_tier_sql(1)}),
+t2 AS ({_ivf_nprobe_tier_sql(2)}),
+t4 AS ({_ivf_nprobe_tier_sql(4)})
+SELECT nprobe, n_hits, recall_at_10 FROM (
+  SELECT CAST(1 AS INT) AS nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+         round(count(*) / 10.0, 6) AS recall_at_10
+  FROM t1 t JOIN brute USING (vec_id)
+  UNION ALL
+  SELECT CAST(2 AS INT), CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
+  FROM t2 t JOIN brute USING (vec_id)
+  UNION ALL
+  SELECT CAST(4 AS INT), CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
+  FROM t4 t JOIN brute USING (vec_id)
+)
+ORDER BY nprobe
+""",
+    doc="IVF nprobe tuning curve: measured recall@10 vs brute force "
+    "for nprobe = 1, 2, 4 over the same inverted lists — THE "
+    "knob-setting artifact for an IVF deployment (every probed cell "
+    "costs nprobe/n_cells of the corpus in IO; the curve says where "
+    "recall saturates and the cheaper setting is safe).  Same "
+    "deterministic constructions as ivf_topk / ann_recall_report, so "
+    "the curve is hash-checked and reproducible run-to-run.",
+)
+def ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    brute_ids = knn_cosine_topk(spark, sf_dir).select("vec_id")
+
+    def hits(nprobe: int) -> DataFrame:
+        tier = SIM.ivf_topk(e, q, k=10, n_cells=16, nprobe=nprobe)
+        return (
+            tier.select("vec_id")
+            .join(brute_ids, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(10.0), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+
+    return (
+        hits(1).unionByName(hits(2)).unionByName(hits(4)).orderBy("nprobe")
+    )

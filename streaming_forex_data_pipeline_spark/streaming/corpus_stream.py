@@ -604,3 +604,77 @@ def start_dsir_model_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_gate_dashboard_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "gate_dash_sink",
+    sink_dir: str | None = None,
+    stream=None,
+):
+    """Streaming face of the per-source gate dashboard
+    (`plans/corpus_q.py:gate_by_source`): every gate decision is a
+    function of ONE document, so per-source rule counts are ADDITIVE
+    across micro-batches — each batch commits its own
+    (source, n_docs, n_keep, n_<rule>...) delta and the live
+    dashboard is a lazy VIEW summing the delta log (the CMS merge
+    law applied to compliance counters).  Same delta-log contract as
+    every sketch channel: state in the sink table, O(1) driver,
+    idempotent replays keyed (source, batch), view input bounded by
+    #batches x #sources and foldable by `compact_log`."""
+    from pyspark.sql import functions as F
+
+    from ..llm.corpus import quality_gate
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="gate_dash_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "documents")
+    rules = ["too_short", "too_long", "dup_words", "top_word", "word_len"]
+    schema = "source string, n_docs long, n_keep long, " + ", ".join(
+        f"n_{r} long" for r in rules
+    )
+    spark.createDataFrame([], schema).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        g = quality_gate(batch_df).select("doc_id", "reasons", "keep")
+        j = g.join(batch_df.select("doc_id", "source"), "doc_id")
+        delta = j.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            *[
+                F.sum(
+                    F.when(
+                        F.array_contains(F.split("reasons", ","), rl), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"n_{rl}")
+                for rl in rules
+            ],
+        ).withColumn("batch", F.lit(int(batch_id)).cast("long"))
+        commit_append(delta, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(
+                spark, sink_dir, keys=["source", "batch"]
+            )
+        except FileNotFoundError:
+            return
+        committed.groupBy("source").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_keep").alias("n_keep"),
+            *[F.sum(f"n_{rl}").alias(f"n_{rl}") for rl in rules],
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

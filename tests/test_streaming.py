@@ -481,3 +481,32 @@ def test_dsir_model_channel_matches_batch_models(spark, sf_dir, tmp_path):
     }
     # the fixture corpus has ~31 distinct tokens, so ~31 touched buckets
     assert got == want and len(got) >= 25
+
+
+def test_gate_dashboard_channel_matches_batch(spark, sf_dir, tmp_path):
+    """Per-batch gate counters summed through the commit log must
+    equal the batch per-source dashboard over the whole table."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.plans.registry import all_queries
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_gate_dashboard_channel,
+    )
+
+    d, stream = _two_batch_docs_stream(spark, sf_dir, tmp_path)
+    sink_dir = str(tmp_path / "gate_sink")
+    q = start_gate_dashboard_channel(
+        spark, sf_dir, sink_table="gate_dash_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2
+    got = {tuple(r) for r in spark.table("gate_dash_parity").collect()}
+    want = {
+        tuple(r)
+        for r in all_queries()["gate_by_source"]
+        .spark(spark, sf_dir)
+        .drop("keep_frac")
+        .collect()
+    }
+    assert got == want and len(got) > 0
