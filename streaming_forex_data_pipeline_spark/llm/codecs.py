@@ -170,14 +170,24 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError:
         Image = None
-    if Image is not None:
-        # The fast path must not WEAKEN the contract: only trust PIL
-        # for the modes the pure decoder is specified for ('L'/'RGB',
-        # i.e. color types 0/2 at depth 8), and fall through to the
-        # pure decoder — the declared arbiter — on any other mode or
-        # any PIL exception, so corrupt input still surfaces as this
-        # module's ValueError (with CRC verification), never as a PIL
-        # internal error.
+    # The fast path must not WEAKEN the contract: trust PIL only when
+    # the raw IHDR says depth 8 / color type 0 or 2 / non-interlaced
+    # (PIL maps 16-bit truecolor and 2/4-bit grayscale to modes
+    # 'RGB'/'L' too, and happily decodes Adam7 — all variants the pure
+    # decoder rejects, so a mode check alone would make behavior
+    # depend on whether PIL is installed), AND the decoded mode
+    # matches.  Fall through to the pure decoder — the declared
+    # arbiter — on anything else or any PIL exception, so corrupt
+    # input still surfaces as this module's ValueError (with CRC
+    # verification), never as a PIL internal error.
+    ihdr_ok = (
+        len(data) > 28
+        and data[:8] == PNG_SIG
+        and data[24] == 8  # bit depth
+        and data[25] in (0, 2)  # color type: grayscale / truecolor
+        and data[28] == 0  # no interlace
+    )
+    if Image is not None and ihdr_ok:
         try:
             from io import BytesIO
 

@@ -1140,7 +1140,8 @@ def source_minhash_similarity(
     # h1 + (n_hashes-1)*h2 < 16*2^56 = 2^60 inside int64 for up to 16
     # rows (asserted); min-wise estimates under a pairwise-derived
     # family remain accurate (est-tracks-exact proven in tests).
-    assert n_hashes <= 16, "double-hash sum overflows int64 beyond 16 rows"
+    if n_hashes > 16:
+        raise ValueError("double-hash sum overflows int64 beyond 16 rows")
 
     def h56(seed: str) -> Column:
         return F.conv(

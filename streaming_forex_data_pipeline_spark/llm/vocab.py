@@ -383,9 +383,12 @@ def _km_hash(tok: Column, seed: str) -> Column:
 def _km_buckets(tok: Column, depth: int, width: int) -> Column:
     """Array of (row, bucket) structs via Kirsch-Mitzenmacher double
     hashing: bucket_j = (h1 + j*h2) mod width.  h1, h2 < 2^60 and
-    j <= depth-1, so the largest sum is depth * (2^60 - 1) — asserted
-    to fit signed int64 (depth <= 8) on both engines."""
-    assert depth <= 8, "double-hash sum overflows int64 beyond depth 8"
+    j <= depth-1, so the largest sum is depth * (2^60 - 1) — checked
+    to fit signed int64 (depth <= 8) on both engines (a raise, not an
+    assert: python -O must not silently enable engine-divergent
+    wraparound)."""
+    if depth > 8:
+        raise ValueError("double-hash sum overflows int64 beyond depth 8")
     h1 = _km_hash(tok, "1")
     h2 = _km_hash(tok, "2")
     return F.array(

@@ -42,6 +42,25 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+def latest_records(root: Path | None = None) -> dict[str, tuple[int, dict]]:
+    """Latest driver verdict per query name from the CORRECTNESS_r*.json
+    drops at the repo root (rounds parsed numerically — lexicographic
+    file order would freeze 'latest' at r9 forever).  Shared by the
+    evidence rotation below and tools/registry_report.py, so the drop
+    filename/format knowledge lives in exactly one place."""
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    latest: dict[str, tuple[int, dict]] = {}
+    drops = sorted(
+        (int("".join(ch for ch in p.stem if ch.isdigit()) or 0), p)
+        for p in root.glob("CORRECTNESS_r*.json")
+    )
+    for rnd, p in drops:
+        for name, rec in json.loads(p.read_text()).items():
+            latest[name] = (rnd, rec)
+    return latest
+
+
 def _evidence_order() -> list[str]:
     """Iteration order for the registry: least-recently-verified first.
 
@@ -63,21 +82,12 @@ def _evidence_order() -> list[str]:
     this can never break the query surface itself.
     """
     reg_idx = {name: i for i, name in enumerate(_REGISTRY)}
-    latest: dict[str, tuple[int, dict]] = {}
     try:
-        root = Path(__file__).resolve().parents[2]
-        # sort by PARSED round number — lexicographic file order puts
-        # r10 before r2..r9, which would freeze 'latest' at r9 forever
-        drops = sorted(
-            (
-                (int("".join(ch for ch in p.stem if ch.isdigit()) or 0), p)
-                for p in root.glob("CORRECTNESS_r*.json")
-            ),
-        )
-        for rnd, p in drops:
-            for name, rec in json.loads(p.read_text()).items():
-                if name in reg_idx:
-                    latest[name] = (rnd, rec)
+        latest = {
+            name: rec
+            for name, rec in latest_records().items()
+            if name in reg_idx
+        }
     except Exception:  # noqa: BLE001 — ordering is best-effort only
         latest = {}
 

@@ -46,6 +46,7 @@ def commit_append(
     table_dir: str,
     version: float | None = None,
     replaces: list[int] | None = None,
+    stamp_from_column: bool = False,
 ) -> int:
     """S7 write side with an ATOMIC commit (the transactional MERGE
     story plain `upsert_append` lacks): the batch's parquet files are
@@ -67,15 +68,21 @@ def commit_append(
     import os
     import uuid
 
-    stamp_col = (
-        F.lit(float(version))
-        if version is not None
-        else F.current_timestamp().cast("double")
-    )
+    if stamp_from_column:
+        # compaction path: rows already carry their original
+        # __ingest_ts — keep them so keep-latest ordering vs retained
+        # commits is exactly what it was before the fold
+        stamped = updates
+        assert "__ingest_ts" in updates.columns
+    else:
+        stamp_col = (
+            F.lit(float(version))
+            if version is not None
+            else F.current_timestamp().cast("double")
+        )
+        stamped = updates.withColumn("__ingest_ts", stamp_col)
     staged = os.path.join(table_dir, "_staged", uuid.uuid4().hex)
-    updates.withColumn("__ingest_ts", stamp_col).write.mode(
-        "overwrite"
-    ).parquet(staged)
+    stamped.write.mode("overwrite").parquet(staged)
     files = sorted(
         f for f in os.listdir(staged)
         if f.endswith(".parquet") and not f.startswith(".")
@@ -249,19 +256,35 @@ def compact_log(
         return None  # nothing worth folding
     fold = live[:-keep_last] if keep_last > 0 else live
     cutoff = fold[-1]
-    state = read_committed(
-        spark, table_dir, keys, as_of=cutoff, keep_meta=True
-    )
-    # the compacted commit must NOT outrank retained commits in the
-    # keep-latest order, so stamp it with the folded state's own max
-    # ingest stamp (stamping with e.g. the cutoff COMMIT id would beat
-    # a retained batch whose version is numerically lower)
+    try:
+        state = read_committed(
+            spark, table_dir, keys, as_of=cutoff, keep_meta=True
+        )
+    except FileNotFoundError:
+        return None  # every folded commit was empty — nothing to write
+    if merge is None:
+        # preserve EACH surviving row's original __ingest_ts through
+        # the compacted commit: a single collapsed max stamp would let
+        # a stale folded row outrank a newer retained commit whenever
+        # caller-pinned version stamps are not monotone with commit id
+        # (commit_append supports exactly that for upsert replays)
+        return commit_append(
+            state.drop("__cid"),
+            table_dir,
+            stamp_from_column=True,
+            replaces=fold,
+        )
+    # aggregated fold: rows lose row-identity, so the merged state
+    # carries one stamp = the folded state's max (never outranks a
+    # retained commit as long as version stamps are monotone — true
+    # for the streaming channels' batch-id stamps, the only sanctioned
+    # users of aggregating compaction)
     fold_ts = state.agg(F.max("__ingest_ts")).collect()[0][0]
-    state = state.drop("__ingest_ts", "__cid")
-    if merge is not None:
-        state = merge(state)
+    if fold_ts is None:
+        return None  # folded commits carried only empty frames
+    merged = merge(state.drop("__ingest_ts", "__cid"))
     return commit_append(
-        state, table_dir, version=float(fold_ts), replaces=fold
+        merged, table_dir, version=float(fold_ts), replaces=fold
     )
 
 

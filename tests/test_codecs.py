@@ -326,3 +326,29 @@ def test_pil_fast_path_equivalence_when_available():
             sys.modules.update(saved)
         assert fast[:3] == pure[:3]
         assert np.array_equal(fast[3], pure[3])
+
+
+def test_pil_fast_path_rejects_out_of_contract_ihdr(monkeypatch):
+    """PIL maps 16-bit truecolor to mode 'RGB' too, so the guard must
+    pin the RAW IHDR (depth 8, color 0/2, no interlace) — a depth-16
+    PNG with a fake PIL claiming mode 'RGB' must still fall through
+    to the pure decoder's ValueError, keeping behavior identical with
+    and without PIL installed."""
+    import struct
+    import zlib
+
+    class _Fake16:
+        mode = "RGB"
+        width = height = 7
+
+    px = np.arange(7 * 9 * 3, dtype=np.uint8).reshape(9, 7, 3)
+    data = bytearray(encode_png(px))
+    # patch IHDR bit depth 8 -> 16 and recompute the chunk CRC so the
+    # pure decoder reaches its variant check (not the CRC check)
+    data[24] = 16
+    ihdr_body = bytes(data[16:29])
+    crc = zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF
+    data[29:33] = struct.pack(">I", crc)
+    _fake_pil(monkeypatch, lambda bio: _Fake16())
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(bytes(data))

@@ -493,3 +493,71 @@ def test_compact_log_with_aggregating_merge_bounds_rows(spark, sf_dir, tmp_path)
     got = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
     want = {(r["row"], r["bucket"]): r["c"] for r in VO.cms_build(d).collect()}
     assert got == want
+
+
+def test_compact_log_preserves_row_stamps_under_nonmonotone_versions(
+    spark, tmp_path
+):
+    """Review-found conflict case: with caller-pinned version stamps
+    NOT monotone with commit id, folding must not let a stale folded
+    row outrank a newer retained commit — per-row stamps survive the
+    (merge=None) fold."""
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        commit_append,
+        compact_log,
+        read_committed,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit_append(
+        spark.createDataFrame([(1, "A-v5")], "k long, v string"), d,
+        version=5.0,
+    )
+    commit_append(
+        spark.createDataFrame([(2, "K-old")], "k long, v string"), d,
+        version=1.0,
+    )
+    commit_append(
+        spark.createDataFrame([(2, "K-new")], "k long, v string"), d,
+        version=3.0,
+    )
+    before = {(r["k"], r["v"]) for r in read_committed(spark, d, ["k"]).collect()}
+    assert before == {(1, "A-v5"), (2, "K-new")}
+    cid = compact_log(spark, d, keys=["k"], keep_last=1)
+    assert cid is not None
+    after = {(r["k"], r["v"]) for r in read_committed(spark, d, ["k"]).collect()}
+    assert after == before, (
+        "compaction let the stale K-old (ts 1.0, folded) outrank the "
+        "retained K-new (ts 3.0)"
+    )
+
+
+def test_compact_log_tolerates_all_empty_folded_commits(spark, tmp_path):
+    """Empty micro-batch deltas are routine; folding an all-empty
+    prefix must not crash on either path — merge=None may fold them
+    into one (empty) commit, the aggregating path returns None — and
+    the table must stay readable either way."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        commit_append,
+        compact_log,
+    )
+
+    d = str(tmp_path / "tbl")
+    empty = spark.createDataFrame([], "k long, v string")
+    for b in range(3):
+        commit_append(empty, d, version=float(b))
+    compact_log(spark, d, keys=["k"], keep_last=1)  # must not raise
+
+    d2 = str(tmp_path / "tbl2")
+    for b in range(3):
+        commit_append(empty, d2, version=float(b))
+    assert (
+        compact_log(
+            spark, d2, keys=["k"],
+            merge=lambda df: df.groupBy("k").agg(F.count("*").alias("v")),
+            keep_last=1,
+        )
+        is None
+    )

@@ -9,28 +9,15 @@ Usage: python tools/registry_report.py [--summary]
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from streaming_forex_data_pipeline_spark.plans import registry  # noqa: E402
-
-
-def latest_records() -> dict[str, tuple[int, dict]]:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    latest: dict[str, tuple[int, dict]] = {}
-    drops = sorted(
-        (int("".join(ch for ch in f if ch.isdigit()) or 0), f)
-        for f in os.listdir(root)
-        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
-    )
-    for rnd, f in drops:
-        with open(os.path.join(root, f)) as fh:
-            for name, rec in json.load(fh).items():
-                latest[name] = (rnd, rec)
-    return latest
+from streaming_forex_data_pipeline_spark.plans.registry import (  # noqa: E402
+    latest_records,
+)
 
 
 def verdict(rec: dict) -> str:
