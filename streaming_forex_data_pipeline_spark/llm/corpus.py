@@ -576,6 +576,7 @@ def weighted_reservoir_sample(
     weight_col: str | None = None,
     seed: str = "res1",
     id_col: str = "doc_id",
+    keep_raw: bool = False,
 ):
     """Distributed weighted reservoir sampling without replacement
     (Efraimidis & Spirakis 2006, A-Res): each row draws a seeded
@@ -599,8 +600,16 @@ def weighted_reservoir_sample(
 
     Rows with NULL or non-positive weight are EXCLUDED (A-Res is
     defined for w > 0).  Returns the sampled rows with (res_key,
-    sample_rank) appended; membership is decided on the 6dp-rounded
-    key with id tie-break (the dsir_select contract)."""
+    sample_rank) appended.  Membership is decided on the UNROUNDED
+    key with id tie-break; the exported ``res_key`` is rounded to 6dp
+    for display/oracle parity only.  Ranking on the raw double is
+    essential: the key magnitude scales as 1/w, so any fixed decimal
+    rounding collapses realistic weights (n_chars ~1e4-1e6) into ties
+    and degenerates the sample into an id-ordered pick — the
+    round-7 ADVICE finding.  ``keep_raw=True`` additionally returns
+    the unrounded key as ``res_key_raw`` (the streaming channel's
+    merge state, so cross-batch re-ranking never re-ranks on the
+    display-rounded key)."""
     from pyspark.sql import Window
 
     h = F.conv(
@@ -617,13 +626,17 @@ def weighted_reservoir_sample(
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)  # 2^52
     w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
     keyed = docs.filter(w > 0).select(
-        "*", F.round(F.log(u) / w, 6).alias("res_key")
+        "*", (F.log(u) / w).alias("res_key_raw")
     )
-    win = Window.orderBy(F.desc("res_key"), F.asc(id_col))
-    return (
+    win = Window.orderBy(F.desc("res_key_raw"), F.asc(id_col))
+    out = (
         keyed.withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
+        .withColumn("res_key", F.round("res_key_raw", 6))
     )
+    if keep_raw:
+        return out
+    return out.drop("res_key_raw")
 
 
 def histogram_sketch(

@@ -858,18 +858,20 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH keyed AS (
   SELECT doc_id, source, n_chars,
-         round(ln((('0x' || substr(md5('res1:' || CAST(doc_id AS VARCHAR)),
-                                   1, 13))::BIGINT + 0.5)
-                  / 4503599627370496.0)
-               / n_chars, 6) AS res_key
+         ln((('0x' || substr(md5('res1:' || CAST(doc_id AS VARCHAR)),
+                             1, 13))::BIGINT + 0.5)
+            / 4503599627370496.0)
+         / n_chars AS res_key_raw
   FROM documents WHERE n_chars > 0
 ),
 r AS (
-  SELECT doc_id, source, n_chars, res_key,
-         row_number() OVER (ORDER BY res_key DESC, doc_id) AS sample_rank
+  SELECT doc_id, source, n_chars, res_key_raw,
+         row_number() OVER (ORDER BY res_key_raw DESC, doc_id)
+           AS sample_rank
   FROM keyed
 )
-SELECT doc_id, source, n_chars, res_key, sample_rank
+SELECT doc_id, source, n_chars, round(res_key_raw, 6) AS res_key,
+       sample_rank
 FROM r WHERE sample_rank <= 50
 ORDER BY sample_rank
 """,

@@ -2255,8 +2255,18 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL oracle fragments: the register file over 5-gram shingle
 # occurrences, shared by hll_registers / hll_distinct.  The estimate
 # constant alpha*m^2*2^(wbits+1) folds in Python (vocab._HLL_C) and
-# ships as a literal on both engines.
-_HLL_REGS_SQL = r"""
+# ships as a literal on both engines.  Every width literal is
+# interpolated from HLL_P (m = 2^p buckets out of a 60-bit md5-prefix
+# hash, wbits = 60 - p value bits) so bumping HLL_P keeps Spark/DuckDB
+# parity instead of silently breaking it — the round-7 ADVICE finding.
+
+
+def _hll_regs_sql() -> str:
+    from ..llm.vocab import _HLL_WBITS, HLL_P
+
+    m = 1 << HLL_P
+    wbits = _HLL_WBITS
+    return rf"""
 WITH ws AS (
   SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS w
   FROM documents
@@ -2267,23 +2277,26 @@ occ AS (
   FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
 ),
 hr AS (
-  SELECT hv % 64 AS bucket, hv // 64 AS wv
+  SELECT hv % {m} AS bucket, hv // {m} AS wv
   FROM (SELECT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM occ)
 ),
 rr AS (
   SELECT bucket,
-         CASE WHEN wv = 0 THEN 55
-              ELSE instr(lpad(bin(wv), 54, '0'), '1') END AS rho
+         CASE WHEN wv = 0 THEN {wbits + 1}
+              ELSE instr(lpad(bin(wv), {wbits}, '0'), '1') END AS rho
   FROM hr
 ),
 touched AS (SELECT bucket, max(rho) AS max_rho FROM rr GROUP BY bucket),
-spine AS (SELECT unnest(range(0, 64)) AS bucket),
+spine AS (SELECT unnest(range(0, {m})) AS bucket),
 regs AS (
   SELECT CAST(s.bucket AS BIGINT) AS bucket,
          CAST(coalesce(t.max_rho, 0) AS INT) AS max_rho
   FROM spine s LEFT JOIN touched t USING (bucket)
 )
 """
+
+
+_HLL_REGS_SQL = _hll_regs_sql()
 
 
 def _hll_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2318,15 +2331,16 @@ def hll_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_distinct_oracle() -> str:
-    from ..llm.vocab import _HLL_ALPHA, HLL_P
+    from ..llm.vocab import _HLL_ALPHA, _HLL_WBITS, HLL_P
 
     m = 1 << HLL_P
-    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** (60 - HLL_P + 1))
+    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** (_HLL_WBITS + 1))
     return (
         _HLL_REGS_SQL
         + f"""
 , folded AS (
-  SELECT CAST(sum(1::BIGINT << (55 - max_rho)) AS BIGINT) AS s_star,
+  SELECT CAST(sum(1::BIGINT << ({_HLL_WBITS + 1} - max_rho)) AS BIGINT)
+           AS s_star,
          count(*) FILTER (max_rho = 0) AS v_zero
   FROM regs
 ),
@@ -2439,27 +2453,44 @@ def _ivf_silver_dir(sf_dir: str) -> str:
     build is the once-per-corpus amortized step, so repeated query
     runs (bench warm-up + timed run, driver re-runs) probe the SAME
     materialized table instead of rebuilding it — the production read
-    pattern.  The location is keyed by a FINGERPRINT of the source
-    parquet (path + mtime + size), so regenerating the corpus at the
-    same path invalidates the cache instead of silently probing a
-    stale index (review-found staleness hazard)."""
+    pattern.  The location is keyed by a CONTENT-HASH fingerprint of
+    the source parquet listing (per-file name + mtime_ns + size, not
+    whole-second mtime + total size — a same-second same-size rewrite
+    must invalidate) and lives under a per-user 0700 scratch root, so
+    no other user can pre-create the path and feed a foreign index to
+    the probe (round-7 ADVICE finding)."""
+    import hashlib
     import os
     import re
+    import tempfile
 
     tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir).strip("_")
     src = f"{sf_dir}/embeddings.parquet"
-    try:
-        st = os.stat(src)
-        fp = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        # multi-file dataset (directory) — fingerprint the listing
-        sizes = sum(
-            os.path.getsize(os.path.join(src, f))
-            for f in os.listdir(src)
-            if f.endswith(".parquet")
-        ) if os.path.isdir(src) else 0
-        fp = f"dir_{sizes}"
-    return f"/tmp/ivf_silver_{tag}_{fp}"
+    h = hashlib.md5(os.path.abspath(src).encode())
+
+    def _add(path: str) -> None:
+        st = os.stat(path)
+        h.update(
+            f"{os.path.basename(path)}:{st.st_mtime_ns}:{st.st_size};"
+            .encode()
+        )
+
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                _add(os.path.join(src, f))
+    else:
+        _add(src)
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"sfdp_silver_{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"silver-cache root {root} is owned by uid {st.st_uid}, "
+            f"not the current user — refusing to probe a foreign cache"
+        )
+    return os.path.join(root, f"ivf_{tag}_{h.hexdigest()[:16]}")
 
 
 def _ensure_ivf_silver(spark: SparkSession, sf_dir: str) -> str:
@@ -2587,10 +2618,11 @@ def dsir_gumbel_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_by_source_oracle() -> str:
-    from ..llm.vocab import _HLL_ALPHA, HLL_P
+    from ..llm.vocab import _HLL_ALPHA, _HLL_WBITS, HLL_P
 
     m = 1 << HLL_P
-    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** (60 - HLL_P + 1))
+    w1 = _HLL_WBITS + 1
+    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** w1)
     return rf"""
 WITH ws AS (
   SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
@@ -2609,8 +2641,8 @@ hr AS (
 ),
 rr AS (
   SELECT source, bucket,
-         CASE WHEN wv = 0 THEN 55
-              ELSE instr(lpad(bin(wv), 54, '0'), '1') END AS rho
+         CASE WHEN wv = 0 THEN {w1}
+              ELSE instr(lpad(bin(wv), {w1 - 1}, '0'), '1') END AS rho
   FROM hr
 ),
 touched AS (
@@ -2618,14 +2650,14 @@ touched AS (
 ),
 per AS (
   SELECT source,
-         CAST(sum(1::BIGINT << (55 - max_rho)) AS BIGINT) AS s_touched,
+         CAST(sum(1::BIGINT << ({w1} - max_rho)) AS BIGINT) AS s_touched,
          count(*) AS n_touched
   FROM touched GROUP BY 1
 ),
 folded AS (
   SELECT source,
          CAST({m} - n_touched AS BIGINT) AS v_zero,
-         CAST(s_touched + ({m} - n_touched) * (1::BIGINT << 55) AS BIGINT)
+         CAST(s_touched + ({m} - n_touched) * (1::BIGINT << {w1}) AS BIGINT)
            AS s_star
   FROM per
 )

@@ -71,9 +71,15 @@ def commit_append(
     if stamp_from_column:
         # compaction path: rows already carry their original
         # __ingest_ts — keep them so keep-latest ordering vs retained
-        # commits is exactly what it was before the fold
+        # commits is exactly what it was before the fold.  A raise,
+        # not an assert: python -O must not let a stampless frame
+        # through into a commit with undefined keep-latest ordering.
+        if "__ingest_ts" not in updates.columns:
+            raise ValueError(
+                "stamp_from_column=True requires an __ingest_ts column "
+                f"on the updates frame; got {updates.columns}"
+            )
         stamped = updates
-        assert "__ingest_ts" in updates.columns
     else:
         stamp_col = (
             F.lit(float(version))
@@ -94,6 +100,12 @@ def commit_append(
         "files": files,
         "version": version,
     }
+    if "__orig_cid" in stamped.columns:
+        # compacted rows carry their ORIGINAL commit id as a secondary
+        # tie-break column; flagging it in the manifest lets
+        # read_committed turn on parquet schema merging only for
+        # tables that actually contain the extra column
+        manifest["orig_cid"] = True
     if replaces:
         # compaction commit: this manifest logically SUBSUMES the
         # listed earlier commits — readers skip them from the moment
@@ -138,7 +150,11 @@ def read_committed(
     (uncommitted staging data is invisible), then keep-latest per key
     ordered by (__ingest_ts, commit id) — the commit id breaks stamp
     ties with the log's total order, so concurrent writers with equal
-    version stamps still merge deterministically.
+    version stamps still merge deterministically.  Rows folded by
+    compaction tie-break on their ORIGINAL commit id (preserved as
+    __orig_cid by compact_log), so the ordering is exactly the
+    pre-compaction one even against retained commits with equal
+    stamps.
 
     ``as_of`` gives TIME TRAVEL: read the table exactly as it stood
     after commit id ``as_of`` by ignoring every later manifest — the
@@ -170,24 +186,41 @@ def read_committed(
     replaced = set()
     for m in manifests.values():
         replaced.update(m.get("replaces", ()))
+    any_orig_cid = False
     for cid, m in manifests.items():
         if cid in replaced:
             continue
+        any_orig_cid = any_orig_cid or bool(m.get("orig_cid"))
         for f in m["files"]:
             rows.append(
                 (f, cid, os.path.join(table_dir, "_staged", m["staged"], f))
             )
     if not rows:
         raise FileNotFoundError(f"no commits in {log_dir}")
-    df = spark.read.parquet(*[p for _, _, p in rows])
+    reader = spark.read
+    if any_orig_cid:
+        # a compaction commit in scope carries the folded rows'
+        # ORIGINAL commit ids as a data column the retained commits
+        # lack — merge footers so the column survives the union scan
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[p for _, _, p in rows])
     fmap = spark.createDataFrame(
         [(f, cid) for f, cid, _ in rows], ["__file", "__cid"]
     )
     df = df.withColumn(
         "__file", F.element_at(F.split(F.input_file_name(), "/"), -1)
     ).join(F.broadcast(fmap), "__file")
+    # stamp ties break on the row's ORIGINAL commit id where compaction
+    # preserved it (a folded row must never outrank a newer retained
+    # commit just because the compaction commit's id is higher), else
+    # on the physical commit id — the pre-compaction ordering exactly
+    tie = (
+        F.coalesce(F.col("__orig_cid"), F.col("__cid"))
+        if "__orig_cid" in df.columns
+        else F.col("__cid")
+    )
     w = Window.partitionBy(*keys).orderBy(
-        F.desc("__ingest_ts"), F.desc("__cid")
+        F.desc("__ingest_ts"), F.desc(tie)
     )
     out = df.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
@@ -196,7 +229,7 @@ def read_committed(
         # compaction needs the winning rows' stamps to re-stamp the
         # folded commit without disturbing keep-latest ordering
         return out.drop("__rn", "__file")
-    return out.drop("__rn", "__ingest_ts", "__cid", "__file")
+    return out.drop("__rn", "__ingest_ts", "__cid", "__orig_cid", "__file")
 
 
 def compact_log(
@@ -263,13 +296,21 @@ def compact_log(
     except FileNotFoundError:
         return None  # every folded commit was empty — nothing to write
     if merge is None:
-        # preserve EACH surviving row's original __ingest_ts through
-        # the compacted commit: a single collapsed max stamp would let
-        # a stale folded row outrank a newer retained commit whenever
-        # caller-pinned version stamps are not monotone with commit id
-        # (commit_append supports exactly that for upsert replays)
+        # preserve EACH surviving row's original __ingest_ts AND its
+        # original commit id through the compacted commit: a collapsed
+        # stamp (or losing the cid) would let a stale folded row
+        # outrank a newer retained commit that carries the SAME pinned
+        # version stamp for the same key — read_committed's desc(cid)
+        # tie-break would then see only the compaction commit's (new,
+        # highest) id.  __orig_cid folds through re-compaction via the
+        # coalesce (a previously-compacted row keeps its first id).
+        orig = (
+            F.coalesce(F.col("__orig_cid"), F.col("__cid"))
+            if "__orig_cid" in state.columns
+            else F.col("__cid")
+        )
         return commit_append(
-            state.drop("__cid"),
+            state.withColumn("__orig_cid", orig).drop("__cid"),
             table_dir,
             stamp_from_column=True,
             replaces=fold,
@@ -282,7 +323,7 @@ def compact_log(
     fold_ts = state.agg(F.max("__ingest_ts")).collect()[0][0]
     if fold_ts is None:
         return None  # folded commits carried only empty frames
-    merged = merge(state.drop("__ingest_ts", "__cid"))
+    merged = merge(state.drop("__ingest_ts", "__cid", "__orig_cid"))
     return commit_append(
         merged, table_dir, version=float(fold_ts), replaces=fold
     )

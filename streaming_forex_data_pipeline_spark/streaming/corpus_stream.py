@@ -502,12 +502,16 @@ def start_reservoir_channel(
     ).createOrReplaceTempView(sink_table)
 
     def run_batch(batch_df, batch_id):
+        # the delta carries the UNROUNDED key: cross-batch re-ranking
+        # on a display-rounded key would collapse realistic weights
+        # into ties (the batch face ranks raw for the same reason)
         top = weighted_reservoir_sample(
             batch_df.select("doc_id", weight_col),
             k=k,
             weight_col=weight_col,
             seed=seed,
-        ).select("doc_id", "res_key")
+            keep_raw=True,
+        ).select("doc_id", "res_key_raw")
         delta = top.withColumn("batch", F.lit(int(batch_id)).cast("long"))
         commit_append(delta, sink_dir, version=float(batch_id))
         try:
@@ -516,10 +520,12 @@ def start_reservoir_channel(
             )
         except FileNotFoundError:
             return
-        win = Window.orderBy(F.desc("res_key"), F.asc("doc_id"))
-        committed.select("doc_id", "res_key").withColumn(
+        win = Window.orderBy(F.desc("res_key_raw"), F.asc("doc_id"))
+        committed.select("doc_id", "res_key_raw").withColumn(
             "sample_rank", F.row_number().over(win)
-        ).filter(F.col("sample_rank") <= k).createOrReplaceTempView(
+        ).filter(F.col("sample_rank") <= k).withColumn(
+            "res_key", F.round("res_key_raw", 6)
+        ).drop("res_key_raw").createOrReplaceTempView(
             sink_table
         )
 

@@ -1008,15 +1008,17 @@ def test_weighted_reservoir_sample_proportional_and_mergeable(spark):
 
     full = CO.weighted_reservoir_sample(base, k=10, weight_col="w", seed="r1")
     lo = CO.weighted_reservoir_sample(
-        base.filter(F.col("doc_id") < 50), k=10, weight_col="w", seed="r1"
+        base.filter(F.col("doc_id") < 50), k=10, weight_col="w", seed="r1",
+        keep_raw=True,
     )
     hi = CO.weighted_reservoir_sample(
-        base.filter(F.col("doc_id") >= 50), k=10, weight_col="w", seed="r1"
+        base.filter(F.col("doc_id") >= 50), k=10, weight_col="w", seed="r1",
+        keep_raw=True,
     )
     merged = (
-        lo.select("doc_id", "res_key")
-        .unionByName(hi.select("doc_id", "res_key"))
-        .orderBy(F.desc("res_key"), "doc_id")
+        lo.select("doc_id", "res_key_raw")
+        .unionByName(hi.select("doc_id", "res_key_raw"))
+        .orderBy(F.desc("res_key_raw"), "doc_id")
         .limit(10)
     )
     assert [r["doc_id"] for r in merged.collect()] == [
@@ -1030,6 +1032,41 @@ def test_weighted_reservoir_sample_proportional_and_mergeable(spark):
         with_bad, k=100, weight_col="w", seed="r1"
     ).collect()
     assert all(r["doc_id"] != 3 for r in got) and len(got) == 99
+
+
+def test_weighted_reservoir_sample_large_weights_no_key_collapse(spark):
+    """Round-7 ADVICE regression: with realistic weights (1e4-1e6
+    chars) the key ln(u)/w has magnitude ~1e-6, so ranking on a
+    6dp-ROUNDED key collapses most rows into a 0.000000 tie and the
+    'sample' degenerates to ascending doc_id.  Ranking must happen on
+    the unrounded double: the selection must equal the A-Res top-k
+    computed independently in Python from the same md5 uniforms, and
+    must NOT be the first k ids."""
+    import hashlib
+    import math
+
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    n, k, seed = 1000, 25, "big1"
+    base = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        (10_000.0 + (F.col("id") % 97).cast("double") * 10_000.0).alias("w"),
+    )
+    got = [
+        r["doc_id"]
+        for r in CO.weighted_reservoir_sample(
+            base, k=k, weight_col="w", seed=seed
+        ).orderBy("sample_rank").collect()
+    ]
+
+    def key(i: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:13], 16)
+        u = (h + 0.5) / 2.0**52
+        return math.log(u) / (10_000.0 + (i % 97) * 10_000.0)
+
+    want = sorted(range(n), key=lambda i: (-key(i), i))[:k]
+    assert got == want
+    assert got != list(range(k)), "selection degenerated to doc_id order"
 
 
 def test_histogram_quantiles_within_one_bin_of_exact(spark, sf_dir):

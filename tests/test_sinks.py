@@ -532,6 +532,81 @@ def test_compact_log_preserves_row_stamps_under_nonmonotone_versions(
     )
 
 
+def test_compact_log_preserves_cid_tiebreak_on_equal_stamps(
+    spark, tmp_path
+):
+    """Round-7 ADVICE regression: when a folded row and a RETAINED
+    newer commit carry the SAME pinned version stamp for the same key,
+    pre-compaction keep-latest breaks the tie on commit id (newer
+    commit wins).  The compaction commit gets a new highest __cid, so
+    without preserving the folded rows' original ids the tie-break
+    would invert and resurrect the older row.  __orig_cid must carry
+    the pre-compaction ordering through one fold AND through a
+    re-compaction of the compacted commit itself."""
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        commit_append,
+        compact_log,
+        read_committed,
+    )
+
+    d = str(tmp_path / "tbl")
+    # c1: k=1 old value, c2: filler (makes the fold non-trivial),
+    # c3 (retained): k=1 new value with the SAME stamp as c1
+    commit_append(
+        spark.createDataFrame([(1, "old")], "k long, v string"), d,
+        version=5.0,
+    )
+    commit_append(
+        spark.createDataFrame([(9, "x")], "k long, v string"), d,
+        version=5.0,
+    )
+    commit_append(
+        spark.createDataFrame([(1, "new")], "k long, v string"), d,
+        version=5.0,
+    )
+    before = {
+        (r["k"], r["v"]) for r in read_committed(spark, d, ["k"]).collect()
+    }
+    assert before == {(1, "new"), (9, "x")}
+    assert compact_log(spark, d, keys=["k"], keep_last=1) is not None
+    after = {
+        (r["k"], r["v"]) for r in read_committed(spark, d, ["k"]).collect()
+    }
+    assert after == before, (
+        "compaction inverted the equal-stamp cid tie-break: the folded "
+        "'old' row outranked the retained 'new' commit"
+    )
+    # re-compact: the compacted commit folds again; __orig_cid must
+    # survive (coalesce keeps the FIRST id) and a fresh equal-stamp
+    # commit must still win against twice-folded rows
+    commit_append(
+        spark.createDataFrame([(9, "y")], "k long, v string"), d,
+        version=5.0,
+    )
+    assert compact_log(spark, d, keys=["k"], keep_last=1) is not None
+    final = {
+        (r["k"], r["v"]) for r in read_committed(spark, d, ["k"]).collect()
+    }
+    assert final == {(1, "new"), (9, "y")}
+
+
+def test_commit_append_stamp_from_column_requires_ingest_ts(spark, tmp_path):
+    """python -O safety: the compaction-path precondition must be a
+    raise, not an assert."""
+    import pytest
+
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        commit_append,
+    )
+
+    with pytest.raises(ValueError, match="__ingest_ts"):
+        commit_append(
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            str(tmp_path / "tbl"),
+            stamp_from_column=True,
+        )
+
+
 def test_compact_log_tolerates_all_empty_folded_commits(spark, tmp_path):
     """Empty micro-batch deltas are routine; folding an all-empty
     prefix must not crash on either path — merge=None may fold them
