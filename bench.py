@@ -147,6 +147,19 @@ HEADLINE = [
     "embedding_stats",
     "ivf_nprobe_curve",
     "packing_stats",
+    # round 8: multidimensional aggregates, event analytics,
+    # dataset-prep QA
+    "rollup_shipping",
+    "cube_order_mix",
+    "grouping_sets_revenue",
+    "pivot_event_matrix",
+    "funnel_conversion",
+    "cohort_retention",
+    "rfm_segments",
+    "kfold_assign",
+    "group_holdout_split",
+    "quantize_int8",
+    "ngram_novelty",
 ]
 
 TIMED_SWEEPS = 2

@@ -18,6 +18,9 @@ from . import (  # noqa: F401
     streaming_q,
     timeseries,
 )
+from . import olap_q  # noqa: F401,E402 — imported LAST: keeps every
+# pre-round-8 registration index (the evidence-rotation tie-break)
+# exactly where the driver's historical samples left it
 from .registry import all_queries, oracle_sqls, spark_queries
 
 __all__ = ["all_queries", "spark_queries", "oracle_sqls"]

@@ -1,0 +1,752 @@
+"""Round-8 registered queries: multidimensional OLAP aggregates,
+event-funnel/cohort analytics, and dataset-preparation QA.
+
+Three families, all oracle-exact against DuckDB:
+
+* **Multidimensional aggregates** — ROLLUP / CUBE / GROUPING SETS /
+  PIVOT.  Spark executes all grouping-set variants as ONE scan + one
+  Expand (each row fans out once per grouping set) + a single
+  partial+final hash aggregate — the same shuffle budget as a plain
+  GROUP BY, which is exactly why these beat N separate aggregation
+  passes at 100 TB.  Money sums use the integer-cents contract
+  (`pricing_summary`'s pattern) so the hash compare is
+  aggregation-order-insensitive.
+
+* **Event analytics** — strict sequential funnel and weekly cohort
+  retention over the `events` stream table (the reference's
+  pipeline events are quote ingest cycles; these are the standard
+  product-analytics faces of the same event-log shape).  Everything
+  is keyed by user_id: per-user aggregation + a users-sized join,
+  shuffles partition by the natural key and all counts are exact
+  integers.
+
+* **Dataset-prep QA** — k-fold assignment balance, duplicate-group
+  holdout splitting (leakage-proof BY CONSTRUCTION, complementing the
+  measuring `split_leakage`), int8 embedding quantization QA, and an
+  n-gram novelty-over-ingestion-order curve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import fan_out, load_table
+from .registry import register
+
+R = 6  # float rounding for cross-engine hash stability
+
+#: DuckDB mirror of the portable 60-bit md5-prefix hash used by
+#: llm/corpus + llm/dedup (first 15 hex digits, non-negative).
+_HASH_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+@register(
+    "rollup_shipping",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 6)
+         AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 6)
+         AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+""",
+    doc="GROUP BY ROLLUP over (returnflag, linestatus) with "
+    "grouping_id: detail rows + per-flag subtotals + grand total in "
+    "ONE scan.  Spark compiles rollup to a single Expand (3 grouping "
+    "sets -> each input row emitted 3x with the inapplicable keys "
+    "nulled) feeding one partial+final hash aggregate — one shuffle "
+    "for all three levels, vs three scans + three shuffles for the "
+    "UNION ALL equivalent.  Money sums are integer cents (exact, "
+    "order-insensitive); NULL group keys are disambiguated from real "
+    "values by grouping_id and rendered 'ALL' on both engines.",
+)
+def rollup_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indicators import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cents("l_quantity")) / 100.0, R).alias("sum_qty"),
+            F.round(F.sum(cents("l_extendedprice")) / 100.0, R).alias(
+                "sum_price"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "sum_qty",
+            "sum_price",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+@register(
+    "cube_order_mix",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 6)
+         AS sum_price,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+             / count(*), 6) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+""",
+    doc="GROUP BY CUBE over (status, priority): all 4 grouping sets "
+    "(detail, each one-dimensional margin, grand total) from one scan "
+    "— the classic OLAP cross-tab margin query.  Same Expand+single-"
+    "aggregate physical shape as rollup_shipping (4x row fan-out, one "
+    "shuffle); at 100 TB the Expand multiplies map-side rows but "
+    "partial aggregation collapses them before the exchange, so "
+    "shuffle bytes stay at (groups x sets), not (rows x sets).  "
+    "Averages derive from exact integer-cent sums.",
+)
+def cube_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indicators import cents
+
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cents("o_totalprice")) / 100.0, R).alias(
+                "sum_price"
+            ),
+            F.round(F.sum(cents("o_totalprice")) / 100.0 / n, R).alias(
+                "avg_price"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "sum_price",
+            "avg_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, returnflag, linestatus
+""",
+    doc="Explicit GROUPING SETS ((returnflag), (linestatus), ()): two "
+    "independent one-dimensional revenue breakdowns plus the grand "
+    "total WITHOUT the detail level — the sets rollup/cube cannot "
+    "express.  Declared in Spark SQL (the DataFrame API has no "
+    "grouping-sets builder); Catalyst plans the identical single "
+    "Expand + one hash aggregate.  Revenue = price x (1 - discount) "
+    "in exact 1e-4 integer units per the pricing_summary contract.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    # the revenue divisor must be CAST(10000.0 AS DOUBLE): Spark SQL
+    # parses the bare literal 10000.0 as DECIMAL(5,1), which would
+    # silently turn the whole revenue column decimal
+    return spark.sql("""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             / CAST(10000.0 AS DOUBLE), 6) AS revenue
+FROM __gs_lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, returnflag, linestatus
+""")
+
+
+@register(
+    "pivot_event_matrix",
+    oracle="""
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+""",
+    doc="PIVOT: day x event-type count matrix over the events stream "
+    "table.  The pivot values are DECLARED (the 5 known types), which "
+    "is the scale-safe form — Spark then skips the implicit "
+    "distinct-scan it would otherwise run to discover pivot columns, "
+    "and plans a single partial+final hash aggregate with 5 "
+    "conditional counts (exactly the oracle's FILTER shape).  Output "
+    "is days x 5 — bounded by the calendar, not the corpus.",
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "day", *[F.coalesce(t, F.lit(0)).cast("long").alias(t) for t in types]
+    ).orderBy("day")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+),
+c AS (
+  SELECT 1 AS stage_ord, 'signup' AS stage, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', count(*) FROM s2
+  UNION ALL SELECT 3, 'click', count(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+)
+SELECT stage_ord, stage, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / first_value(n_users) OVER (ORDER BY stage_ord), 6)
+         AS conv_from_start,
+       round(CAST(n_users AS DOUBLE)
+             / lag(n_users) OVER (ORDER BY stage_ord), 6)
+         AS conv_from_prev
+FROM c ORDER BY stage_ord
+""",
+    doc="Strict sequential funnel over the events table: users who "
+    "signed up, then VIEWED after signing up, then CLICKED after that "
+    "view, then PURCHASED after that click — each stage's timestamp "
+    "must strictly follow the previous stage's first qualifying "
+    "timestamp (the product-analytics funnel, not the weaker "
+    "did-all-four-ever set).  Physical shape: 4 chained per-user "
+    "min-aggregates, each a users-keyed shuffle co-partitioned with "
+    "the events join key, so at 100 TB every stage is one exchange on "
+    "user_id and the frontier frame shrinks monotonically.  The "
+    "4-row conversion readout computes on exact BIGINT counts.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", F.col("t").alias("__pt")), "user_id")
+            .filter(F.col("ts") > F.col("__pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    stages = [("signup", s1)]
+    for etype in ("view", "click", "purchase"):
+        stages.append((etype, first_after(stages[-1][1], etype)))
+    counts = None
+    for i, (name, df) in enumerate(stages, start=1):
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage_ord"), F.lit(name).alias("stage"), "n_users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("stage_ord")
+    return (
+        counts.withColumn(
+            "conv_from_start",
+            F.round(
+                F.col("n_users").cast("double")
+                / F.first("n_users").over(w),
+                R,
+            ),
+        )
+        .withColumn(
+            "conv_from_prev",
+            F.round(
+                F.col("n_users").cast("double") / F.lag("n_users").over(w), R
+            ),
+        )
+        .orderBy("stage_ord")
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+  FROM events GROUP BY 1
+),
+sizes AS (SELECT cohort, count(*) AS n_cohort FROM firsts GROUP BY 1),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+  FROM events
+),
+ret AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT r.cohort, r.week_offset, r.n_active, s.n_cohort,
+       round(CAST(r.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+FROM ret r JOIN sizes s USING (cohort)
+ORDER BY cohort, week_offset
+""",
+    doc="Weekly cohort retention matrix: users grouped by the ISO week "
+    "of their FIRST event; each cell = the share of a cohort active "
+    "in week cohort+k.  Two users-keyed aggregations plus one "
+    "users-sized join — the cohort dimension is calendar-bounded, so "
+    "output and join state stay tiny while the event scan is one "
+    "pass.  week_offset is exact integer day arithmetic on "
+    "Monday-truncated weeks (no epoch/timezone math), and retention "
+    "is a division of exact counts.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    ret = (
+        active.join(firsts, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff("wk", "cohort") / F.lit(7.0)).cast("int"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        ret.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active").cast("double") / F.col("n_cohort"), R
+            ).alias("retention"),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+per_user AS (
+  SELECT user_id,
+         date_diff('day', max(ts), (SELECT m FROM mx)) AS rec_days,
+         count(*) AS freq,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE 0 END) AS mon_cents
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT user_id, mon_cents,
+         NTILE(4) OVER (ORDER BY rec_days, user_id)  AS r_bin,
+         NTILE(4) OVER (ORDER BY freq, user_id)      AS f_bin,
+         NTILE(4) OVER (ORDER BY mon_cents, user_id) AS m_bin
+  FROM per_user
+)
+SELECT r_bin, f_bin, m_bin, count(*) AS n_users,
+       round(sum(mon_cents) / 100.0 / count(*), 6) AS avg_monetary
+FROM binned GROUP BY 1, 2, 3
+ORDER BY r_bin, f_bin, m_bin
+""",
+    doc="RFM (recency/frequency/monetary) segmentation: each user "
+    "scored into exact quartiles on days-since-last-event, event "
+    "count, and purchase value, then counted per (r,f,m) segment "
+    "(bins ascend — bin 4 = most frequent / highest spend / longest "
+    "inactive).  The quartiles use llm/corpus.exact_ntile — the "
+    "distributed range-repartition NTILE (SQL-standard remainder "
+    "semantics, differentially verified in round 6) — so no "
+    "single-partition global window touches the users frame: three "
+    "range exchanges + one tiny offsets broadcast each.  Monetary "
+    "sums are integer cents (exact).",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.corpus import exact_ntile
+    from ..operators.indicators import cents
+
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("__mx"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("__last"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", cents("value")
+                ).otherwise(F.lit(0))
+            ).alias("mon_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("__mx", "__last").alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+    )
+    d = exact_ntile(per_user, ["rec_days", "user_id"], 4, "r_bin")
+    d = exact_ntile(d, ["freq", "user_id"], 4, "f_bin")
+    d = exact_ntile(d, ["mon_cents", "user_id"], 4, "m_bin")
+    return (
+        d.groupBy("r_bin", "f_bin", "m_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("mon_cents") / 100.0 / F.count(F.lit(1)), R
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_bin", "f_bin", "m_bin")
+    )
+
+
+@register(
+    "kfold_assign",
+    oracle="""
+WITH folds AS (
+  SELECT ('0x' || substr(md5('cv1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           ::BIGINT % 5 AS fold,
+         source, n_chars
+  FROM documents
+)
+SELECT fold, count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars
+FROM folds GROUP BY fold ORDER BY fold
+""",
+    doc="K-fold cross-validation assignment (k=5) by the engine-"
+    "portable content-id hash (llm/corpus.portable_bucket): every "
+    "document lands in exactly one fold, deterministically across "
+    "runs, partitionings, and engines — the CV-split primitive a "
+    "training pipeline needs before any honest ablation.  The output "
+    "is the fold-balance dashboard (doc counts, source coverage, "
+    "char mass per fold): one keyed aggregation, exact integers, "
+    "k rows at any corpus size.  Complements dataset_split (fraction "
+    "split) with the rotation-eval face.",
+)
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.corpus import portable_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fold", portable_bucket(F.col("doc_id"), "cv1:", 5))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), R
+            ).alias("mean_chars"),
+        )
+        .orderBy("fold")
+    )
+
+
+@register(
+    "group_holdout_split",
+    oracle=r"""
+WITH g AS (
+  SELECT doc_id, n_chars,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS grp
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_chars, grp,
+         CASE WHEN ('0x' || substr(md5('gh1:' || grp), 1, 15))::BIGINT % 10
+                   = 0
+              THEN 'holdout' ELSE 'train' END AS split
+  FROM g
+),
+straddle AS (
+  SELECT count(*) AS n_straddle FROM (
+    SELECT grp FROM (SELECT DISTINCT grp, split FROM assigned)
+    GROUP BY grp HAVING count(*) > 1
+  )
+)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT grp) AS n_groups,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       (SELECT n_straddle FROM straddle) AS n_straddle
+FROM assigned GROUP BY split ORDER BY split
+""",
+    doc="Duplicate-group-aware holdout split: the split key is the "
+    "NORMALIZED-CONTENT hash (llm/text.md5_fingerprint — the exact-"
+    "dedup canonical group), not the document id, so every copy of "
+    "the same content lands on the same side — train/eval leakage "
+    "through exact duplicates is impossible BY CONSTRUCTION, not "
+    "merely measured after the fact (split_leakage's job).  The "
+    "query emits its own proof: n_straddle counts groups seen in "
+    "both splits and must read 0.  One keyed aggregation plus a "
+    "groups-keyed distinct — two exchanges at any scale, ~10% "
+    "holdout by the portable hash.",
+)
+def group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.corpus import portable_bucket
+    from ..llm.text import md5_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = d.select(
+        "doc_id",
+        "n_chars",
+        md5_fingerprint("text").alias("grp"),
+    ).withColumn(
+        "split",
+        F.when(
+            portable_bucket(F.col("grp"), "gh1:", 10) == 0, "holdout"
+        ).otherwise("train"),
+    )
+    straddle = (
+        assigned.select("grp", "split")
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_straddle"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .orderBy("split")
+    )
+
+
+@register(
+    "quantize_int8",
+    oracle="""
+WITH ed AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+ex AS (
+  SELECT unnest(x) AS v, generate_subscripts(x, 1) AS d FROM ed
+),
+sc AS (SELECT d, max(abs(v)) / 127 AS s FROM ex GROUP BY d),
+sa AS (SELECT list(s ORDER BY d) AS scales FROM sc),
+calc AS (
+  SELECT vec_id, label, x,
+         list_transform(generate_series(1, len(x)),
+           i -> CASE WHEN scales[i] = 0 THEN 0.0
+                     ELSE round(x[i] / scales[i]) * scales[i] END) AS r
+  FROM ed, sa
+),
+err AS (
+  SELECT vec_id, label, x, r,
+         list_transform(generate_series(1, len(x)),
+                        i -> x[i] - r[i]) AS e
+  FROM calc
+)
+SELECT vec_id, label,
+       round(list_dot_product(e, e) / len(x), 8) AS mse,
+       round(list_aggregate(list_transform(e, v -> abs(v)), 'max'), 6)
+         AS max_abs_err,
+       round(list_dot_product(x, r)
+             / (sqrt(list_dot_product(x, x))
+                * sqrt(list_dot_product(r, r))), 5) AS cos_recon
+FROM err ORDER BY vec_id
+""",
+    doc="Int8 embedding quantization QA: symmetric per-dimension "
+    "max-abs scales (the faiss/SQ8 contract — scale_d = max|x_d|/127, "
+    "a 64-double model no matter the corpus size), quantize-"
+    "dequantize, and per-vector reconstruction fidelity (MSE, max "
+    "abs error, cosine of vector vs its reconstruction).  This is "
+    "the go/no-go artifact before shrinking an ANN index 4x.  Scale "
+    "shape: the scales frame is ONE dims-sized aggregate broadcast "
+    "back (never collected); everything else is per-row array "
+    "algebra in fixed order (zip_with/aggregate folds mirror "
+    "DuckDB's list ops), so the plan is scan + tiny broadcast + "
+    "scan.  Zero-variance dimensions quantize to 0 by the s=0 guard.",
+)
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    sc = (
+        ed.select(F.posexplode("x").alias("d", "v"))
+        .groupBy("d")
+        .agg((F.max(F.abs(F.col("v"))) / F.lit(127.0)).alias("s"))
+    )
+    sa = sc.agg(
+        F.array_sort(F.collect_list(F.struct("d", "s"))).alias("sm")
+    ).select(F.transform("sm", lambda t: t["s"]).alias("scales"))
+    r = F.zip_with(
+        "x",
+        "scales",
+        lambda x, s: F.when(s == 0, F.lit(0.0)).otherwise(
+            F.round(x / s, 0) * s
+        ),
+    )
+    calc = ed.crossJoin(F.broadcast(sa)).withColumn("r", r)
+    err = calc.withColumn("e", F.zip_with("x", "r", lambda x, y: x - y))
+    dim = F.size("x").cast("double")
+    return err.select(
+        "vec_id",
+        "label",
+        F.round(dot(F.col("e"), F.col("e")) / dim, 8).alias("mse"),
+        F.round(
+            F.array_max(F.transform("e", lambda v: F.abs(v))), R
+        ).alias("max_abs_err"),
+        F.round(
+            dot(F.col("x"), F.col("r"))
+            / (
+                F.sqrt(dot(F.col("x"), F.col("x")))
+                * F.sqrt(dot(F.col("r"), F.col("r")))
+            ),
+            5,
+        ).alias("cos_recon"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "ngram_novelty",
+    oracle=r"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+pairs AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS gram
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) r
+),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM pairs GROUP BY gram),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM pairs GROUP BY 1),
+novel AS (
+  SELECT first_doc AS doc_id, count(*) AS n_novel FROM firsts GROUP BY 1
+),
+per_doc AS (
+  SELECT t.doc_id, t.n_grams, coalesce(v.n_novel, 0) AS n_novel
+  FROM totals t LEFT JOIN novel v USING (doc_id)
+),
+mx AS (SELECT max(doc_id) AS m FROM documents)
+SELECT CAST(doc_id * 10 // (m + 1) AS INT) AS decile,
+       count(*) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+       round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 6) AS novelty
+FROM per_doc, mx
+GROUP BY 1 ORDER BY decile
+""",
+    doc="N-gram novelty over ingestion order: for each document, the "
+    "share of its distinct word-5-grams never seen in any EARLIER "
+    "document (first_seen = min doc_id per gram), aggregated into "
+    "doc-id deciles — the marginal-new-content curve that tells a "
+    "data pipeline when additional crawl batches stop adding "
+    "information (the saturating complement of dup_ngram_coverage's "
+    "duplication view).  Scale shape: one distinct + one keyed min "
+    "over the gram space, then per-doc novelty comes from the FIRSTS "
+    "frame alone (group first_doc, count) — a docs-sized left join, "
+    "never a gram-sized join-back; the decile readout is 10 rows of "
+    "exact integers.",
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.corpus import word_ngrams
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                word_ngrams(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 5
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    firsts = pairs.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    totals = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        firsts.groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("__novel"))
+    )
+    per_doc = totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("__novel", F.lit(0)).alias("n_novel"),
+    )
+    mx = d.agg(F.max("doc_id").alias("__m"))
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.floor(
+                F.col("doc_id") * 10 / (F.col("__m") + 1)
+            ).cast("int").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_novel").alias("novel_grams"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_grams"), R
+            ).alias("novelty"),
+        )
+        .orderBy("decile")
+    )

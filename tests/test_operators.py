@@ -1247,3 +1247,134 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark):
         f"multi-probe found no extra true neighbors "
         f"({multi_hits} vs {single_hits})"
     )
+
+
+def test_funnel_is_strictly_sequential(spark, tmp_path):
+    """A stage only counts when its first qualifying event happens
+    STRICTLY AFTER the previous stage's first qualifying event: a user
+    whose only view precedes their signup must stop at signup, and a
+    later re-view re-opens the funnel."""
+    import datetime as dt
+
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        funnel_conversion,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, etype, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), user, etype, 1.0, "{}")
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, "signup", 0), ev(2, 1, "view", 10),
+        ev(3, 1, "click", 20), ev(4, 1, "purchase", 30),
+        # user 2: view BEFORE signup only -> stops at signup
+        ev(5, 2, "view", 0), ev(6, 2, "signup", 10),
+        # user 3: view before AND after signup -> reaches view via the
+        # later view, but clicks before that view -> stops at view
+        ev(7, 3, "view", 0), ev(8, 3, "signup", 10),
+        ev(9, 3, "click", 15), ev(10, 3, "view", 20),
+        # user 4: never signs up -> not in the funnel at all
+        ev(11, 4, "view", 0), ev(12, 4, "purchase", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    src = str(tmp_path / "funnel_events")
+    df.write.parquet(f"{src}/events.parquet")
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_conversion(spark, src).collect()
+    }
+    assert got == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_group_holdout_puts_exact_dups_on_one_side(spark, tmp_path):
+    """Exact duplicates (same normalized text) must land in the same
+    split — the leakage-proof-by-construction contract — and the
+    query's own n_straddle column must certify it.  The testdata
+    corpus has no exact dups, so this builds one."""
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        group_holdout_split,
+    )
+
+    rows = [(i, "the same   text", "en", "s0", 13) for i in range(40)] + [
+        (100 + i, f"unique text {i}", "en", "s1", 12) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    src = str(tmp_path / "holdout_docs")
+    df.write.parquet(f"{src}/documents.parquet")
+    out = group_holdout_split(spark, src).collect()
+    assert all(r["n_straddle"] == 0 for r in out)
+    # 61 groups total (1 dup group + 60 unique); the 40 copies count
+    # as docs on exactly one side
+    assert sum(r["n_groups"] for r in out) == 61
+    assert sum(r["n_docs"] for r in out) == 100
+    sides_with_dup_mass = [r for r in out if r["n_docs"] - r["n_groups"] == 39]
+    assert len(sides_with_dup_mass) == 1, (
+        "the 40-copy group was not kept whole on one side"
+    )
+
+
+def test_quantize_int8_error_bounded_by_half_scale(spark, sf_dir):
+    """Symmetric max-abs int8 quantization guarantees per-dimension
+    |err| <= scale_d / 2; the per-vector max_abs_err must respect the
+    corpus-wide bound max_d(scale_d)/2 and reconstruction cosine must
+    stay near 1."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        quantize_int8,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    max_scale = (
+        e.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg((F.max(F.abs(F.col("v").cast("double"))) / 127).alias("s"))
+        .agg(F.max("s"))
+        .collect()[0][0]
+    )
+    out = quantize_int8(spark, sf_dir)
+    stats = out.agg(
+        F.max("max_abs_err").alias("worst"), F.min("cos_recon").alias("c")
+    ).collect()[0]
+    assert stats["worst"] <= max_scale / 2 + 1e-9
+    assert stats["c"] > 0.999
+
+
+def test_ngram_novelty_first_decile_is_all_novel(spark, sf_dir):
+    """doc_id 0's grams are novel by definition, so decile 0's novelty
+    is positive; deciles partition all gram-bearing docs; and
+    novel <= total everywhere with the global novel sum equal to the
+    number of DISTINCT grams in the corpus."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.corpus import word_ngrams
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        ngram_novelty,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    out = ngram_novelty(spark, sf_dir).collect()
+    assert all(r["novel_grams"] <= r["total_grams"] for r in out)
+    d = load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        d.select(
+            F.explode(
+                word_ngrams(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"), 5
+                )
+            ).alias("g")
+        )
+        .agg(F.countDistinct("g"))
+        .collect()[0][0]
+    )
+    assert sum(r["novel_grams"] for r in out) == n_distinct

@@ -197,3 +197,50 @@ def test_topk_selections_compile_to_take_ordered(spark, sf_dir, name):
             f"{name}: a Window runs below the limit — corpus-sized "
             f"single-partition sort:\n{plan}"
         )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rollup_shipping", "cube_order_mix", "grouping_sets_revenue"],
+)
+def test_grouping_set_queries_use_one_expand(spark, sf_dir, name):
+    """ROLLUP/CUBE/GROUPING SETS must compile to exactly ONE Expand
+    feeding a single partial+final hash aggregate — the one-scan
+    grouping-sets plan, never a UNION ALL of per-level scans (which
+    would multiply scans and shuffles by the number of levels)."""
+    df = all_queries()[name].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, (
+        f"{name}: expected exactly one Expand:\n{plan}"
+    )
+    assert plan.count("Scan parquet") <= 1, (
+        f"{name}: grouping sets re-scanned the fact table:\n{plan}"
+    )
+
+
+def test_pivot_declared_values_skip_distinct_scan(spark, sf_dir):
+    """pivot_event_matrix DECLARES its pivot values, so the plan must
+    contain exactly one scan of events (the implicit value-discovery
+    variant runs a separate distinct job first) and no Expand."""
+    df = all_queries()["pivot_event_matrix"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, (
+        f"pivot re-scanned events (undeclared pivot values?):\n{plan}"
+    )
+
+
+def test_quantize_int8_broadcasts_scales(spark, sf_dir):
+    """The per-dimension scale model must reach the vectors via ONE
+    broadcast (dims-sized), never a shuffle join keyed on the corpus."""
+    df = all_queries()["quantize_int8"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        f"quantize_int8 lost the scales broadcast:\n{plan}"
+    )
+    assert "SortMergeJoin" not in plan, (
+        f"quantize_int8 shuffles the corpus to meet a 64-double "
+        f"model:\n{plan}"
+    )

@@ -510,3 +510,54 @@ def test_gate_dashboard_channel_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cohort_channel_matches_batch_firsts(spark, sf_dir, tmp_path):
+    """The streamed cohort sizes (per-user first-event timestamps
+    merged by MIN through the commit log) must equal the batch
+    cohort dimension over the whole events table — the MIN merge law,
+    proven across (at least) two real micro-batches split so that
+    many users appear in BOTH batches (ts-ordered halves), which a
+    no-merge implementation would double-count or mis-date."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_cohort_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    # ts-ordered halves: a user active across the month lands in both
+    # files, so the stream MUST take the min across batches to get the
+    # true first-event week
+    src = str(tmp_path / "events_2files")
+    e.repartitionByRange(2, "ts").write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_dir = str(tmp_path / "cohort_sink")
+    q = start_cohort_channel(
+        spark, sf_dir, sink_table="cohort_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — merge law untested"
+    )
+    got = {
+        (r["cohort"], r["n_cohort"])
+        for r in spark.table("cohort_parity").collect()
+    }
+    want = {
+        (r["cohort"], r["n_cohort"])
+        for r in e.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_cohort"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -74,10 +74,49 @@ def main() -> None:
             )
         emb_parts.append(e)
 
+    # events (round 8): cohort k shifts user ids by a stride and
+    # timestamps by k * 35 days, so each cohort's funnel/cohort/RFM
+    # structure is isomorphic to the original while user populations
+    # AND calendar weeks are disjoint across cohorts — per-user state,
+    # cohort cells, and funnel counts all scale exactly linearly by
+    # construction.
+    evs = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+    ev_stride = int(evs["event_id"].max()) + 1
+    user_stride = int(evs["user_id"].max()) + 1
+    ev_parts = []
+    for k in range(n_cohorts):
+        ev = evs.copy()
+        ev["event_id"] = ev["event_id"] + ev_stride * k
+        ev["user_id"] = ev["user_id"] + user_stride * k
+        ev["ts"] = ev["ts"] + pd.Timedelta(days=35 * k)
+        ev_parts.append(ev)
+    all_evs = pd.concat(ev_parts, ignore_index=True)
+
+    # lineitem/orders (round 8): plain id-strided tiling — the OLAP
+    # grouping-set queries only read the grouping/measure columns, so
+    # key coherence across cohorts is irrelevant; 10x rows with the
+    # identical group structure is exactly the linear soak they need.
+    fact_parts = {}
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        t = pq.read_table(f"{SRC}/{name}.parquet").to_pandas()
+        stride = int(t[key].max()) + 1
+        parts = []
+        for k in range(n_cohorts):
+            c = t.copy()
+            c[key] = c[key] + stride * k
+            parts.append(c)
+        fact_parts[name] = pd.concat(parts, ignore_index=True)
+
     all_docs = pd.concat(doc_parts, ignore_index=True)
     all_embs = pd.concat(emb_parts, ignore_index=True)
 
-    for name, pdf in (("documents", all_docs), ("embeddings", all_embs)):
+    for name, pdf in (
+        ("documents", all_docs),
+        ("embeddings", all_embs),
+        ("events", all_evs),
+        ("lineitem", fact_parts["lineitem"]),
+        ("orders", fact_parts["orders"]),
+    ):
         path = os.path.join(out_dir, f"{name}.parquet")
         os.makedirs(path, exist_ok=True)
         n_files = 32
