@@ -160,6 +160,9 @@ HEADLINE = [
     "group_holdout_split",
     "quantize_int8",
     "ngram_novelty",
+    "reservoir_by_source",
+    "sessionize_events",
+    "shipping_priority",
 ]
 
 TIMED_SWEEPS = 2

@@ -639,6 +639,54 @@ def weighted_reservoir_sample(
     return out.drop("res_key_raw")
 
 
+def weighted_reservoir_sample_by_group(
+    docs,
+    group_col: str,
+    k: int = 5,
+    weight_col: str | None = None,
+    seed: str = "res1",
+    id_col: str = "doc_id",
+):
+    """Stratified A-Res: an independent weighted reservoir of size k
+    PER GROUP (per source, per language, per shard) — the sampling
+    face of stratification, where `weighted_reservoir_sample` is the
+    global face.  Identical key construction (ln(u)/w on the seeded
+    md5 uniform, ranked UNROUNDED — the round-7 lesson), but the
+    row_number window partitions by the group, so Spark runs one
+    group-keyed exchange and per-group heaps instead of a global
+    top-k: no single-partition anything, and adding a group never
+    perturbs another group's sample (the uniforms depend only on
+    (seed, id)).  Exported res_key is display-rounded like the
+    global face."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)  # 2^52
+    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    keyed = docs.filter(w > 0).select(
+        "*", (F.log(u) / w).alias("res_key_raw")
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("res_key_raw"), F.asc(id_col)
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("res_key", F.round("res_key_raw", 6))
+        .drop("res_key_raw")
+    )
+
+
 def histogram_sketch(
     docs,
     value_col: str = "n_chars",

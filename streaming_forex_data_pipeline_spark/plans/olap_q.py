@@ -750,3 +750,204 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "reservoir_by_source",
+    oracle=r"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5('res2:' || CAST(doc_id AS VARCHAR)),
+                             1, 13))::BIGINT + 0.5)
+            / 4503599627370496.0)
+         / n_chars AS res_key_raw
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, source, n_chars, res_key_raw,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY res_key_raw DESC, doc_id)
+           AS sample_rank
+  FROM keyed
+)
+SELECT doc_id, source, n_chars, round(res_key_raw, 6) + 0 AS res_key,
+       sample_rank
+FROM r WHERE sample_rank <= 5
+ORDER BY source, sample_rank
+""",
+    doc="Stratified weighted reservoir sampling (llm/corpus.py:"
+    "weighted_reservoir_sample_by_group): an independent A-Res "
+    "reservoir of 5 documents PER SOURCE, weights = n_chars — the "
+    "per-shard sampling primitive (inspect every source's "
+    "representative docs, not just the global winners).  Ranked on "
+    "the UNROUNDED key like the global face (the round-7 rounding-"
+    "collapse lesson applies identically here); the window partitions "
+    "by source, so the plan is one group-keyed exchange with "
+    "per-group top-k heaps — no global sort, no single-partition "
+    "window, and per-group determinism under any partitioning.",
+)
+def reservoir_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.corpus import weighted_reservoir_sample_by_group
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_reservoir_sample_by_group(
+        d, "source", k=5, weight_col="n_chars", seed="res2"
+    ).orderBy("source", "sample_rank")
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+),
+sid AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(us) - min(us) AS dur_us
+  FROM sid GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST((2 * sum(n_events) * 1000000 + count(*))
+            // (2 * count(*)) AS BIGINT) / 1000000.0
+         AS mean_session_events,
+       CAST((2 * sum(dur_us) + count(*)) // (2 * count(*)) AS BIGINT)
+         / 1000000.0 AS mean_session_secs,
+       CAST(max(dur_us) AS BIGINT) / 1000000.0 AS max_session_secs
+FROM sessions GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="Per-user inactivity sessionization over the events table "
+    "(30-minute gap rule): lag -> gap flag -> running-sum session id "
+    "-> per-session spans -> per-user session dashboard.  The "
+    "user-activity complement of the quote-stream session_windows "
+    "(ST8): every window partitions by user_id, so the plan is one "
+    "user-keyed exchange and per-user ordered scans — the shape that "
+    "holds at any user count.  All durations are exact epoch-micros "
+    "BIGINT arithmetic END TO END: the per-user means round half-up "
+    "at microsecond resolution via integer division div(2s + n, 2n) "
+    "— a mean like sum_us/n lands EXACTLY on 6dp half-boundaries, "
+    "where Spark's shortest-repr BigDecimal round and DuckDB's "
+    "binary round disagree (observed at sf0.1); integer half-up "
+    "sidesteps float rounding entirely, and the final /1e6 is the "
+    "same exact-int-over-constant division on both engines.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "event_id", us.alias("us"), F.lag(us).over(w_ord).alias("prev_us")
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sid = flagged.withColumn("session_id", F.sum("new_s").over(w_run))
+    sessions = sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    n = F.count(F.lit(1))
+    half_up = lambda s, d: F.call_function(  # noqa: E731 — local alias
+        "div", F.lit(2) * s + d, F.lit(2) * d
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            n.alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            (
+                half_up(F.sum("n_events") * 1_000_000, n) / 1_000_000.0
+            ).alias("mean_session_events"),
+            (half_up(F.sum("dur_us"), n) / 1_000_000.0).alias(
+                "mean_session_secs"
+            ),
+            (F.max("dur_us") / 1_000_000.0).alias("max_session_secs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    doc="Shipping-priority top-N (TPC-H Q3 shape): unshipped BUILDING-"
+    "segment orders ranked by outstanding revenue.  The physical plan "
+    "is the canonical star-join posture this engine standardizes on: "
+    "the filtered customer dimension BROADCASTS (plan-gated), the "
+    "orders-lineitem fact-fact join shuffles co-keyed on the order "
+    "key, both date filters push to the parquet scans, and the top-10 "
+    "compiles to TakeOrderedAndProject (per-partition partial top-k, "
+    "never a global sort).  Revenue in exact 1e-4 integer units.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indicators import cents
+
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(
+            o.join(
+                F.broadcast(c.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev_c4) / 10000.0, R).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

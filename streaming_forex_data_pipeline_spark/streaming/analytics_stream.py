@@ -81,3 +81,145 @@ def start_cohort_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_funnel_channel(
+    spark,
+    sf_dir: str,
+    stages: tuple[str, ...] = ("signup", "view", "click", "purchase"),
+    sink_table: str = "funnel_sink",
+    sink_dir: str | None = None,
+    stream=None,
+):
+    """Continuously maintained STRICT sequential funnel
+    (`plans/olap_q.py:funnel_conversion`) via a per-user state machine
+    in ``applyInPandasWithState`` — the ST7 pattern (stateful.py)
+    applied to multi-stage progression state instead of a counter.
+
+    Per user the GroupState holds one epoch-micros timestamp per
+    stage (the first qualifying hit).  Each micro-batch replays the
+    user's new events in event-time order through the machine: stage
+    i fires on the first event of its type strictly after stage i-1's
+    recorded hit.  Newly reached stages are EMITTED as (user_id,
+    stage_ord, reached_ts) rows — monotone inserts (a stage fires at
+    most once per user across the whole stream), committed per batch
+    through the delta log keyed (user_id, stage_ord, batch) so crashed
+    replays dedup; the live view is the per-stage distinct-user count,
+    i.e. funnel_conversion's n_users column kept fresh.
+
+    Ordering contract (stated, not hidden): stage decisions are
+    final, so per-user events must arrive in event-time order ACROSS
+    micro-batches (true for replayed/file sources and for
+    watermark-sorted ingest); an out-of-order earlier event cannot
+    retract an already-fired stage.  State is #stages longs per user
+    — bounded, partitioned across executors by user_id."""
+    from typing import Any, Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="funnel_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "events")
+    spark.createDataFrame(
+        [], "stage_ord int, stage string, n_users long"
+    ).createOrReplaceTempView(sink_table)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("stage_ord", IntegerType()),
+            StructField("reached_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField(f"t{i}", LongType()) for i in range(len(stages))]
+    )
+    n_stages = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        reached = list(state.get) if state.exists else [None] * n_stages
+        new_rows = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            for etype, ts in zip(pdf["event_type"], pdf["ts"]):
+                i = stage_of.get(etype)
+                if i is None or reached[i] is not None:
+                    continue
+                us = int(pd.Timestamp(ts).value // 1000)
+                prev = reached[i - 1] if i > 0 else None
+                if i == 0 or (prev is not None and us > prev):
+                    reached[i] = us
+                    new_rows.append((int(key[0]), i, us))
+        state.update(tuple(reached))
+        if new_rows:
+            yield pd.DataFrame(
+                new_rows, columns=["user_id", "stage_ord", "reached_us"]
+            )
+
+    transitions = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def run_batch(batch_df, batch_id):
+        delta = batch_df.withColumn(
+            "batch", F.lit(int(batch_id)).cast("long")
+        )
+        commit_append(delta, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(
+                spark, sink_dir, keys=["user_id", "stage_ord", "batch"]
+            )
+        except FileNotFoundError:
+            return
+        stage_names = F.array(*[F.lit(s) for s in stages])
+        (
+            committed.groupBy("stage_ord")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .select(
+                # 1-based to match funnel_conversion's stage_ord
+                (F.col("stage_ord") + 1).alias("stage_ord"),
+                F.element_at(stage_names, F.col("stage_ord") + 1).alias(
+                    "stage"
+                ),
+                "n_users",
+            )
+            .createOrReplaceTempView(sink_table)
+        )
+
+    import tempfile
+
+    return (
+        transitions.writeStream.foreachBatch(run_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="funnel_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1378,3 +1378,39 @@ def test_ngram_novelty_first_decile_is_all_novel(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r["novel_grams"] for r in out) == n_distinct
+
+
+def test_reservoir_by_group_groups_are_independent(spark):
+    """Per-group A-Res keys depend only on (seed, id), so adding a new
+    group (or re-partitioning) must not perturb any other group's
+    sample — the property that makes per-shard sampling reproducible
+    under corpus growth."""
+    from streaming_forex_data_pipeline_spark.llm import corpus as CO
+
+    base = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+        (F.col("id") % 7 + 1.0).alias("w"),
+    )
+    before = {
+        (r["src"], r["sample_rank"]): r["doc_id"]
+        for r in CO.weighted_reservoir_sample_by_group(
+            base, "src", k=5, weight_col="w", seed="g1"
+        ).collect()
+    }
+    grown = base.unionByName(
+        spark.range(1000, 1300).select(
+            F.col("id").alias("doc_id"),
+            F.lit("NEW").alias("src"),
+            F.lit(2.0).alias("w"),
+        )
+    ).repartition(7)
+    after = {
+        (r["src"], r["sample_rank"]): r["doc_id"]
+        for r in CO.weighted_reservoir_sample_by_group(
+            grown, "src", k=5, weight_col="w", seed="g1"
+        ).collect()
+    }
+    for key, doc in before.items():
+        assert after[key] == doc, f"group {key} sample perturbed"
+    assert sum(1 for (s, _r) in after if s == "NEW") == 5

@@ -244,3 +244,18 @@ def test_quantize_int8_broadcasts_scales(spark, sf_dir):
         f"quantize_int8 shuffles the corpus to meet a 64-double "
         f"model:\n{plan}"
     )
+
+
+def test_shipping_priority_broadcasts_dim_and_takes_ordered(spark, sf_dir):
+    """The Q3-shaped star join must broadcast the filtered customer
+    dimension (never shuffle the fact on c_custkey) and compile its
+    top-10 to TakeOrderedAndProject."""
+    df = all_queries()["shipping_priority"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, (
+        f"customer dim lost its broadcast:\n{plan}"
+    )
+    assert "TakeOrderedAndProject" in plan, (
+        f"top-10 lost the TakeOrdered rewrite:\n{plan}"
+    )

@@ -561,3 +561,62 @@ def test_cohort_channel_matches_batch_firsts(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_funnel_channel_matches_batch_funnel(spark, sf_dir, tmp_path):
+    """The stateful strict-funnel channel (per-user stage machine in
+    applyInPandasWithState, transitions committed through the delta
+    log) must reproduce the batch funnel_conversion stage counts when
+    events arrive in event-time order across micro-batches — with
+    users whose funnels STRADDLE the batch boundary, so cross-batch
+    GroupState continuity is actually exercised."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.plans.registry import all_queries
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_funnel_channel,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    # stage the two event-time halves as files with STRICTLY INCREASING
+    # mtimes: FileStreamSource orders files by modification time (not
+    # name), and the funnel's ordering contract requires micro-batches
+    # to arrive in event-time order
+    import glob
+    import shutil
+
+    src = str(tmp_path / "events_ordered_2files")
+    os.makedirs(src)
+    halves = str(tmp_path / "halves")
+    e.repartitionByRange(2, "ts").write.parquet(halves)
+    for i, part in enumerate(sorted(glob.glob(f"{halves}/part-*"))):
+        dst = os.path.join(src, f"half-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_dir = str(tmp_path / "funnel_sink")
+    q = start_funnel_channel(
+        spark, sf_dir, sink_table="funnel_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(240)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — state continuity untested"
+    )
+    got = {
+        (r["stage_ord"], r["stage"], r["n_users"])
+        for r in spark.table("funnel_parity").collect()
+    }
+    want = {
+        (r["stage_ord"], r["stage"], r["n_users"])
+        for r in all_queries()["funnel_conversion"]
+        .spark(spark, sf_dir)
+        .select("stage_ord", "stage", "n_users")
+        .collect()
+    }
+    assert got == want and len(got) == 4

@@ -92,6 +92,19 @@ def main() -> None:
         ev_parts.append(ev)
     all_evs = pd.concat(ev_parts, ignore_index=True)
 
+    # dims (round 8): copied verbatim — the tiled facts keep their
+    # original foreign keys (only the fact's own primary key strides),
+    # so every cohort joins the same dimension rows, and dim-side
+    # broadcast sizes stay constant under the 10x soak (as they would
+    # at 100 TB: facts grow, dims don't).
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(
+            f"{SRC}/{dim}.parquet", os.path.join(out_dir, f"{dim}.parquet")
+        )
+
     # lineitem/orders (round 8): plain id-strided tiling — the OLAP
     # grouping-set queries only read the grouping/measure columns, so
     # key coherence across cohorts is irrelevant; 10x rows with the
