@@ -163,6 +163,7 @@ HEADLINE = [
     "reservoir_by_source",
     "sessionize_events",
     "shipping_priority",
+    "pagerank_topk",
 ]
 
 TIMED_SWEEPS = 2

@@ -951,3 +951,84 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+def _pagerank_oracle(iters: int = 10, scale: int = 1_000_000_000_000,
+                     d: int = 85, k: int = 20) -> str:
+    """Unrolled integer-PageRank oracle: the knn_graph edge CTEs (same
+    plane literals) followed by one CTE per iteration — pure BIGINT
+    floor arithmetic, so DuckDB reproduces Spark's ranks exactly."""
+    from .llm_q import _lsh_bucket_sql
+
+    base = (100 - d) * scale // 100
+    head = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn,
+         {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', n_planes=4)} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos DESC, dst ASC) AS rnk
+  FROM pairs
+),
+edges AS (SELECT src, dst FROM ranked WHERE rnk <= 3),
+deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY 1),
+nodes AS (SELECT vec_id FROM embeddings),
+p0 AS (SELECT vec_id, CAST({scale} AS BIGINT) AS pr FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+p{i} AS (
+  SELECT n.vec_id,
+         CAST({base} + ({d} * coalesce(s.c, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS vec_id, sum(p.pr // d.dg) AS c
+    FROM edges e JOIN deg d ON e.src = d.src
+                 JOIN p{i - 1} p ON p.vec_id = e.src
+    GROUP BY 1
+  ) s USING (vec_id)
+)""")
+    tail = f"""
+SELECT vec_id, pr FROM p{iters}
+ORDER BY pr DESC, vec_id
+LIMIT {k}
+"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "pagerank_topk",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the document kNN similarity graph "
+    "(llm/similarity.py:integer_pagerank over knn_graph's edges, 10 "
+    "iterations, d=0.85): the canonical ITERATIVE distributed graph "
+    "algorithm — centrality over the semantic neighborhood graph "
+    "surfaces hub documents (dedup representatives, curriculum "
+    "anchors).  Made exactly hash-checkable by running the recurrence "
+    "in INTEGER mass units (int64 floor arithmetic end to end): a "
+    "float PageRank compounds ulp drift across iterations and can "
+    "never be strictly compared cross-engine, while integer sums are "
+    "aggregation-order-free by construction.  Physical shape per "
+    "iteration: one edges-keyed join + one keyed integer sum (the "
+    "Pregel step expressed relationally), lineage cut every 3 "
+    "iterations; the oracle unrolls the same 10 steps as chained "
+    "CTEs.  Top-20 via TakeOrdered.",
+)
+def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    edges = SIM.knn_graph(e, k=3, n_planes=4).select("src", "dst")
+    pr = SIM.integer_pagerank(
+        edges, e.select("vec_id"), iters=10, scale=1_000_000_000_000
+    )
+    return pr.orderBy(F.desc("pr"), "vec_id").limit(20)

@@ -1414,3 +1414,45 @@ def test_reservoir_by_group_groups_are_independent(spark):
     for key, doc in before.items():
         assert after[key] == doc, f"group {key} sample perturbed"
     assert sum(1 for (s, _r) in after if s == "NEW") == 5
+
+
+def test_integer_pagerank_matches_python_recurrence(spark):
+    """On a small fixed graph the int64 recurrence must equal a pure
+    Python implementation EXACTLY (no tolerance — that's the point of
+    integer PageRank), the hub of a star graph must rank first, and
+    the result must be invariant under repartitioning."""
+    from streaming_forex_data_pipeline_spark.llm.similarity import (
+        integer_pagerank,
+    )
+
+    # star: 0..8 all point at 9; 9 points back at 0
+    edge_list = [(i, 9) for i in range(9)] + [(9, 0)]
+    nodes = spark.range(0, 10).select(F.col("id").alias("vec_id"))
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    S, D, IT = 1_000_000_000_000, 85, 10
+    deg = {}
+    for s, _t in edge_list:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {v: S for v in range(10)}
+    base = (100 - D) * S // 100
+    for _ in range(IT):
+        contrib = {}
+        for s, t in edge_list:
+            contrib[t] = contrib.get(t, 0) + pr[s] // deg[s]
+        pr = {v: base + (D * contrib.get(v, 0)) // 100 for v in range(10)}
+
+    for parts in (1, 5):
+        got = {
+            r["vec_id"]: r["pr"]
+            for r in integer_pagerank(
+                edges.repartition(parts), nodes, iters=IT, scale=S
+            ).collect()
+        }
+        assert got == pr, f"parts={parts}: integer recurrence diverged"
+    # after finitely many iterations the hub's mass oscillates with its
+    # sole beneficiary (9 -> 0 -> 9 ...), so assert the robust property:
+    # both beat every plain spoke, which holds base mass only
+    base_mass = base
+    assert all(pr[v] == base_mass for v in range(1, 9))
+    assert pr[9] > base_mass and pr[0] > base_mass
