@@ -570,6 +570,31 @@ def temperature_mixture(
     )
 
 
+def _ares_keyed(docs, seed: str, weight_col: str | None, id_col: str):
+    """Shared A-Res key construction for the global and per-group
+    reservoir faces: seeded engine-portable md5 uniform
+    u = (first 13 hex digits + 0.5)/2^52, key = ln(u)/w UNROUNDED
+    (ranking on a display-rounded key collapses large weights — the
+    round-7 finding; one definition here so the two faces can never
+    diverge).  Excludes rows with NULL/non-positive weight."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)  # 2^52
+    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
+    return docs.filter(w > 0).select(
+        "*", (F.log(u) / w).alias("res_key_raw")
+    )
+
+
 def weighted_reservoir_sample(
     docs,
     k: int = 50,
@@ -612,22 +637,7 @@ def weighted_reservoir_sample(
     display-rounded key)."""
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)  # 2^52
-    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
-    keyed = docs.filter(w > 0).select(
-        "*", (F.log(u) / w).alias("res_key_raw")
-    )
+    keyed = _ares_keyed(docs, seed, weight_col, id_col)
     win = Window.orderBy(F.desc("res_key_raw"), F.asc(id_col))
     out = (
         keyed.withColumn("sample_rank", F.row_number().over(win))
@@ -660,22 +670,7 @@ def weighted_reservoir_sample_by_group(
     global face."""
     from pyspark.sql import Window
 
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (h.cast("double") + F.lit(0.5)) / F.lit(4503599627370496.0)  # 2^52
-    w = F.lit(1.0) if weight_col is None else F.col(weight_col).cast("double")
-    keyed = docs.filter(w > 0).select(
-        "*", (F.log(u) / w).alias("res_key_raw")
-    )
+    keyed = _ares_keyed(docs, seed, weight_col, id_col)
     win = Window.partitionBy(group_col).orderBy(
         F.desc("res_key_raw"), F.asc(id_col)
     )

@@ -802,9 +802,13 @@ def integer_pagerank(
     e = edges.select("src", "dst")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=False)
-    ranks = nodes.select(F.col(id_col).alias("__id")).withColumn(
-        "pr", F.lit(scale).cast("long")
+    # checkpoint the node frame too: it re-enters the plan every
+    # iteration (the left join restoring zero-in-degree nodes), and
+    # without this each segment re-scans the source parquet
+    node_ids = nodes.select(F.col(id_col).alias("__id")).localCheckpoint(
+        eager=False
     )
+    ranks = node_ids.withColumn("pr", F.lit(scale).cast("long"))
     for it in range(iters):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["__id"])
@@ -818,8 +822,7 @@ def integer_pagerank(
             .agg(F.sum("__c").alias("__s"))
         )
         ranks = (
-            nodes.select(F.col(id_col).alias("__id"))
-            .join(contrib, "__id", "left")
+            node_ids.join(contrib, "__id", "left")
             .select(
                 "__id",
                 (

@@ -870,7 +870,7 @@ r AS (
            AS sample_rank
   FROM keyed
 )
-SELECT doc_id, source, n_chars, round(res_key_raw, 6) AS res_key,
+SELECT doc_id, source, n_chars, round(res_key_raw, 6) + 0 AS res_key,
        sample_rank
 FROM r WHERE sample_rank <= 50
 ORDER BY sample_rank

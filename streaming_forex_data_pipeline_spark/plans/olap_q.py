@@ -36,10 +36,6 @@ from .registry import register
 
 R = 6  # float rounding for cross-engine hash stability
 
-#: DuckDB mirror of the portable 60-bit md5-prefix hash used by
-#: llm/corpus + llm/dedup (first 15 hex digits, non-negative).
-_HASH_SQL = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
-
 
 @register(
     "rollup_shipping",

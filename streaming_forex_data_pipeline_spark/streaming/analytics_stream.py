@@ -160,11 +160,20 @@ def start_funnel_channel(
     ) -> Iterator[pd.DataFrame]:
         reached = list(state.get) if state.exists else [None] * n_stages
         new_rows = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("ts", kind="mergesort")
-            for etype, ts in zip(pdf["event_type"], pdf["ts"]):
+        # CONCATENATE the group's chunks before sorting: the runtime
+        # delivers one group's micro-batch rows as an iterator of
+        # Arrow-sized chunks in shuffle order, so sorting per chunk
+        # would replay events out of event-time order whenever a user
+        # spans chunks (review-found; stage decisions are final, so
+        # order errors are permanent)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            merged = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values("ts", kind="mergesort")
+            for etype, ts in zip(merged["event_type"], merged["ts"]):
                 i = stage_of.get(etype)
                 if i is None or reached[i] is not None:
                     continue

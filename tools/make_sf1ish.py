@@ -105,18 +105,23 @@ def main() -> None:
             f"{SRC}/{dim}.parquet", os.path.join(out_dir, f"{dim}.parquet")
         )
 
-    # lineitem/orders (round 8): plain id-strided tiling — the OLAP
-    # grouping-set queries only read the grouping/measure columns, so
-    # key coherence across cohorts is irrelevant; 10x rows with the
-    # identical group structure is exactly the linear soak they need.
+    # lineitem/orders (round 8): id-strided tiling with ONE SHARED
+    # order-key stride, because shipping_priority joins the tiled
+    # facts on l_orderkey = o_orderkey — independent per-table strides
+    # would silently mis-join every cohort k > 0 whenever the two
+    # maxes differ (review-found; they happen to be equal today).
+    li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+    ok_stride = max(int(li["l_orderkey"].max()), int(od["o_orderkey"].max())) + 1
     fact_parts = {}
-    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
-        t = pq.read_table(f"{SRC}/{name}.parquet").to_pandas()
-        stride = int(t[key].max()) + 1
+    for name, key, t in (
+        ("lineitem", "l_orderkey", li),
+        ("orders", "o_orderkey", od),
+    ):
         parts = []
         for k in range(n_cohorts):
             c = t.copy()
-            c[key] = c[key] + stride * k
+            c[key] = c[key] + ok_stride * k
             parts.append(c)
         fact_parts[name] = pd.concat(parts, ignore_index=True)
 
