@@ -164,6 +164,8 @@ HEADLINE = [
     "sessionize_events",
     "shipping_priority",
     "pagerank_topk",
+    "rolling_wau_hll",
+    "segment_overlap",
 ]
 
 TIMED_SWEEPS = 2

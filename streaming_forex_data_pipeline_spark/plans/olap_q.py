@@ -1028,3 +1028,236 @@ def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, e.select("vec_id"), iters=10, scale=1_000_000_000_000
     )
     return pr.orderBy(F.desc("pr"), "vec_id").limit(20)
+
+
+def _rolling_wau_oracle() -> str:
+    """Sliding-window HLL oracle: per-day register files densified over
+    a (day x bucket) spine, merged by 7-day windowed MAX per bucket,
+    folded to estimates with the exact-integer S* contract — plus the
+    exact rolling distinct as the in-plan yardstick."""
+    from ..llm.vocab import _HLL_ALPHA, _HLL_WBITS, HLL_P
+
+    m = 1 << HLL_P
+    w1 = _HLL_WBITS + 1
+    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** w1)
+    return f"""
+WITH hr AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         hv % {m} AS bucket, hv // {m} AS wv
+  FROM (SELECT ts, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS hv
+        FROM events)
+),
+touched AS (
+  SELECT day, bucket,
+         max(CASE WHEN wv = 0 THEN {w1}
+                  ELSE instr(lpad(bin(wv), {w1 - 1}, '0'), '1') END) AS rho
+  FROM hr GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM hr),
+spine AS (
+  SELECT d.day, s.bucket
+  FROM days d, (SELECT unnest(range(0, {m})) AS bucket) s
+),
+dense AS (
+  SELECT sp.day, sp.bucket, CAST(coalesce(t.rho, 0) AS INT) AS rho
+  FROM spine sp LEFT JOIN touched t USING (day, bucket)
+),
+merged AS (
+  SELECT day, bucket,
+         max(rho) OVER (PARTITION BY bucket ORDER BY day
+                        RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                              AND CURRENT ROW) AS rho
+  FROM dense
+),
+folded AS (
+  SELECT day,
+         CAST(sum(1::BIGINT << ({w1} - rho)) AS BIGINT) AS s_star,
+         count(*) FILTER (rho = 0) AS v_zero
+  FROM merged GROUP BY day
+),
+exact AS (
+  SELECT d.day, count(DISTINCT e.user_id) AS wau_exact
+  FROM days d JOIN events e
+    ON e.ts >= d.day - INTERVAL 6 DAY
+   AND e.ts < d.day + INTERVAL 1 DAY
+  GROUP BY 1
+)
+SELECT f.day,
+       CAST(x.wau_exact AS BIGINT) AS wau_exact,
+       round(CASE WHEN ({c!r} / CAST(f.s_star AS DOUBLE)) <= {2.5 * m!r}
+                       AND f.v_zero > 0
+                  THEN {float(m)!r} * ln({float(m)!r}
+                                         / CAST(f.v_zero AS DOUBLE))
+                  ELSE ({c!r} / CAST(f.s_star AS DOUBLE)) END, 6)
+         AS wau_est
+FROM folded f JOIN exact x USING (day)
+ORDER BY day
+"""
+
+
+@register(
+    "rolling_wau_hll",
+    oracle=_rolling_wau_oracle(),
+    doc="Rolling 7-day active users (WAU) via MERGED HyperLogLog "
+    "register files: one pass builds a 64-register file per day, a "
+    "7-day windowed element-wise MAX per bucket merges them (the HLL "
+    "merge law riding an ordinary range window), and each day folds "
+    "to its estimate with the exact-integer S* contract — the "
+    "textbook 100 TB answer to sliding-window COUNT DISTINCT, where "
+    "the exact form re-scans each event into 7 windows.  State per "
+    "day is 64 integers regardless of user count; the dense "
+    "(day x bucket) frame is calendar-bounded.  The exact rolling "
+    "distinct rides the SAME plan as the in-plan yardstick (rel_err "
+    "readable by eye), formulated as an explode-7-offsets EQUI-join "
+    "(linear in events; the naive days-x-events range predicate is a "
+    "nested-loop the 10x soak caught super-linear) — at production "
+    "scale that column is the piece you drop, the estimate tier is "
+    "the face.",
+)
+def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..llm.dedup import portable_token_hash
+    from ..llm.vocab import _HLL_ALPHA, _HLL_WBITS, HLL_P
+
+    m = 1 << HLL_P
+    w1 = _HLL_WBITS + 1
+    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** w1)
+
+    e = load_table(spark, sf_dir, "events")
+    hv = portable_token_hash(F.col("user_id").cast("string"))
+    day = F.date_trunc("day", F.col("ts"))
+    hr = e.select(
+        day.alias("day"),
+        (hv % m).alias("bucket"),
+        F.call_function("div", hv, F.lit(m)).alias("wv"),
+    )
+    rho = F.when(F.col("wv") == 0, F.lit(w1)).otherwise(
+        F.instr(F.lpad(F.bin("wv"), w1 - 1, "0"), "1")
+    )
+    touched = (
+        hr.select("day", "bucket", rho.alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    days = hr.select("day").distinct()
+    spine = days.crossJoin(
+        spark.range(0, m).select(F.col("id").cast("long").alias("bucket"))
+    )
+    dense = spine.join(touched, ["day", "bucket"], "left").select(
+        "day",
+        "bucket",
+        F.coalesce("rho", F.lit(0)).cast("int").alias("rho"),
+    )
+    w7 = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("day").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    merged = dense.select(
+        "day", "bucket", F.max("rho").over(w7).alias("rho")
+    )
+    folded = merged.groupBy("day").agg(
+        # F.shiftleft only takes a Python-int shift; the SQL form
+        # accepts a column (the vocab.py hll_estimate idiom)
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({w1} - rho AS INT))"
+            )
+        ).alias("s_star"),
+        F.count(F.when(F.col("rho") == 0, 1)).alias("v_zero"),
+    )
+    raw = F.lit(c) / F.col("s_star").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    # exact tier as an EQUI-join: each (event-day, user) pair feeds the
+    # 7 window anchors it belongs to via an explode of fixed offsets —
+    # linear in events, where the naive days-x-events range predicate
+    # compiles to a BroadcastNestedLoopJoin whose work grows with
+    # days * events (caught super-linear by the 10x soak, exp 1.41)
+    du = e.select(day.alias("eday"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(7)])
+        ).alias("off"),
+        "eday",
+        "user_id",
+    ).select(
+        (F.col("eday") + F.make_dt_interval(days=F.col("off"))).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    exact = (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_exact"))
+    )
+    return (
+        folded.join(exact, "day")
+        .select("day", "wau_exact", F.round(est, R).alias("wau_est"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "segment_overlap",
+    oracle="""
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       count(DISTINCT a.user_id) AS n_users
+FROM (SELECT DISTINCT event_type, user_id FROM events) a
+JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+  USING (user_id)
+WHERE a.event_type <= b.event_type
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Segment-overlap matrix via BITMAPS (the Druid/ClickHouse "
+    "user-segmentation trick): each event type's audience compiles to "
+    "a bitmap of int64 words (word = user_id div 64, bit_or of "
+    "1 << (user_id mod 64)), and every pairwise distinct-user "
+    "intersection is a word-aligned AND + popcount — ONE bitmap build "
+    "plus a (segments x words)-sized join computes all 15 overlaps, "
+    "where the naive form runs 15 distinct-count self-joins over the "
+    "full event log.  Exactness is free (bitmaps are not sketches), "
+    "so the oracle can be the plain distinct-intersection SQL.  At "
+    "100 TB the bitmap frame is #users/64 x #segments words — the "
+    "compression that makes audience algebra interactive.",
+)
+def segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    word = F.call_function("div", F.col("user_id"), F.lit(64)).alias("word")
+    # F.shiftleft only takes a Python-int shift; the SQL form accepts
+    # a column (the vocab.py hll_estimate idiom)
+    bit = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+    )
+    bm = (
+        e.select("event_type", word, bit.alias("bit"))
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    a = bm.select(
+        F.col("event_type").alias("type_a"), "word",
+        F.col("bits").alias("bits_a"),
+    )
+    b = bm.select(
+        F.col("event_type").alias("type_b"), "word",
+        F.col("bits").alias("bits_b"),
+    )
+    return (
+        a.join(b, "word")
+        .filter(F.col("type_a") <= F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("bits_a").bitwiseAND(F.col("bits_b"))
+                ).cast("long")
+            ).alias("n_users")
+        )
+        .orderBy("type_a", "type_b")
+    )

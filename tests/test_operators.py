@@ -1456,3 +1456,47 @@ def test_integer_pagerank_matches_python_recurrence(spark):
     base_mass = base
     assert all(pr[v] == base_mass for v in range(1, 9))
     assert pr[9] > base_mass and pr[0] > base_mass
+
+
+def test_rolling_wau_hll_estimate_tracks_exact(spark, sf_dir):
+    """The 7-day merged-register estimate must track the exact rolling
+    distinct within HLL's error regime for m=64 (sigma ~ 1.04/8 = 13%)
+    on every day, and the exact column must be non-decreasing through
+    the first 7 days (windows only grow until the window saturates)."""
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        rolling_wau_hll,
+    )
+
+    rows = rolling_wau_hll(spark, sf_dir).collect()
+    assert len(rows) >= 28
+    for r in rows:
+        rel = abs(r["wau_est"] - r["wau_exact"]) / max(r["wau_exact"], 1)
+        assert rel < 0.35, f"{r['day']}: rel_err {rel:.3f} out of regime"
+    first7 = [r["wau_exact"] for r in rows[:7]]
+    assert first7 == sorted(first7)
+
+
+def test_segment_overlap_bitmap_matches_distinct_joins(spark, sf_dir):
+    """Bitmap AND+popcount is exact: the diagonal must equal each
+    type's distinct-user count and every off-diagonal overlap is
+    bounded by its diagonals."""
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        segment_overlap,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    got = {
+        (r["type_a"], r["type_b"]): r["n_users"]
+        for r in segment_overlap(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    diag = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in diag.items():
+        assert got[(t, t)] == n
+    for (a, b), n in got.items():
+        assert n <= min(diag[a], diag[b])
