@@ -232,3 +232,83 @@ def start_funnel_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_wau_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "wau_sink",
+    sink_dir: str | None = None,
+    stream=None,
+):
+    """Streaming face of the rolling-WAU sketch (`plans/olap_q.py:
+    rolling_wau_hll`): each micro-batch commits its per-(day, bucket)
+    HLL register deltas keyed (day, bucket, batch); the live view is
+    the register file per day merged by element-wise MAX across
+    batches — the same merge law the global HLL channel proves, here
+    keyed by the calendar dimension so the 7-day window merge and the
+    per-day estimate are deterministic folds any consumer can run on
+    the view at any moment (they are pure functions of the registers,
+    oracle-proven in the registered batch query).
+
+    State: at most #batches x days x 2^p delta rows before
+    compact_log folds settled commits; the driver holds O(1)."""
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import portable_token_hash
+    from ..llm.vocab import _HLL_WBITS, HLL_P
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    m = 1 << HLL_P
+    w1 = _HLL_WBITS + 1
+    if sink_dir is None:
+        import tempfile
+
+        sink_dir = tempfile.mkdtemp(prefix="wau_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "events")
+    spark.createDataFrame(
+        [], "day timestamp, bucket long, max_rho int"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        hv = portable_token_hash(F.col("user_id").cast("string"))
+        rho = F.when(
+            F.call_function("div", hv, F.lit(m)) == 0, F.lit(w1)
+        ).otherwise(
+            F.instr(
+                F.lpad(
+                    F.bin(F.call_function("div", hv, F.lit(m))),
+                    w1 - 1,
+                    "0",
+                ),
+                "1",
+            )
+        )
+        delta = (
+            batch_df.select(
+                F.date_trunc("day", F.col("ts")).alias("day"),
+                (hv % m).alias("bucket"),
+                rho.alias("rho"),
+            )
+            .groupBy("day", "bucket")
+            .agg(F.max("rho").cast("int").alias("max_rho"))
+            .withColumn("batch", F.lit(int(batch_id)).cast("long"))
+        )
+        commit_append(delta, sink_dir, version=float(batch_id))
+        try:
+            committed = read_committed(
+                spark, sink_dir, keys=["day", "bucket", "batch"]
+            )
+        except FileNotFoundError:
+            return
+        committed.groupBy("day", "bucket").agg(
+            F.max("max_rho").alias("max_rho")
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -620,3 +620,69 @@ def test_funnel_channel_matches_batch_funnel(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_wau_channel_registers_match_batch(spark, sf_dir, tmp_path):
+    """Per-batch (day, bucket) HLL register deltas merged by MAX
+    through the commit log must equal the batch register file over the
+    whole events table — the calendar-keyed HLL merge law, across
+    micro-batch halves split by ts so most days appear in one batch
+    but boundary days and users span both."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        portable_token_hash,
+    )
+    from streaming_forex_data_pipeline_spark.llm.vocab import (
+        _HLL_WBITS,
+        HLL_P,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_wau_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_2files_wau")
+    e.repartitionByRange(2, "ts").write.parquet(src)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_dir = str(tmp_path / "wau_sink")
+    q = start_wau_channel(
+        spark, sf_dir, sink_table="wau_parity", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(180)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2
+    got = {
+        (r["day"], r["bucket"]): r["max_rho"]
+        for r in spark.table("wau_parity").collect()
+    }
+    m = 1 << HLL_P
+    w1 = _HLL_WBITS + 1
+    hv = portable_token_hash(F.col("user_id").cast("string"))
+    rho = F.when(
+        F.call_function("div", hv, F.lit(m)) == 0, F.lit(w1)
+    ).otherwise(
+        F.instr(
+            F.lpad(F.bin(F.call_function("div", hv, F.lit(m))), w1 - 1, "0"),
+            "1",
+        )
+    )
+    want = {
+        (r["day"], r["bucket"]): r["max_rho"]
+        for r in e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            (hv % m).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+        .collect()
+    }
+    assert got == want and len(got) > 50
