@@ -166,6 +166,7 @@ HEADLINE = [
     "pagerank_topk",
     "rolling_wau_hll",
     "segment_overlap",
+    "quantized_recall",
 ]
 
 TIMED_SWEEPS = 2

@@ -569,6 +569,34 @@ def group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _int8_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared quantize-dequantize pipeline: (vec_id, label, x, r) with
+    x the double-cast original and r its int8 symmetric-max-abs
+    reconstruction; the dims-sized scale model rides one broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    sc = (
+        ed.select(F.posexplode("x").alias("d", "v"))
+        .groupBy("d")
+        .agg((F.max(F.abs(F.col("v"))) / F.lit(127.0)).alias("s"))
+    )
+    sa = sc.agg(
+        F.array_sort(F.collect_list(F.struct("d", "s"))).alias("sm")
+    ).select(F.transform("sm", lambda t: t["s"]).alias("scales"))
+    r = F.zip_with(
+        "x",
+        "scales",
+        lambda x, s: F.when(s == 0, F.lit(0.0)).otherwise(
+            F.round(x / s, 0) * s
+        ),
+    )
+    return ed.crossJoin(F.broadcast(sa)).withColumn("r", r).drop("scales")
+
+
 @register(
     "quantize_int8",
     oracle="""
@@ -617,28 +645,7 @@ FROM err ORDER BY vec_id
 def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import dot
 
-    e = load_table(spark, sf_dir, "embeddings")
-    ed = e.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
-    )
-    sc = (
-        ed.select(F.posexplode("x").alias("d", "v"))
-        .groupBy("d")
-        .agg((F.max(F.abs(F.col("v"))) / F.lit(127.0)).alias("s"))
-    )
-    sa = sc.agg(
-        F.array_sort(F.collect_list(F.struct("d", "s"))).alias("sm")
-    ).select(F.transform("sm", lambda t: t["s"]).alias("scales"))
-    r = F.zip_with(
-        "x",
-        "scales",
-        lambda x, s: F.when(s == 0, F.lit(0.0)).otherwise(
-            F.round(x / s, 0) * s
-        ),
-    )
-    calc = ed.crossJoin(F.broadcast(sa)).withColumn("r", r)
+    calc = _int8_recon(spark, sf_dir)
     err = calc.withColumn("e", F.zip_with("x", "r", lambda x, y: x - y))
     dim = F.size("x").cast("double")
     return err.select(
@@ -1261,3 +1268,102 @@ def segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "quantized_recall",
+    oracle="""
+WITH ed AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+ex AS (
+  SELECT unnest(x) AS v, generate_subscripts(x, 1) AS d FROM ed
+),
+sc AS (SELECT d, max(abs(v)) / 127 AS s FROM ex GROUP BY d),
+sa AS (SELECT list(s ORDER BY d) AS scales FROM sc),
+recon AS (
+  SELECT vec_id, x,
+         list_transform(generate_series(1, len(x)),
+           i -> CASE WHEN scales[i] = 0 THEN 0.0
+                     ELSE round(x[i] / scales[i]) * scales[i] END) AS r
+  FROM ed, sa
+),
+qf AS (SELECT x AS qx FROM recon WHERE vec_id = 0),
+qq AS (SELECT r AS qr FROM recon WHERE vec_id = 0),
+brute_f AS (
+  SELECT vec_id,
+         round(list_dot_product(x, qx)
+               / (sqrt(list_dot_product(x, x))
+                  * sqrt(list_dot_product(qx, qx))), 5) AS cos_sim
+  FROM recon, qf
+  ORDER BY cos_sim DESC, vec_id LIMIT 10
+),
+brute_q AS (
+  SELECT vec_id,
+         round(list_dot_product(r, qr)
+               / (sqrt(list_dot_product(r, r))
+                  * sqrt(list_dot_product(qr, qr))), 5) AS cos_sim
+  FROM recon, qq
+  ORDER BY cos_sim DESC, vec_id LIMIT 10
+)
+SELECT tier, n_hits, recall_at_10 FROM (
+  SELECT 'float' AS tier, CAST(count(*) AS BIGINT) AS n_hits,
+         round(count(*) / 10.0, 6) AS recall_at_10
+  FROM brute_f t JOIN brute_f USING (vec_id)
+  UNION ALL
+  SELECT 'int8', CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
+  FROM brute_q t JOIN brute_f USING (vec_id)
+)
+ORDER BY tier
+""",
+    doc="Int8 quantization RECALL gate: top-10 cosine search run "
+    "entirely in the quantized space (query AND corpus reconstructed "
+    "— the symmetric-quantization serving scenario) scored against "
+    "the float-space top-10.  quantize_int8 reports reconstruction "
+    "ERROR; this reports the metric that actually decides the 4x "
+    "index shrink — does the NEIGHBOR SET survive?  The float row is "
+    "a 1.0 self-recall invariant (the ann_recall_report pattern).  "
+    "Same broadcast-scales + fixed-order-fold plan shape as "
+    "quantize_int8; both tiers are brute scans, so recall measures "
+    "quantization alone, not bucketing.",
+)
+def quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import dot
+
+    base = _int8_recon(spark, sf_dir).select("vec_id", "x", "r")
+
+    def brute(vec_col: str, qcol_name: str, qdf: DataFrame) -> DataFrame:
+        cos = F.round(
+            dot(F.col(vec_col), F.col(qcol_name))
+            / (
+                F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+                * F.sqrt(dot(F.col(qcol_name), F.col(qcol_name)))
+            ),
+            5,
+        )
+        return (
+            base.crossJoin(F.broadcast(qdf))
+            .select("vec_id", cos.alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10)
+        )
+
+    qf = base.filter(F.col("vec_id") == 0).select(F.col("x").alias("qx"))
+    qq = base.filter(F.col("vec_id") == 0).select(F.col("r").alias("qr"))
+    brute_f = brute("x", "qx", qf).select("vec_id")
+    brute_q = brute("r", "qr", qq).select("vec_id")
+    row_f = brute_f.join(brute_f.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    ).select(
+        F.lit("float").alias("tier"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, R).alias("recall_at_10"),
+    )
+    row_q = brute_q.join(brute_f, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    ).select(
+        F.lit("int8").alias("tier"),
+        "n_hits",
+        F.round(F.col("n_hits") / 10.0, R).alias("recall_at_10"),
+    )
+    return row_f.unionByName(row_q).orderBy("tier")
