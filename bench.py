@@ -167,6 +167,7 @@ HEADLINE = [
     "rolling_wau_hll",
     "segment_overlap",
     "quantized_recall",
+    "priority_pipeline",
 ]
 
 TIMED_SWEEPS = 2

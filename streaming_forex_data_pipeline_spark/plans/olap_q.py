@@ -1367,3 +1367,47 @@ def quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hits") / 10.0, R).alias("recall_at_10"),
     )
     return row_f.unionByName(row_q).orderBy("tier")
+
+
+@register(
+    "priority_pipeline",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY 1 ORDER BY 1
+""",
+    doc="Order-priority pipeline health (TPC-H Q4 shape): orders from "
+    "one quarter having at least one lineitem shipped after the order "
+    "date, counted by priority — the EXISTS-with-correlated-predicate "
+    "face of the semi-join family (customers_with_orders_semi is the "
+    "bare-EXISTS face).  Spark plans a LEFT SEMI hash join on the "
+    "order key with the date filters pushed to both parquet scans; "
+    "the semi join short-circuits per key, so the probe never "
+    "materializes matching lineitems.  Output is priority-bounded.",
+)
+def priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

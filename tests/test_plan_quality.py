@@ -259,3 +259,20 @@ def test_shipping_priority_broadcasts_dim_and_takes_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, (
         f"top-10 lost the TakeOrdered rewrite:\n{plan}"
     )
+
+
+def test_rolling_wau_exact_tier_avoids_nested_loop(spark, sf_dir):
+    """The exact rolling-distinct yardstick must stay the explode-of-
+    offsets EQUI-join: the naive days-x-events range predicate
+    compiles to BroadcastNestedLoopJoin, which the 10x soak measured
+    super-linear (exp 1.41 -> 0.27 after the rewrite).  Pin it."""
+    df = all_queries()["rolling_wau_hll"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE nested-loop is sanctioned: the (days x 64-bucket)
+    # register spine crossJoin, calendar-bounded on both sides.  A
+    # second one means the events-side range predicate came back.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+        f"rolling_wau_hll regressed to a nested-loop range join over "
+        f"events:\n{plan}"
+    )
