@@ -442,6 +442,41 @@ _HLL_WBITS = 60 - HLL_P  # md5-prefix hash is 15 hex digits = 60 bits
 _HLL_ALPHA = {4: 0.673, 5: 0.697, 6: 0.709}
 
 
+def hll_keyed_rhos(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    p: int = HLL_P,
+) -> DataFrame:
+    """The KEYED register builder every HLL face shares: one pass
+    computing (key..., bucket, max_rho) — bucket = low ``p`` bits of
+    the engine-portable 60-bit md5-prefix hash of ``value_col``, rho =
+    first-1-bit position of the remaining bits, max per (keys,
+    bucket).  SPARSE output (only touched registers); consumers
+    densify with a spine or use the spine-free S* algebra.  One
+    definition here so the calendar-keyed WAU query, its streaming
+    channel, and the parity tests can never drift on the rho
+    encoding (review-found 5-way duplication)."""
+    from .dedup import portable_token_hash
+
+    m = 1 << p
+    wbits = 60 - p
+    h = portable_token_hash(F.col(value_col).cast("string"))
+    rho = F.when(
+        F.call_function("div", h, F.lit(m)) == 0, F.lit(wbits + 1)
+    ).otherwise(
+        F.instr(
+            F.lpad(F.bin(F.call_function("div", h, F.lit(m))), wbits, "0"),
+            "1",
+        )
+    )
+    return (
+        df.select(*key_cols, (h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
 def hll_registers(items: DataFrame, col: str = "item", p: int = HLL_P) -> DataFrame:
     """HyperLogLog register file over a column of values (Flajolet,
     Fusy, Gandouet & Meunier 2007): bucket = low ``p`` bits of the

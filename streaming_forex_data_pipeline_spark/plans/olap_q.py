@@ -1125,7 +1125,7 @@ ORDER BY day
 def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..llm.dedup import portable_token_hash
+    from ..llm import vocab as VO
     from ..llm.vocab import _HLL_ALPHA, _HLL_WBITS, HLL_P
 
     m = 1 << HLL_P
@@ -1133,22 +1133,12 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** w1)
 
     e = load_table(spark, sf_dir, "events")
-    hv = portable_token_hash(F.col("user_id").cast("string"))
     day = F.date_trunc("day", F.col("ts"))
-    hr = e.select(
-        day.alias("day"),
-        (hv % m).alias("bucket"),
-        F.call_function("div", hv, F.lit(m)).alias("wv"),
-    )
-    rho = F.when(F.col("wv") == 0, F.lit(w1)).otherwise(
-        F.instr(F.lpad(F.bin("wv"), w1 - 1, "0"), "1")
-    )
-    touched = (
-        hr.select("day", "bucket", rho.alias("rho"))
-        .groupBy("day", "bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
-    days = hr.select("day").distinct()
+    keyed = e.select(day.alias("day"), "user_id")
+    touched = VO.hll_keyed_rhos(
+        keyed, "user_id", ["day"]
+    ).withColumnRenamed("max_rho", "rho")
+    days = keyed.select("day").distinct()
     spine = days.crossJoin(
         spark.range(0, m).select(F.col("id").cast("long").alias("bucket"))
     )
@@ -1266,6 +1256,11 @@ def segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("n_users")
         )
+        # drop empty intersections: two segments sharing a user-id
+        # WORD BLOCK but no users would emit an n_users=0 row the
+        # oracle's inner join can never produce (review-found latent
+        # divergence — current testdata happens to overlap everywhere)
+        .filter(F.col("n_users") > 0)
         .orderBy("type_a", "type_b")
     )
 
@@ -1397,8 +1392,11 @@ def priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
     )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_shipdate"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        # derivable static bound (see docstring): prunes the probe scan
+        .filter(F.col("l_shipdate") > lo)
     )
     return (
         o.join(

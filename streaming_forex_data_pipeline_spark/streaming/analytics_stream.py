@@ -255,13 +255,10 @@ def start_wau_channel(
     compact_log folds settled commits; the driver holds O(1)."""
     from pyspark.sql import functions as F
 
-    from ..llm.dedup import portable_token_hash
-    from ..llm.vocab import _HLL_WBITS, HLL_P
+    from ..llm.vocab import hll_keyed_rhos
     from ..sources.sinks import commit_append, read_committed
     from .channels import read_table_stream
 
-    m = 1 << HLL_P
-    w1 = _HLL_WBITS + 1
     if sink_dir is None:
         import tempfile
 
@@ -273,29 +270,13 @@ def start_wau_channel(
     ).createOrReplaceTempView(sink_table)
 
     def run_batch(batch_df, batch_id):
-        hv = portable_token_hash(F.col("user_id").cast("string"))
-        rho = F.when(
-            F.call_function("div", hv, F.lit(m)) == 0, F.lit(w1)
-        ).otherwise(
-            F.instr(
-                F.lpad(
-                    F.bin(F.call_function("div", hv, F.lit(m))),
-                    w1 - 1,
-                    "0",
-                ),
-                "1",
-            )
-        )
-        delta = (
+        delta = hll_keyed_rhos(
             batch_df.select(
-                F.date_trunc("day", F.col("ts")).alias("day"),
-                (hv % m).alias("bucket"),
-                rho.alias("rho"),
-            )
-            .groupBy("day", "bucket")
-            .agg(F.max("rho").cast("int").alias("max_rho"))
-            .withColumn("batch", F.lit(int(batch_id)).cast("long"))
-        )
+                F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+            ),
+            "user_id",
+            ["day"],
+        ).withColumn("batch", F.lit(int(batch_id)).cast("long"))
         commit_append(delta, sink_dir, version=float(batch_id))
         try:
             committed = read_committed(

@@ -632,12 +632,8 @@ def test_wau_channel_registers_match_batch(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from streaming_forex_data_pipeline_spark.llm.dedup import (
-        portable_token_hash,
-    )
     from streaming_forex_data_pipeline_spark.llm.vocab import (
-        _HLL_WBITS,
-        HLL_P,
+        hll_keyed_rhos,
     )
     from streaming_forex_data_pipeline_spark.sources.tables import load_table
     from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
@@ -663,26 +659,12 @@ def test_wau_channel_registers_match_batch(spark, sf_dir, tmp_path):
         (r["day"], r["bucket"]): r["max_rho"]
         for r in spark.table("wau_parity").collect()
     }
-    m = 1 << HLL_P
-    w1 = _HLL_WBITS + 1
-    hv = portable_token_hash(F.col("user_id").cast("string"))
-    rho = F.when(
-        F.call_function("div", hv, F.lit(m)) == 0, F.lit(w1)
-    ).otherwise(
-        F.instr(
-            F.lpad(F.bin(F.call_function("div", hv, F.lit(m))), w1 - 1, "0"),
-            "1",
-        )
-    )
     want = {
         (r["day"], r["bucket"]): r["max_rho"]
-        for r in e.select(
-            F.date_trunc("day", "ts").alias("day"),
-            (hv % m).alias("bucket"),
-            rho.alias("rho"),
-        )
-        .groupBy("day", "bucket")
-        .agg(F.max("rho").cast("int").alias("max_rho"))
-        .collect()
+        for r in hll_keyed_rhos(
+            e.select(F.date_trunc("day", "ts").alias("day"), "user_id"),
+            "user_id",
+            ["day"],
+        ).collect()
     }
     assert got == want and len(got) > 50
