@@ -216,16 +216,46 @@ def main() -> None:
             best[name] = min(t, best.get(name, t))
     timings = {name: round(best[name], 3) for name in HEADLINE}
 
-    out = {
+    # The driver captures only the TAIL of stdout (~2000 chars) — the
+    # full 118-query map overflowed it every round since r6, leaving
+    # the official BENCH_r*.json with "parsed": null.  So: the one
+    # printed JSON line stays compact (total + count + slowest-5 +
+    # load telemetry, well under the capture window) and the complete
+    # per-query map goes to BENCH_DETAIL.json beside this script.
+    total = round(sum(timings.values()), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
+    detail = {
         "metric": "headline_query_wall_seconds",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "sf": float(sf),
+        "loadavg_start": detail["loadavg_start"],
+        "loadavg_end": detail["loadavg_end"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out)
+    assert len(line) < 1500, f"bench summary line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

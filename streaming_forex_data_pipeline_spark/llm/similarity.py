@@ -795,7 +795,9 @@ def integer_pagerank(
     10-deep join plan into the optimizer.  Overflow headroom: the
     in-flight quantity d * N * scale must stay < 2^63 — at the default
     scale=1e12 that holds to N ~ 10^5 nodes; drop scale to 1e8 for
-    10^9-node graphs (stated, not assumed).
+    10^9-node graphs.  ENFORCED at runtime: nodes are counted once
+    (the same action that materializes the reused checkpoint) and a
+    breach raises instead of wrapping under non-ANSI configs.
 
     Returns (id_col, pr) with pr the exact BIGINT mass."""
     base = (100 - damping_pct) * scale // 100
@@ -808,6 +810,19 @@ def integer_pagerank(
     node_ids = nodes.select(F.col(id_col).alias("__id")).localCheckpoint(
         eager=False
     )
+    # Enforce the documented headroom instead of stating it (round-8
+    # ADVICE): the largest in-flight int64 is damping_pct * (total
+    # mass) = d * N * scale inside the contribution sum; with non-ANSI
+    # configs exceeding 2^63 would WRAP silently and corrupt ranks.
+    # The count also eagerly materializes the node checkpoint we reuse
+    # every iteration, so it costs one scan we were about to pay anyway.
+    n_nodes = node_ids.count()
+    if damping_pct * n_nodes * scale >= 2**63:
+        raise ValueError(
+            f"integer_pagerank overflow: damping_pct*n_nodes*scale = "
+            f"{damping_pct}*{n_nodes}*{scale} >= 2^63; lower `scale` "
+            f"(1e8 holds to ~1e9 nodes) to keep the recurrence in int64"
+        )
     ranks = node_ids.withColumn("pr", F.lit(scale).cast("long"))
     for it in range(iters):
         contrib = (

@@ -2462,7 +2462,8 @@ def _ivf_silver_dir(sf_dir: str) -> str:
     import hashlib
     import os
     import re
-    import tempfile
+
+    from ..sources.scratch import scratch_path
 
     tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir).strip("_")
     src = f"{sf_dir}/embeddings.parquet"
@@ -2481,16 +2482,11 @@ def _ivf_silver_dir(sf_dir: str) -> str:
                 _add(os.path.join(src, f))
     else:
         _add(src)
-    uid = os.getuid() if hasattr(os, "getuid") else 0
-    root = os.path.join(tempfile.gettempdir(), f"sfdp_silver_{uid}")
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    st = os.stat(root)
-    if hasattr(os, "getuid") and st.st_uid != os.getuid():
-        raise RuntimeError(
-            f"silver-cache root {root} is owned by uid {st.st_uid}, "
-            f"not the current user — refusing to probe a foreign cache"
-        )
-    return os.path.join(root, f"ivf_{tag}_{h.hexdigest()[:16]}")
+    # the shared scratch helper does the root verification: lstat (no
+    # symlink), owner == uid, real dir, group/other bits re-stripped on
+    # every call (round-8 ADVICE: makedirs mode only applies at
+    # creation, and plain os.stat follows links)
+    return scratch_path(f"ivf_{tag}_{h.hexdigest()[:16]}")
 
 
 def _ensure_ivf_silver(spark: SparkSession, sf_dir: str) -> str:

@@ -673,12 +673,11 @@ ORDER BY symbol, ts
     "hash-checkable.",
 )
 def ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..sources import sinks as SK
+    from ..sources.scratch import scratch_dir
 
     b1v, b2v = _ingest_batches(spark, sf_dir)
-    table_dir = tempfile.mkdtemp(prefix="ingest_cycle_")
+    table_dir = scratch_dir("ingest_cycle_")
     _INGEST_DIRS.append(table_dir)
     SK.upsert_append(b1v, table_dir, version=1.0)
     SK.upsert_append(b2v, table_dir, version=2.0)
@@ -700,12 +699,11 @@ def ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MERGE semantics end-to-end.",
 )
 def ingest_cycle_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..sources import sinks as SK
+    from ..sources.scratch import scratch_dir
 
     b1v, b2v = _ingest_batches(spark, sf_dir)
-    table_dir = tempfile.mkdtemp(prefix="ingest_cycle_txn_")
+    table_dir = scratch_dir("ingest_cycle_txn_")
     _INGEST_DIRS.append(table_dir)
     SK.commit_append(b1v, table_dir, version=1.0)
     SK.commit_append(b2v, table_dir, version=2.0)

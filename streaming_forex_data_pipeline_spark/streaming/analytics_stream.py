@@ -39,13 +39,12 @@ def start_cohort_channel(
     calendar-bounded.  The driver never holds per-user state."""
     from pyspark.sql import functions as F
 
+    from ..sources.scratch import scratch_dir
     from ..sources.sinks import commit_append, read_committed
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
-
-        sink_dir = tempfile.mkdtemp(prefix="cohort_")
+        sink_dir = scratch_dir("cohort_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "events")
     spark.createDataFrame(
@@ -78,6 +77,7 @@ def start_cohort_channel(
 
     return (
         stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", scratch_dir("cohort_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -90,6 +90,7 @@ def start_funnel_channel(
     sink_table: str = "funnel_sink",
     sink_dir: str | None = None,
     stream=None,
+    lateness: str | None = None,
 ):
     """Continuously maintained STRICT sequential funnel
     (`plans/olap_q.py:funnel_conversion`) via a per-user state machine
@@ -107,12 +108,34 @@ def start_funnel_channel(
     replays dedup; the live view is the per-stage distinct-user count,
     i.e. funnel_conversion's n_users column kept fresh.
 
-    Ordering contract (stated, not hidden): stage decisions are
-    final, so per-user events must arrive in event-time order ACROSS
-    micro-batches (true for replayed/file sources and for
-    watermark-sorted ingest); an out-of-order earlier event cannot
-    retract an already-fired stage.  State is #stages longs per user
-    — bounded, partitioned across executors by user_id."""
+    Ordering (two tiers, round-9 — the contract is now ENFORCED or
+    OBSERVABLE instead of stated):
+
+    - ``lateness=None`` (fast path, ordered sources — file replays,
+      watermark-sorted ingest): events are replayed through the
+      machine as they arrive.  Stage decisions are final, so per-user
+      events must arrive in event-time order ACROSS micro-batches; a
+      violation (an event older than the user's max already-replayed
+      event time) can no longer pass silently — it is counted in the
+      per-user GroupState and emitted as a ``stage_ord = -1`` delta
+      row, surfaced in the ``<sink_table>_violations`` view, so a
+      disordered source shows up as a nonzero counter instead of a
+      silent undercount.
+    - ``lateness="10 minutes"`` (reorder tier, disordered sources):
+      the stream gets an event-time watermark and the machine BUFFERS
+      each user's events in state, releasing them in event-time order
+      only once the watermark has passed them — so any disorder within
+      the lateness bound is corrected before a stage decision is made
+      (parity with the batch funnel proven on an out-of-order fixture
+      in tests/test_streaming.py).  Buffered users flush via
+      event-time timeouts as the watermark advances, with no new data
+      needed for that user; events arriving more than ``lateness``
+      late are beyond the bound — they replay through the machine like
+      the fast path and are counted in the violations view.
+
+    State is #stages longs per user plus, in the reorder tier, the
+    within-lateness buffer (bounded by the user's event rate x
+    lateness) — partitioned across executors by user_id."""
     from typing import Any, Iterator
 
     import pandas as pd
@@ -123,24 +146,29 @@ def start_funnel_channel(
         GroupStateTimeout,
     )
     from pyspark.sql.types import (
+        ArrayType,
         IntegerType,
         LongType,
         StructField,
         StructType,
     )
 
+    from ..sources.scratch import scratch_dir
     from ..sources.sinks import commit_append, read_committed
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
-
-        sink_dir = tempfile.mkdtemp(prefix="funnel_")
+        sink_dir = scratch_dir("funnel_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "events")
+    if lateness is not None:
+        stream = stream.withWatermark("ts", lateness)
     spark.createDataFrame(
         [], "stage_ord int, stage string, n_users long"
     ).createOrReplaceTempView(sink_table)
+    spark.createDataFrame(
+        [], "user_id long, n_late long"
+    ).createOrReplaceTempView(f"{sink_table}_violations")
 
     out_schema = StructType(
         [
@@ -149,24 +177,67 @@ def start_funnel_channel(
             StructField("reached_us", LongType()),
         ]
     )
+    # per-stage first-hit micros, then: max released event time (the
+    # violation fence), the within-lateness reorder buffer (ts + stage
+    # ord, parallel arrays — empty on the fast path), and the running
+    # late-event count whose DELTAS are emitted as stage_ord = -1 rows
     state_schema = StructType(
         [StructField(f"t{i}", LongType()) for i in range(len(stages))]
+        + [
+            StructField("max_us", LongType()),
+            StructField("buf_ts", ArrayType(LongType())),
+            StructField("buf_st", ArrayType(IntegerType())),
+            StructField("n_late", LongType()),
+        ]
     )
     n_stages = len(stages)
     stage_of = {s: i for i, s in enumerate(stages)}
+    reorder = lateness is not None
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        reached = list(state.get) if state.exists else [None] * n_stages
+        if state.exists:
+            st = state.get
+            reached = list(st[:n_stages])
+            max_us = st[n_stages]
+            buf = list(zip(st[n_stages + 1] or [], st[n_stages + 2] or []))
+            n_late = st[n_stages + 3]
+        else:
+            reached = [None] * n_stages
+            max_us, buf, n_late = None, [], 0
         new_rows = []
+        late_before = n_late
+
+        def release(us: int, i: int) -> None:
+            # one event through the strict machine; also the violation
+            # fence: an event older than something already released
+            # means the source broke the ordering contract (fast path)
+            # or exceeded the lateness bound (reorder tier)
+            nonlocal max_us, n_late
+            if max_us is not None and us < max_us:
+                n_late += 1
+            else:
+                max_us = us
+            if reached[i] is not None:
+                return
+            prev = reached[i - 1] if i > 0 else None
+            if i == 0 or (prev is not None and us > prev):
+                reached[i] = us
+                new_rows.append((int(key[0]), i, us))
+
         # CONCATENATE the group's chunks before sorting: the runtime
         # delivers one group's micro-batch rows as an iterator of
         # Arrow-sized chunks in shuffle order, so sorting per chunk
         # would replay events out of event-time order whenever a user
         # spans chunks (review-found; stage decisions are final, so
         # order errors are permanent)
-        chunks = [pdf for pdf in pdfs if len(pdf)]
+        chunks = (
+            []
+            if state.hasTimedOut
+            else [pdf for pdf in pdfs if len(pdf)]
+        )
+        incoming = []
         if chunks:
             merged = (
                 pd.concat(chunks, ignore_index=True)
@@ -175,14 +246,41 @@ def start_funnel_channel(
             ).sort_values("ts", kind="mergesort")
             for etype, ts in zip(merged["event_type"], merged["ts"]):
                 i = stage_of.get(etype)
-                if i is None or reached[i] is not None:
+                if i is None:
                     continue
-                us = int(pd.Timestamp(ts).value // 1000)
-                prev = reached[i - 1] if i > 0 else None
-                if i == 0 or (prev is not None and us > prev):
-                    reached[i] = us
-                    new_rows.append((int(key[0]), i, us))
-        state.update(tuple(reached))
+                incoming.append((int(pd.Timestamp(ts).value // 1000), i))
+        if not reorder:
+            for us, i in incoming:
+                release(us, i)
+        else:
+            # hold events until the watermark passes them, then replay
+            # in event-time order — disorder within the lateness bound
+            # is corrected before any (final) stage decision is made
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            buf = sorted(buf + incoming)
+            n_ready = 0
+            for us, _ in buf:
+                if us > wm_us:
+                    break
+                n_ready += 1
+            for us, i in buf[:n_ready]:
+                release(us, i)
+            buf = buf[n_ready:]
+            if buf:
+                # re-fire this group as soon as the watermark advances,
+                # with no new data needed for this user
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        if n_late > late_before:
+            new_rows.append((int(key[0]), -1, n_late - late_before))
+        state.update(
+            tuple(reached)
+            + (
+                max_us,
+                [us for us, _ in buf],
+                [i for _, i in buf],
+                n_late,
+            )
+        )
         if new_rows:
             yield pd.DataFrame(
                 new_rows, columns=["user_id", "stage_ord", "reached_us"]
@@ -193,7 +291,11 @@ def start_funnel_channel(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if reorder
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
     def run_batch(batch_df, batch_id):
@@ -209,7 +311,8 @@ def start_funnel_channel(
             return
         stage_names = F.array(*[F.lit(s) for s in stages])
         (
-            committed.groupBy("stage_ord")
+            committed.filter(F.col("stage_ord") >= 0)
+            .groupBy("stage_ord")
             .agg(F.countDistinct("user_id").alias("n_users"))
             .select(
                 # 1-based to match funnel_conversion's stage_ord
@@ -221,14 +324,20 @@ def start_funnel_channel(
             )
             .createOrReplaceTempView(sink_table)
         )
-
-    import tempfile
+        # ordering-contract observability (round-8 ADVICE): stage_ord
+        # = -1 rows carry per-batch late-event count deltas in the
+        # reached_us slot; a disordered source shows up HERE instead
+        # of as a silent undercount
+        (
+            committed.filter(F.col("stage_ord") == -1)
+            .groupBy("user_id")
+            .agg(F.sum("reached_us").alias("n_late"))
+            .createOrReplaceTempView(f"{sink_table}_violations")
+        )
 
     return (
         transitions.writeStream.foreachBatch(run_batch)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="funnel_ckpt_")
-        )
+        .option("checkpointLocation", scratch_dir("funnel_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -256,13 +365,12 @@ def start_wau_channel(
     from pyspark.sql import functions as F
 
     from ..llm.vocab import hll_keyed_rhos
+    from ..sources.scratch import scratch_dir
     from ..sources.sinks import commit_append, read_committed
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
-
-        sink_dir = tempfile.mkdtemp(prefix="wau_")
+        sink_dir = scratch_dir("wau_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "events")
     spark.createDataFrame(
@@ -290,6 +398,7 @@ def start_wau_channel(
 
     return (
         stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", scratch_dir("wau_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -73,12 +73,13 @@ def read_table_stream(
     pin_portability_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
     import os
-    import tempfile
+
+    from ..sources.scratch import scratch_dir
 
     key = (spark.sparkContext.applicationId, f"{sf_dir}:{table}")
     staging = _STREAM_STAGING.get(key)
     if staging is None or not os.path.isdir(staging):
-        staging = tempfile.mkdtemp(prefix=f"{table}_stream_")
+        staging = scratch_dir(f"{table}_stream_")
         os.symlink(
             f"{sf_dir}/{table}.parquet", f"{staging}/{table}.parquet"
         )

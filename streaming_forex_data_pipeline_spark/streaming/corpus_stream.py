@@ -130,17 +130,16 @@ def start_incremental_dedup_channel(
     availableNow single-file source delivers one micro-batch, so the
     parity test is exact.
     """
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from ..llm.dedup import incremental_near_dup_pairs
     from ..sources.sinks import commit_append, read_committed
+    from ..sources.scratch import scratch_dir
     from ..sources.tables import load_table
     from .channels import read_table_stream
 
     if sink_dir is None:
-        sink_dir = tempfile.mkdtemp(prefix="inc_dedup_pairs_")
+        sink_dir = scratch_dir("inc_dedup_pairs_")
     index = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < cutoff
     )
@@ -225,9 +224,9 @@ def start_decontamination_channel(
     # signature) so a restarted channel can resume the SAME commit log
     # and replays merge idempotently; mkdtemp is only the demo default.
     if sink_dir is None:
-        import tempfile
+        from ..sources.scratch import scratch_dir
 
-        sink_dir = tempfile.mkdtemp(prefix="decon_survivors_")
+        sink_dir = scratch_dir("decon_survivors_")
 
     def run_batch(batch_df, batch_id):
         ex = batch_df.select("doc_id", F.explode(grams).alias("gram"))
@@ -310,9 +309,9 @@ def start_cms_channel(
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
+        from ..sources.scratch import scratch_dir
 
-        sink_dir = tempfile.mkdtemp(prefix="cms_sketch_")
+        sink_dir = scratch_dir("cms_sketch_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "documents")
     spark.createDataFrame(
@@ -370,9 +369,9 @@ def start_hll_channel(
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
+        from ..sources.scratch import scratch_dir
 
-        sink_dir = tempfile.mkdtemp(prefix="hll_regs_")
+        sink_dir = scratch_dir("hll_regs_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "documents")
     spark.createDataFrame(
@@ -428,9 +427,9 @@ def start_histogram_channel(
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
+        from ..sources.scratch import scratch_dir
 
-        sink_dir = tempfile.mkdtemp(prefix="hist_sketch_")
+        sink_dir = scratch_dir("hist_sketch_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "documents")
     spark.createDataFrame(
@@ -492,9 +491,9 @@ def start_reservoir_channel(
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
+        from ..sources.scratch import scratch_dir
 
-        sink_dir = tempfile.mkdtemp(prefix="reservoir_")
+        sink_dir = scratch_dir("reservoir_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "documents")
     spark.createDataFrame(
@@ -567,9 +566,9 @@ def start_dsir_model_channel(
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
+        from ..sources.scratch import scratch_dir
 
-        sink_dir = tempfile.mkdtemp(prefix="dsir_model_")
+        sink_dir = scratch_dir("dsir_model_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "documents")
     if target_pred is None:
@@ -636,9 +635,9 @@ def start_gate_dashboard_channel(
     from .channels import read_table_stream
 
     if sink_dir is None:
-        import tempfile
+        from ..sources.scratch import scratch_dir
 
-        sink_dir = tempfile.mkdtemp(prefix="gate_dash_")
+        sink_dir = scratch_dir("gate_dash_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "documents")
     rules = ["too_short", "too_long", "dup_words", "top_word", "word_len"]

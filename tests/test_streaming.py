@@ -668,3 +668,136 @@ def test_wau_channel_registers_match_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 50
+
+
+def _staged_event_files(spark, e, out_dir, frames):
+    """Write each frame as one parquet file in `out_dir` with strictly
+    increasing mtimes: FileStreamSource consumes files in
+    MODIFICATION-TIME order, so frame i becomes micro-batch i."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(out_dir)
+    for i, df in enumerate(frames):
+        tmp = os.path.join(out_dir, f"_stage{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = os.path.join(out_dir, f"batch-{i}.parquet")
+        shutil.copy(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+
+
+def test_funnel_reorder_tier_matches_batch_on_disordered_stream(
+    spark, sf_dir, tmp_path
+):
+    """Round-9: the watermark-reorder tier ENFORCES the funnel's
+    event-time ordering contract instead of stating it.  Micro-batches
+    deliver each user's events OUT of event-time order (random split,
+    so a later batch carries earlier events); with a lateness bound
+    covering the disorder, the state machine buffers per-user events
+    and releases them in event-time order only once the watermark has
+    passed them — the final stage counts must equal the batch
+    funnel_conversion exactly, with ZERO recorded violations.  The
+    pusher batches advance the watermark past the corpus so buffered
+    users flush via event-time timeouts (no new data for them)."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.plans.registry import all_queries
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_funnel_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    # deterministic random split: NOT by ts, so each half spans the
+    # whole time range and batch 2 is full of events older than batch
+    # 1's max — cross-batch disorder for every user
+    h1 = e.filter(F.xxhash64("event_id") % 2 == 0)
+    h2 = e.filter(F.xxhash64("event_id") % 2 != 0)
+    far = datetime.datetime(2025, 6, 1)
+    pusher = spark.createDataFrame(
+        [(int(-1), far, int(-1), "wm_pusher", 0.0, "")], e.schema
+    )
+    pusher2 = spark.createDataFrame(
+        [(int(-2), far + datetime.timedelta(days=1), int(-1), "wm_pusher",
+          0.0, "")], e.schema
+    )
+    src = str(tmp_path / "events_disordered")
+    _staged_event_files(spark, e, src, [h1, h2, pusher, pusher2])
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_dir = str(tmp_path / "funnel_reorder_sink")
+    q = start_funnel_channel(
+        spark, sf_dir, sink_table="funnel_reorder", sink_dir=sink_dir,
+        stream=stream, lateness="90 days",
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — reordering untested"
+    )
+    got = {
+        (r["stage_ord"], r["stage"], r["n_users"])
+        for r in spark.table("funnel_reorder").collect()
+    }
+    want = {
+        (r["stage_ord"], r["stage"], r["n_users"])
+        for r in all_queries()["funnel_conversion"]
+        .spark(spark, sf_dir)
+        .select("stage_ord", "stage", "n_users")
+        .collect()
+    }
+    assert got == want and len(got) == 4
+    # everything was inside the lateness bound: no late drops
+    assert spark.table("funnel_reorder_violations").count() == 0
+
+
+def test_funnel_fast_path_counts_ordering_violations(
+    spark, sf_dir, tmp_path
+):
+    """Round-8 ADVICE: the fast path's ordering contract is now
+    OBSERVABLE — feeding the event-time halves in REVERSE order (the
+    later half first) must surface nonzero per-user violation counts
+    in the <sink>_violations view instead of silently undercounting."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_funnel_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    mid = e.agg(F.expr("percentile(cast(ts as double), 0.5)")).first()[0]
+    later = e.filter(F.col("ts").cast("double") > mid)
+    earlier = e.filter(F.col("ts").cast("double") <= mid)
+    src = str(tmp_path / "events_reversed")
+    _staged_event_files(spark, e, src, [later, earlier])
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_dir = str(tmp_path / "funnel_rev_sink")
+    q = start_funnel_channel(
+        spark, sf_dir, sink_table="funnel_rev", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(240)
+    v = {
+        r["user_id"]: r["n_late"]
+        for r in spark.table("funnel_rev_violations").collect()
+    }
+    assert len(v) > 0 and all(n > 0 for n in v.values()), (
+        f"reversed-order stream produced no violation counts: {v}"
+    )
+    # and the funnel view itself only carries real stages
+    assert {
+        r["stage_ord"] for r in spark.table("funnel_rev").collect()
+    } <= {1, 2, 3, 4}
