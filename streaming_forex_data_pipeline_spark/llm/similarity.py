@@ -393,12 +393,18 @@ def ivf_topk_kmeans(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat top-k over the fitted k-means quantizer — identical
     probe/scan shape to `ivf_topk`, only the centroid frame differs.
     At scale the fit and the assignment are precomputed once into a
-    cell-partitioned silver table; queries touch nprobe partitions."""
-    cents = kmeans_centroids(emb, n_cells, seed, vec_col=vec_col)
+    cell-partitioned silver table; queries touch nprobe partitions.
+    Pass ``cents`` (a (cid, cv, cn) frame, e.g. read back from a
+    fit-once centroid cache) to skip the in-query fit entirely — the
+    registered query does exactly that via the content-hash-keyed
+    scratch cache."""
+    if cents is None:
+        cents = kmeans_centroids(emb, n_cells, seed, vec_col=vec_col)
     assigned = assign_to_cells(emb, cents, id_col, vec_col)
     q = query.select(
         F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")

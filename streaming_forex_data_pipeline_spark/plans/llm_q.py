@@ -1538,12 +1538,16 @@ def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape: broadcast K centroids, argmax-cosine assignment, exact "
     "cosine within nprobe probed cells.  On the fixture corpus the "
     "fitted quantizer beats the bootstrap's mean recall@10 over "
-    "non-centroid queries (differential test).",
+    "non-centroid queries (differential test).  The fit runs ONCE "
+    "per corpus fingerprint (_cached_kmeans_centroids) — repeated "
+    "runs read the K cached centroid rows and probe, the production "
+    "serving shape.",
 )
 def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 100)
-    out = SIM.ivf_topk_kmeans(e, q, k=10, n_cells=16, nprobe=2)
+    cents = _cached_kmeans_centroids(spark, sf_dir, n_cells=16, seed=7)
+    out = SIM.ivf_topk_kmeans(e, q, k=10, nprobe=2, cents=cents)
     return out.select("vec_id", F.round("cos_sim", R).alias("cos_sim"))
 
 
@@ -2448,25 +2452,18 @@ def source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src_a", "src_b")
 
 
-def _ivf_silver_dir(sf_dir: str) -> str:
-    """Deterministic per-corpus silver-table location: the index
-    build is the once-per-corpus amortized step, so repeated query
-    runs (bench warm-up + timed run, driver re-runs) probe the SAME
-    materialized table instead of rebuilding it — the production read
-    pattern.  The location is keyed by a CONTENT-HASH fingerprint of
-    the source parquet listing (per-file name + mtime_ns + size, not
-    whole-second mtime + total size — a same-second same-size rewrite
-    must invalidate) and lives under a per-user 0700 scratch root, so
-    no other user can pre-create the path and feed a foreign index to
-    the probe (round-7 ADVICE finding)."""
+def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """CONTENT-HASH fingerprint of a source parquet listing (per-file
+    name + mtime_ns + size, not whole-second mtime + total size — a
+    same-second same-size rewrite must invalidate).  The shared cache
+    key for every once-per-corpus artifact (IVF silver table, fitted
+    k-means centroids)."""
     import hashlib
     import os
     import re
 
-    from ..sources.scratch import scratch_path
-
     tag = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir).strip("_")
-    src = f"{sf_dir}/embeddings.parquet"
+    src = f"{sf_dir}/{table}.parquet"
     h = hashlib.md5(os.path.abspath(src).encode())
 
     def _add(path: str) -> None:
@@ -2482,11 +2479,61 @@ def _ivf_silver_dir(sf_dir: str) -> str:
                 _add(os.path.join(src, f))
     else:
         _add(src)
+    return f"{tag}_{h.hexdigest()[:16]}"
+
+
+def _ivf_silver_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus silver-table location: the index
+    build is the once-per-corpus amortized step, so repeated query
+    runs (bench warm-up + timed run, driver re-runs) probe the SAME
+    materialized table instead of rebuilding it — the production read
+    pattern.  The location is keyed by `_corpus_fingerprint` and lives
+    under the per-user 0700 scratch root, so no other user can
+    pre-create the path and feed a foreign index to the probe (round-7
+    ADVICE finding)."""
+    from ..sources.scratch import scratch_path
+
     # the shared scratch helper does the root verification: lstat (no
     # symlink), owner == uid, real dir, group/other bits re-stripped on
     # every call (round-8 ADVICE: makedirs mode only applies at
     # creation, and plain os.stat follows links)
-    return scratch_path(f"ivf_{tag}_{h.hexdigest()[:16]}")
+    return scratch_path(f"ivf_{_corpus_fingerprint(sf_dir)}")
+
+
+def _cached_kmeans_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16, seed: int = 7
+):
+    """Fit-once k-means coarse quantizer (round-8 verdict Next #3):
+    the seeded spark.ml fit — ~20 corpus scans — runs ONLY when this
+    (corpus fingerprint, n_cells, seed) key has no cached centroid
+    frame yet; every later call (bench warm-up + timed runs, driver
+    re-runs, the streaming index-maintenance channel) reads the K
+    centroid rows back from parquet.  Doubles round-trip parquet
+    exactly, so the cached frame is bit-identical to the fit's output
+    and downstream assignment/probing is unchanged.  Same
+    atomic-rename build protocol as the IVF silver table: concurrent
+    sessions race benignly, the loser adopts the winner's centroids
+    (which ARE its own — same seed, same corpus)."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from ..sources.scratch import scratch_path
+
+    out_dir = scratch_path(
+        f"kmc_{_corpus_fingerprint(sf_dir)}_k{n_cells}_s{seed}"
+    )
+    if not (Path(out_dir) / "_SUCCESS").exists():
+        e = load_table(spark, sf_dir, "embeddings")
+        cents = SIM.kmeans_centroids(e, n_cells=n_cells, seed=seed)
+        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
+        cents.coalesce(1).write.parquet(tmp)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(out_dir)
 
 
 def _ensure_ivf_silver(spark: SparkSession, sf_dir: str) -> str:

@@ -683,3 +683,119 @@ def start_gate_dashboard_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rebuild_ivf_serving(spark, sink_dir: str, serve_dir: str) -> None:
+    """Re-derive the cell-partitioned serving layout from the
+    transactional assignment log — the recovery path when a crash
+    between a serving append and its marker leaves the layout behind
+    (or ahead of) the log.  The log is the source of truth: committed
+    (vec_id, batch) rows dedup idempotently, so the rebuild is exact
+    no matter what the crash interleaving was."""
+    import os
+    import shutil
+
+    from ..sources.sinks import read_committed
+
+    committed = read_committed(spark, sink_dir, keys=["vec_id", "batch"])
+    tmp = f"{serve_dir}.rebuild"
+    (
+        committed.select("vec_id", "v", "n", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    published = committed.select("batch").distinct().collect()
+    if os.path.isdir(serve_dir):
+        shutil.rmtree(serve_dir)
+    os.rename(tmp, serve_dir)
+    marker_dir = os.path.join(serve_dir, "_published")
+    os.makedirs(marker_dir, exist_ok=True)
+    for r in published:  # O(#batches) driver rows, not corpus-sized
+        open(os.path.join(marker_dir, f"batch-{int(r['batch'])}"), "w").close()
+
+
+def start_ivf_silver_channel(
+    spark,
+    sf_dir: str,
+    serve_dir: str,
+    cents=None,
+    n_cells: int = 16,
+    sink_dir: str | None = None,
+    stream=None,
+):
+    """Streaming maintenance of the IVF silver table (round-8 verdict
+    Next #4): at 100 TB the ANN index must absorb new embeddings
+    incrementally — a full `write_ivf_silver` rebuild per arrival is
+    the scale-killer this channel removes.
+
+    Each micro-batch of new embeddings is assigned to the EXISTING
+    index's cells (the fixed ``cents`` frame broadcasts — by default
+    the base corpus's bootstrap centroids, i.e. exactly the quantizer
+    `write_ivf_silver` bakes into the batch-built table) and lands in
+    two places:
+
+    - the transactional assignment log (``commit_append`` keyed
+      (vec_id, batch) — the decontamination-channel pattern): atomic,
+      idempotent under crash replays, the source of truth;
+    - the Hive ``cell=<k>/`` serving layout (``serve_dir``): an
+      APPEND of just the batch's rows into its cell directories, so
+      the maintained table keeps the probe-time partition-pruning
+      contract (`probe_ivf_silver` reads nprobe directories) without
+      ever rewriting existing data.  A ``_published/batch-<id>``
+      marker makes replays skip already-published batches; a crash
+      BETWEEN append and marker is recovered by
+      `rebuild_ivf_serving` from the log (index-from-WAL, the
+      standard serving-cache recovery story).
+
+    Parity contract (tests/test_streaming.py): after the stream
+    drains, the serving table equals the batch `write_ivf_silver`
+    rebuild row-for-row, and a probe against it carries the same
+    PartitionFilters pruning gate as the batch-built table."""
+    import os
+
+    from ..llm.similarity import _bootstrap_centroids, assign_to_cells
+    from ..sources.scratch import scratch_dir
+    from ..sources.sinks import commit_append
+    from ..sources.tables import load_table
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        sink_dir = scratch_dir("ivf_assign_log_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "embeddings")
+    if cents is None:
+        cents = _bootstrap_centroids(
+            load_table(spark, sf_dir, "embeddings"), n_cells,
+            "vec_id", "embedding",
+        )
+    # the index's quantizer is FIXED data: pin it once so every batch
+    # assigns against identical centroids (and the plan doesn't rescan
+    # the base corpus per micro-batch)
+    cents = cents.localCheckpoint(eager=True)
+
+    def run_batch(batch_df, batch_id):
+        assigned = assign_to_cells(batch_df, cents).select(
+            F.col("id").alias("vec_id"), "v", "n", "cell"
+        )
+        delta = assigned.withColumn(
+            "batch", F.lit(int(batch_id)).cast("long")
+        )
+        commit_append(delta, sink_dir, version=float(batch_id))
+        marker = os.path.join(serve_dir, "_published", f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # crash replay: log deduped it, serving already has it
+        (
+            assigned.write.mode("append")
+            .partitionBy("cell")
+            .parquet(serve_dir)
+        )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", scratch_dir("ivf_silver_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )

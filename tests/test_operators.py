@@ -1500,3 +1500,35 @@ def test_segment_overlap_bitmap_matches_distinct_joins(spark, sf_dir):
         assert got[(t, t)] == n
     for (a, b), n in got.items():
         assert n <= min(diag[a], diag[b])
+
+
+def test_cached_kmeans_centroids_fit_once_and_bit_identical(
+    spark, sf_dir, monkeypatch
+):
+    """Round-9: the registered ivf_topk_kmeans no longer re-fits
+    spark.ml KMeans every run — the centroid frame is cached under the
+    content-hash scratch key.  The cached frame must be BIT-identical
+    to a fresh fit (doubles round-trip parquet exactly), and a second
+    call must not invoke the fitter at all."""
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.plans import llm_q as LQ
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    cached = {
+        r["cid"]: (tuple(r["cv"]), r["cn"])
+        for r in LQ._cached_kmeans_centroids(spark, sf_dir).collect()
+    }
+    fresh = {
+        r["cid"]: (tuple(r["cv"]), r["cn"])
+        for r in SIM.kmeans_centroids(
+            load_table(spark, sf_dir, "embeddings"), n_cells=16, seed=7
+        ).collect()
+    }
+    assert cached == fresh and len(cached) == 16
+
+    def boom(*a, **k):  # the fit must NOT run on a warm cache
+        raise AssertionError("kmeans_centroids re-invoked on warm cache")
+
+    monkeypatch.setattr(SIM, "kmeans_centroids", boom)
+    warm = LQ._cached_kmeans_centroids(spark, sf_dir)
+    assert warm.count() == 16

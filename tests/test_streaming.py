@@ -801,3 +801,79 @@ def test_funnel_fast_path_counts_ordering_violations(
     assert {
         r["stage_ord"] for r in spark.table("funnel_rev").collect()
     } <= {1, 2, 3, 4}
+
+
+def test_ivf_silver_channel_matches_batch_rebuild(spark, sf_dir, tmp_path):
+    """Round-9: streaming ANN index maintenance.  New embeddings
+    arriving in micro-batches are assigned to the EXISTING index's
+    cells and appended into the cell-partitioned serving layout; after
+    the stream drains, the maintained table must equal the batch
+    `write_ivf_silver` rebuild row-for-row, a probe against it must
+    keep the PartitionFilters pruning contract AND the exact in-memory
+    ivf_topk results, and the log-replay rebuild path must reproduce
+    the same table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        rebuild_ivf_serving,
+        start_ivf_silver_channel,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "emb_2files")
+    # split by id parity so both batches hit most cells
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("vec_id") % 2 == 0), e.filter(F.col("vec_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    serve = str(tmp_path / "ivf_serving")
+    log_dir = str(tmp_path / "ivf_assign_log")
+    q = start_ivf_silver_channel(
+        spark, sf_dir, serve_dir=serve, sink_dir=log_dir, stream=stream
+    )
+    q.awaitTermination(240)
+    assert len(os.listdir(os.path.join(log_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — incrementality untested"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], tuple(r["v"]), r["n"], r["cell"])
+            for r in df.select("vec_id", "v", "n", "cell").collect()
+        )
+
+    batch_dir = str(tmp_path / "ivf_batch")
+    SIM.write_ivf_silver(e, batch_dir, n_cells=16)
+    got = rows(spark.read.parquet(serve))
+    want = rows(spark.read.parquet(batch_dir))
+    assert got == want and len(got) == e.count()
+
+    # probe keeps the pruning contract and exact results
+    qv = e.filter(F.col("vec_id") == 0)
+    probed = SIM.probe_ivf_silver(spark, serve, e, qv, k=10, n_cells=16, nprobe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    seg = [
+        s.split("]")[0]
+        for s in plan.split("PartitionFilters: [")[1:]
+        if "cell" in s.split("]")[0]
+    ]
+    assert seg, f"maintained serving table lost partition pruning:\n{plan}"
+    want_topk = [
+        tuple(r)
+        for r in SIM.ivf_topk(e, qv, k=10, n_cells=16, nprobe=2).collect()
+    ]
+    assert [tuple(r) for r in probed.collect()] == want_topk
+
+    # crash-recovery path: rebuilding from the log reproduces the table
+    rebuild_ivf_serving(spark, log_dir, serve)
+    assert rows(spark.read.parquet(serve)) == want
+    assert len(os.listdir(os.path.join(serve, "_published"))) >= 2
