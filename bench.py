@@ -168,6 +168,9 @@ HEADLINE = [
     "segment_overlap",
     "quantized_recall",
     "priority_pipeline",
+    # round 9: perceptual image near-dup over the real codec chain
+    "image_dhash",
+    "image_near_dups",
 ]
 
 TIMED_SWEEPS = 2

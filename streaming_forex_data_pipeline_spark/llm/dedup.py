@@ -1219,3 +1219,101 @@ def source_minhash_similarity(
             ).alias("jaccard_exact"),
         )
     )
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual image near-dup pairs over 64-bit dHash signatures
+    (``multimodal.dhash_images`` output: doc_id, h_lo, h_hi as two
+    non-negative 32-bit halves) with GUARANTEED recall — the SimHash
+    banding argument applied to the image modality: the 64 bits split
+    into four 16-bit bands, so by pigeonhole any pair within
+    ``max_hamming <= 3`` bit flips matches exactly on at least one
+    band, and the band-bucket join plus bit_count verification equals
+    the exact all-pairs answer at O(N·4 + Σ k_bucket²) cost.
+
+    Same signature-granularity shape as `simhash_near_dup_pairs`:
+    banding/verifying runs on DISTINCT (h_lo, h_hi) values with member
+    lists expanded once at the end, so candidate state is O(#distinct
+    hashes) — template/duplicate-heavy corpora at 100 TB collapse onto
+    few signatures instead of exploding the candidate join.  All band
+    keys and halves are non-negative (<2^32), so no arithmetic-shift
+    or sign edge exists on either engine.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    if not 0 <= max_hamming <= 3:
+        # 4 fixed bands only pigeonhole up to 3 flips; more would
+        # silently void the recall guarantee
+        raise ValueError(f"max_hamming must be in [0, 3], got {max_hamming}")
+    groups = (
+        hashes.groupBy("h_lo", "h_hi")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .localCheckpoint(eager=False)
+    )
+
+    # hamming-0 tier: pairs within one signature group
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
+        .withColumn("hamming", F.lit(0))
+    )
+
+    mask = F.lit((1 << 16) - 1)
+    bands = groups.select(
+        "h_lo",
+        "h_hi",
+        "ids",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         F.col("h_lo").bitwiseAND(mask).alias("key")),
+                F.struct(F.lit(1).alias("band"),
+                         F.shiftright("h_lo", 16).alias("key")),
+                F.struct(F.lit(2).alias("band"),
+                         F.col("h_hi").bitwiseAND(mask).alias("key")),
+                F.struct(F.lit(3).alias("band"),
+                         F.shiftright("h_hi", 16).alias("key")),
+            )
+        ).alias("b"),
+    ).select("h_lo", "h_hi", "ids", "b.band", "b.key")
+    a = bands.select(
+        "band", "key",
+        F.col("h_lo").alias("lo_a"), F.col("h_hi").alias("hi_a"),
+        F.col("ids").alias("ids_a"),
+    )
+    bb = bands.select(
+        "band", "key",
+        F.col("h_lo").alias("lo_b"), F.col("h_hi").alias("hi_b"),
+        F.col("ids").alias("ids_b"),
+    )
+    sig_a = F.struct(F.col("hi_a"), F.col("lo_a"))
+    sig_b = F.struct(F.col("hi_b"), F.col("lo_b"))
+    vpairs = (
+        a.join(bb, ["band", "key"])
+        .filter(sig_a < sig_b)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("lo_a", "hi_a", "lo_b", "hi_b", "ids_a", "ids_b", "hamming")
+        .dropDuplicates(["lo_a", "hi_a", "lo_b", "hi_b"])  # multi-band
+    )
+    cross = (
+        vpairs.select(F.explode("ids_a").alias("da"), "ids_b", "hamming")
+        .select("da", F.explode("ids_b").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return intra.unionByName(cross)

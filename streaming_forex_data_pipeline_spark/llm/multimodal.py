@@ -432,3 +432,79 @@ def decode_audio(audio: DataFrame) -> DataFrame:
     return audio.select("doc_id", "payload").mapInPandas(
         decode, AUDIO_DECODE_SCHEMA
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("h_lo", LongType()),
+        StructField("h_hi", LongType()),
+    ]
+)
+
+
+def dhash_images(
+    images: DataFrame, grid_w: int = 8, grid_h: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels —
+    the content-addressed fingerprint the near-dup family was missing
+    for the image modality (text has exact/MinHash/SimHash/semantic
+    tiers; this is the pixel-space analogue).
+
+    Per image: decode the PNG (`llm/codecs.py`, real inflate +
+    unfilter), nearest-neighbor downsample to ``(grid_w+1) x grid_h``
+    with the SAME integer index arithmetic as `resize_images`
+    (src = (dst * src_dim) // dst_dim — closed-form, so a DuckDB
+    oracle replays every bit), then emit one bit per horizontal
+    neighbor pair: bit(y*grid_w+x) = 1 iff px[y, x+1] > px[y, x].
+    The classic 9x8 -> 64-bit dHash (Krawetz), robust to uniform
+    brightness shifts and to resizing because only LOCAL gradient
+    signs survive.
+
+    The 64 bits are returned as TWO non-negative 32-bit halves in
+    long columns (h_lo = bits 0..31, h_hi = bits 32..63): a single
+    int64 would put bit 63 in the sign position, and building it via
+    SUM(1<<63) overflows under ANSI on both engines — two halves keep
+    every value, shift, and band mask in safe non-negative range
+    while Hamming distance stays two bit_count(xor) terms.
+
+    Arrow-batched ``mapInPandas``; embarrassingly parallel, no
+    shuffle — the 100 TB shape is one codec+hash pass, then all
+    pairing work happens on the 16-byte signatures."""
+    from .codecs import decode_png
+
+    n_bits = grid_w * grid_h
+    if n_bits != 64:
+        raise ValueError(
+            f"dhash grid must yield 64 bits (got {grid_w}x{grid_h}); "
+            f"the two-half packing and 16-bit banding assume 64"
+        )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = 1 << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            ids, lo, hi = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ch, px = decode_png(bytes(payload))
+                sy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+                sx = (np.arange(grid_w + 1, dtype=np.int64) * w) // (
+                    grid_w + 1
+                )
+                g = px[np.ix_(sy, sx)].astype(np.int64)
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+                ids.append(int(doc_id))
+                lo.append(int((bits[:32] * weights).sum()))
+                hi.append(int((bits[32:] * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "h_lo": pd.Series(lo, dtype="int64"),
+                    "h_hi": pd.Series(hi, dtype="int64"),
+                }
+            )
+
+    return images.select("doc_id", "payload").mapInPandas(
+        hash_batch, DHASH_SCHEMA
+    )

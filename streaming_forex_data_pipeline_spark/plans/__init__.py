@@ -21,6 +21,8 @@ from . import (  # noqa: F401
 from . import olap_q  # noqa: F401,E402 — imported LAST: keeps every
 # pre-round-8 registration index (the evidence-rotation tie-break)
 # exactly where the driver's historical samples left it
+from . import media_q  # noqa: F401,E402 — round-9 module, after olap_q
+# for the same index-stability reason
 from .registry import all_queries, oracle_sqls, spark_queries
 
 __all__ = ["all_queries", "spark_queries", "oracle_sqls"]

@@ -1,0 +1,126 @@
+"""Round-9 registered queries: perceptual image near-duplication.
+
+The dedup family covered text exactly (hash), nearly (MinHash/SimHash),
+semantically (embeddings), and by substring — but nothing deduped the
+multimodal column by CONTENT (round-8 verdict Next #6).  These two
+queries close that: a 64-bit difference hash (dHash) computed from the
+REAL decoded pixels of each document's PNG payload, and the banded
+near-dup pair join over those signatures with the SimHash pigeonhole
+recall guarantee.
+
+Everything is closed-form in doc_id (the synthetic payload contract of
+`llm/multimodal.py`), so DuckDB replays every pixel comparison and
+shift analytically — the hash check verifies the full codec +
+downsample + gradient-sign chain, not just plumbing.  The 64 bits are
+carried as two non-negative 32-bit halves (h_lo, h_hi): a single int64
+would put bit 63 in the sign position and its construction would
+overflow ANSI SUMs on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup as DD
+from ..llm import multimodal as MM
+from ..sources.tables import fan_out, load_table
+from .registry import register
+
+# closed-form replay of the dHash bit for position b (0..63) of doc_id:
+# y = b // 8 samples the 8-row grid, x = b % 8 compares the 9-column
+# grid's neighbors x and x+1; src index = ((y*h)//8)*w + (x*w)//9 and
+# pixel(i) = (doc_id*31 + i*7) % 256 — the same integer arithmetic as
+# the image_decode / image_resize oracles.
+_PX = (
+    "(doc_id*31 + ((((b // 8) * h) // 8) * w + (({x}) * w) // 9) * 7) % 256"
+)
+_BIT = (
+    "CASE WHEN "
+    + _PX.format(x="b % 8 + 1")
+    + " > "
+    + _PX.format(x="b % 8")
+    + " THEN 1 ELSE 0 END"
+)
+
+_DHASH_CTE = f"""
+dims AS (
+  SELECT doc_id, doc_id % 60 + 4 AS w, doc_id % 40 + 4 AS h
+  FROM documents
+),
+bt AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), b -> {_BIT}) AS bits
+  FROM dims
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32),
+              b -> bits[b + 1] * (CAST(1 AS BIGINT) << b))) AS BIGINT)
+           AS h_lo,
+         CAST(list_sum(list_transform(range(32, 64),
+              b -> bits[b + 1] * (CAST(1 AS BIGINT) << (b - 32)))) AS BIGINT)
+           AS h_hi
+  FROM bt
+)
+"""
+
+
+@register(
+    "image_dhash",
+    oracle=f"""
+WITH {_DHASH_CTE}
+SELECT doc_id, h_lo, h_hi FROM hashes ORDER BY doc_id
+""",
+    doc="Perceptual difference-hash over the REAL image codec chain "
+    "(llm/multimodal.py:dhash_images): encode each document as a "
+    "spec-compliant PNG, decode it (inflate + unfilter all 5 filter "
+    "types), nearest-neighbor downsample to the classic 9x8 grid with "
+    "the resize_images index arithmetic, and emit the 64 "
+    "horizontal-gradient-sign bits as two 32-bit halves.  The oracle "
+    "replays every sampled pixel comparison and shift in closed form, "
+    "so a single wrong bit anywhere in the codec/downsample/sign "
+    "chain breaks the hash.  One Arrow-batched mapInPandas pass, no "
+    "shuffle — at 100 TB the corpus reduces to 16-byte signatures "
+    "and all pairing cost moves to the signature table.",
+)
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return MM.dhash_images(MM.encode_images(fan_out(d))).orderBy("doc_id")
+
+
+@register(
+    "image_near_dups",
+    oracle=f"""
+WITH {_DHASH_CTE}
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h_lo, b.h_lo))
+            + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS hamming
+FROM hashes a
+JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 1
+ORDER BY doc_a, doc_b
+""",
+    doc="Image near-dup pairs by perceptual dHash at Hamming <= 1 "
+    "(llm/dedup.py:dhash_near_dup_pairs): the SimHash banding "
+    "argument on the image modality — 64 bits in four 16-bit bands, "
+    "pigeonhole guarantees every pair within 3 flips shares a band, "
+    "so the band-bucket join + bit_count verification EQUALS the "
+    "oracle's exact all-pairs answer (the oracle is the quadratic "
+    "spec; the engine plan is the banded O(N + sum k_bucket^2) "
+    "path).  Signature-granularity candidates (distinct hashes, "
+    "member lists expanded last) keep candidate state independent of "
+    "corpus row count — the 100 TB shape shared with "
+    "simhash_near_dups.",
+)
+def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashes = MM.dhash_images(MM.encode_images(fan_out(d)))
+    return (
+        DD.dhash_near_dup_pairs(hashes, max_hamming=1)
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -42,3 +42,93 @@ def test_frame_sample_row_expansion(spark, sf_dir):
         for r in rows:
             expect = min(MM.FRAME_BYTES, n - r["frame_idx"] * MM.FRAME_BYTES)
             assert r["frame_len"] == expect
+
+
+def test_dhash_images_invariances_and_crafted_near_pair(spark):
+    """The perceptual guarantees behind image_near_dups, proven on
+    crafted pixel frames rather than the synthetic corpus: (a) a
+    uniform brightness shift leaves the dHash IDENTICAL (only gradient
+    signs survive); (b) a single-pixel change moves it at most a few
+    bits, so the banded join pairs the two variants; (c) an unrelated
+    image does not pair with either."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import encode_png
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        dhash_near_dup_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.llm.multimodal import (
+        dhash_images,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 200, size=(24, 32)).astype("uint8")
+    brighter = (base + 40).astype("uint8")  # uniform shift, no wrap
+    tweaked = base.copy()
+    # flip a pixel ON the 9x8 sample grid (sy=(1*24)//8=3,
+    # sx=(2*32)//9=7) — an unsampled pixel would leave the hash
+    # untouched entirely, which is the invariance, not the test
+    tweaked[3, 7] = 255 - tweaked[3, 7]
+    unrelated = rng.randint(0, 256, size=(24, 32)).astype("uint8")
+    frames = [base, brighter, tweaked, unrelated]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(4), dtype="int64"),
+            "payload": [encode_png(px) for px in frames],
+        }
+    )
+    images = spark.createDataFrame(pdf)
+    hs = {
+        r["doc_id"]: (r["h_lo"], r["h_hi"])
+        for r in dhash_images(images).collect()
+    }
+    assert hs[0] == hs[1], "uniform brightness shift must not move dHash"
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    assert 0 < ham(hs[0], hs[2]) <= 3, "one-pixel tweak must stay local"
+    assert ham(hs[0], hs[3]) > 3, "unrelated image must be far"
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dhash_near_dup_pairs(
+            dhash_images(images), max_hamming=3
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_dhash_near_dup_pairs_equals_exact_all_pairs(spark, sf_dir):
+    """The banded join's pigeonhole recall claim, checked against the
+    quadratic answer computed from the same hash frame: at
+    max_hamming=3 (the guarantee's edge) the banded pair set must
+    EQUAL the exact all-pairs set."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import multimodal as MM
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        dhash_near_dup_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import (
+        fan_out,
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = MM.dhash_images(MM.encode_images(fan_out(d))).cache()
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dhash_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    rows = hashes.collect()
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            hm = bin(a["h_lo"] ^ b["h_lo"]).count("1") + bin(
+                a["h_hi"] ^ b["h_hi"]
+            ).count("1")
+            if hm <= 3:
+                x, y = sorted((a["doc_id"], b["doc_id"]))
+                want.add((x, y, hm))
+    hashes.unpersist()
+    assert got == want and len(want) > 0
