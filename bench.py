@@ -169,8 +169,12 @@ HEADLINE = [
     "quantized_recall",
     "priority_pipeline",
     # round 9: perceptual image near-dup over the real codec chain
+    # + three more classic TPC-H shapes (Q10/Q12/Q14)
     "image_dhash",
     "image_near_dups",
+    "returned_revenue",
+    "late_shipment_priority",
+    "promo_revenue_share",
 ]
 
 TIMED_SWEEPS = 2

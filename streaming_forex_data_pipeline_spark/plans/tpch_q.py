@@ -1,0 +1,217 @@
+"""Round-9 registered queries: three more classic TPC-H shapes over
+the relational tables, continuing the Q1/Q3/Q4/Q5 family — each one a
+canonical OLAP posture this engine standardizes on, adapted only where
+the synthetic schema lacks a column (noted per query).
+
+All money math uses the integer-cents contract (`pricing_summary`'s
+pattern): extendedprice and discount become exact BIGINT cents before
+any SUM, so the hash compare is aggregation-order-insensitive and the
+final division by a constant is identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.indicators import cents
+from ..sources.tables import load_table
+from .registry import register
+
+R = 6  # float rounding for cross-engine hash stability
+
+_REV_C4_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+@register(
+    "returned_revenue",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         sum({_REV_C4_SQL}) AS rev_c4
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    AND l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+       round(p.rev_c4 / 10000.0, 6) AS revenue,
+       round(c.c_acctbal, 6) + 0 AS c_acctbal,
+       n.n_name
+FROM per_cust p
+JOIN customer c ON c.c_custkey = p.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="Returned-item reporting (TPC-H Q10 shape, minus the contact "
+    "columns the synthetic customer table does not carry): the top-20 "
+    "customers by revenue lost to returns in one quarter.  The scale "
+    "posture is AGGREGATE-BEFORE-DIMENSION: the orders-lineitem fact "
+    "join reduces to one rev row per customer FIRST, so the customer "
+    "dimension join moves per-customer rows, not per-lineitem rows "
+    "(at 100 TB customer is itself fact-sized and cannot broadcast — "
+    "pre-aggregation is what keeps that join small); nation "
+    "broadcasts.  Both date filters push to the orders scan, the "
+    "returnflag filter to the lineitem scan, and the top-20 compiles "
+    "to TakeOrderedAndProject.  Revenue in exact integer cents-x-pct "
+    "units until the final constant division.",
+)
+def returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    per_cust = (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(rev_c4).alias("rev_c4"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        per_cust.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("rev_c4") / 10000.0, R).alias("revenue"),
+            (F.round("c_acctbal", R) + F.lit(0)).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+SELECT CAST(least(floor(date_diff('day', o.o_orderdate, l.l_shipdate)
+                        / 30.0), 6)
+            AS INT) AS delay_bucket,
+       CAST(count(*) FILTER (WHERE o.o_orderpriority IN
+            ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_line_count,
+       CAST(count(*) FILTER (WHERE o.o_orderpriority NOT IN
+            ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+""",
+    doc="Shipping-lateness priority counts (TPC-H Q12 shape; the "
+    "synthetic lineitem has no shipmode/commitdate, so the grouping "
+    "dimension is the order-to-ship delay in 30-day buckets capped at "
+    "6; negative buckets are the synthetic data's shipped-before-"
+    "ordered artifact rows, kept visible as a data-quality signal — "
+    "same CASE-split-count idiom, exact integers end to end; the "
+    "bucket floor runs as float-divide-then-floor on BOTH engines "
+    "because DuckDB's integer // truncates toward zero on negatives "
+    "where Spark floors).  "
+    "One co-keyed orders-lineitem shuffle join with the year filter "
+    "pushed to the orders scan; the conditional counts are one "
+    "partial+final aggregate over at most 7 groups, so the reduce "
+    "side is constant-size at any corpus scale.",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.least(
+                F.floor(
+                    F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                    / F.lit(30)
+                ),
+                F.lit(6),
+            )
+            .cast("int")
+            .alias("delay_bucket"),
+            high.alias("is_high"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.count_if("is_high").alias("high_line_count"),
+            F.count_if(~F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    oracle=f"""
+WITH joined AS (
+  SELECT {_REV_C4_SQL} AS rev_c4,
+         p.p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+)
+SELECT round(100.0 * (sum(CASE WHEN is_promo THEN rev_c4 ELSE 0 END)
+                      / sum(rev_c4)), 6) AS promo_pct,
+       round(sum(CASE WHEN is_promo THEN rev_c4 ELSE 0 END)
+             / 10000.0, 6) AS promo_revenue,
+       round(sum(rev_c4) / 10000.0, 6) AS total_revenue
+FROM joined
+""",
+    doc="Promotion-revenue share (TPC-H Q14): the percentage of one "
+    "month's revenue that came from PROMO-typed parts.  The part "
+    "dimension BROADCASTS onto the shipdate-filtered lineitem scan "
+    "(at 100 TB `part` is the catalog — millions of rows, megabytes "
+    "— the textbook broadcast side), the month filter pushes to the "
+    "lineitem scan, and the whole query reduces to one scalar "
+    "partial+final aggregate: zero wide shuffles.  Both sums stay "
+    "exact BIGINT cents-x-pct until the final constant divisions, so "
+    "the percentage is a ratio of exact integers — identical double "
+    "division on both engines.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-06-01").cast("timestamp")
+    hi = F.lit("1997-07-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    promo_c4 = F.sum(F.when(F.col("is_promo"), rev_c4).otherwise(F.lit(0)))
+    total_c4 = F.sum(rev_c4)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * (promo_c4 / total_c4), R).alias(
+                "promo_pct"
+            ),
+            F.round(promo_c4 / 10000.0, R).alias("promo_revenue"),
+            F.round(total_c4 / 10000.0, R).alias("total_revenue"),
+        )
+    )
