@@ -175,6 +175,7 @@ HEADLINE = [
     "returned_revenue",
     "late_shipment_priority",
     "promo_revenue_share",
+    "funnel_windowed",
 ]
 
 TIMED_SWEEPS = 2
