@@ -262,7 +262,11 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)
-    assert len(line) < 1500, f"bench summary line too long: {len(line)}"
+    if len(line) >= 1500:
+        # an explicit raise, not an assert: python -O would strip an
+        # assert and silently regress to the parsed-null capture
+        # overflow this summary line exists to fix
+        raise RuntimeError(f"bench summary line too long: {len(line)}")
     print(line)
 
 

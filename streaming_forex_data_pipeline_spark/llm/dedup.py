@@ -318,6 +318,42 @@ def simhash_table(
     return g.select("doc_id", sh.alias("sh"))
 
 
+
+def _intra_signature_pairs(groups: DataFrame) -> DataFrame:
+    """Hamming-0 tier shared by every signature-granularity near-dup
+    family (SimHash text, dHash image): all doc pairs WITHIN one
+    signature group, element-parallel explosion over the sorted member
+    list (posexplode + tail slice keeps doc_a < doc_b without a
+    self-join)."""
+    return (
+        groups.filter(F.size("ids") > 1)
+        .select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("doc_b"),
+        )
+        .withColumn("hamming", F.lit(0))
+    )
+
+
+def _expand_signature_pairs(vpairs: DataFrame) -> DataFrame:
+    """Cross-group member-list expansion shared by the signature-
+    granularity families: verified signature-value pairs (ids_a,
+    ids_b, hamming) fan out to doc pairs exactly once, doc_a <
+    doc_b."""
+    return (
+        vpairs.select(F.explode("ids_a").alias("da"), "ids_b", "hamming")
+        .select("da", F.explode("ids_b").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     text: str = "text",
@@ -374,17 +410,7 @@ def simhash_near_dup_pairs(
 
     # hamming-0 tier: pairs within one signature group (element-parallel
     # explosion, same skew logic as the MinHash path)
-    intra = (
-        groups.filter(F.size("ids") > 1)
-        .select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("doc_b"),
-        )
-        .withColumn("hamming", F.lit(0))
-    )
+    intra = _intra_signature_pairs(groups)
 
     # cross-group tier: band the unique values; pigeonhole over
     # max_hamming+1 bands guarantees every pair within max_hamming flips
@@ -422,15 +448,7 @@ def simhash_near_dup_pairs(
         .select("sh_a", "sh_b", "ids_a", "ids_b", "hamming")
         .dropDuplicates(["sh_a", "sh_b"])  # multi-band matches
     )
-    cross = (
-        vpairs.select(F.explode("ids_a").alias("da"), "ids_b", "hamming")
-        .select("da", F.explode("ids_b").alias("db"), "hamming")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "hamming",
-        )
-    )
+    cross = _expand_signature_pairs(vpairs)
     return intra.unionByName(cross)
 
 
@@ -1253,17 +1271,7 @@ def dhash_near_dup_pairs(
     )
 
     # hamming-0 tier: pairs within one signature group
-    intra = (
-        groups.filter(F.size("ids") > 1)
-        .select(F.posexplode("ids").alias("i", "doc_a"), F.col("ids"))
-        .select(
-            "doc_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("doc_b"),
-        )
-        .withColumn("hamming", F.lit(0))
-    )
+    intra = _intra_signature_pairs(groups)
 
     mask = F.lit((1 << 16) - 1)
     bands = groups.select(
@@ -1307,13 +1315,5 @@ def dhash_near_dup_pairs(
         .select("lo_a", "hi_a", "lo_b", "hi_b", "ids_a", "ids_b", "hamming")
         .dropDuplicates(["lo_a", "hi_a", "lo_b", "hi_b"])  # multi-band
     )
-    cross = (
-        vpairs.select(F.explode("ids_a").alias("da"), "ids_b", "hamming")
-        .select("da", F.explode("ids_b").alias("db"), "hamming")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "hamming",
-        )
-    )
+    cross = _expand_signature_pairs(vpairs)
     return intra.unionByName(cross)

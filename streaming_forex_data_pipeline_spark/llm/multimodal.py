@@ -487,7 +487,16 @@ def dhash_images(
         for pdf in batches:
             ids, lo, hi = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _ch, px = decode_png(bytes(payload))
+                w, h, ch, px = decode_png(bytes(payload))
+                if ch != 1:
+                    # RGB: integer luma (channel mean, floor) BEFORE
+                    # sampling — without this the channel axis would
+                    # survive np.ix_, ravel() would yield ch*64 bits,
+                    # and the halves would slice an interleaved channel
+                    # mix into a garbage hash with no error
+                    # (review-found; deterministic integer math so the
+                    # hash stays engine-replayable)
+                    px = px.astype(np.int64).sum(axis=2) // ch
                 sy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
                 sx = (np.arange(grid_w + 1, dtype=np.int64) * w) // (
                     grid_w + 1

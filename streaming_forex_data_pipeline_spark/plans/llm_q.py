@@ -2532,7 +2532,13 @@ def _cached_kmeans_centroids(
         try:
             os.rename(tmp, out_dir)
         except OSError:
+            # only the benign lost-race is swallowed: if the winner's
+            # table is NOT there, this was a real failure (EACCES,
+            # EXDEV, ...) — keep nothing, surface the cause instead of
+            # a later PATH_NOT_FOUND with the fit result discarded
             shutil.rmtree(tmp, ignore_errors=True)
+            if not (Path(out_dir) / "_SUCCESS").exists():
+                raise
     return spark.read.parquet(out_dir)
 
 
@@ -2556,8 +2562,13 @@ def _ensure_ivf_silver(spark: SparkSession, sf_dir: str) -> str:
     try:
         os.rename(tmp, out_dir)
     except OSError:
-        # another session won the race — its table is equivalent
+        # another session won the race — its table is equivalent; but
+        # if no winner's table exists this was a REAL failure
+        # (EACCES/EXDEV/...), so surface it rather than returning a
+        # path a later read will fail on with no cause
         shutil.rmtree(tmp, ignore_errors=True)
+        if not (Path(out_dir) / "_SUCCESS").exists():
+            raise
     return out_dir
 
 

@@ -49,8 +49,12 @@ def user_scratch_root() -> str:
             f"scratch root {root} is owned by uid {st.st_uid}, not the "
             f"current user — refusing to share scratch state"
         )
-    if st.st_mode & (_stat.S_IWGRP | _stat.S_IWOTH | _stat.S_IRGRP | _stat.S_IROTH):
-        os.chmod(root, 0o700)  # re-assert: mode= only applies at creation
+    if _stat.S_IMODE(st.st_mode) != 0o700:
+        # re-assert the FULL mode, not just read/write bits: a root
+        # loosened to 0o711 grants other users path traversal (the
+        # child slot names are deterministic), which read/write-bit
+        # checks alone would keep missing (review-found)
+        os.chmod(root, 0o700)
     return root
 
 

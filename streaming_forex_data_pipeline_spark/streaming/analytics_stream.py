@@ -129,9 +129,15 @@ def start_funnel_channel(
       (parity with the batch funnel proven on an out-of-order fixture
       in tests/test_streaming.py).  Buffered users flush via
       event-time timeouts as the watermark advances, with no new data
-      needed for that user; events arriving more than ``lateness``
-      late are beyond the bound — they replay through the machine like
-      the fast path and are counted in the violations view.
+      needed for that user.  Events arriving more than ``lateness``
+      behind the watermark never reach the state machine AT ALL: the
+      stateful operator itself drops rows older than the watermark
+      before invoking the kernel (standard Structured Streaming
+      late-data semantics under an event-time timeout), so in this
+      tier the drop count is observable through Spark's own
+      ``numRowsDroppedByWatermark`` streaming metric, not through the
+      ``<sink_table>_violations`` view — the violations view is the
+      FAST PATH's observability mechanism.
 
     State is #stages longs per user plus, in the reorder tier, the
     within-lateness buffer (bounded by the user's event rate x
@@ -212,8 +218,11 @@ def start_funnel_channel(
         def release(us: int, i: int) -> None:
             # one event through the strict machine; also the violation
             # fence: an event older than something already released
-            # means the source broke the ordering contract (fast path)
-            # or exceeded the lateness bound (reorder tier)
+            # means the source broke the ordering contract.  Fast path
+            # only in practice — in the reorder tier the runtime's own
+            # watermark filter removes older-than-watermark rows
+            # before fn sees them, so released events are always >=
+            # max released (the branch stays as defense in depth)
             nonlocal max_us, n_late
             if max_us is not None and us < max_us:
                 n_late += 1

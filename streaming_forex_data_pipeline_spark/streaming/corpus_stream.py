@@ -743,10 +743,12 @@ def start_ivf_silver_channel(
       the maintained table keeps the probe-time partition-pruning
       contract (`probe_ivf_silver` reads nprobe directories) without
       ever rewriting existing data.  A ``_published/batch-<id>``
-      marker makes replays skip already-published batches; a crash
-      BETWEEN append and marker is recovered by
-      `rebuild_ivf_serving` from the log (index-from-WAL, the
-      standard serving-cache recovery story).
+      marker makes clean replays skip already-published batches; a
+      crash BETWEEN append and marker (batch in the log, marker
+      missing) is DETECTED on replay and recovered automatically by
+      `rebuild_ivf_serving` from the log — index-from-WAL, the
+      standard serving-cache recovery story, and the only exact move
+      when the layout may hold zero or one copies of the batch.
 
     Parity contract (tests/test_streaming.py): after the stream
     drains, the serving table equals the batch `write_ivf_silver`
@@ -774,17 +776,46 @@ def start_ivf_silver_channel(
     # the base corpus per micro-batch)
     cents = cents.localCheckpoint(eager=True)
 
+    def _log_has_version(version: float) -> bool:
+        """Has a commit with this version already been published to
+        the log?  O(#commits) driver-side manifest reads — the replay
+        detector for the serving append below."""
+        import json
+
+        log_dir = os.path.join(sink_dir, "_log")
+        if not os.path.isdir(log_dir):
+            return False
+        for f in os.listdir(log_dir):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(log_dir, f)) as fh:
+                if json.load(fh).get("version") == version:
+                    return True
+        return False
+
     def run_batch(batch_df, batch_id):
         assigned = assign_to_cells(batch_df, cents).select(
             F.col("id").alias("vec_id"), "v", "n", "cell"
         )
+        # replay detection BEFORE committing: if this batch id is
+        # already in the log but its serving marker is missing, a
+        # prior attempt crashed somewhere between the serving append
+        # and the marker — the serving layout's state is unknowable
+        # (zero or one copies of the batch), so the only exact move is
+        # a rebuild from the log, which is idempotent (review-found:
+        # the old marker-after-append ordering silently DUPLICATED
+        # serving rows on exactly that crash window)
+        replayed = _log_has_version(float(batch_id))
         delta = assigned.withColumn(
             "batch", F.lit(int(batch_id)).cast("long")
         )
         commit_append(delta, sink_dir, version=float(batch_id))
         marker = os.path.join(serve_dir, "_published", f"batch-{batch_id}")
         if os.path.exists(marker):
-            return  # crash replay: log deduped it, serving already has it
+            return  # clean replay: log deduped it, serving has it
+        if replayed:
+            rebuild_ivf_serving(spark, sink_dir, serve_dir)  # writes markers
+            return
         (
             assigned.write.mode("append")
             .partitionBy("cell")

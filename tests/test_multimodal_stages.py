@@ -71,10 +71,16 @@ def test_dhash_images_invariances_and_crafted_near_pair(spark):
     # untouched entirely, which is the invariance, not the test
     tweaked[3, 7] = 255 - tweaked[3, 7]
     unrelated = rng.randint(0, 256, size=(24, 32)).astype("uint8")
-    frames = [base, brighter, tweaked, unrelated]
+    # RGB with all three channels equal to base: integer luma must
+    # reduce it to base exactly, so the hash is identical — and the
+    # channel axis must not leak into the bit layout (review-found:
+    # without the luma reduction, ravel() yielded 192 interleaved
+    # bits and a garbage hash with no error)
+    rgb = np.stack([base, base, base], axis=2)
+    frames = [base, brighter, tweaked, unrelated, rgb]
     pdf = pd.DataFrame(
         {
-            "doc_id": pd.Series(range(4), dtype="int64"),
+            "doc_id": pd.Series(range(len(frames)), dtype="int64"),
             "payload": [encode_png(px) for px in frames],
         }
     )
@@ -87,6 +93,7 @@ def test_dhash_images_invariances_and_crafted_near_pair(spark):
     ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
     assert 0 < ham(hs[0], hs[2]) <= 3, "one-pixel tweak must stay local"
     assert ham(hs[0], hs[3]) > 3, "unrelated image must be far"
+    assert hs[4] == hs[0], "equal-channel RGB must luma-reduce to base"
 
     pairs = {
         (r["doc_a"], r["doc_b"])

@@ -43,9 +43,14 @@ def test_root_created_0700_and_scratch_dir_inside(tmp_root):
 def test_loosened_root_mode_is_reasserted(tmp_root):
     root = _root_path(tmp_root)
     SC.user_scratch_root()
-    os.chmod(root, 0o775)  # a prior process loosened it
-    SC.user_scratch_root()
-    assert stat.S_IMODE(os.lstat(root).st_mode) == 0o700
+    for loosened in (0o775, 0o711, 0o701):
+        # 0o711/0o701 have NO group/other read/write bits — only the
+        # execute (traversal) bit, which still exposes the
+        # deterministic child slot names (review-found); the full-mode
+        # comparison must catch all of these
+        os.chmod(root, loosened)
+        SC.user_scratch_root()
+        assert stat.S_IMODE(os.lstat(root).st_mode) == 0o700
 
 
 def test_symlink_root_rejected_via_lstat(tmp_root):

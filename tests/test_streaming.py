@@ -877,3 +877,72 @@ def test_ivf_silver_channel_matches_batch_rebuild(spark, sf_dir, tmp_path):
     rebuild_ivf_serving(spark, log_dir, serve)
     assert rows(spark.read.parquet(serve)) == want
     assert len(os.listdir(os.path.join(serve, "_published"))) >= 2
+
+
+def test_ivf_silver_channel_recovers_from_crashed_append(
+    spark, sf_dir, tmp_path
+):
+    """Crash window between the serving append and its marker
+    (review-found): the batch is in the log and MAY be in the serving
+    layout, so a replay must not blindly append again.  Simulate the
+    worst interleaving — batch 0 already committed to the log AND
+    appended to serving, marker never written — then run the channel:
+    replay detection must trigger the log rebuild and the final table
+    must equal the batch rebuild exactly (no duplicated vectors)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.llm.similarity import (
+        _bootstrap_centroids,
+        assign_to_cells,
+    )
+    from streaming_forex_data_pipeline_spark.sources.sinks import commit_append
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_ivf_silver_channel,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    h1 = e.filter(F.col("vec_id") % 2 == 0)
+    h2 = e.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "emb_crash")
+    _staged_event_files(spark, e, src, [h1, h2])
+
+    serve = str(tmp_path / "ivf_serving_crash")
+    log_dir = str(tmp_path / "ivf_log_crash")
+    cents = _bootstrap_centroids(e, 16, "vec_id", "embedding")
+    # the crashed first attempt: batch 0 committed + appended, NO marker
+    assigned0 = assign_to_cells(h1, cents).select(
+        F.col("id").alias("vec_id"), "v", "n", "cell"
+    )
+    commit_append(
+        assigned0.withColumn("batch", F.lit(0).cast("long")),
+        log_dir,
+        version=0.0,
+    )
+    assigned0.write.mode("append").partitionBy("cell").parquet(serve)
+    assert not os.path.exists(os.path.join(serve, "_published"))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ivf_silver_channel(
+        spark, sf_dir, serve_dir=serve, sink_dir=log_dir, stream=stream
+    )
+    q.awaitTermination(240)
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], tuple(r["v"]), r["n"], r["cell"])
+            for r in df.select("vec_id", "v", "n", "cell").collect()
+        )
+
+    batch_dir = str(tmp_path / "ivf_batch_crash")
+    SIM.write_ivf_silver(e, batch_dir, n_cells=16)
+    got = rows(spark.read.parquet(serve))
+    assert got == rows(spark.read.parquet(batch_dir))
+    assert len(got) == e.count()  # no duplicated batch-0 vectors
