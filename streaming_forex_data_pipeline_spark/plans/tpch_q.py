@@ -215,3 +215,219 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(total_c4 / 10000.0, R).alias("total_revenue"),
         )
     )
+
+
+@register(
+    "large_order_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem
+  GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 175
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 6) AS o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100
+""",
+    doc="Large-volume customers (TPC-H Q18 shape): the 100 largest "
+    "orders whose total line quantity exceeds 175 units, with the "
+    "customer who placed each.  The scale posture is HAVING-BEFORE-"
+    "JOIN: the fact-keyed aggregate (groupBy l_orderkey, a map-side-"
+    "combinable integer sum) and its HAVING filter reduce the fact "
+    "side to the rare qualifying orders BEFORE either dimension join "
+    "touches it — at 100 TB the orders and customer joins move only "
+    "the survivors, never per-lineitem rows.  Quantities ride as "
+    "exact BIGINT units (the 1..50 integer grid recovered by round), "
+    "so the HAVING cut and the output sums are aggregation-order-"
+    "free; the top-100 compiles to TakeOrderedAndProject with a "
+    "fully deterministic (totalprice DESC, orderdate, orderkey) key.",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 175)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", R).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "discounted_brand_revenue",
+    oracle=f"""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum({_REV_C4_SQL}) / 10000.0, 6) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="Discounted revenue under a disjunction of brand/size/quantity "
+    "arms (TPC-H Q19 shape, grouped per brand arm; the synthetic part "
+    "has no container column, so each arm constrains brand+size+"
+    "quantity).  The OR mixes columns from BOTH join sides, which no "
+    "optimizer can push through the join as-is — so the plan applies "
+    "the standard Q19 rewrite EXPLICITLY: the per-side relaxations "
+    "(part: brand IN the three arms AND size in the union range; "
+    "lineitem: quantity in the union range) are added as redundant "
+    "conjuncts that DO reach the scans (99%+ of both tables never "
+    "enters the join at 100 TB), the pruned part catalog broadcasts, "
+    "and the exact arm disjunction evaluates as the residual on "
+    "joined rows.  Revenue stays exact BIGINT cents-x-pct until the "
+    "final constant division; three-group aggregate output.",
+)
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arms = [
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#4", 15, 20, 30),
+    ]
+    # per-side relaxations, pushed to the scans by construction
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin([a[0] for a in arms])
+        & F.col("p_size").between(1, 15)
+    )
+    residual = None
+    for brand, max_size, q_lo, q_hi in arms:
+        arm = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, max_size)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        residual = arm if residual is None else (residual | arm)
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(residual)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev_c4) / 10000.0, R).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "regional_supplier_volume",
+    oracle=f"""
+SELECT n.n_name,
+       round(sum({_REV_C4_SQL}) / 10000.0, 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY sum({_REV_C4_SQL}) DESC, n.n_name
+""",
+    doc="Local-supplier volume (TPC-H Q5): one year's revenue per "
+    "ASIA nation counting only lineitems whose supplier sits in the "
+    "customer's own nation.  The six-way join is staged by size: "
+    "region-filtered nation (tiny) BROADCASTS into both customer and "
+    "supplier, pruning each to the one region BEFORE any fact "
+    "shuffle (4/5 of both sides never moves); the fact chain then "
+    "runs keyed shuffles in fact order — customer-orders on custkey, "
+    "then lineitem on orderkey — and the supplier join attaches on "
+    "l_suppkey (left to AQE: at test scale the pruned supplier "
+    "auto-broadcasts, at 100 TB it becomes a keyed shuffle join — "
+    "deliberately NOT hint-pinned).  The Q5 signature predicate "
+    "s_nationkey = c_nationkey evaluates as the join residual.  "
+    "Output ordering uses the EXACT integer revenue (not the rounded "
+    "float), so ranking is deterministic on both engines.",
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(asia, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(asia, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        c.join(o.select("o_orderkey", "o_custkey"),
+               F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("s_suppkey") == F.col("l_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev_c4).alias("__rev_c4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("__rev_c4"), F.asc("n_name"))
+        .select(
+            "n_name",
+            F.round(F.col("__rev_c4") / 10000.0, R).alias("revenue"),
+            "n_lines",
+        )
+    )

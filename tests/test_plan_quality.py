@@ -276,3 +276,63 @@ def test_rolling_wau_exact_tier_avoids_nested_loop(spark, sf_dir):
         f"rolling_wau_hll regressed to a nested-loop range join over "
         f"events:\n{plan}"
     )
+
+
+def test_large_order_customers_aggregates_before_joins(spark, sf_dir):
+    """The Q18 shape lives or dies on HAVING-BEFORE-JOIN: the
+    l_orderkey quantity sum must run as a partial+final hash
+    aggregate (map-side combine on the fact scan) and the top-100
+    must compile to TakeOrderedAndProject — if either degrades, the
+    dimension joins start moving per-lineitem rows."""
+    df = all_queries()["large_order_customers"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        f"top-100 lost the TakeOrdered rewrite:\n{plan}"
+    )
+    assert plan.count("HashAggregate") >= 2, (
+        f"quantity sum lost its partial (map-side) aggregate:\n{plan}"
+    )
+
+
+def test_discounted_brand_revenue_pushes_both_side_relaxations(
+    spark, sf_dir
+):
+    """The Q19 rewrite's whole point: the cross-side OR cannot push
+    through the join, so the EXPLICIT per-side relaxations must reach
+    BOTH parquet scans (brand/size on part, quantity on lineitem) and
+    the pruned catalog must broadcast."""
+    df = all_queries()["discounted_brand_revenue"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    nonempty = [p for p in pushed if p.strip()]
+    assert len(nonempty) >= 2, (
+        f"per-side relaxations did not reach both scans:\n{plan}"
+    )
+    assert any("p_brand" in p for p in nonempty), (
+        f"brand arm filter missing from the part scan:\n{plan}"
+    )
+    assert any("l_quantity" in p for p in nonempty), (
+        f"quantity union-range missing from the lineitem scan:\n{plan}"
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, (
+        f"pruned part catalog lost its broadcast:\n{plan}"
+    )
+
+
+def test_regional_supplier_volume_broadcasts_region_prune(spark, sf_dir):
+    """The Q5 posture: the region-filtered nation frame broadcasts
+    into BOTH customer and supplier (pruning 4/5 of each before any
+    fact shuffle), and nothing compiles to a nested-loop join.  The
+    supplier attach itself is deliberately unhinted (AQE's call), so
+    only the broadcast COUNT and the nested-loop absence are pinned."""
+    df = all_queries()["regional_supplier_volume"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        f"region-nation prune lost a broadcast:\n{plan}"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"a join degenerated to nested-loop:\n{plan}"
+    )
