@@ -24,6 +24,7 @@ from . import olap_q  # noqa: F401,E402 — imported LAST: keeps every
 from . import media_q  # noqa: F401,E402 — round-9 module, after olap_q
 # for the same index-stability reason
 from . import tpch_q  # noqa: F401,E402 — round-9, after media_q
+from . import scale_q  # noqa: F401,E402 — round-9, after tpch_q
 from .registry import all_queries, oracle_sqls, spark_queries
 
 __all__ = ["all_queries", "spark_queries", "oracle_sqls"]

@@ -263,9 +263,15 @@ FROM c ORDER BY stage_ord
     "4-row conversion readout computes on exact BIGINT counts.",
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    return funnel_over_events(load_table(spark, sf_dir, "events"))
 
-    e = load_table(spark, sf_dir, "events")
+
+def funnel_over_events(e: DataFrame) -> DataFrame:
+    """The strict-sequential funnel plan over ANY events frame — shared
+    by funnel_conversion (plain parquet scan) and funnel_bucketed
+    (scale_q's user-bucketed silver table, where the same plan runs
+    with zero user-keyed exchanges)."""
+    from pyspark.sql import Window
 
     def first_after(prev: DataFrame, etype: str) -> DataFrame:
         return (
@@ -1029,15 +1035,13 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = 10, scale: int = 1_000_000_000_000,
-                     d: int = 85, k: int = 20) -> str:
-    """Unrolled integer-PageRank oracle: the knn_graph edge CTEs (same
-    plane literals) followed by one CTE per iteration — pure BIGINT
-    floor arithmetic, so DuckDB reproduces Spark's ranks exactly."""
+def _knn_edges_head_sql() -> str:
+    """The knn_graph(k=3, n_planes=4) edge list as DuckDB CTEs — the
+    shared oracle head for every query that consumes the document
+    similarity graph (pagerank_topk, triangle_topk)."""
     from .llm_q import _lsh_bucket_sql
 
-    base = (100 - d) * scale // 100
-    head = f"""
+    return f"""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1056,7 +1060,16 @@ ranked AS (
                             ORDER BY cos DESC, dst ASC) AS rnk
   FROM pairs
 ),
-edges AS (SELECT src, dst FROM ranked WHERE rnk <= 3),
+edges AS (SELECT src, dst FROM ranked WHERE rnk <= 3)"""
+
+
+def _pagerank_oracle(iters: int = 10, scale: int = 1_000_000_000_000,
+                     d: int = 85, k: int = 20) -> str:
+    """Unrolled integer-PageRank oracle: the knn_graph edge CTEs (same
+    plane literals) followed by one CTE per iteration — pure BIGINT
+    floor arithmetic, so DuckDB reproduces Spark's ranks exactly."""
+    base = (100 - d) * scale // 100
+    head = _knn_edges_head_sql() + f""",
 deg AS (SELECT src, count(*) AS dg FROM edges GROUP BY 1),
 nodes AS (SELECT vec_id FROM embeddings),
 p0 AS (SELECT vec_id, CAST({scale} AS BIGINT) AS pr FROM nodes)"""

@@ -336,3 +336,39 @@ def test_regional_supplier_volume_broadcasts_region_prune(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"a join degenerated to nested-loop:\n{plan}"
     )
+
+
+def test_funnel_bucketed_has_zero_user_keyed_exchanges(spark, sf_dir):
+    """THE point of the bucketed silver layout: the identical funnel
+    plan over the raw scan shuffles on user_id at every stage, while
+    the bucketed probe satisfies every per-user distribution
+    requirement from the layout — zero user-keyed Exchange nodes.
+    Both sides asserted so the gate stays meaningful if the funnel
+    shape ever changes."""
+    qs = all_queries()
+    raw = qs["funnel_conversion"].spark(spark, sf_dir)
+    raw.count()
+    raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert raw_plan.count("Exchange hashpartitioning(user_id") > 0
+
+    df = qs["funnel_bucketed"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 0, (
+        f"bucketed funnel re-grew a user-keyed shuffle:\n{plan}"
+    )
+
+
+def test_props_json_stats_stays_jvm_side(spark, sf_dir):
+    """JSON property extraction must never fall back to a Python UDF:
+    the parse is a get_json_object expression in the scan-side
+    projection (JVM codegen), feeding a partial-before-exchange
+    aggregate."""
+    df = all_queries()["props_json_stats"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "get_json_object" in plan
+    assert "partial_count" in plan, (
+        f"aggregate lost its map-side partial:\n{plan}"
+    )
