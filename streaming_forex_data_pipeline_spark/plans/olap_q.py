@@ -350,7 +350,14 @@ ORDER BY cohort, week_offset
     "is a division of exact counts.",
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    return cohort_over_events(load_table(spark, sf_dir, "events"))
+
+
+def cohort_over_events(e: DataFrame) -> DataFrame:
+    """The weekly-cohort retention plan over ANY events frame — shared
+    by cohort_retention (raw scan) and cohort_bucketed (scale_q's
+    user-bucketed silver table, where the user-keyed aggregate, the
+    (user, week) distinct, and the user join all run exchange-free)."""
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort")
     )

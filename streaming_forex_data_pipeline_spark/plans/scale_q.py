@@ -167,12 +167,9 @@ def _ensure_events_bucketed(
     layout is what a 100 TB deployment writes once with thousands of
     buckets so every later user-keyed join/aggregate is exchange-free.
     """
-    import os
     import re
-    import shutil
-    import uuid
-    from pathlib import Path
 
+    from ..sources.layout import write_bucketed_events
     from ..sources.scratch import scratch_path
     from .llm_q import _corpus_fingerprint
 
@@ -182,40 +179,13 @@ def _ensure_events_bucketed(
     tbl = f"events_by_user_{fp}_b{n_buckets}"
     if spark.catalog.tableExists(tbl):
         return tbl
-    loc = scratch_path(tbl)
-    if not (Path(loc) / "_SUCCESS").exists():
-        tmp_tbl = f"{tbl}_build_{uuid.uuid4().hex}"
-        tmp_loc = f"{loc}.build-{uuid.uuid4().hex}"
-        try:
-            (
-                load_table(spark, sf_dir, "events")
-                .repartition(n_buckets, "user_id")
-                .write.bucketBy(n_buckets, "user_id")
-                .sortBy("user_id", "ts")
-                .option("path", tmp_loc)
-                .saveAsTable(tmp_tbl)
-            )
-        finally:
-            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-        try:
-            os.rename(tmp_loc, loc)
-        except OSError:
-            # benign only if a concurrent builder won the rename race;
-            # a real failure (EACCES/EXDEV/...) must surface here, not
-            # as a later TABLE_OR_VIEW_NOT_FOUND with the cause gone
-            shutil.rmtree(tmp_loc, ignore_errors=True)
-            if not (Path(loc) / "_SUCCESS").exists():
-                raise
-    cols = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in load_table(spark, sf_dir, "events").schema.fields
+    return write_bucketed_events(
+        spark,
+        load_table(spark, sf_dir, "events"),
+        tbl,
+        scratch_path(tbl),
+        n_buckets=n_buckets,
     )
-    spark.sql(
-        f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
-        f"CLUSTERED BY (user_id) SORTED BY (user_id, ts) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
-    )
-    return tbl
 
 
 @register(
@@ -239,3 +209,27 @@ def _ensure_events_bucketed(
 def funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = _ensure_events_bucketed(spark, sf_dir)
     return funnel_over_events(spark.table(tbl))
+
+
+@register(
+    "cohort_bucketed",
+    oracle=_REGISTRY["cohort_retention"].oracle,
+    doc="Weekly cohort retention (cohort_retention's exact plan and "
+    "oracle) probing the bucketed-by-user_id silver events table: the "
+    "per-user first-event aggregate, the (user, week) DISTINCT, and "
+    "the users join all satisfy their distribution requirements from "
+    "the layout — zero user-keyed Exchange nodes (plan-gated); the "
+    "only remaining exchanges are cohort-keyed over users-sized "
+    "frames.  Second proof (after funnel_bucketed) that ONE bucketed "
+    "write amortizes across the whole event-analytics family.  "
+    "sessionize_events is deliberately NOT given a bucketed probe: "
+    "its round-9 segmented scan SPREADS a power-law user across "
+    "(user, day) chunk tasks, and a user-bucketed read would undo "
+    "exactly that — layout co-location and skew-spread pull opposite "
+    "ways there, and the skew soak showed spread wins.",
+)
+def cohort_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .olap_q import cohort_over_events
+
+    tbl = _ensure_events_bucketed(spark, sf_dir)
+    return cohort_over_events(spark.table(tbl))

@@ -1,0 +1,86 @@
+"""Bucketed serving layouts — the standing answer to repeated
+key-shuffles at 100 TB: pay the partitioning once at write time, and
+every later join/aggregate on the bucket key satisfies its
+distribution requirement from the LAYOUT (zero exchanges on the fact
+side; the plan gates in tests/test_plan_quality.py pin it).
+
+Shared by plans/scale_q.py (the fingerprint-keyed silver cache probes)
+and streaming/analytics_stream.py (the incremental maintenance
+channel), so the write/attach/rebuild protocol lives in one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def schema_ddl(df: DataFrame) -> str:
+    """Column DDL for CREATE TABLE over existing files."""
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def attach_bucketed_table(
+    spark: SparkSession,
+    tbl: str,
+    loc: str,
+    cols: str,
+    key: str = "user_id",
+    sort: str = "user_id, ts",
+    n_buckets: int = 8,
+) -> str:
+    """Register an EXTERNAL bucketed datasource table over files that
+    already exist at ``loc`` — the re-attach path for every session
+    after the one that built the layout.  Never touches the data."""
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({sort}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+    )
+    return tbl
+
+
+def write_bucketed_events(
+    spark: SparkSession,
+    events: DataFrame,
+    tbl: str,
+    loc: str,
+    n_buckets: int = 8,
+) -> str:
+    """Build a bucketed-by-user_id layout at ``loc`` and register it
+    as ``tbl``.  The build lands in a unique temp location and is
+    atomically renamed into place (a concurrent builder's winner is
+    adopted — same inputs, same bytes); the pre-write repartition uses
+    the same murmur3 hash bucketBy assigns with, so each bucket is one
+    file, sorted by (user_id, ts)."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    if not (Path(loc) / "_SUCCESS").exists():
+        tmp_tbl = f"{tbl}_build_{uuid.uuid4().hex}"
+        tmp_loc = f"{loc}.build-{uuid.uuid4().hex}"
+        try:
+            (
+                events.repartition(n_buckets, "user_id")
+                .write.bucketBy(n_buckets, "user_id")
+                .sortBy("user_id", "ts")
+                .option("path", tmp_loc)
+                .saveAsTable(tmp_tbl)
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        try:
+            os.rename(tmp_loc, loc)
+        except OSError:
+            # benign only if a concurrent builder won the rename race;
+            # a real failure (EACCES/EXDEV/...) must surface here, not
+            # as a later TABLE_OR_VIEW_NOT_FOUND with the cause gone
+            shutil.rmtree(tmp_loc, ignore_errors=True)
+            if not (Path(loc) / "_SUCCESS").exists():
+                raise
+    return attach_bucketed_table(
+        spark, tbl, loc, schema_ddl(events), n_buckets=n_buckets
+    )

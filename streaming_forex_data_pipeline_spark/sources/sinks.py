@@ -141,6 +141,29 @@ def _commit_ids(log_dir: str) -> list[int]:
     )
 
 
+def log_has_version(sink_dir: str, version: float) -> bool:
+    """Has a commit with this manifest ``version`` already been
+    published to the table's log?  O(#commits) driver-side manifest
+    reads — the cheap replay detector for serving-layout appends that
+    ride beside the log (the IVF cell layout, the bucketed events
+    silver): a micro-batch whose version is in the log but whose
+    serving marker is missing crashed between append and marker, and
+    the layout must be rebuilt from the log."""
+    import json
+    import os
+
+    log_dir = os.path.join(sink_dir, "_log")
+    if not os.path.isdir(log_dir):
+        return False
+    for f in os.listdir(log_dir):
+        if not f.endswith(".json") or f.startswith("."):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            if json.load(fh).get("version") == version:
+                return True
+    return False
+
+
 def read_committed(
     spark: SparkSession, table_dir: str, keys: list[str],
     as_of: int | None = None,

@@ -411,3 +411,130 @@ def start_wau_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rebuild_events_bucketed(
+    spark, sink_dir: str, tbl: str, loc: str, n_buckets: int = 8
+) -> str:
+    """Re-derive the bucketed events serving table from the
+    transactional commit log — the recovery path when a crash between
+    a serving append and its marker leaves the layout holding zero OR
+    one copies of a batch (index-from-WAL, the same move as
+    `corpus_stream.rebuild_ivf_serving`).  The log is the source of
+    truth: committed (event_id, batch) rows dedup idempotently, so the
+    rebuild is exact under any crash interleaving."""
+    import os
+    import shutil
+
+    from ..sources.layout import write_bucketed_events
+    from ..sources.sinks import read_committed
+
+    committed = read_committed(spark, sink_dir, keys=["event_id", "batch"])
+    cols = [c for c in committed.columns if c != "batch"]
+    published = committed.select("batch").distinct().collect()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+    write_bucketed_events(
+        spark, committed.select(*cols), tbl, loc, n_buckets=n_buckets
+    )
+    marker_dir = os.path.join(loc, "_published")
+    os.makedirs(marker_dir, exist_ok=True)
+    for r in published:  # O(#batches) driver rows, never event-sized
+        open(
+            os.path.join(marker_dir, f"batch-{int(r['batch'])}"), "w"
+        ).close()
+    return tbl
+
+
+def start_events_bucketed_channel(
+    spark,
+    sf_dir: str,
+    tbl: str,
+    loc: str | None = None,
+    sink_dir: str | None = None,
+    stream=None,
+    n_buckets: int = 8,
+):
+    """Streaming maintenance of the bucketed-by-user_id events silver
+    layout (`sources/layout.py`): at 100 TB the layout that makes
+    every funnel/cohort run exchange-free must absorb new events
+    incrementally — a full bucketed rewrite per arrival is the
+    scale-killer this channel removes.
+
+    Each micro-batch lands in two places:
+
+    - the transactional log (``commit_append`` keyed
+      (event_id, batch)): atomic, idempotent under crash replays, the
+      source of truth;
+    - the bucketed serving table: an ``insertInto`` APPEND that the
+      catalog's bucket spec routes into per-bucket files, so the
+      maintained table KEEPS the zero-user-keyed-exchange contract
+      (bucketed scans merge multiple files per bucket; plan-gated in
+      tests).  A ``_published/batch-<id>`` marker makes clean replays
+      skip already-published batches; a crash BETWEEN append and
+      marker (batch in the log, marker missing) is detected on replay
+      and recovered by `rebuild_events_bucketed` from the log.
+
+    Parity contract (tests/test_streaming.py): after the stream
+    drains, the maintained table equals the batch bucketed build of
+    the same events row-for-row, and the funnel plan over it carries
+    zero user-keyed Exchange nodes."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.layout import write_bucketed_events
+    from ..sources.scratch import scratch_dir
+    from ..sources.sinks import commit_append, log_has_version
+    from ..sources.tables import load_table
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        sink_dir = scratch_dir("events_bucketed_log_")
+    if loc is None:
+        loc = os.path.join(scratch_dir("events_bucketed_serve_"), "tbl")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "events")
+    schema = load_table(spark, sf_dir, "events").schema
+    cols = [f.name for f in schema.fields]
+    if not spark.catalog.tableExists(tbl):
+        # start from an EMPTY bucketed table: the channel's content is
+        # exactly what the log says arrived (index-from-WAL), never a
+        # mix of an untracked base plus tracked deltas
+        write_bucketed_events(
+            spark,
+            spark.createDataFrame([], schema),
+            tbl,
+            loc,
+            n_buckets=n_buckets,
+        )
+
+    def run_batch(batch_df, batch_id):
+        # replay detection BEFORE committing: batch id in the log but
+        # marker missing means a prior attempt crashed between the
+        # serving append and the marker — the layout's state is
+        # unknowable, so rebuild from the log (idempotent)
+        replayed = log_has_version(sink_dir, float(batch_id))
+        delta = batch_df.select(*cols).withColumn(
+            "batch", F.lit(int(batch_id)).cast("long")
+        )
+        commit_append(delta, sink_dir, version=float(batch_id))
+        marker = os.path.join(loc, "_published", f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return  # clean replay: log deduped it, serving has it
+        if replayed:
+            rebuild_events_bucketed(
+                spark, sink_dir, tbl, loc, n_buckets=n_buckets
+            )  # writes markers
+            return
+        batch_df.select(*cols).write.insertInto(tbl)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        open(marker, "w").close()
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", scratch_dir("events_bucketed_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )

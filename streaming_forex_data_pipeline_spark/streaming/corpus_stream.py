@@ -776,22 +776,10 @@ def start_ivf_silver_channel(
     # the base corpus per micro-batch)
     cents = cents.localCheckpoint(eager=True)
 
-    def _log_has_version(version: float) -> bool:
-        """Has a commit with this version already been published to
-        the log?  O(#commits) driver-side manifest reads — the replay
-        detector for the serving append below."""
-        import json
+    from ..sources.sinks import log_has_version
 
-        log_dir = os.path.join(sink_dir, "_log")
-        if not os.path.isdir(log_dir):
-            return False
-        for f in os.listdir(log_dir):
-            if not f.endswith(".json"):
-                continue
-            with open(os.path.join(log_dir, f)) as fh:
-                if json.load(fh).get("version") == version:
-                    return True
-        return False
+    def _log_has_version(version: float) -> bool:
+        return log_has_version(sink_dir, version)
 
     def run_batch(batch_df, batch_id):
         assigned = assign_to_cells(batch_df, cents).select(

@@ -372,3 +372,15 @@ def test_props_json_stats_stays_jvm_side(spark, sf_dir):
     assert "partial_count" in plan, (
         f"aggregate lost its map-side partial:\n{plan}"
     )
+
+
+def test_cohort_bucketed_has_zero_user_keyed_exchanges(spark, sf_dir):
+    """Second member of the bucketed-probe family: the cohort's
+    per-user aggregate, (user, week) distinct, and user join must all
+    come for free from the layout."""
+    df = all_queries()["cohort_bucketed"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 0, (
+        f"bucketed cohort re-grew a user-keyed shuffle:\n{plan}"
+    )

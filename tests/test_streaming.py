@@ -946,3 +946,128 @@ def test_ivf_silver_channel_recovers_from_crashed_append(
     got = rows(spark.read.parquet(serve))
     assert got == rows(spark.read.parquet(batch_dir))
     assert len(got) == e.count()  # no duplicated batch-0 vectors
+
+
+def test_events_bucketed_channel_matches_batch_build(spark, sf_dir, tmp_path):
+    """Round-9: streaming maintenance of the bucketed events silver.
+    Events arriving in micro-batches insertInto the bucketed table;
+    after the stream drains the maintained table must equal the batch
+    bucketed build row-for-row, the funnel over it must keep the
+    zero-user-keyed-exchange contract (multiple files per bucket), and
+    the log rebuild must reproduce the same table."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        funnel_over_events,
+    )
+    from streaming_forex_data_pipeline_spark.plans.registry import all_queries
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        rebuild_events_bucketed,
+        start_events_bucketed_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_2files")
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("event_id") % 2 == 0),
+         e.filter(F.col("event_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tbl = f"events_maintained_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "ev_serving")
+    log_dir = str(tmp_path / "ev_log")
+    q = start_events_bucketed_channel(
+        spark, sf_dir, tbl, loc=loc, sink_dir=log_dir, stream=stream
+    )
+    q.awaitTermination(240)
+    assert len(os.listdir(os.path.join(log_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — incrementality untested"
+    )
+
+    maintained = spark.table(tbl)
+    assert maintained.count() == e.count()
+    assert maintained.exceptAll(e).count() == 0
+    assert e.exceptAll(maintained).count() == 0
+
+    # the maintained layout keeps the exchange-free contract even with
+    # multiple files per bucket (one insert per micro-batch)
+    fn = funnel_over_events(maintained)
+    fn.count()
+    plan = fn._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 0, (
+        f"maintained bucketed table lost the layout contract:\n{plan}"
+    )
+    want = all_queries()["funnel_conversion"].spark(spark, sf_dir).collect()
+    assert fn.collect() == want
+
+    # crash-recovery path reproduces the table from the log
+    rebuild_events_bucketed(spark, log_dir, tbl, loc)
+    rebuilt = spark.table(tbl)
+    assert rebuilt.count() == e.count()
+    assert rebuilt.exceptAll(e).count() == 0
+    assert len(os.listdir(os.path.join(loc, "_published"))) >= 2
+
+
+def test_events_bucketed_channel_recovers_from_crashed_append(
+    spark, sf_dir, tmp_path
+):
+    """Crash window between the serving insert and its marker: batch 0
+    is in the log AND in the table, marker missing.  The replay must
+    rebuild from the log instead of inserting again — no duplicated
+    events."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        write_bucketed_events,
+    )
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        commit_append,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_events_bucketed_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    h1 = e.filter(F.col("event_id") % 2 == 0)
+    h2 = e.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "ev_crash")
+    _staged_event_files(spark, e, src, [h1, h2])
+
+    tbl = f"events_crash_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "ev_serving_crash")
+    log_dir = str(tmp_path / "ev_log_crash")
+    # the crashed first attempt: batch 0 committed + inserted, NO marker
+    write_bucketed_events(spark, spark.createDataFrame([], e.schema), tbl, loc)
+    commit_append(
+        h1.withColumn("batch", F.lit(0).cast("long")), log_dir, version=0.0
+    )
+    h1.write.insertInto(tbl)
+    assert not os.path.exists(os.path.join(loc, "_published"))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_events_bucketed_channel(
+        spark, sf_dir, tbl, loc=loc, sink_dir=log_dir, stream=stream
+    )
+    q.awaitTermination(240)
+
+    maintained = spark.table(tbl)
+    assert maintained.count() == e.count()  # no duplicated batch-0 rows
+    assert maintained.exceptAll(e).count() == 0
+    assert e.exceptAll(maintained).count() == 0
