@@ -233,3 +233,95 @@ def cohort_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = _ensure_events_bucketed(spark, sf_dir)
     return cohort_over_events(spark.table(tbl))
+
+
+@register(
+    "funnel_ttc",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+)
+SELECT CAST(date_diff('second', s1.t, s4.t) // 86400 AS BIGINT)
+         AS days_to_convert,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(min(date_diff('second', s1.t, s4.t)) AS BIGINT) AS min_ttc_sec,
+       CAST(max(date_diff('second', s1.t, s4.t)) AS BIGINT) AS max_ttc_sec
+FROM s4 JOIN s1 USING (user_id)
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="Time-to-convert distribution for the strict funnel's full "
+    "converters: for every user who completed signup -> view -> click "
+    "-> purchase in strict sequence (funnel_conversion's frontier "
+    "chain), the signup-to-purchase duration, histogrammed in whole "
+    "days with per-bucket min/max seconds.  A genuinely different "
+    "readout from the funnel counts (HOW LONG conversion takes, not "
+    "how many convert); the physical shape adds one users-keyed join "
+    "of the stage-1 and stage-4 frontier frames to the funnel's "
+    "chained aggregates, and the histogram output is calendar-bounded "
+    "at any corpus size.  Durations are exact integer seconds "
+    "(date_diff on both engines; the day bucket is an exact floor of "
+    "non-negative ints).",
+)
+def funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev.select("user_id", F.col("t").alias("__pt")), "user_id")
+            .filter(F.col("ts") > F.col("__pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    cur = s1
+    for etype in ("view", "click", "purchase"):
+        cur = first_after(cur, etype)
+    ttc = (
+        cur.select("user_id", F.col("t").alias("t4"))
+        .join(s1.select("user_id", F.col("t").alias("t1")), "user_id")
+        .select(
+            # second-BOUNDARY crossings (truncate each endpoint to its
+            # second, then diff) — DuckDB date_diff('second') semantics,
+            # NOT floor of the microsecond delta (off by one whenever
+            # the start's sub-second fraction exceeds the end's)
+            (
+                F.floor(F.unix_micros("t4") / F.lit(1_000_000))
+                - F.floor(F.unix_micros("t1") / F.lit(1_000_000))
+            )
+            .cast("long")
+            .alias("ttc_sec"),
+        )
+    )
+    return (
+        ttc.groupBy(
+            F.floor(F.col("ttc_sec") / F.lit(86400))
+            .cast("long")
+            .alias("days_to_convert")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("ttc_sec").alias("min_ttc_sec"),
+            F.max("ttc_sec").alias("max_ttc_sec"),
+        )
+        .orderBy("days_to_convert")
+    )

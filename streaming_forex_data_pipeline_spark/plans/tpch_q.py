@@ -431,3 +431,45 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
         )
     )
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT))
+             / 10000.0, 6) AS revenue_lift,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="Forecast-revenue-change (TPC-H Q6): the revenue that would "
+    "be recovered by eliminating small discounts on small-quantity "
+    "lines in one year.  The simplest-possible and therefore "
+    "sharpest pushdown demonstration: NO join, one scalar aggregate, "
+    "and all three predicates (shipdate range, discount band, "
+    "quantity cap) must reach the parquet scan as PushedFilters with "
+    "a two-column ReadSchema — at 100 TB this query is pure "
+    "row-group-pruned scan bandwidth, and a plan that drags either "
+    "filter above the scan reads the whole fact table "
+    "(plan-gated in tests/test_plan_quality.py).  The discounted "
+    "amount stays an exact BIGINT cents-x-pct sum until the final "
+    "constant division.",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    lift_c4 = F.sum(cents("l_extendedprice") * cents("l_discount"))
+    return li.agg(
+        F.round(lift_c4 / 10000.0, R).alias("revenue_lift"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

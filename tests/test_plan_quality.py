@@ -384,3 +384,23 @@ def test_cohort_bucketed_has_zero_user_keyed_exchanges(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(user_id") == 0, (
         f"bucketed cohort re-grew a user-keyed shuffle:\n{plan}"
     )
+
+
+def test_forecast_revenue_change_pushes_all_three_predicates(
+    spark, sf_dir
+):
+    """Q6 is pure scan bandwidth at 100 TB: shipdate, discount, and
+    quantity must ALL reach the lineitem parquet scan, and the read
+    schema must carry only the needed columns."""
+    df = all_queries()["forecast_revenue_change"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = "".join(
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    )
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} filter not pushed to the scan:\n{plan}"
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" not in read and "l_tax" not in read, (
+        f"scan reads more columns than the query needs: {read}"
+    )
