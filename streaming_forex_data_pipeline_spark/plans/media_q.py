@@ -124,3 +124,100 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# closed-form replay of the audio energy-envelope fingerprint: clip
+# length n = doc_id % 400 + 50 (llm/multimodal.py module contract),
+# sample(i) = (doc_id*131 + i*17) % 65536 - 32768, frame f covers
+# [f*n//65, (f+1)*n//65) — empty frames (short clips) sum to 0.
+_AFP_CTE = """
+adims AS (
+  SELECT doc_id, doc_id % 400 + 50 AS n FROM documents
+),
+fe AS (
+  SELECT doc_id,
+         list_transform(range(0, 65), f ->
+           coalesce(list_sum(list_transform(
+             range((f * n) // 65, ((f + 1) * n) // 65),
+             i -> abs((doc_id * 131 + i * 17) % 65536 - 32768))), 0)
+         ) AS e
+  FROM adims
+),
+abt AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), b ->
+           CASE WHEN e[b + 2] > e[b + 1] THEN 1 ELSE 0 END) AS bits
+  FROM fe
+),
+ahashes AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32),
+              b -> bits[b + 1] * (CAST(1 AS BIGINT) << b))) AS BIGINT)
+           AS h_lo,
+         CAST(list_sum(list_transform(range(32, 64),
+              b -> bits[b + 1] * (CAST(1 AS BIGINT) << (b - 32)))) AS BIGINT)
+           AS h_hi
+  FROM abt
+)
+"""
+
+
+@register(
+    "audio_fingerprint",
+    oracle=f"""
+WITH {_AFP_CTE}
+SELECT doc_id, h_lo, h_hi FROM ahashes ORDER BY doc_id
+""",
+    doc="Perceptual audio fingerprint over the REAL audio codec chain "
+    "(llm/multimodal.py:fingerprint_audio): encode each document as a "
+    "RIFF/WAVE PCM16 clip, decode it (real header parse + frame "
+    "read), split into 65 integer-boundary frames, and emit the 64 "
+    "energy-envelope slope-sign bits as two 32-bit halves — the dHash "
+    "idea along time, gain-robust for the same reason dHash is "
+    "brightness-robust.  The oracle replays every frame sum and "
+    "comparison in closed form, so one wrong sample anywhere in the "
+    "codec/framing/energy chain breaks the hash.  One Arrow-batched "
+    "mapInPandas pass, no shuffle; the corpus reduces to 16-byte "
+    "signatures before any pairing cost.",
+)
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return MM.fingerprint_audio(MM.encode_audio(fan_out(d))).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "audio_near_dups",
+    oracle=f"""
+WITH {_AFP_CTE}
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h_lo, b.h_lo))
+            + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS hamming
+FROM ahashes a
+JOIN ahashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 2
+ORDER BY doc_a, doc_b
+""",
+    doc="Audio near-dup pairs by perceptual envelope fingerprint at "
+    "Hamming <= 2: the SAME banded machinery as the image tier — "
+    "`llm/dedup.py:dhash_near_dup_pairs` bands the two 32-bit halves "
+    "into four 16-bit bands (pigeonhole covers up to 3 flips) and "
+    "verifies candidates with two bit_count(xor) terms, signature-"
+    "granularity throughout.  With this, the near-dup family spans "
+    "every modality in the data model: text exact/MinHash/SimHash/"
+    "semantic/substring, image dHash, audio envelope — one shared "
+    "banding engine, three signature functions.  The oracle is the "
+    "exact quadratic spec over the closed-form prints.",
+)
+def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prints = MM.fingerprint_audio(MM.encode_audio(fan_out(d)))
+    return (
+        DD.dhash_near_dup_pairs(prints, max_hamming=2)
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

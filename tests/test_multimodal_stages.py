@@ -139,3 +139,69 @@ def test_dhash_near_dup_pairs_equals_exact_all_pairs(spark, sf_dir):
                 want.add((x, y, hm))
     hashes.unpersist()
     assert got == want and len(want) > 0
+
+
+def test_audio_fingerprint_invariances_and_crafted_near_pair(spark):
+    """The perceptual guarantees behind audio_near_dups, proven on
+    crafted PCM rather than the synthetic corpus: (a) a uniform gain
+    change (2x, no clipping) leaves the envelope fingerprint IDENTICAL
+    (only slope signs survive); (b) perturbing one frame's samples
+    moves it at most a few bits, so the banded join pairs the two
+    takes; (c) an unrelated clip does not pair with either; (d) a clip
+    shorter than 65 samples (empty frames) fingerprints
+    deterministically."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import encode_wav
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        dhash_near_dup_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.llm.multimodal import (
+        fingerprint_audio,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(-8000, 8000, size=650).astype("<i2")
+    louder = (base.astype(np.int64) * 2).astype("<i2")  # no clipping
+
+    def envelope_bits(s):
+        e = np.abs(s.astype(np.int64)).reshape(65, 10).sum(axis=1)
+        return (e[1:] > e[:-1]).astype(np.int64)
+
+    # pick a frame whose preceding bit is 1 (its energy EXCEEDS the
+    # previous frame's) and silence it: that bit provably flips to 0,
+    # and at most the following bit moves with it — a guaranteed
+    # 1-2 bit perturbation instead of a hopeful one
+    bits0 = envelope_bits(base)
+    f = int(np.argmax(bits0[5:] == 1)) + 6  # frame index, bit f-1 == 1
+    tweaked = base.copy()
+    tweaked[f * 10 : (f + 1) * 10] = 0
+    unrelated = rng.randint(-32768, 32767, size=650).astype("<i2")
+    short = rng.randint(-8000, 8000, size=40).astype("<i2")
+    clips = [base, louder, tweaked, unrelated, short, short]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series(range(len(clips)), dtype="int64"),
+            "payload": [encode_wav(s) for s in clips],
+        }
+    )
+    audio = spark.createDataFrame(pdf)
+    hs = {
+        r["doc_id"]: (r["h_lo"], r["h_hi"])
+        for r in fingerprint_audio(audio).collect()
+    }
+    assert hs[0] == hs[1], "uniform gain must not move the fingerprint"
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    assert 0 < ham(hs[0], hs[2]) <= 3, "one-frame tweak must stay local"
+    assert ham(hs[0], hs[3]) > 3, "unrelated clip must be far"
+    assert hs[4] == hs[5], "short clips must fingerprint deterministically"
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dhash_near_dup_pairs(
+            fingerprint_audio(audio), max_hamming=3
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
