@@ -266,12 +266,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_over_events(load_table(spark, sf_dir, "events"))
 
 
-def funnel_over_events(e: DataFrame) -> DataFrame:
-    """The strict-sequential funnel plan over ANY events frame — shared
-    by funnel_conversion (plain parquet scan) and funnel_bucketed
-    (scale_q's user-bucketed silver table, where the same plan runs
-    with zero user-keyed exchanges)."""
-    from pyspark.sql import Window
+def funnel_stage_frontiers(e: DataFrame) -> list[tuple[str, DataFrame]]:
+    """The strict funnel's per-stage frontier frames over ANY events
+    frame: stage k holds (user_id, t) = each surviving user's FIRST
+    qualifying timestamp strictly after their stage k-1 time.  The
+    single definition of funnel strictness — funnel_over_events counts
+    the frontiers, scale_q's funnel_ttc histograms the first-to-last
+    durations; a second copy of this chain would let the two readouts
+    silently diverge (review-found)."""
 
     def first_after(prev: DataFrame, etype: str) -> DataFrame:
         return (
@@ -290,6 +292,17 @@ def funnel_over_events(e: DataFrame) -> DataFrame:
     stages = [("signup", s1)]
     for etype in ("view", "click", "purchase"):
         stages.append((etype, first_after(stages[-1][1], etype)))
+    return stages
+
+
+def funnel_over_events(e: DataFrame) -> DataFrame:
+    """The strict-sequential funnel plan over ANY events frame — shared
+    by funnel_conversion (plain parquet scan) and funnel_bucketed
+    (scale_q's user-bucketed silver table, where the same plan runs
+    with zero user-keyed exchanges)."""
+    from pyspark.sql import Window
+
+    stages = funnel_stage_frontiers(e)
     counts = None
     for i, (name, df) in enumerate(stages, start=1):
         row = df.agg(F.count(F.lit(1)).alias("n_users")).select(

@@ -277,27 +277,13 @@ ORDER BY 1
     "non-negative ints).",
 )
 def funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .olap_q import funnel_stage_frontiers
+
     e = load_table(spark, sf_dir, "events")
-
-    def first_after(prev: DataFrame, etype: str) -> DataFrame:
-        return (
-            e.filter(F.col("event_type") == etype)
-            .join(prev.select("user_id", F.col("t").alias("__pt")), "user_id")
-            .filter(F.col("ts") > F.col("__pt"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-        )
-
-    s1 = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-    )
-    cur = s1
-    for etype in ("view", "click", "purchase"):
-        cur = first_after(cur, etype)
+    stages = funnel_stage_frontiers(e)
+    s1, s4 = stages[0][1], stages[-1][1]
     ttc = (
-        cur.select("user_id", F.col("t").alias("t4"))
+        s4.select("user_id", F.col("t").alias("t4"))
         .join(s1.select("user_id", F.col("t").alias("t1")), "user_id")
         .select(
             # second-BOUNDARY crossings (truncate each endpoint to its

@@ -70,6 +70,13 @@ def write_bucketed_events(
                 .option("path", tmp_loc)
                 .saveAsTable(tmp_tbl)
             )
+        except BaseException:
+            # a failed build must not leak its uuid-named partial dir:
+            # nothing ever adopts or vacuums it, and repeated failures
+            # would accumulate fact-sized orphans under the scratch
+            # root (review-found)
+            shutil.rmtree(tmp_loc, ignore_errors=True)
+            raise
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
         try:

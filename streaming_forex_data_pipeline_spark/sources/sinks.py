@@ -141,6 +141,30 @@ def _commit_ids(log_dir: str) -> list[int]:
     )
 
 
+def log_versions(sink_dir: str) -> list[float]:
+    """All manifest ``version`` stamps in a table's commit log —
+    O(#commits) driver-side metadata reads, no Spark job.  The batch
+    ids a serving layout must hold are exactly these (each maintenance
+    micro-batch commits version=float(batch_id)), so layout rebuilds
+    list published batches from here instead of running a
+    data-sized distinct over the committed rows (review-found)."""
+    import json
+    import os
+
+    log_dir = os.path.join(sink_dir, "_log")
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json") or f.startswith("."):
+            continue
+        with open(os.path.join(log_dir, f)) as fh:
+            v = json.load(fh).get("version")
+        if v is not None:
+            out.append(v)
+    return out
+
+
 def log_has_version(sink_dir: str, version: float) -> bool:
     """Has a commit with this manifest ``version`` already been
     published to the table's log?  O(#commits) driver-side manifest
@@ -149,19 +173,7 @@ def log_has_version(sink_dir: str, version: float) -> bool:
     silver): a micro-batch whose version is in the log but whose
     serving marker is missing crashed between append and marker, and
     the layout must be rebuilt from the log."""
-    import json
-    import os
-
-    log_dir = os.path.join(sink_dir, "_log")
-    if not os.path.isdir(log_dir):
-        return False
-    for f in os.listdir(log_dir):
-        if not f.endswith(".json") or f.startswith("."):
-            continue
-        with open(os.path.join(log_dir, f)) as fh:
-            if json.load(fh).get("version") == version:
-                return True
-    return False
+    return version in log_versions(sink_dir)
 
 
 def read_committed(

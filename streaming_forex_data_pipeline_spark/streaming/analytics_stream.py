@@ -425,26 +425,39 @@ def rebuild_events_bucketed(
     rebuild is exact under any crash interleaving."""
     import os
     import shutil
+    import uuid
 
+    from ..sources.layout import attach_bucketed_table, schema_ddl
     from ..sources.layout import write_bucketed_events
-    from ..sources.sinks import read_committed
+    from ..sources.sinks import log_versions, read_committed
 
     committed = read_committed(spark, sink_dir, keys=["event_id", "batch"])
-    cols = [c for c in committed.columns if c != "batch"]
-    published = committed.select("batch").distinct().collect()
+    data = committed.select(
+        *[c for c in committed.columns if c != "batch"]
+    )
+    # build the replacement COMPLETELY (data + markers) in a sibling
+    # location before touching the live layout: a crash mid-build
+    # leaves the old table readable, and the destructive window
+    # shrinks to the rmtree+rename swap (review-found: the first
+    # version dropped the table before building, so a build failure
+    # left NOTHING for consumers to read)
+    tmp_tbl = f"{tbl}_rebuild_{uuid.uuid4().hex}"
+    tmp_loc = f"{loc}.rebuild-{uuid.uuid4().hex}"
+    write_bucketed_events(spark, data, tmp_tbl, tmp_loc, n_buckets=n_buckets)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    marker_dir = os.path.join(tmp_loc, "_published")
+    os.makedirs(marker_dir, exist_ok=True)
+    # published batch ids come from the O(#commits) manifest metadata,
+    # never a data-sized distinct over the committed rows
+    for v in log_versions(sink_dir):
+        open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     if os.path.isdir(loc):
         shutil.rmtree(loc)
-    write_bucketed_events(
-        spark, committed.select(*cols), tbl, loc, n_buckets=n_buckets
+    os.rename(tmp_loc, loc)
+    return attach_bucketed_table(
+        spark, tbl, loc, schema_ddl(data), n_buckets=n_buckets
     )
-    marker_dir = os.path.join(loc, "_published")
-    os.makedirs(marker_dir, exist_ok=True)
-    for r in published:  # O(#batches) driver rows, never event-sized
-        open(
-            os.path.join(marker_dir, f"batch-{int(r['batch'])}"), "w"
-        ).close()
-    return tbl
 
 
 def start_events_bucketed_channel(

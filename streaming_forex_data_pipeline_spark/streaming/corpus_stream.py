@@ -695,7 +695,7 @@ def rebuild_ivf_serving(spark, sink_dir: str, serve_dir: str) -> None:
     import os
     import shutil
 
-    from ..sources.sinks import read_committed
+    from ..sources.sinks import log_versions, read_committed
 
     committed = read_committed(spark, sink_dir, keys=["vec_id", "batch"])
     tmp = f"{serve_dir}.rebuild"
@@ -705,14 +705,17 @@ def rebuild_ivf_serving(spark, sink_dir: str, serve_dir: str) -> None:
         .partitionBy("cell")
         .parquet(tmp)
     )
-    published = committed.select("batch").distinct().collect()
+    # published batch ids from the O(#commits) manifest metadata — a
+    # data-sized distinct over committed rows buys nothing the log's
+    # own version stamps don't already hold (review-found)
+    published = log_versions(sink_dir)
     if os.path.isdir(serve_dir):
         shutil.rmtree(serve_dir)
     os.rename(tmp, serve_dir)
     marker_dir = os.path.join(serve_dir, "_published")
     os.makedirs(marker_dir, exist_ok=True)
-    for r in published:  # O(#batches) driver rows, not corpus-sized
-        open(os.path.join(marker_dir, f"batch-{int(r['batch'])}"), "w").close()
+    for v in published:  # O(#batches) stamps, not corpus-sized
+        open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
 
 
 def start_ivf_silver_channel(
