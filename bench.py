@@ -176,6 +176,18 @@ HEADLINE = [
     "late_shipment_priority",
     "promo_revenue_share",
     "funnel_windowed",
+    # round-9b: TPC-H breadth, scale layout, graph census, modalities
+    "large_order_customers",
+    "discounted_brand_revenue",
+    "regional_supplier_volume",
+    "forecast_revenue_change",
+    "funnel_bucketed",
+    "cohort_bucketed",
+    "funnel_ttc",
+    "triangle_topk",
+    "props_json_stats",
+    "audio_fingerprint",
+    "audio_near_dups",
 ]
 
 TIMED_SWEEPS = 2
