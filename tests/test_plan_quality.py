@@ -404,3 +404,31 @@ def test_forecast_revenue_change_pushes_all_three_predicates(
     assert "l_orderkey" not in read and "l_tax" not in read, (
         f"scan reads more columns than the query needs: {read}"
     )
+
+
+def test_bucketed_probes_stay_exchange_free_without_broadcasts(
+    spark, sf_dir
+):
+    """The 100 TB shape of the bucketed probes, not the test-scale
+    one: at real scale the stage frames exceed any broadcast
+    threshold, so force the join path a cluster would take
+    (autoBroadcastJoinThreshold = -1) and assert the sort-merge joins
+    run CO-PARTITIONED straight off the bucketed scan — sorts, but
+    zero user-keyed exchanges.  This is the layout contract itself,
+    with the broadcast escape hatch removed."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("funnel_bucketed", "cohort_bucketed"):
+            df = all_queries()[name].spark(spark, sf_dir)
+            df.count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, (
+                f"{name}: broadcast disable did not engage — the gate "
+                f"is not testing the SMJ path:\n{plan}"
+            )
+            assert plan.count("Exchange hashpartitioning(user_id") == 0, (
+                f"{name}: SMJ path re-grew a user-keyed shuffle — the "
+                f"layout is not carrying the join:\n{plan}"
+            )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
