@@ -311,3 +311,47 @@ def funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("days_to_convert")
     )
+
+
+@register(
+    "user_history_rollup",
+    oracle="""
+SELECT user_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE user_id = 7
+GROUP BY 1, 2
+ORDER BY day
+""",
+    doc="Point-lookup serving off the SAME bucketed layout the "
+    "analytics run on: one user's per-day event counts and exact "
+    "cents value totals.  Because the filter hits the bucket key, the "
+    "scan BUCKET-PRUNES — the executed plan reads 1 of 8 bucket files "
+    "(SelectedBucketsCount, plan-gated), so at 100 TB a user lookup "
+    "touches 1/n_buckets of the corpus by FILE INDEX before any row "
+    "filter runs; the user-keyed rollup then satisfies its "
+    "distribution from the layout (no exchange).  The third face of "
+    "the one bucketed write: batch analytics (funnel/cohort), "
+    "streaming maintenance, and serving lookups off one layout.  "
+    "Oracle is layout-free SQL over the raw events — same answer by "
+    "construction.",
+)
+def user_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl = _ensure_events_bucketed(spark, sf_dir)
+    return (
+        spark.table(tbl)
+        .filter(F.col("user_id") == 7)
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("day")
+    )

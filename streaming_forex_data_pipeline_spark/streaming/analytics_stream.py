@@ -130,14 +130,21 @@ def start_funnel_channel(
       in tests/test_streaming.py).  Buffered users flush via
       event-time timeouts as the watermark advances, with no new data
       needed for that user.  Events arriving more than ``lateness``
-      behind the watermark never reach the state machine AT ALL: the
-      stateful operator itself drops rows older than the watermark
-      before invoking the kernel (standard Structured Streaming
-      late-data semantics under an event-time timeout), so in this
-      tier the drop count is observable through Spark's own
-      ``numRowsDroppedByWatermark`` streaming metric, not through the
-      ``<sink_table>_violations`` view — the violations view is the
-      FAST PATH's observability mechanism.
+      behind the watermark never reach the state machine: the
+      stateful operator drops rows older than the LATE-EVENTS
+      watermark before invoking the kernel (standard Structured
+      Streaming semantics under an event-time timeout), and the drop
+      count is observable through Spark's
+      ``numRowsDroppedByWatermark`` metric — surfaced by
+      `channels.watermark_drop_report`, proven by a straggler fixture
+      in tests/test_streaming.py.  One measured nuance (Spark's
+      design): the late-events fence is the PREVIOUS micro-batch's
+      watermark, so a straggler landing in the very next batch after
+      the watermark advanced is still admitted — the kernel's
+      release() violation fence is the defense in depth that counts
+      exactly those.  The ``<sink_table>_violations`` view is the
+      FAST PATH's (and that one-batch window's) observability
+      mechanism.
 
     State is #stages longs per user plus, in the reorder tier, the
     within-lateness buffer (bounded by the user's event rate x
@@ -218,11 +225,13 @@ def start_funnel_channel(
         def release(us: int, i: int) -> None:
             # one event through the strict machine; also the violation
             # fence: an event older than something already released
-            # means the source broke the ordering contract.  Fast path
-            # only in practice — in the reorder tier the runtime's own
-            # watermark filter removes older-than-watermark rows
-            # before fn sees them, so released events are always >=
-            # max released (the branch stays as defense in depth)
+            # means the source broke the ordering contract.  In the
+            # reorder tier the runtime's watermark filter removes
+            # beyond-lateness rows before fn sees them EXCEPT inside
+            # Spark's one-batch late-events lag (the fence is the
+            # PREVIOUS batch's watermark — measured, see the channel
+            # docstring), so this branch is the live counter for
+            # exactly that window, not dead defense
             nonlocal max_us, n_late
             if max_us is not None and us < max_us:
                 n_late += 1

@@ -391,3 +391,33 @@ def economic_events_channel(
             surprise.alias("surprise_score"),
         )
     )
+
+
+def watermark_drop_report(query) -> list[dict]:
+    """Beyond-lateness observability for the stateful channels: the
+    per-micro-batch count of input rows the runtime dropped for being
+    older than the event-time watermark, read from the query's own
+    progress history (``numRowsDroppedByWatermark``).
+
+    The reorder-tier funnel channel's docs point HERE: under an
+    event-time timeout the stateful operator drops late rows BEFORE
+    the kernel runs, so no user-space counter can ever see them — the
+    engine metric is the only truthful record, and silently losing
+    beyond-lateness events is exactly the failure mode an operator
+    needs an alarm on.  Driver-side metadata only (O(#batches)
+    progress objects, retention-bounded by Spark); returns one dict
+    per micro-batch: {batch_id, rows_dropped, input_rows}."""
+    out = []
+    for p in query.recentProgress:
+        dropped = sum(
+            int(op.get("numRowsDroppedByWatermark", 0) or 0)
+            for op in (p.get("stateOperators") or [])
+        )
+        out.append(
+            {
+                "batch_id": int(p["batchId"]),
+                "rows_dropped": dropped,
+                "input_rows": int(p.get("numInputRows", 0) or 0),
+            }
+        )
+    return out

@@ -432,3 +432,18 @@ def test_bucketed_probes_stay_exchange_free_without_broadcasts(
             )
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_user_history_rollup_bucket_prunes(spark, sf_dir):
+    """The serving face of the bucketed layout: a bucket-key equality
+    filter must prune at the FILE INDEX — the scan reads 1 of 8
+    bucket files (SelectedBucketsCount), not all files with a row
+    filter."""
+    import re
+
+    df = all_queries()["user_history_rollup"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"bucket pruning did not engage:\n{plan}"
+    assert int(m.group(1)) == 1 and int(m.group(2)) == 8, m.group(0)

@@ -1071,3 +1071,65 @@ def test_events_bucketed_channel_recovers_from_crashed_append(
     assert maintained.count() == e.count()  # no duplicated batch-0 rows
     assert maintained.exceptAll(e).count() == 0
     assert e.exceptAll(maintained).count() == 0
+
+
+def test_watermark_drop_report_counts_beyond_lateness_rows(
+    spark, sf_dir, tmp_path
+):
+    """The reorder tier's documented observability contract, made
+    concrete: an event arriving BEYOND the lateness bound is dropped
+    by the runtime before the kernel ever sees it, so the only
+    truthful record is the engine's numRowsDroppedByWatermark —
+    surfaced by channels.watermark_drop_report.  One straggler behind
+    an already-advanced watermark must show up there (and the
+    violations view, which only sees kernel-processed rows, must NOT
+    count it)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_funnel_channel,
+    )
+    from streaming_forex_data_pipeline_spark.streaming.channels import (
+        watermark_drop_report,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    far = datetime.datetime(2025, 6, 1)
+    pusher = spark.createDataFrame(
+        [(int(-1), far, int(-1), "wm_pusher", 0.0, "")], e.schema
+    )
+    pusher2 = spark.createDataFrame(
+        [(int(-2), far + datetime.timedelta(days=1), int(-1), "wm_pusher",
+          0.0, "")], e.schema
+    )
+    # Spark admits late rows against the PREVIOUS batch's watermark
+    # (one-batch lag by design), so the straggler needs TWO
+    # watermark-advancing batches before it: batch 0 raises the
+    # watermark, batch 1 makes that value the late-events fence,
+    # batch 2's years-old stage event is then beyond-lateness
+    straggler = spark.createDataFrame(
+        [(int(-7), datetime.datetime(1997, 6, 1), int(3), "signup",
+          0.0, "")], e.schema
+    )
+    src = str(tmp_path / "events_straggler")
+    _staged_event_files(
+        spark, e, src, [e.unionByName(pusher), pusher2, straggler]
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_funnel_channel(
+        spark, sf_dir, sink_table="funnel_straggler",
+        sink_dir=str(tmp_path / "straggler_sink"),
+        stream=stream, lateness="1 hour",
+    )
+    q.awaitTermination(300)
+    report = watermark_drop_report(q)
+    assert sum(r["rows_dropped"] for r in report) >= 1, report
+    # the kernel never saw the straggler: no user-space violation row
+    assert spark.table("funnel_straggler_violations").count() == 0
