@@ -188,6 +188,7 @@ HEADLINE = [
     "props_json_stats",
     "audio_fingerprint",
     "audio_near_dups",
+    "user_history_rollup",
 ]
 
 TIMED_SWEEPS = 2

@@ -452,18 +452,28 @@ def rebuild_events_bucketed(
     # left NOTHING for consumers to read)
     tmp_tbl = f"{tbl}_rebuild_{uuid.uuid4().hex}"
     tmp_loc = f"{loc}.rebuild-{uuid.uuid4().hex}"
-    write_bucketed_events(spark, data, tmp_tbl, tmp_loc, n_buckets=n_buckets)
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-    marker_dir = os.path.join(tmp_loc, "_published")
-    os.makedirs(marker_dir, exist_ok=True)
-    # published batch ids come from the O(#commits) manifest metadata,
-    # never a data-sized distinct over the committed rows
-    for v in log_versions(sink_dir):
-        open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    if os.path.isdir(loc):
-        shutil.rmtree(loc)
-    os.rename(tmp_loc, loc)
+    try:
+        write_bucketed_events(
+            spark, data, tmp_tbl, tmp_loc, n_buckets=n_buckets
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        marker_dir = os.path.join(tmp_loc, "_published")
+        os.makedirs(marker_dir, exist_ok=True)
+        # published batch ids come from the O(#commits) manifest
+        # metadata, never a data-sized distinct over the committed rows
+        for v in log_versions(sink_dir):
+            open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+        os.rename(tmp_loc, loc)
+    except BaseException:
+        # a failed rebuild must not leak its uuid-named fact-sized tmp
+        # copy: the scratch root has no vacuum, and each retry would
+        # leak another full copy (review-found — same class as the
+        # write_bucketed_events build-failure leak)
+        shutil.rmtree(tmp_loc, ignore_errors=True)
+        raise
     return attach_bucketed_table(
         spark, tbl, loc, schema_ddl(data), n_buckets=n_buckets
     )

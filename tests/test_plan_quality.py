@@ -416,7 +416,12 @@ def test_bucketed_probes_stay_exchange_free_without_broadcasts(
     run CO-PARTITIONED straight off the bucketed scan — sorts, but
     zero user-keyed exchanges.  This is the layout contract itself,
     with the broadcast escape hatch removed."""
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # save/restore, NOT unset: unset reverts the SHARED session fixture
+    # to Spark's 10MB hard default, silently flipping broadcast gates
+    # in later-collected tests (the session pins 64MB at builder time)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
     try:
         for name in ("funnel_bucketed", "cohort_bucketed"):
             df = all_queries()[name].spark(spark, sf_dir)
@@ -431,7 +436,10 @@ def test_bucketed_probes_stay_exchange_free_without_broadcasts(
                 f"layout is not carrying the join:\n{plan}"
             )
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_user_history_rollup_bucket_prunes(spark, sf_dir):
