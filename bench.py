@@ -189,6 +189,8 @@ HEADLINE = [
     "audio_fingerprint",
     "audio_near_dups",
     "user_history_rollup",
+    "value_deciles",
+    "week_overlap_hll",
 ]
 
 TIMED_SWEEPS = 2

@@ -453,6 +453,71 @@ def exact_ntile(
     )
 
 
+def exact_ntile_by(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    out_col: str = "bin",
+    partitions: int = 32,
+) -> DataFrame:
+    """GROUPED distributed exact NTILE: `exact_ntile`'s two-level rank
+    construction with the group key threaded through every level —
+    SQL's ``NTILE(k) OVER (PARTITION BY group ORDER BY ...)`` without
+    either a single-partition global window OR one sort task per
+    group holding that group's entire history (the same power-law
+    wall sessionize hit: a hot group's quantiles would serialize
+    through one task).
+
+    Range-repartition on (group, order) keeps each group's rows
+    contiguous across ordered partitions; per-(partition, group)
+    local row_numbers are each bounded by a partition slice, and ALL
+    cross-partition state is the tiny (#partitions x #groups)
+    count/offset frame plus the #groups totals — both broadcast.
+    ``order_cols`` must total-order within a group (append a unique
+    id last)."""
+    from pyspark.sql import Window
+
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(partitions, *gcols, *ocols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_loc = Window.partitionBy("__pid", *group_cols).orderBy(*ocols)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_loc))
+    counts = local.groupBy("__pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    tot = counts.groupBy(*group_cols).agg(F.sum("__c").alias("__n"))
+    rn = (F.col("__off") + F.col("__lrn")).cast("long")
+    n = F.col("__n")
+    q = F.call_function("div", n, F.lit(k))
+    r = (n % k).cast("long")
+    cut = r * (q + 1)  # ranks 1..cut live in the (q+1)-sized bins
+    bin_col = F.when(
+        rn <= cut,
+        F.call_function("div", rn - 1, F.greatest(q + 1, F.lit(1))) + 1,
+    ).otherwise(
+        r + F.call_function("div", rn - cut - 1, F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        local.join(F.broadcast(offs), ["__pid", *group_cols])
+        .join(F.broadcast(tot), group_cols)
+        .withColumn(out_col, bin_col.cast("int"))
+        .drop("__pid", "__lrn", "__off", "__n")
+    )
+
+
 def curriculum_bins(docs: DataFrame, k: int = 4, text: str = "text") -> DataFrame:
     """Perplexity-curriculum binning: quantile buckets of the corpus by
     unigram-LM average NLL (CCNet's head/middle/tail generalized to

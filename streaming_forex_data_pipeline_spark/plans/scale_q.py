@@ -355,3 +355,248 @@ def user_history_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "value_deciles",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY CAST(round(value * 100) AS BIGINT),
+                                  event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(vc) AS BIGINT) AS lo_cents,
+       CAST(max(vc) AS BIGINT) AS hi_cents,
+       CAST(sum(vc) AS BIGINT) AS sum_cents
+FROM b
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Per-group EXACT decile bands of event value "
+    "(llm/corpus.py:exact_ntile_by): SQL's NTILE(10) OVER (PARTITION "
+    "BY event_type ORDER BY value) — but the registered plan is the "
+    "grouped two-level rank construction, not a window that "
+    "serializes each group through one sort task (the same power-law "
+    "wall the segmented sessionize avoids: at 100 TB a hot event "
+    "type IS most of the corpus).  Range-repartition on (group, "
+    "value) bounds every local window by a partition slice; all "
+    "cross-partition state is the broadcast (#partitions x #groups) "
+    "offset frame.  Values ride as exact 2dp-grid cents, so bin "
+    "edges, sums, and the oracle's NTILE agree bit-for-bit.",
+)
+def value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.corpus import exact_ntile_by
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        "event_id",
+    )
+    binned = exact_ntile_by(
+        ev, ["event_type"], ["vc", "event_id"], 10, out_col="decile"
+    )
+    return (
+        binned.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vc").alias("lo_cents"),
+            F.max("vc").alias("hi_cents"),
+            F.sum("vc").alias("sum_cents"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+def _week_overlap_oracle() -> str:
+    """Weekly HLL-overlap oracle: per-week register files, adjacent
+    weeks paired by bucket-wise LAG, union = element-wise max,
+    intersection = inclusion-exclusion over the three estimates —
+    every estimate folded from the exact-integer S* contract."""
+    from ..llm.vocab import _HLL_ALPHA, _HLL_WBITS, HLL_P
+
+    m = 1 << HLL_P
+    w1 = _HLL_WBITS + 1
+    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** w1)
+
+    def est(s: str, v: str) -> str:
+        return (
+            f"CASE WHEN ({c!r} / CAST({s} AS DOUBLE)) <= {2.5 * m!r} "
+            f"AND {v} > 0 THEN {float(m)!r} * ln({float(m)!r} "
+            f"/ CAST({v} AS DOUBLE)) "
+            f"ELSE ({c!r} / CAST({s} AS DOUBLE)) END"
+        )
+
+    return f"""
+WITH hr AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+         hv % {m} AS bucket, hv // {m} AS wv
+  FROM (SELECT ts, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS hv
+        FROM events)
+),
+touched AS (
+  SELECT wk, bucket,
+         max(CASE WHEN wv = 0 THEN {w1}
+                  ELSE instr(lpad(bin(wv), {w1 - 1}, '0'), '1') END) AS rho
+  FROM hr GROUP BY 1, 2
+),
+weeks AS (SELECT DISTINCT wk FROM hr),
+spine AS (
+  SELECT w.wk, s.bucket
+  FROM weeks w, (SELECT unnest(range(0, {m})) AS bucket) s
+),
+dense AS (
+  SELECT sp.wk, sp.bucket, CAST(coalesce(t.rho, 0) AS INT) AS rho
+  FROM spine sp LEFT JOIN touched t USING (wk, bucket)
+),
+paired AS (
+  SELECT wk, bucket, rho,
+         lag(rho) OVER (PARTITION BY bucket ORDER BY wk) AS rho_prev,
+         lag(wk) OVER (PARTITION BY bucket ORDER BY wk) AS wk_prev
+  FROM dense
+),
+pp AS (SELECT * FROM paired WHERE wk_prev = wk - INTERVAL 7 DAY),
+folded AS (
+  SELECT wk,
+         CAST(sum(1::BIGINT << ({w1} - rho_prev)) AS BIGINT) AS sa,
+         count(*) FILTER (rho_prev = 0) AS va,
+         CAST(sum(1::BIGINT << ({w1} - rho)) AS BIGINT) AS sb,
+         count(*) FILTER (rho = 0) AS vb,
+         CAST(sum(1::BIGINT << ({w1} - greatest(rho, rho_prev)))
+              AS BIGINT) AS su,
+         count(*) FILTER (greatest(rho, rho_prev) = 0) AS vu
+  FROM pp GROUP BY 1
+),
+wu AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, user_id
+  FROM events
+),
+exact AS (
+  SELECT b.wk, count(DISTINCT b.user_id) AS overlap_exact
+  FROM wu b JOIN wu a
+    ON a.user_id = b.user_id AND a.wk = b.wk - INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT f.wk,
+       CAST(x.overlap_exact AS BIGINT) AS overlap_exact,
+       round({est('f.sa', 'f.va')}, 6) AS prev_est,
+       round({est('f.sb', 'f.vb')}, 6) AS cur_est,
+       round({est('f.su', 'f.vu')}, 6) AS union_est,
+       round(({est('f.sa', 'f.va')}) + ({est('f.sb', 'f.vb')})
+             - ({est('f.su', 'f.vu')}), 6) AS overlap_est
+FROM folded f JOIN exact x USING (wk)
+ORDER BY wk
+"""
+
+
+@register(
+    "week_overlap_hll",
+    oracle=_week_overlap_oracle(),
+    doc="Week-over-week active-user OVERLAP via HyperLogLog set "
+    "algebra: adjacent weeks' register files pair bucket-wise (LAG "
+    "over the calendar spine), the UNION sketch is the element-wise "
+    "max (the HLL merge law), and the intersection estimate is "
+    "inclusion-exclusion est(A)+est(B)-est(AUB) — the retention "
+    "diagnostic at sketch cost, beside the exact overlap (a "
+    "users-keyed distinct self-join) as the in-plan yardstick.  "
+    "Completes the sketch algebra the registry exercises: union "
+    "(rolling_wau_hll's windowed max), per-group files "
+    "(hll_by_source), and now intersection.  All three estimates "
+    "fold from exact-integer S* sums (llm/vocab.py:hll_keyed_rhos / "
+    "hll_estimate contract), so the floats are per-row constant "
+    "algebra and the hash check is exact.  State per week pair is "
+    "3x64 integers at any corpus size.",
+)
+def week_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..llm import vocab as VO
+    from ..llm.vocab import _HLL_ALPHA, _HLL_WBITS, HLL_P
+
+    m = 1 << HLL_P
+    w1 = _HLL_WBITS + 1
+    c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** w1)
+
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    keyed = e.select(wk.alias("wk"), "user_id")
+    touched = VO.hll_keyed_rhos(
+        keyed, "user_id", ["wk"]
+    ).withColumnRenamed("max_rho", "rho")
+    weeks = keyed.select("wk").distinct()
+    spine = weeks.crossJoin(
+        spark.range(0, m).select(F.col("id").cast("long").alias("bucket"))
+    )
+    dense = spine.join(touched, ["wk", "bucket"], "left").select(
+        "wk",
+        "bucket",
+        F.coalesce("rho", F.lit(0)).cast("int").alias("rho"),
+    )
+    wlag = Window.partitionBy("bucket").orderBy("wk")
+    paired = (
+        dense.withColumn("rho_prev", F.lag("rho").over(wlag))
+        .withColumn("wk_prev", F.lag("wk").over(wlag))
+        .filter(
+            F.col("wk_prev")
+            == F.col("wk") - F.make_dt_interval(days=F.lit(7))
+        )
+    )
+
+    def s_star(rho_col) -> F.Column:
+        return F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({w1} - {rho_col} AS INT))"
+            )
+        )
+
+    u = F.greatest("rho", "rho_prev")
+    folded = paired.withColumn("rho_u", u).groupBy("wk").agg(
+        s_star("rho_prev").alias("sa"),
+        F.count(F.when(F.col("rho_prev") == 0, 1)).alias("va"),
+        s_star("rho").alias("sb"),
+        F.count(F.when(F.col("rho") == 0, 1)).alias("vb"),
+        s_star("rho_u").alias("su"),
+        F.count(F.when(F.col("rho_u") == 0, 1)).alias("vu"),
+    )
+
+    def est(s: str, v: str) -> F.Column:
+        raw = F.lit(c) / F.col(s).cast("double")
+        return F.when(
+            (raw <= F.lit(2.5 * m)) & (F.col(v) > 0),
+            F.lit(float(m))
+            * F.log(F.lit(float(m)) / F.col(v).cast("double")),
+        ).otherwise(raw)
+
+    wu = keyed.distinct()
+    exact = (
+        wu.alias("b")
+        .join(
+            wu.alias("a"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (
+                F.col("a.wk")
+                == F.col("b.wk") - F.make_dt_interval(days=F.lit(7))
+            ),
+        )
+        .groupBy(F.col("b.wk").alias("wk"))
+        .agg(F.countDistinct("b.user_id").alias("overlap_exact"))
+    )
+    return (
+        folded.join(exact, "wk")
+        .select(
+            "wk",
+            "overlap_exact",
+            F.round(est("sa", "va"), R).alias("prev_est"),
+            F.round(est("sb", "vb"), R).alias("cur_est"),
+            F.round(est("su", "vu"), R).alias("union_est"),
+            F.round(
+                est("sa", "va") + est("sb", "vb") - est("su", "vu"), R
+            ).alias("overlap_est"),
+        )
+        .orderBy("wk")
+    )

@@ -1532,3 +1532,38 @@ def test_cached_kmeans_centroids_fit_once_and_bit_identical(
     monkeypatch.setattr(SIM, "kmeans_centroids", boom)
     warm = LQ._cached_kmeans_centroids(spark, sf_dir)
     assert warm.count() == 16
+
+
+def test_exact_ntile_by_matches_sql_ntile(spark):
+    """Differential gate for the GROUPED two-level NTILE: bin
+    assignments must equal SQL's NTILE(k) OVER (PARTITION BY g ORDER
+    BY v, id) on an adversarial frame — group sizes below, at, and
+    above k, ties in v broken by id, groups interleaved across the
+    range partitioner."""
+    from pyspark.sql import Window, functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.corpus import (
+        exact_ntile_by,
+    )
+
+    rows = []
+    rid = 0
+    for g, size in (("a", 2), ("b", 7), ("c", 23), ("d", 1)):
+        for i in range(size):
+            rows.append((g, (i * 13) % 5, rid))  # heavy ties in v
+            rid += 1
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = {
+        (r["g"], r["id"]): r["bin"]
+        for r in exact_ntile_by(
+            df, ["g"], ["v", "id"], 7, out_col="bin", partitions=5
+        ).collect()
+    }
+    want = {
+        (r["g"], r["id"]): r["bin"]
+        for r in df.withColumn(
+            "bin",
+            F.ntile(7).over(Window.partitionBy("g").orderBy("v", "id")),
+        ).collect()
+    }
+    assert got == want
