@@ -190,3 +190,52 @@ def test_sessionize_windows_are_chunked_not_per_user(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(user_id#\d+L?, pid#\d+L?,", plan), (
         f"sessionize lost the (user_id, pid) chunked window:\n{plan}"
     )
+
+
+def test_exact_ntile_by_spreads_hot_group_across_partitions(spark):
+    """The docstring's skew claim, measured: a 70%-hot group's rows
+    must NOT serialize through one sort task.  The range partitioner
+    splits the sort key (group, value, id) by sampled quantiles of
+    the WHOLE frame, so the hot group spans many __pid slices and
+    each local window is partition-bounded — while bin assignments
+    still equal SQL's per-group NTILE exactly."""
+    from pyspark.sql import Window, functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.corpus import (
+        exact_ntile_by,
+    )
+
+    n = 120_000
+    base = spark.range(n).select(
+        F.when(F.col("id") % 10 < 7, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 10).cast("string")))
+        .alias("g"),
+        (F.col("id") * 37 % 1000).alias("v"),
+        F.col("id"),
+    )
+    ranged = base.repartitionByRange(32, "g", "v", "id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    spread = {
+        r["g"]: r["n_pids"]
+        for r in ranged.groupBy("g")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+        .collect()
+    }
+    assert spread["hot"] >= 8, (
+        f"hot group confined to {spread['hot']} partitions — the "
+        f"grouped NTILE would serialize it through few sort tasks"
+    )
+
+    got = exact_ntile_by(
+        base, ["g"], ["v", "id"], 10, out_col="bin", partitions=32
+    )
+    diff = (
+        got.withColumn(
+            "want",
+            F.ntile(10).over(Window.partitionBy("g").orderBy("v", "id")),
+        )
+        .filter(F.col("bin") != F.col("want"))
+        .count()
+    )
+    assert diff == 0
