@@ -394,6 +394,23 @@ def quality_gate(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def _ntile_bin(rn, n, k: int):
+    """SQL-standard NTILE(k) rank-to-bin algebra on (global rank 1..n,
+    total n): the first n%k bins get one extra row.  ONE definition
+    shared by the global and grouped exact NTILEs — the bin boundary
+    and div-by-zero guards must never drift between them
+    (review-found duplication)."""
+    q = F.call_function("div", n, F.lit(k))
+    r = (n % k).cast("long")
+    cut = r * (q + 1)  # ranks 1..cut live in the (q+1)-sized bins
+    return F.when(
+        rn <= cut,
+        F.call_function("div", rn - 1, F.greatest(q + 1, F.lit(1))) + 1,
+    ).otherwise(
+        r + F.call_function("div", rn - cut - 1, F.greatest(q, F.lit(1))) + 1
+    )
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list[str],
@@ -435,16 +452,7 @@ def exact_ntile(
     )
     tot = counts.agg(F.sum("__c").alias("__n"))
     rn = (F.col("__off") + F.col("__lrn")).cast("long")
-    n = F.col("__n")
-    q = F.call_function("div", n, F.lit(k))
-    r = (n % k).cast("long")
-    cut = r * (q + 1)  # ranks 1..cut live in the (q+1)-sized bins
-    bin_col = F.when(
-        rn <= cut,
-        F.call_function("div", rn - 1, F.greatest(q + 1, F.lit(1))) + 1,
-    ).otherwise(
-        r + F.call_function("div", rn - cut - 1, F.greatest(q, F.lit(1))) + 1
-    )
+    bin_col = _ntile_bin(rn, F.col("__n"), k)
     return (
         local.join(F.broadcast(offs), "__pid")
         .crossJoin(F.broadcast(tot))
@@ -493,28 +501,35 @@ def exact_ntile_by(
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the rejoins use NULL-SAFE equality on the group key: SQL's
+    # PARTITION BY keeps a NULL partition, and a plain equi-join here
+    # would silently drop every NULL-group row instead (review-found)
     offs = counts.select(
-        "__pid",
-        *group_cols,
+        F.col("__pid").alias("__pid_r"),
+        *[F.col(c).alias(f"__gr_{c}") for c in group_cols],
         F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
     )
-    tot = counts.groupBy(*group_cols).agg(F.sum("__c").alias("__n"))
-    rn = (F.col("__off") + F.col("__lrn")).cast("long")
-    n = F.col("__n")
-    q = F.call_function("div", n, F.lit(k))
-    r = (n % k).cast("long")
-    cut = r * (q + 1)  # ranks 1..cut live in the (q+1)-sized bins
-    bin_col = F.when(
-        rn <= cut,
-        F.call_function("div", rn - 1, F.greatest(q + 1, F.lit(1))) + 1,
-    ).otherwise(
-        r + F.call_function("div", rn - cut - 1, F.greatest(q, F.lit(1))) + 1
+    tot = counts.groupBy(*group_cols).agg(
+        F.sum("__c").alias("__n")
+    ).select(
+        *[F.col(c).alias(f"__gt_{c}") for c in group_cols], "__n"
     )
+    off_cond = F.col("__pid") == F.col("__pid_r")
+    tot_cond = F.lit(True)
+    for c in group_cols:
+        off_cond = off_cond & F.col(c).eqNullSafe(F.col(f"__gr_{c}"))
+        tot_cond = tot_cond & F.col(c).eqNullSafe(F.col(f"__gt_{c}"))
+    rn = (F.col("__off") + F.col("__lrn")).cast("long")
+    bin_col = _ntile_bin(rn, F.col("__n"), k)
     return (
-        local.join(F.broadcast(offs), ["__pid", *group_cols])
-        .join(F.broadcast(tot), group_cols)
+        local.join(F.broadcast(offs), off_cond)
+        .join(F.broadcast(tot), tot_cond)
         .withColumn(out_col, bin_col.cast("int"))
-        .drop("__pid", "__lrn", "__off", "__n")
+        .drop(
+            "__pid", "__pid_r", "__lrn", "__off", "__n",
+            *[f"__gr_{c}" for c in group_cols],
+            *[f"__gt_{c}" for c in group_cols],
+        )
     )
 
 

@@ -1143,6 +1143,31 @@ def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("pr"), "vec_id").limit(20)
 
 
+def _hll_user_regs_sql(unit: str, key: str) -> str:
+    """The calendar-keyed per-user HLL register CTEs (hr/touched) —
+    the hash contract (15-hex md5 prefix, bucket = hv % m, rho =
+    first-1-bit of hv // m) in ONE oracle-side definition, shared by
+    the rolling-WAU and week-overlap oracles exactly as the Spark
+    side shares vocab.py:hll_keyed_rhos (review-found third copy)."""
+    from ..llm.vocab import _HLL_WBITS, HLL_P
+
+    m = 1 << HLL_P
+    w1 = _HLL_WBITS + 1
+    return f"""hr AS (
+  SELECT CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS {key},
+         hv % {m} AS bucket, hv // {m} AS wv
+  FROM (SELECT ts, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                     ::BIGINT AS hv
+        FROM events)
+),
+touched AS (
+  SELECT {key}, bucket,
+         max(CASE WHEN wv = 0 THEN {w1}
+                  ELSE instr(lpad(bin(wv), {w1 - 1}, '0'), '1') END) AS rho
+  FROM hr GROUP BY 1, 2
+)"""
+
+
 def _rolling_wau_oracle() -> str:
     """Sliding-window HLL oracle: per-day register files densified over
     a (day x bucket) spine, merged by 7-day windowed MAX per bucket,
@@ -1154,19 +1179,7 @@ def _rolling_wau_oracle() -> str:
     w1 = _HLL_WBITS + 1
     c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** w1)
     return f"""
-WITH hr AS (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-         hv % {m} AS bucket, hv // {m} AS wv
-  FROM (SELECT ts, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                     ::BIGINT AS hv
-        FROM events)
-),
-touched AS (
-  SELECT day, bucket,
-         max(CASE WHEN wv = 0 THEN {w1}
-                  ELSE instr(lpad(bin(wv), {w1 - 1}, '0'), '1') END) AS rho
-  FROM hr GROUP BY 1, 2
-),
+WITH {_hll_user_regs_sql('day', 'day')},
 days AS (SELECT DISTINCT day FROM hr),
 spine AS (
   SELECT d.day, s.bucket

@@ -431,20 +431,10 @@ def _week_overlap_oracle() -> str:
             f"ELSE ({c!r} / CAST({s} AS DOUBLE)) END"
         )
 
+    from .olap_q import _hll_user_regs_sql
+
     return f"""
-WITH hr AS (
-  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
-         hv % {m} AS bucket, hv // {m} AS wv
-  FROM (SELECT ts, ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                     ::BIGINT AS hv
-        FROM events)
-),
-touched AS (
-  SELECT wk, bucket,
-         max(CASE WHEN wv = 0 THEN {w1}
-                  ELSE instr(lpad(bin(wv), {w1 - 1}, '0'), '1') END) AS rho
-  FROM hr GROUP BY 1, 2
-),
+WITH {_hll_user_regs_sql('week', 'wk')},
 weeks AS (SELECT DISTINCT wk FROM hr),
 spine AS (
   SELECT w.wk, s.bucket
@@ -483,13 +473,13 @@ exact AS (
   GROUP BY 1
 )
 SELECT f.wk,
-       CAST(x.overlap_exact AS BIGINT) AS overlap_exact,
+       CAST(coalesce(x.overlap_exact, 0) AS BIGINT) AS overlap_exact,
        round({est('f.sa', 'f.va')}, 6) AS prev_est,
        round({est('f.sb', 'f.vb')}, 6) AS cur_est,
        round({est('f.su', 'f.vu')}, 6) AS union_est,
        round(({est('f.sa', 'f.va')}) + ({est('f.sb', 'f.vb')})
              - ({est('f.su', 'f.vu')}), 6) AS overlap_est
-FROM folded f JOIN exact x USING (wk)
+FROM folded f LEFT JOIN exact x USING (wk)
 ORDER BY wk
 """
 
@@ -513,6 +503,15 @@ ORDER BY wk
     "3x64 integers at any corpus size.",
 )
 def week_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return week_overlap_over_events(
+        spark, load_table(spark, sf_dir, "events")
+    )
+
+
+def week_overlap_over_events(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """The HLL week-overlap plan over ANY events frame — factored so
+    the zero-overlap shape (adjacent weeks with disjoint users) is
+    unit-testable on a crafted frame."""
     from pyspark.sql import Window
 
     from ..llm import vocab as VO
@@ -522,7 +521,6 @@ def week_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 = _HLL_WBITS + 1
     c = _HLL_ALPHA[HLL_P] * float(m * m) * float(2 ** w1)
 
-    e = load_table(spark, sf_dir, "events")
     wk = F.date_trunc("week", F.col("ts"))
     keyed = e.select(wk.alias("wk"), "user_id")
     touched = VO.hll_keyed_rhos(
@@ -586,11 +584,15 @@ def week_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b.wk").alias("wk"))
         .agg(F.countDistinct("b.user_id").alias("overlap_exact"))
     )
+    # LEFT join + coalesce: two adjacent weeks with DISJOINT user sets
+    # have no exact-overlap row, and an inner join would drop the week
+    # exactly when retention collapses — the moment the diagnostic
+    # matters most (review-found; the oracle mirrors the shape)
     return (
-        folded.join(exact, "wk")
+        folded.join(exact, "wk", "left")
         .select(
             "wk",
-            "overlap_exact",
+            F.coalesce("overlap_exact", F.lit(0)).alias("overlap_exact"),
             F.round(est("sa", "va"), R).alias("prev_est"),
             F.round(est("sb", "vb"), R).alias("cur_est"),
             F.round(est("su", "vu"), R).alias("union_est"),

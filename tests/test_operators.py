@@ -1567,3 +1567,23 @@ def test_exact_ntile_by_matches_sql_ntile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_exact_ntile_by_keeps_null_group(spark):
+    """SQL's PARTITION BY keeps a NULL partition; the grouped NTILE's
+    rejoins must be null-safe or every NULL-group row silently
+    vanishes (review-found)."""
+    from streaming_forex_data_pipeline_spark.llm.corpus import (
+        exact_ntile_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("a", 2, 1), (None, 3, 2), (None, 4, 3), (None, 5, 4)],
+        "g string, v long, id long",
+    )
+    out = exact_ntile_by(df, ["g"], ["v", "id"], 2, out_col="bin")
+    assert out.count() == 5
+    null_bins = sorted(
+        r["bin"] for r in out.filter(F.col("g").isNull()).collect()
+    )
+    assert null_bins == [1, 1, 2]

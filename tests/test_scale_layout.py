@@ -76,3 +76,29 @@ def test_funnel_bucketed_matches_raw_funnel(spark, sf_dir):
     a = qs["funnel_conversion"].spark(spark, sf_dir).collect()
     b = qs["funnel_bucketed"].spark(spark, sf_dir).collect()
     assert a == b
+
+
+def test_week_overlap_keeps_disjoint_week_pair(spark):
+    """Two adjacent weeks with DISJOINT user sets: the pair's row must
+    survive with overlap_exact = 0 (an inner join against the exact
+    self-join would drop the week exactly when retention collapses —
+    review-found)."""
+    import datetime
+
+    from streaming_forex_data_pipeline_spark.plans.scale_q import (
+        week_overlap_over_events,
+    )
+
+    mon1 = datetime.datetime(2024, 1, 1)  # a Monday
+    mon2 = datetime.datetime(2024, 1, 8)
+    rows = [(i, mon1, 100 + i) for i in range(5)] + [
+        (10 + i, mon2, 200 + i) for i in range(5)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = week_overlap_over_events(spark, e).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["overlap_exact"] == 0
+    assert r["union_est"] > max(r["prev_est"], r["cur_est"]) * 1.5
