@@ -221,6 +221,19 @@ def main() -> None:
     # lets a later reader separate host noise from real regression
     # without rerunning.
     load_start = os.getloadavg()
+    if load_start[0] > 2:
+        # loud, and on stderr so it lands in the driver's capture
+        # without bloating the parsed JSON line: the r9 official
+        # capture ran at loadavg 7.89 and read 152 s where the same
+        # HEAD measures 139 s quiet — a reader must not mistake host
+        # contention for a code regression
+        print(
+            f"WARNING: bench started at loadavg {load_start[0]:.2f} > 2 "
+            f"— wall times on a contended host are NOT comparable "
+            f"across rounds; rerun on a quiet host before reading "
+            f"regressions into these numbers",
+            file=sys.stderr,
+        )
     spark = get_spark("sfdp-bench", cpus=cpus)
 
     qs = dict(plans.spark_queries(), **EXTRA)
@@ -255,6 +268,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "runs_per_query": TIMED_SWEEPS,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
@@ -272,6 +286,7 @@ def main() -> None:
         "queries": slowest,
         "n_queries": len(timings),
         "sf": float(sf),
+        "runs_per_query": TIMED_SWEEPS,
         "loadavg_start": detail["loadavg_start"],
         "loadavg_end": detail["loadavg_end"],
         "detail": "BENCH_DETAIL.json",

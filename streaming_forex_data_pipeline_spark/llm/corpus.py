@@ -468,6 +468,7 @@ def exact_ntile_by(
     k: int,
     out_col: str = "bin",
     partitions: int = 32,
+    broadcast_frames: bool = True,
 ) -> DataFrame:
     """GROUPED distributed exact NTILE: `exact_ntile`'s two-level rank
     construction with the group key threaded through every level —
@@ -480,10 +481,19 @@ def exact_ntile_by(
     Range-repartition on (group, order) keeps each group's rows
     contiguous across ordered partitions; per-(partition, group)
     local row_numbers are each bounded by a partition slice, and ALL
-    cross-partition state is the tiny (#partitions x #groups)
-    count/offset frame plus the #groups totals — both broadcast.
-    ``order_cols`` must total-order within a group (append a unique
-    id last)."""
+    cross-partition state is the (#partitions x #groups) count/offset
+    frame plus the #groups totals.
+
+    Parameter contract (round-9 ADVICE): ``broadcast_frames=True`` —
+    the default, and what `value_deciles` uses for its handful of
+    event types — broadcasts both frames, which is only "tiny" while
+    #groups stays small (thousands, not millions; the frames are
+    #partitions x #groups rows).  For a HIGH-CARDINALITY group key
+    pass ``broadcast_frames=False``: the rejoins then run as ordinary
+    shuffle hash joins on (partition, group) / (group), which scale
+    with the group count instead of growing an unbounded driver-side
+    broadcast.  ``order_cols`` must total-order within a group
+    (append a unique id last)."""
     from pyspark.sql import Window
 
     gcols = [F.col(c) for c in group_cols]
@@ -521,9 +531,11 @@ def exact_ntile_by(
         tot_cond = tot_cond & F.col(c).eqNullSafe(F.col(f"__gt_{c}"))
     rn = (F.col("__off") + F.col("__lrn")).cast("long")
     bin_col = _ntile_bin(rn, F.col("__n"), k)
+    if broadcast_frames:
+        offs, tot = F.broadcast(offs), F.broadcast(tot)
     return (
-        local.join(F.broadcast(offs), off_cond)
-        .join(F.broadcast(tot), tot_cond)
+        local.join(offs, off_cond)
+        .join(tot, tot_cond)
         .withColumn(out_col, bin_col.cast("int"))
         .drop(
             "__pid", "__pid_r", "__lrn", "__off", "__n",

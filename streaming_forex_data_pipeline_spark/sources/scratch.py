@@ -70,6 +70,15 @@ def scratch_path(name: str) -> str:
     content-addressed caches (the IVF silver-table pattern): same
     fingerprint -> same path across sessions, but still inside the
     ownership-checked 0700 root."""
-    if os.sep in name or name in (".", ".."):
+    if (
+        not name
+        or os.sep in name
+        or (os.altsep is not None and os.altsep in name)
+        or name in (".", "..")
+    ):
+        # an empty name would pass a bare-separator check and return
+        # the SHARED root itself — a caller treating its "slot" as
+        # disposable (rename/rmtree) would then clobber every other
+        # channel's state (round-9 ADVICE)
         raise ValueError(f"scratch slot name must be a bare name: {name!r}")
     return os.path.join(user_scratch_root(), name)

@@ -90,7 +90,8 @@ def start_funnel_channel(
     sink_table: str = "funnel_sink",
     sink_dir: str | None = None,
     stream=None,
-    lateness: str | None = None,
+    lateness: str | None = "1 day",
+    ordered: bool = False,
 ):
     """Continuously maintained STRICT sequential funnel
     (`plans/olap_q.py:funnel_conversion`) via a per-user state machine
@@ -108,10 +109,13 @@ def start_funnel_channel(
     replays dedup; the live view is the per-stage distinct-user count,
     i.e. funnel_conversion's n_users column kept fresh.
 
-    Ordering (two tiers, round-9 — the contract is now ENFORCED or
-    OBSERVABLE instead of stated):
+    Ordering (two tiers; since round 10 the SAFE tier is the default —
+    the fast path requires an explicit ``ordered=True`` opt-in, so an
+    operator who never read this docstring gets disorder-corrected
+    counts, not a silent ordering contract):
 
-    - ``lateness=None`` (fast path, ordered sources — file replays,
+    - ``ordered=True`` (fast path, opt-in, for sources that GUARANTEE
+      per-user event-time order — file replays of sorted data,
       watermark-sorted ingest): events are replayed through the
       machine as they arrive.  Stage decisions are final, so per-user
       events must arrive in event-time order ACROSS micro-batches; a
@@ -120,8 +124,8 @@ def start_funnel_channel(
       per-user GroupState and emitted as a ``stage_ord = -1`` delta
       row, surfaced in the ``<sink_table>_violations`` view, so a
       disordered source shows up as a nonzero counter instead of a
-      silent undercount.
-    - ``lateness="10 minutes"`` (reorder tier, disordered sources):
+      silent undercount.  (``lateness`` is ignored on this tier.)
+    - ``lateness="1 day"`` (reorder tier, the DEFAULT):
       the stream gets an event-time watermark and the machine BUFFERS
       each user's events in state, releasing them in event-time order
       only once the watermark has passed them — so any disorder within
@@ -145,6 +149,24 @@ def start_funnel_channel(
       exactly those.  The ``<sink_table>_violations`` view is the
       FAST PATH's (and that one-batch window's) observability
       mechanism.
+
+    Drain semantics (round-9 ADVICE — read this before an
+    ``availableNow`` replay): on the reorder tier, events buffered
+    within the final ``lateness`` window of the stream's maximum event
+    time never flush once the stream drains, because the watermark
+    only advances on NEW data and the event-time timeout (armed at
+    watermark+1) never fires without it.  The live funnel view
+    therefore UNDERCOUNTS that tail until more watermark-advancing
+    data arrives — permanent for a one-shot ``availableNow`` run,
+    transient (bounded by ``lateness``) for a continuous stream.  A
+    replay that must account every event has two options: append a
+    watermark-pusher batch whose event time exceeds max(ts) +
+    lateness (the parity tests' ``wm_pusher`` pattern — any dummy
+    user works, the timeout flush needs no per-user data), or opt
+    into ``ordered=True`` when the source is already sorted.  This is
+    Structured Streaming's design, not a removable limitation: state
+    can only be released by watermark movement, and the watermark is
+    data-driven.
 
     State is #stages longs per user plus, in the reorder tier, the
     within-lateness buffer (bounded by the user's event rate x
@@ -170,6 +192,16 @@ def start_funnel_channel(
     from ..sources.sinks import commit_append, read_committed
     from .channels import read_table_stream
 
+    if ordered:
+        lateness = None  # fast path: no watermark, no reorder buffer
+    elif lateness is None:
+        # the unsafe-under-disorder mode must be an explicit opt-in,
+        # never something a caller reaches by passing "no lateness"
+        raise ValueError(
+            "lateness=None selects the ordered fast path — pass "
+            "ordered=True explicitly (the source must guarantee "
+            "per-user event-time order), or keep a lateness bound"
+        )
     if sink_dir is None:
         sink_dir = scratch_dir("funnel_")
     if stream is None:
@@ -464,9 +496,25 @@ def rebuild_events_bucketed(
         for v in log_versions(sink_dir):
             open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        if os.path.isdir(loc):
-            shutil.rmtree(loc)
-        os.rename(tmp_loc, loc)
+        # swap via rename-ASIDE, not rmtree-then-rename: a crash
+        # between a destructive rmtree and the rename would leave
+        # NEITHER layout on disk (catalog entry already dropped) and
+        # readers fail until another replay re-triggers the rebuild —
+        # setting the old copy aside keeps the window recoverable, and
+        # it is deleted only after the replacement rename succeeded
+        # (round-9 ADVICE)
+        old_loc = f"{loc}.old-{uuid.uuid4().hex}"
+        had_old = os.path.isdir(loc)
+        if had_old:
+            os.rename(loc, old_loc)
+        try:
+            os.rename(tmp_loc, loc)
+        except BaseException:
+            if had_old:
+                os.rename(old_loc, loc)  # restore the live layout
+            raise
+        if had_old:
+            shutil.rmtree(old_loc, ignore_errors=True)
     except BaseException:
         # a failed rebuild must not leak its uuid-named fact-sized tmp
         # copy: the scratch root has no vacuum, and each retry would

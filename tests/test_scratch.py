@@ -86,6 +86,11 @@ def test_scratch_path_is_deterministic_and_sandboxed(tmp_root):
         SC.scratch_path("../escape")
     with pytest.raises(ValueError):
         SC.scratch_path("a/b")
+    # an empty name would alias the SHARED root itself, so a caller
+    # bug treating its slot as disposable (rename/rmtree) would
+    # clobber every other channel's state (round-9 ADVICE)
+    with pytest.raises(ValueError):
+        SC.scratch_path("")
 
 
 def test_integer_pagerank_overflow_guard_raises(spark):

@@ -602,7 +602,7 @@ def test_funnel_channel_matches_batch_funnel(spark, sf_dir, tmp_path):
     sink_dir = str(tmp_path / "funnel_sink")
     q = start_funnel_channel(
         spark, sf_dir, sink_table="funnel_parity", sink_dir=sink_dir,
-        stream=stream,
+        stream=stream, ordered=True,
     )
     q.awaitTermination(240)
     assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2, (
@@ -759,6 +759,107 @@ def test_funnel_reorder_tier_matches_batch_on_disordered_stream(
     assert spark.table("funnel_reorder_violations").count() == 0
 
 
+def test_funnel_default_invocation_corrects_disorder(
+    spark, sf_dir, tmp_path
+):
+    """Round-9 verdict Next #5: the PRODUCTION DEFAULT invocation — no
+    ``lateness`` named, no ``ordered`` opt-in — must be the reorder
+    tier and must reproduce the batch funnel on a disordered stream.
+    The fixture's disorder is bounded (each event's file assignment is
+    its ts jittered by a deterministic +/-6 h, files cover 2-day
+    windows), so it sits inside the default 1-day lateness; two
+    watermark-pusher batches flush the buffered tail (the documented
+    drain semantics of an availableNow replay)."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        funnel_over_events,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_funnel_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    # an 8-day slice keeps the micro-batch count small (4 window files
+    # + 2 pushers) while still crossing several file boundaries
+    cut = F.lit("2024-01-09").cast("timestamp")
+    sl = e.filter(F.col("ts") < cut)
+    # pmod, not %: Spark's % keeps the dividend's sign, which would
+    # skew the jitter to -18h..+6h and shave the lateness margin
+    jitter_s = F.pmod(F.xxhash64("event_id"), F.lit(43200)) - 21600
+    shifted = F.col("ts").cast("double") + jitter_s
+    day0 = F.lit("2024-01-01").cast("timestamp").cast("double")
+    filed = sl.withColumn(
+        "__file",
+        F.floor((shifted - day0) / (2 * 86400.0)).cast("int"),
+    )
+    # iterate the FULL observed file range: the earliest events jitter
+    # to file -1, and skipping that file would silently drop rows the
+    # batch comparator still counts
+    fmin, fmax = filed.agg(F.min("__file"), F.max("__file")).first()
+    far = datetime.datetime(2025, 6, 1)
+    frames = [
+        filed.filter(F.col("__file") == i).drop("__file")
+        for i in range(fmin, fmax + 1)
+    ] + [
+        spark.createDataFrame(
+            [(int(-1), far, int(-1), "wm_pusher", 0.0, "")], e.schema
+        ),
+        spark.createDataFrame(
+            [(int(-2), far + datetime.timedelta(days=1), int(-1),
+              "wm_pusher", 0.0, "")], e.schema
+        ),
+    ]
+    src = str(tmp_path / "events_default_disordered")
+    _staged_event_files(spark, e, src, frames)
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_dir = str(tmp_path / "funnel_default_sink")
+    q = start_funnel_channel(
+        spark, sf_dir, sink_table="funnel_default", sink_dir=sink_dir,
+        stream=stream,
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 3, (
+        "stream collapsed into too few micro-batches — cross-batch "
+        "disorder untested"
+    )
+    got = {
+        (r["stage_ord"], r["stage"], r["n_users"])
+        for r in spark.table("funnel_default").collect()
+    }
+    want = {
+        (r["stage_ord"], r["stage"], r["n_users"])
+        for r in funnel_over_events(sl)
+        .select("stage_ord", "stage", "n_users")
+        .collect()
+    }
+    assert got == want and len(got) == 4
+    # bounded disorder inside the default lateness: zero violations
+    assert spark.table("funnel_default_violations").count() == 0
+
+
+def test_funnel_fast_path_requires_explicit_opt_in(spark, sf_dir):
+    """lateness=None without ordered=True must raise — reaching the
+    unsafe-under-disorder mode by 'turning off lateness' was exactly
+    the silent default the round-10 flip removes."""
+    import pytest
+
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_funnel_channel,
+    )
+
+    with pytest.raises(ValueError, match="ordered=True"):
+        start_funnel_channel(spark, sf_dir, lateness=None)
+
+
 def test_funnel_fast_path_counts_ordering_violations(
     spark, sf_dir, tmp_path
 ):
@@ -787,7 +888,7 @@ def test_funnel_fast_path_counts_ordering_violations(
     sink_dir = str(tmp_path / "funnel_rev_sink")
     q = start_funnel_channel(
         spark, sf_dir, sink_table="funnel_rev", sink_dir=sink_dir,
-        stream=stream,
+        stream=stream, ordered=True,
     )
     q.awaitTermination(240)
     v = {
