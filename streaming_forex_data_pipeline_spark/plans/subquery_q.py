@@ -1,0 +1,310 @@
+"""Round-10 registered queries: the TPC-H DECORRELATION family —
+Q13/Q17/Q21/Q22, the four classic plan shapes where the textbook SQL
+carries a correlated or existence subquery and a scale-correct engine
+must rewrite it into joins and aggregates (round-9 verdict Next #2).
+The star/semi/anti shapes landed in `tpch_q.py`; these are the hard
+rest: a NULL-preserving outer count distribution, a correlated scalar
+average, an EXISTS + NOT-EXISTS chain over the same fact, and a
+global-scalar filter feeding an anti join.
+
+Each oracle is written in the SPEC shape (the correlated/existence
+subquery itself — DuckDB decorrelates internally), while the Spark
+plan is the EXPLICIT rewrite a distributed engine wants, with the
+posture documented per query and pinned by plan gates in
+tests/test_plan_quality.py.  All money math uses the integer-cents
+contract and every avg-threshold comparison is cross-multiplied into
+exact integer inequality (qty < 0.2 * sum/n  <=>  5*qty*n < sum), so
+no float average can land on a rounding boundary.
+
+Reference analog: the existence-check anti-join family in
+`/root/reference/app/database/repository.py:43-47` (duplicate-check
+EXISTS before insert) — the same shapes at warehouse scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.indicators import cents
+from ..sources.tables import load_table
+from .registry import register
+
+R = 6  # float rounding for cross-engine hash stability
+
+# the non-urgent order classes Q13's substitute filter keeps (the
+# synthetic orders table has no o_comment for the spec's NOT LIKE
+# '%special%requests%'; priority class is the closest join-side filter)
+_ROUTINE = ("3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "customer_order_distribution",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority IN {_ROUTINE!r}
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="Customer order-count distribution (TPC-H Q13): how many "
+    "customers placed exactly N routine-priority orders — INCLUDING "
+    "the zero bucket, which is the whole point of the shape: the "
+    "order filter must live in the OUTER JOIN CONDITION (not a WHERE) "
+    "so customers whose every order is excluded still appear with "
+    "count 0.  The Spark rewrite is aggregate-before-outer-join: "
+    "orders reduce to one (custkey, count) row per customer FIRST "
+    "(one map-side-combinable keyed aggregate over the filtered "
+    "fact), then the LEFT join from customer preserves the no-match "
+    "customers and coalesce(count, 0) realizes the NULL-preserving "
+    "outer count — at 100 TB the join moves per-customer rows on "
+    "both sides, never per-order rows, and the second aggregate "
+    "(distribution over c_count) reduces to at most #distinct-counts "
+    "groups, constant-size reduce side.",
+)
+def customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin(*_ROUTINE))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+             / 700.0, 6) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND 5 * CAST(round(l.l_quantity) AS BIGINT)
+        * (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT CAST(sum(CAST(round(l2.l_quantity) AS BIGINT)) AS BIGINT)
+         FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+    doc="Small-quantity-order revenue (TPC-H Q17): yearly revenue lost "
+    "if orders below 20% of a part's average quantity were not taken, "
+    "for one brand.  The spec is a CORRELATED SCALAR SUBQUERY (per "
+    "lineitem, the average quantity of its part) — the oracle keeps "
+    "that shape; the Spark plan is the canonical decorrelation: one "
+    "per-part aggregate (sum_qty, n_lines) over the brand-pruned "
+    "fact, joined back on partkey.  Scale posture: the brand filter "
+    "prunes part to a catalog sliver that BROADCASTS into the "
+    "lineitem scan BEFORE the stats aggregate, so both fact passes "
+    "touch only the brand's lines (~1/#brands of the table); the "
+    "stats join is keyed on partkey and AQE broadcasts the tiny "
+    "per-part frame at any scale.  The 0.2*avg threshold is "
+    "cross-multiplied into the EXACT integer inequality 5*qty*n < "
+    "sum_qty (quantities live on the 1..50 integer grid), so no "
+    "float average exists to disagree between engines.",
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    brand_parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(brand_parts, F.col("p_partkey") == F.col("l_partkey"))
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(qty).alias("__sum_qty"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        li.join(stats, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.lit(5) * qty * F.col("__n") < F.col("__sum_qty"))
+        .agg(
+            F.round(F.sum(cents("l_extendedprice")) / 700.0, R).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "waiting_supplier_ranking",
+    oracle="""
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND date_diff('day', o.o_orderdate, l1.l_shipdate) > 60
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND date_diff('day', o.o_orderdate, l3.l_shipdate)
+                        > 60)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+""",
+    doc="Suppliers who kept orders waiting (TPC-H Q21; the synthetic "
+    "lineitem has no commit/receipt dates, so 'late' is shipped more "
+    "than 60 days after the order date — order-level, hence constant "
+    "within the correlation group exactly like the spec's per-line "
+    "receipt>commit test).  The spec chains EXISTS (another supplier "
+    "participated) and NOT EXISTS (no OTHER supplier was late) over "
+    "the SAME fact — the oracle keeps both subqueries; the Spark "
+    "plan is the aggregate rewrite that replaces BOTH existence "
+    "probes with one per-order stats frame: countDistinct(supplier) "
+    "and countDistinct(late supplier) per F-order, then each late "
+    "line qualifies iff n_supp >= 2 (the EXISTS) and n_late_supp == "
+    "1 (the NOT EXISTS — the line's own supplier is late, so 'no "
+    "other late supplier' is exactly 'one distinct late supplier').  "
+    "Scale posture: the status filter pushes to the orders scan and "
+    "prunes the fact join; stats and probe are co-keyed on orderkey "
+    "(ONE exchange feeds both sides of the rejoin); the final count "
+    "groups by supplier (map-side combinable) and the name join "
+    "BROADCASTS the supplier dimension; top-100 compiles to "
+    "TakeOrderedAndProject.",
+)
+def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "__late",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60,
+        )
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__n_late_supp"),
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        lines.filter(F.col("__late"))
+        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+# Q22's seven "country codes" — seven fixed nations of the synthetic
+# catalog (the synthetic customer has no phone column to prefix-match)
+_Q22_NATIONS = (
+    "NATION_3",
+    "NATION_6",
+    "NATION_9",
+    "NATION_12",
+    "NATION_15",
+    "NATION_18",
+    "NATION_21",
+)
+
+
+@register(
+    "idle_customer_balance",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0, 6)
+         AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE n.n_name IN {_Q22_NATIONS!r}
+  AND CAST(round(c.c_acctbal * 100) AS BIGINT)
+        * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                AS BIGINT)
+         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    doc="Idle high-balance customers (TPC-H Q22; nation membership "
+    "stands in for the spec's phone-prefix country codes, and 'no "
+    "urgent orders' for 'no orders' — the synthetic data gives every "
+    "customer at least one order, which would make the spec's anti "
+    "join vacuously empty).  Two subquery shapes in one query, each "
+    "with its distributed rewrite: the GLOBAL SCALAR threshold "
+    "(average positive balance) becomes a one-row aggregate "
+    "cross-joined as a broadcast — compared in exact integers via "
+    "cross-multiplication (bal_cents * n_pos > sum_cents), so the "
+    "float average's aggregation order cannot flip a boundary "
+    "customer — and the NOT EXISTS becomes a LEFT ANTI join against "
+    "the distinct urgent-order customer keys.  Scale posture: the "
+    "scalar aggregate is one partial+final pass over customer; the "
+    "anti join is keyed on custkey (the urgent side dedups to "
+    "distinct keys first, shrinking the build side); the nation "
+    "IN-list prunes via the broadcast nation dimension before the "
+    "group-by, whose reduce side is at most 7 rows.",
+)
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal_c = cents("c_acctbal")
+    glob = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_c).alias("__sum_c"),
+        F.count(F.lit(1)).alias("__n_pos"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*_Q22_NATIONS))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        c.crossJoin(F.broadcast(glob))
+        .filter(bal_c * F.col("__n_pos") > F.col("__sum_c"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(bal_c) / 100.0, R).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
