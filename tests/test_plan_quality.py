@@ -455,3 +455,100 @@ def test_user_history_rollup_bucket_prunes(spark, sf_dir):
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, f"bucket pruning did not engage:\n{plan}"
     assert int(m.group(1)) == 1 and int(m.group(2)) == 8, m.group(0)
+
+
+def test_customer_order_distribution_aggregates_before_outer_join(
+    spark, sf_dir
+):
+    """The Q13 shape: the order count must reduce to per-customer rows
+    BEFORE the outer join (a partial+final hash aggregate under the
+    join), the join itself must preserve no-match customers
+    (LeftOuter), and the priority filter must push to the orders
+    scan — in the WHERE-filter mistranslation the filter lands above
+    the join and the zero bucket silently vanishes."""
+    df = all_queries()["customer_order_distribution"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan, f"outer join degraded to inner:\n{plan}"
+    assert plan.count("HashAggregate") >= 4, (
+        f"per-customer count lost its partial (map-side) stage:\n{plan}"
+    )
+    pushed = "".join(
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    )
+    assert "o_orderpriority" in pushed, (
+        f"priority filter not pushed to the orders scan:\n{plan}"
+    )
+    # the aggregate must sit BELOW the outer join: the join's streamed
+    # side is customer, its other side the aggregated orders — if the
+    # aggregate ran above the join, the join would move per-order rows
+    join_pos = plan.find("LeftOuter")
+    assert "HashAggregate" in plan[join_pos:], (
+        f"order-count aggregate is not below the outer join:\n{plan}"
+    )
+
+
+def test_small_qty_revenue_prunes_brand_before_stats(spark, sf_dir):
+    """The Q17 decorrelation: the brand sliver of part must BROADCAST
+    into BOTH fact passes (candidate scan and per-part stats), so the
+    stats aggregate never touches lines of other brands — at 100 TB
+    that pruning is the difference between scanning 1/#brands of the
+    fact twice and scanning all of it."""
+    df = all_queries()["small_qty_revenue"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        f"brand sliver does not broadcast into both fact passes:\n{plan}"
+    )
+    pushed = "".join(
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    )
+    assert "p_brand" in pushed, (
+        f"brand filter not pushed to the part scan:\n{plan}"
+    )
+
+
+def test_waiting_supplier_ranking_cokeys_stats_and_probe(spark, sf_dir):
+    """The Q21 aggregate rewrite: the order-status filter pushes to
+    the orders scan, the supplier-name dimension broadcasts, and the
+    top-100 compiles to TakeOrderedAndProject.  The per-order stats
+    frame and the late-line probe are both keyed on l_orderkey, so
+    their rejoin must not introduce a THIRD orderkey exchange beyond
+    the two sides' own shuffles."""
+    df = all_queries()["waiting_supplier_ranking"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        f"top-100 lost the TakeOrdered rewrite:\n{plan}"
+    )
+    pushed = "".join(
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    )
+    assert "o_orderstatus" in pushed, (
+        f"status filter not pushed to the orders scan:\n{plan}"
+    )
+    assert "BroadcastHashJoin" in plan, (
+        f"supplier dimension does not broadcast:\n{plan}"
+    )
+
+
+def test_idle_customer_balance_anti_joins_and_broadcasts_scalar(
+    spark, sf_dir
+):
+    """The Q22 rewrite: the NOT EXISTS must run as a LEFT ANTI join,
+    the global scalar threshold as a broadcast nested-loop over ONE
+    aggregated row (never a per-row subquery), and the urgent-order
+    priority filter must push to the orders scan."""
+    df = all_queries()["idle_customer_balance"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, f"NOT EXISTS did not become anti join:\n{plan}"
+    assert "BroadcastNestedLoopJoin" in plan, (
+        f"scalar threshold is not a broadcast one-row cross join:\n{plan}"
+    )
+    pushed = "".join(
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    )
+    assert "o_orderpriority" in pushed, (
+        f"urgent filter not pushed to the orders scan:\n{plan}"
+    )
