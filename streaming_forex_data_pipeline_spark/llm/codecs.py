@@ -274,3 +274,55 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
         raise ValueError(f"only PCM16 supported, got sampwidth={sampwidth}")
     samples = np.frombuffer(frames, dtype="<i2")
     return channels, sampwidth, framerate, n_frames, samples
+
+
+def encode_mpng(frames: list[bytes]) -> bytes:
+    """Encode a frame sequence as a Motion-PNG stream: the
+    concatenation of complete, individually-valid PNG files (the
+    MJPEG idea with PNG members — every frame stays openable by any
+    external PNG reader, and the stream needs no side index because
+    the PNG chunk grammar is self-delimiting).  Each member is
+    validated to start with the PNG signature so a non-PNG frame
+    cannot silently corrupt the stream."""
+    for i, f in enumerate(frames):
+        if f[:8] != PNG_SIG:
+            raise ValueError(f"frame {i} is not a PNG (bad signature)")
+    return b"".join(frames)
+
+
+def split_mpng(data: bytes) -> list[bytes]:
+    """Split a Motion-PNG stream back into its member PNGs by REAL
+    chunk-grammar parsing (not signature scanning — a signature byte
+    pattern inside compressed IDAT data must not split a frame): from
+    each member's signature, walk length-prefixed chunks until that
+    member's IEND, verifying each chunk CRC, and slice the member
+    out.  Raises on any structural damage — truncated chunk, CRC
+    mismatch, trailing garbage — so a corrupt stream fails loudly
+    instead of yielding a silently-short frame list."""
+    frames: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 8] != PNG_SIG:
+            raise ValueError(
+                f"Motion-PNG member at offset {pos} has no PNG signature"
+            )
+        start = pos
+        pos += 8
+        while True:
+            if pos + 8 > n:
+                raise ValueError("truncated Motion-PNG member (chunk header)")
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            end = pos + 12 + length
+            if end > n:
+                raise ValueError("truncated Motion-PNG member (chunk body)")
+            body = data[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(">I", data[pos + 8 + length : end])
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"Motion-PNG chunk {tag!r} CRC mismatch")
+            pos = end
+            if tag == b"IEND":
+                break
+        frames.append(data[start:pos])
+    return frames

@@ -481,31 +481,14 @@ def dhash_images(
         )
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        weights = 1 << np.arange(32, dtype=np.int64)
         for pdf in batches:
             ids, lo, hi = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, ch, px = decode_png(bytes(payload))
-                if ch != 1:
-                    # RGB: integer luma (channel mean, floor) BEFORE
-                    # sampling — without this the channel axis would
-                    # survive np.ix_, ravel() would yield ch*64 bits,
-                    # and the halves would slice an interleaved channel
-                    # mix into a garbage hash with no error
-                    # (review-found; deterministic integer math so the
-                    # hash stays engine-replayable)
-                    px = px.astype(np.int64).sum(axis=2) // ch
-                sy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
-                sx = (np.arange(grid_w + 1, dtype=np.int64) * w) // (
-                    grid_w + 1
-                )
-                g = px[np.ix_(sy, sx)].astype(np.int64)
-                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+                hl, hh = _dhash_halves(px, ch, w, h, grid_w, grid_h)
                 ids.append(int(doc_id))
-                lo.append(int((bits[:32] * weights).sum()))
-                hi.append(int((bits[32:] * weights).sum()))
+                lo.append(hl)
+                hi.append(hh)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -517,6 +500,33 @@ def dhash_images(
     return images.select("doc_id", "payload").mapInPandas(
         hash_batch, DHASH_SCHEMA
     )
+
+
+def _dhash_halves(
+    px, ch: int, w: int, h: int, grid_w: int = 8, grid_h: int = 8
+) -> tuple[int, int]:
+    """The dHash bit computation shared by the image and video tiers
+    (one implementation — `dhash_images` is oracle-pinned, so the
+    video path must reuse these exact bits, not re-derive them):
+    nearest-neighbor sample to (grid_w+1) x grid_h with the
+    `resize_images` integer index arithmetic, one bit per horizontal
+    neighbor pair, packed as two non-negative 32-bit halves."""
+    import numpy as np
+
+    if ch != 1:
+        # RGB: integer luma (channel mean, floor) BEFORE sampling —
+        # without this the channel axis would survive np.ix_, ravel()
+        # would yield ch*64 bits, and the halves would slice an
+        # interleaved channel mix into a garbage hash with no error
+        # (review-found; deterministic integer math so the hash stays
+        # engine-replayable)
+        px = px.astype(np.int64).sum(axis=2) // ch
+    weights = 1 << np.arange(32, dtype=np.int64)
+    sy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+    sx = (np.arange(grid_w + 1, dtype=np.int64) * w) // (grid_w + 1)
+    g = px[np.ix_(sy, sx)].astype(np.int64)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
+    return int((bits[:32] * weights).sum()), int((bits[32:] * weights).sum())
 
 
 def fingerprint_audio(audio: DataFrame, n_frames: int = 65) -> DataFrame:
@@ -579,4 +589,214 @@ def fingerprint_audio(audio: DataFrame, n_frames: int = 65) -> DataFrame:
 
     return audio.select("doc_id", "payload").mapInPandas(
         fp_batch, DHASH_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-codec video tier (Motion-PNG via llm/codecs.py)
+# ---------------------------------------------------------------------------
+#
+# Deterministic content contract (what the DuckDB oracles replay):
+#   video : n_frames = doc_id % 24 + 6 frames, each a grayscale
+#           w = doc_id % 12 + 8 by h = doc_id % 10 + 6 image with
+#           pixel(k, i) = (doc_id*31 + k*101 + i*7) % 256 (row-major i
+#           in frame k), scanline y of frame k PNG-filtered with type
+#           (doc_id + k + y) % 5; the payload is the Motion-PNG
+#           concatenation of the n_frames member PNGs.
+# The k*101 term makes consecutive frames differ everywhere while
+# keeping every pixel closed-form; 101 is coprime to 256, so frame
+# deltas never settle into a byte-aligned cycle.
+
+VID_NF_MOD, VID_NF_OFF = 24, 6
+VID_W_MOD, VID_W_OFF = 12, 8
+VID_H_MOD, VID_H_OFF = 10, 6
+
+
+def _video_frame_pixels(doc_id: int, k: int):
+    import numpy as np
+
+    w = doc_id % VID_W_MOD + VID_W_OFF
+    h = doc_id % VID_H_MOD + VID_H_OFF
+    i = np.arange(w * h, dtype=np.int64)
+    return (
+        ((doc_id * 31 + k * 101 + i * 7) % 256).astype("uint8").reshape(h, w)
+    )
+
+
+def encode_videos(docs: DataFrame) -> DataFrame:
+    """Produce a REAL Motion-PNG clip per document (content per the
+    module contract above): every member frame is a spec-compliant
+    PNG through `llm/codecs.py:encode_png`, rotating all five
+    scanline filters, concatenated by `encode_mpng`.  Arrow-batched
+    `mapInPandas`; any external PNG reader can open each member."""
+    from .codecs import encode_mpng, encode_png
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                nf = d % VID_NF_MOD + VID_NF_OFF
+                frames = [
+                    encode_png(
+                        _video_frame_pixels(d, k),
+                        filter_for_row=lambda y, d=d, k=k: (d + k + y) % 5,
+                    )
+                    for k in range(nf)
+                ]
+                payloads.append(encode_mpng(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(encode, PAYLOAD_SCHEMA)
+
+
+VIDEO_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def decode_videos(videos: DataFrame) -> DataFrame:
+    """REAL video decode: split the Motion-PNG container by chunk
+    grammar (`split_mpng`), PNG-decode every member frame, and emit
+    per-clip frame count, dimensions, and the exact int64 pixel sum
+    across all frames — the closed-form totals a DuckDB oracle
+    replays, so one wrong byte anywhere in the container walk or any
+    member's inflate/unfilter chain breaks the sum."""
+    from .codecs import decode_png, split_mpng
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in VIDEO_DECODE_SCHEMA.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_mpng(bytes(payload))
+                total = 0
+                w = h = None
+                for fb in frames:
+                    fw, fh, _ch, px = decode_png(fb)
+                    w, h = fw, fh
+                    total += int(px.astype("int64").sum())
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(len(frames))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["pixel_sum"].append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "pixel_sum": pd.Series(rows["pixel_sum"], dtype="int64"),
+                }
+            )
+
+    return videos.select("doc_id", "payload").mapInPandas(
+        decode, VIDEO_DECODE_SCHEMA
+    )
+
+
+FRAME_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling — the production replacement for
+    `frame_sample_stub` (which sliced payload bytes; kept verbatim
+    for its established oracle): split the Motion-PNG container by
+    chunk grammar and emit every ``every_n``-th member as its own
+    complete PNG row (doc_id, frame_idx, payload).  The row-expanding
+    binary-in/binary-out kernel shape an ffmpeg-backed sampler needs,
+    with a real codec behind it.  Embarrassingly parallel, no
+    shuffle; at 100 TB the clip corpus fans out to sampled frames in
+    one Arrow-batched pass."""
+    from .codecs import split_mpng
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_mpng(bytes(payload))
+                for k in range(0, len(frames), every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    payloads.append(frames[k])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return videos.select("doc_id", "payload").mapInPandas(
+        sample, FRAME_PAYLOAD_SCHEMA
+    )
+
+
+FRAME_DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("h_lo", LongType()),
+        StructField("h_hi", LongType()),
+    ]
+)
+
+
+def dhash_video_frames(
+    videos: DataFrame, every_n: int = 2, grid_w: int = 8, grid_h: int = 8
+) -> DataFrame:
+    """Frame-level perceptual fingerprint of a video: split the
+    Motion-PNG container, PNG-decode every ``every_n``-th frame, and
+    dHash each sampled frame through the SAME bit computation as the
+    image tier (`_dhash_halves` — one implementation, so the video
+    bits inherit `dhash_images`' oracle-verified semantics).  Output
+    one row per sampled frame: (doc_id, frame_idx, h_lo, h_hi).
+
+    This is the video analogue of `dhash_images`/`fingerprint_audio`:
+    a clip reduces to ~n_frames/every_n 16-byte signatures in one
+    Arrow-batched pass, and ALL pairing cost moves to the signature
+    table — the 100 TB shape shared by the whole near-dup family."""
+    from .codecs import decode_png, split_mpng
+
+    if grid_w * grid_h != 64:
+        raise ValueError(
+            f"dhash grid must yield 64 bits (got {grid_w}x{grid_h}); "
+            f"the two-half packing and 16-bit banding assume 64"
+        )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lo, hi = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_mpng(bytes(payload))
+                for k in range(0, len(frames), every_n):
+                    w, h, ch, px = decode_png(frames[k])
+                    hl, hh = _dhash_halves(px, ch, w, h, grid_w, grid_h)
+                    ids.append(int(doc_id))
+                    idxs.append(k)
+                    lo.append(hl)
+                    hi.append(hh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "h_lo": pd.Series(lo, dtype="int64"),
+                    "h_hi": pd.Series(hi, dtype="int64"),
+                }
+            )
+
+    return videos.select("doc_id", "payload").mapInPandas(
+        hash_batch, FRAME_DHASH_SCHEMA
     )

@@ -352,3 +352,58 @@ def test_pil_fast_path_rejects_out_of_contract_ihdr(monkeypatch):
     _fake_pil(monkeypatch, lambda bio: _Fake16())
     with pytest.raises(ValueError, match="unsupported PNG variant"):
         decode_png(bytes(data))
+
+
+def test_mpng_split_walks_chunk_grammar():
+    """split_mpng must delimit members by CHUNK STRUCTURE, not by
+    scanning for signature bytes: a frame whose pixel data embeds the
+    PNG signature pattern still splits at its real IEND.  Round-trip
+    over mixed filters, plus single-frame and many-frame streams."""
+    import numpy as np
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import (
+        PNG_SIG,
+        encode_mpng,
+        encode_png,
+        split_mpng,
+    )
+
+    sig = np.frombuffer(PNG_SIG * 6, dtype=np.uint8)  # 48 bytes
+    trap = np.tile(sig, 10).reshape(20, 24)  # pixels ARE the signature
+    rng = np.random.RandomState(7)
+    frames = [
+        encode_png(trap),
+        encode_png(
+            rng.randint(0, 256, size=(6, 9)).astype("uint8"),
+            filter_for_row=lambda y: y % 5,
+        ),
+        encode_png(rng.randint(0, 256, size=(11, 7, 3)).astype("uint8")),
+    ]
+    stream = encode_mpng(frames)
+    assert split_mpng(stream) == frames
+    assert split_mpng(frames[0]) == [frames[0]]
+    assert split_mpng(encode_mpng(frames * 5)) == frames * 5
+
+
+def test_mpng_structural_damage_raises():
+    import numpy as np
+    import pytest
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import (
+        encode_mpng,
+        encode_png,
+        split_mpng,
+    )
+
+    f = encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    stream = encode_mpng([f, f])
+    with pytest.raises(ValueError):  # truncated mid-chunk
+        split_mpng(stream[:-6])
+    with pytest.raises(ValueError):  # trailing garbage
+        split_mpng(stream + b"\x00" * 4)
+    corrupt = bytearray(stream)
+    corrupt[40] ^= 0xFF  # inside the first IDAT body -> CRC mismatch
+    with pytest.raises(ValueError):
+        split_mpng(bytes(corrupt))
+    with pytest.raises(ValueError):  # non-PNG member rejected at encode
+        encode_mpng([f, b"not a png at all"])

@@ -205,3 +205,142 @@ def test_audio_fingerprint_invariances_and_crafted_near_pair(spark):
     }
     assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_video_stages_decode_sample_match_contract(spark, sf_dir):
+    """decode_videos / sample_frames over the registered content
+    contract: frame counts, dimensions, exact pixel totals, and
+    sampled indices must all equal the closed-form replay, and every
+    sampled payload must be an individually-decodable PNG of the
+    clip's dimensions."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import decode_png
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    vids = MM.encode_videos(d)
+    dec = {r["doc_id"]: r for r in MM.decode_videos(vids).collect()}
+    assert len(dec) == 40
+    for doc_id, r in dec.items():
+        nf = doc_id % MM.VID_NF_MOD + MM.VID_NF_OFF
+        w = doc_id % MM.VID_W_MOD + MM.VID_W_OFF
+        h = doc_id % MM.VID_H_MOD + MM.VID_H_OFF
+        assert (r["n_frames"], r["width"], r["height"]) == (nf, w, h)
+        want = sum(
+            int(
+                ((doc_id * 31 + k * 101 + np.arange(w * h, dtype=np.int64)
+                  * 7) % 256).sum()
+            )
+            for k in range(nf)
+        )
+        assert r["pixel_sum"] == want, doc_id
+
+    sampled = MM.sample_frames(vids, every_n=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sampled:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        nf = doc_id % MM.VID_NF_MOD + MM.VID_NF_OFF
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(0, nf, 3)
+        )
+        fw, fh, ch, px = decode_png(bytes(rows[0]["payload"]))
+        assert (fw, fh, ch) == (
+            doc_id % MM.VID_W_MOD + MM.VID_W_OFF,
+            doc_id % MM.VID_H_MOD + MM.VID_H_OFF,
+            1,
+        )
+
+
+def test_video_perturbed_clip_with_proven_bit_flips(spark):
+    """The round-9 review lesson applied to video: the crafted
+    perturbation is PROVEN to flip specific dHash bits (chosen from
+    the reference frame's own bit vector), never hoped.  Clip B = clip
+    A with sampled frame 2 flipped in EXACTLY one bit (still matches
+    at Hamming <= 1) and sampled frame 4 flipped in EXACTLY three bits
+    (must drop out); positions 0 and 6 stay identical.  The
+    frame-level pipeline must therefore pair (A, B) with exactly 3
+    matching positions, and an unrelated clip must pair with
+    neither."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import (
+        encode_mpng,
+        encode_png,
+    )
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        dhash_near_dup_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.llm.multimodal import (
+        _dhash_halves,
+        dhash_video_frames,
+    )
+
+    w, h = 20, 16
+    sy = (np.arange(8, dtype=np.int64) * h) // 8
+    sx = (np.arange(9, dtype=np.int64) * w) // 9
+    assert len(set(sx.tolist())) == 9, "sample columns must be distinct"
+    rng = np.random.RandomState(23)
+    base = [
+        rng.randint(50, 200, size=(h, w)).astype("uint8") for _ in range(8)
+    ]
+
+    def flip_bits(px, bits):
+        """Force the dHash comparison at each bit position to invert,
+        then PROVE the resulting hash differs in exactly those bits.
+        Only last-column bits (x == 7) are eligible: their right
+        operand pixel g[y, 8] is no other bit's operand, so the flip
+        cannot leak into a neighboring comparison (flipping an inner
+        bit by moving g[y, x+1] also moves bit x+1's LEFT operand —
+        the exact 'hoped, not proven' drift this test exists to
+        catch)."""
+        assert all(b % 8 == 7 for b in bits), bits
+        out = px.copy()
+        for b in bits:
+            y, x = b // 8, b % 8
+            left = int(out[sy[y], sx[x]])
+            was = int(out[sy[y], sx[x + 1]]) > left
+            out[sy[y], sx[x + 1]] = left if was else left + 1
+        lo0, hi0 = _dhash_halves(px, 1, w, h)
+        lo1, hi1 = _dhash_halves(out, 1, w, h)
+        flipped = {
+            b for b in range(64)
+            if (((lo1 | hi1 << 32) >> b) ^ ((lo0 | hi0 << 32) >> b)) & 1
+        }
+        assert flipped == set(bits), (flipped, bits)
+        return out
+
+    pert = {2: flip_bits(base[2], [15]), 4: flip_bits(base[4], [7, 23, 55])}
+    clip_a = encode_mpng([encode_png(p) for p in base])
+    clip_b = encode_mpng(
+        [encode_png(pert.get(k, base[k])) for k in range(8)]
+    )
+    clip_c = encode_mpng(
+        [
+            encode_png(rng.randint(0, 256, size=(h, w)).astype("uint8"))
+            for _ in range(8)
+        ]
+    )
+    videos = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+                "payload": [clip_a, clip_b, clip_c],
+            }
+        )
+    )
+    prints = dhash_video_frames(videos, every_n=2)
+    fid = (prints["doc_id"] * 1024 + prints["frame_idx"]).alias("doc_id")
+    pairs = dhash_near_dup_pairs(
+        prints.select(fid, "h_lo", "h_hi"), max_hamming=1
+    ).collect()
+    matches: dict[tuple, set] = {}
+    for r in pairs:
+        va, fa = r["doc_a"] // 1024, r["doc_a"] % 1024
+        vb, fb = r["doc_b"] // 1024, r["doc_b"] % 1024
+        if va != vb and fa == fb:
+            matches.setdefault((va, vb), set()).add(fa)
+    assert matches == {(0, 1): {0, 2, 6}}, matches
