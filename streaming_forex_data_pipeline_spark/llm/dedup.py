@@ -1317,3 +1317,73 @@ def dhash_near_dup_pairs(
     )
     cross = _expand_signature_pairs(vpairs)
     return intra.unionByName(cross)
+
+
+def cross_modal_clusters(
+    edges: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    modalities: tuple[str, ...] = ("text", "image", "audio", "video"),
+) -> DataFrame:
+    """ONE keep/drop decision per document across every near-dup
+    modality (round-9 verdict Next #4): union the per-modality pair
+    sets into a single labeled edge graph, take connected components,
+    and pick each cluster's canonical survivor by the quality-then-id
+    rule — so a document dropped because its IMAGE matches a better
+    copy is the same kind of decision as one dropped for duplicated
+    text, recorded in the same table.
+
+    ``edges``: (doc_a, doc_b, modality) with modality values drawn
+    from ``modalities`` — the union of any pair emitters (text
+    MinHash, image/audio/video signature tiers, ...).  ``docs``
+    supplies ``quality_col`` (higher = better copy; the corpus tables
+    use n_chars, the standard keep-the-longer-copy heuristic);
+    ties break to the LOWEST doc_id, so the rule is total and
+    deterministic.
+
+    Returns one row per cluster: (cluster_id, n_docs, keep_doc,
+    n_<modality>_edges per modality), ordered by cluster_id.
+    Plan shape: the components come from `connected_components`
+    (pointer jumping, O(log d) rounds); the keep decision is a
+    map-side-combinable max of a (quality, -doc_id) struct — NO
+    per-cluster window, so a pathological giant cluster (this
+    synthetic corpus chains most documents together at sf0.1) never
+    serializes through one task; the per-modality counts are one
+    conditional aggregate over edges joined to their doc_a's
+    cluster (doc_a and doc_b are in the same cluster by
+    construction, so either endpoint attributes the edge)."""
+    comp = connected_components(edges)
+    members = comp.join(
+        docs.select(F.col("doc_id").alias("node"), quality_col), "node"
+    )
+    agg = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col("node")).alias("nid"),
+            )
+        ).alias("__mx"),
+    )
+    ecnt = (
+        edges.join(
+            comp.withColumnRenamed("node", "doc_a"), "doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            *[
+                F.count_if(F.col("modality") == m).alias(f"n_{m}_edges")
+                for m in modalities
+            ]
+        )
+    )
+    return (
+        agg.join(ecnt, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_docs",
+            (-F.col("__mx.nid")).alias("keep_doc"),
+            *[f"n_{m}_edges" for m in modalities],
+        )
+        .orderBy("cluster_id")
+    )

@@ -145,11 +145,23 @@ ORDER BY doc_a, doc_b
 def video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     prints = MM.dhash_video_frames(MM.encode_videos(fan_out(d)), every_n=2)
-    # composite frame identity for the shared banding engine; 1024 >
-    # max frame_idx (29), so div/mod recover (video, position) exactly
+    return _video_pairs(prints, max_hamming=1, min_frames=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _video_pairs(
+    prints: DataFrame, max_hamming: int, min_frames: int
+) -> DataFrame:
+    """Clip pairs with >= ``min_frames`` sampled POSITIONS matching at
+    Hamming <= ``max_hamming``, through the shared banding engine over
+    composite frame ids (doc_id*1024 + frame_idx — frame counts are
+    bounded at 29 by the content contract, so the composite is
+    collision-free and order-preserving).  Shared by video_near_dups
+    and the cross-modal edge builder."""
     fid = (F.col("doc_id") * 1024 + F.col("frame_idx")).alias("doc_id")
     pairs = DD.dhash_near_dup_pairs(
-        prints.select(fid, "h_lo", "h_hi"), max_hamming=1
+        prints.select(fid, "h_lo", "h_hi"), max_hamming=max_hamming
     )
     va = F.floor(F.col("doc_a") / 1024)
     vb = F.floor(F.col("doc_b") / 1024)
@@ -160,6 +172,162 @@ def video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(va.alias("doc_a"), vb.alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_matching_frames"))
-        .filter(F.col("n_matching_frames") >= 3)
-        .orderBy("doc_a", "doc_b")
+        .filter(F.col("n_matching_frames") >= min_frames)
     )
+
+
+def _cc_rounds_sql(n_rounds: int) -> tuple[str, str]:
+    """Unrolled min-label propagation with pointer jumping for the
+    DuckDB oracle (the integer-PageRank chained-CTE pattern — DuckDB
+    1.x recursive CTEs cannot aggregate over the recursive term, and
+    naive reachability closure is quadratic in component size, which
+    this corpus's giant sf0.1 cluster makes intractable).  Each round
+    is one propagate CTE (min label over the closed neighborhood) and
+    one jump CTE (label <- label(label)); the jump doubles the
+    distance the component minimum has traveled, so ``n_rounds``
+    rounds cover any component of diameter up to ~2**n_rounds — 16
+    rounds is proof against anything up to 65k nodes, far beyond any
+    oracle-gate corpus.  The ENGINE side computes the true fixpoint
+    (connected_components asserts convergence), so an insufficient
+    unroll shows as a strict-sweep mismatch, never a silent agreement.
+    Returns (sql_fragment, final_cte_name); expects ``sym(s, t)``."""
+    parts = []
+    prev = "l0"
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT node, min(lab) AS lab FROM (
+    SELECT node, lab FROM {prev}
+    UNION ALL
+    SELECT e.t AS node, {prev}.lab FROM {prev}
+    JOIN sym e ON e.s = {prev}.node
+  ) GROUP BY node
+),
+j{r} AS MATERIALIZED (
+  SELECT a.node, coalesce(b.lab, a.lab) AS lab
+  FROM p{r} a LEFT JOIN p{r} b ON b.node = a.lab
+)"""
+        )
+        prev = f"j{r}"
+    return ",\n".join(parts), prev
+
+
+_CC_SQL, _CC_FINAL = _cc_rounds_sql(16)
+
+# media_q's image and audio signature CTEs are the shared oracle
+# fragments (one definition per signature function, round-9 pattern)
+from .media_q import _AFP_CTE, _DHASH_CTE  # noqa: E402
+
+
+@register(
+    "cross_modal_clusters",
+    oracle=f"""
+WITH {_DHASH_CTE},
+{_AFP_CTE},
+{_VHASH_CTE},
+toks AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           regexp_split_to_array(lower(trim(text)), '\\s+'))) AS t
+  FROM documents
+),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'text' AS modality
+  FROM toks a JOIN toks b ON a.doc_id < b.doc_id AND a.t = b.t
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, 'image'
+  FROM hashes a JOIN hashes b
+    ON a.doc_id < b.doc_id AND a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, 'audio'
+  FROM ahashes a JOIN ahashes b
+    ON a.doc_id < b.doc_id AND a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+  UNION ALL
+  SELECT doc_a, doc_b, 'video' FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM vhashes a JOIN vhashes b
+      ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx
+     AND a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+    GROUP BY 1, 2 HAVING count(*) >= 3)
+),
+sym AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS t FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+l0 AS MATERIALIZED (
+  SELECT s AS node, least(s, min(t)) AS lab FROM sym GROUP BY s),
+{_CC_SQL},
+comp AS (SELECT node, lab AS cluster_id FROM {_CC_FINAL}),
+members AS (
+  SELECT c.cluster_id, c.node AS doc_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+keeps AS (
+  SELECT cluster_id, doc_id AS keep_doc FROM members
+  QUALIFY row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1
+),
+ecnt AS (
+  SELECT c.cluster_id,
+    CAST(count(*) FILTER (WHERE modality = 'text') AS BIGINT)
+      AS n_text_edges,
+    CAST(count(*) FILTER (WHERE modality = 'image') AS BIGINT)
+      AS n_image_edges,
+    CAST(count(*) FILTER (WHERE modality = 'audio') AS BIGINT)
+      AS n_audio_edges,
+    CAST(count(*) FILTER (WHERE modality = 'video') AS BIGINT)
+      AS n_video_edges
+  FROM edges e JOIN comp c ON c.node = e.doc_a
+  GROUP BY 1
+),
+agg AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+  FROM members GROUP BY 1
+)
+SELECT a.cluster_id, a.n_docs, k.keep_doc,
+       e.n_text_edges, e.n_image_edges, e.n_audio_edges, e.n_video_edges
+FROM agg a
+JOIN keeps k USING (cluster_id)
+JOIN ecnt e USING (cluster_id)
+ORDER BY a.cluster_id
+""",
+    doc="Cross-modal canonical keep (llm/dedup.py:cross_modal_clusters)"
+    ": ONE keep/drop decision per document across all four near-dup "
+    "modalities.  Edge tiers are the SIGNATURE-EQUALITY duplicates of "
+    "each modality — text token-set equality (the MinHash threshold-"
+    "1.0 tier), image dHash at Hamming 0, audio envelope print at "
+    "Hamming 0, video at >= 3 sampled positions with equal frame "
+    "hashes — unioned with a modality label into connected components "
+    "(pointer jumping), then per cluster: size, the canonical "
+    "keep_doc by the quality-then-id rule (highest n_chars, ties to "
+    "lowest doc_id, computed as a map-side-combinable struct max — "
+    "NO per-cluster window, so the giant cluster this synthetic "
+    "corpus forms at sf0.1 never serializes through one task), and "
+    "per-modality edge counts.  The oracle replays every signature "
+    "in closed form and runs the min-label fixpoint as 16 unrolled "
+    "propagate+jump rounds (sound to 65k-node components; the engine "
+    "asserts true convergence, so an insufficient unroll would "
+    "surface as a hash mismatch).  Equality joins only — no "
+    "quadratic all-pairs stage on either engine.",
+)
+def cross_modal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = DD.near_duplicate_pairs(
+        d, threshold=1.0, n_hashes=32, bands=1
+    ).select("doc_a", "doc_b", F.lit("text").alias("modality"))
+    image = DD.dhash_near_dup_pairs(
+        MM.dhash_images(MM.encode_images(fan_out(d))), max_hamming=0
+    ).select("doc_a", "doc_b", F.lit("image").alias("modality"))
+    audio = DD.dhash_near_dup_pairs(
+        MM.fingerprint_audio(MM.encode_audio(fan_out(d))), max_hamming=0
+    ).select("doc_a", "doc_b", F.lit("audio").alias("modality"))
+    video = _video_pairs(
+        MM.dhash_video_frames(MM.encode_videos(fan_out(d)), every_n=2),
+        max_hamming=0,
+        min_frames=3,
+    ).select("doc_a", "doc_b", F.lit("video").alias("modality"))
+    edges = (
+        text.unionByName(image).unionByName(audio).unionByName(video)
+    )
+    return DD.cross_modal_clusters(edges, d)

@@ -344,3 +344,113 @@ def test_video_perturbed_clip_with_proven_bit_flips(spark):
         if va != vb and fa == fb:
             matches.setdefault((va, vb), set()).add(fa)
     assert matches == {(0, 1): {0, 2, 6}}, matches
+
+
+def test_cross_modal_clusters_image_only_bridge(spark):
+    """Round-9 verdict Next #4's fixture: two documents whose TEXT and
+    AUDIO are unrelated must still land in one cluster because their
+    IMAGES are identical — and a third document joins the same cluster
+    through an audio edge alone, proving the keep/drop decision is
+    transitive ACROSS modalities.  Edge labels must attribute each
+    bridge to its modality, and the canonical keep must follow the
+    quality-then-id rule (highest n_chars, ties to lowest doc_id)."""
+    import numpy as np
+    import pandas as pd
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import (
+        encode_png,
+        encode_wav,
+    )
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        cross_modal_clusters,
+        dhash_near_dup_pairs,
+        near_duplicate_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.llm.multimodal import (
+        dhash_images,
+        fingerprint_audio,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(31)
+    shared_img = rng.randint(0, 256, size=(16, 20)).astype("uint8")
+    other_imgs = [
+        rng.randint(0, 256, size=(16, 20)).astype("uint8") for _ in range(2)
+    ]
+    shared_aud = rng.randint(-20000, 20000, size=300).astype("<i2")
+    other_auds = [
+        rng.randint(-20000, 20000, size=300).astype("<i2") for _ in range(2)
+    ]
+    texts = [
+        "alpha beta gamma",
+        "delta epsilon zeta eta theta",  # longest -> canonical keep
+        "iota kappa",
+        "lambda mu nu xi",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(4), dtype="int64"),
+                "text": texts,
+                "n_chars": pd.Series(
+                    [len(t) for t in texts], dtype="int64"
+                ),
+            }
+        )
+    )
+    images = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(4), dtype="int64"),
+                "payload": [
+                    encode_png(shared_img),   # doc 0
+                    encode_png(shared_img),   # doc 1: image == doc 0
+                    encode_png(other_imgs[0]),
+                    encode_png(other_imgs[1]),
+                ],
+            }
+        )
+    )
+    audio = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(4), dtype="int64"),
+                "payload": [
+                    encode_wav(other_auds[0]),
+                    encode_wav(shared_aud),   # doc 1
+                    encode_wav(shared_aud),   # doc 2: audio == doc 1
+                    encode_wav(other_auds[1]),
+                ],
+            }
+        )
+    )
+    text_pairs = near_duplicate_pairs(
+        docs, threshold=1.0, n_hashes=32, bands=1
+    ).select("doc_a", "doc_b", F.lit("text").alias("modality"))
+    img_pairs = dhash_near_dup_pairs(
+        dhash_images(images), max_hamming=0
+    ).select("doc_a", "doc_b", F.lit("image").alias("modality"))
+    aud_pairs = dhash_near_dup_pairs(
+        fingerprint_audio(audio), max_hamming=0
+    ).select("doc_a", "doc_b", F.lit("audio").alias("modality"))
+    edges = text_pairs.unionByName(img_pairs).unionByName(aud_pairs)
+    # preflight: the fixture's bridges are exactly as constructed
+    got_edges = {
+        (r["doc_a"], r["doc_b"], r["modality"]) for r in edges.collect()
+    }
+    assert (0, 1, "image") in got_edges, got_edges
+    assert (1, 2, "audio") in got_edges, got_edges
+    assert all(m != "text" for _, _, m in got_edges), got_edges
+
+    rows = cross_modal_clusters(
+        edges, docs, modalities=("text", "image", "audio")
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_id"] == 0 and r["n_docs"] == 3
+    assert r["keep_doc"] == 1  # longest text wins the quality rule
+    assert (r["n_text_edges"], r["n_image_edges"], r["n_audio_edges"]) == (
+        0,
+        1,
+        1,
+    )
