@@ -191,6 +191,16 @@ HEADLINE = [
     "user_history_rollup",
     "value_deciles",
     "week_overlap_hll",
+    # round 10: TPC-H decorrelation shapes, real video near-dup,
+    # cross-modal canonical keep, streaming-health replay face
+    "customer_order_distribution",
+    "small_qty_revenue",
+    "waiting_supplier_ranking",
+    "idle_customer_balance",
+    "video_fingerprint",
+    "video_near_dups",
+    "cross_modal_clusters",
+    "channel_stats_replay",
 ]
 
 TIMED_SWEEPS = 2

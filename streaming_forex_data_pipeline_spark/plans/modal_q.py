@@ -331,3 +331,88 @@ def cross_modal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.unionByName(image).unionByName(audio).unionByName(video)
     )
     return DD.cross_modal_clusters(edges, d)
+
+
+from .olap_q import _hll_user_regs_sql  # noqa: E402 — shared oracle fragment
+
+
+@register(
+    "channel_stats_replay",
+    oracle=f"""
+WITH {_hll_user_regs_sql('day', 'day')},
+f AS (
+  SELECT CAST(count(DISTINCT date_trunc('week', ts)) AS BIGINT)
+           AS n_batches,
+         CAST(count(*) AS BIGINT) AS input_rows,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS state_rows,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS max_event_us
+  FROM events
+),
+w AS (SELECT CAST(count(*) AS BIGINT) AS state_rows FROM touched)
+SELECT 'events_funnel' AS channel, f.n_batches, f.input_rows,
+       f.state_rows, f.max_event_us,
+       CAST(0 AS BIGINT) AS rows_dropped
+FROM f
+UNION ALL
+SELECT 'events_wau', f.n_batches, f.input_rows, w.state_rows,
+       f.max_event_us, CAST(0 AS BIGINT)
+FROM f, w
+ORDER BY channel
+""",
+    doc="Batch-replay face of the fleet streaming-health view "
+    "(streaming/channels.py:channel_stats — the reference's /ws/stats "
+    "per-channel counter aggregation, app/api/websocket_routes.py:"
+    "210-234): the stats an ordered one-file-per-week availableNow "
+    "replay of the events table would report per channel, computed "
+    "deterministically batch-side so the driver can oracle-check the "
+    "semantics the live face promises.  Per channel: n_batches = the "
+    "weekly file count (distinct calendar weeks), input_rows = total "
+    "events, state_rows = what that channel's state holds after the "
+    "drain (funnel: one GroupState row per distinct user; wau: the "
+    "touched (day, bucket) HLL register count, via the SAME register "
+    "contract as the rolling-WAU oracle), max_event_us = the "
+    "watermark driver (watermark = max event time minus the "
+    "configured lateness), rows_dropped = 0 on an ordered replay.  "
+    "The live face is proven against these numbers over two REAL "
+    "concurrent channels in tests/test_streaming.py.  Plan: two "
+    "scalar aggregates plus one keyed register aggregate — "
+    "partial+final everywhere, constant-size reduce side.",
+)
+def channel_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.vocab import hll_keyed_rhos
+
+    e = load_table(spark, sf_dir, "events")
+    f = e.agg(
+        F.countDistinct(F.date_trunc("week", F.col("ts"))).alias(
+            "n_batches"
+        ),
+        F.count(F.lit(1)).alias("input_rows"),
+        F.countDistinct("user_id").alias("state_rows"),
+        F.max(F.unix_micros(F.col("ts"))).alias("max_event_us"),
+    )
+    regs = hll_keyed_rhos(
+        e.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id"),
+        "user_id",
+        ["day"],
+    )
+    w = regs.agg(F.count(F.lit(1)).alias("w_state_rows"))
+    funnel = f.select(
+        F.lit("events_funnel").alias("channel"),
+        "n_batches",
+        "input_rows",
+        "state_rows",
+        "max_event_us",
+        F.lit(0).cast("long").alias("rows_dropped"),
+    )
+    wau = (
+        f.crossJoin(F.broadcast(w))
+        .select(
+            F.lit("events_wau").alias("channel"),
+            "n_batches",
+            "input_rows",
+            F.col("w_state_rows").alias("state_rows"),
+            "max_event_us",
+            F.lit(0).cast("long").alias("rows_dropped"),
+        )
+    )
+    return funnel.unionByName(wau).orderBy("channel")

@@ -76,7 +76,8 @@ def start_cohort_channel(
         )
 
     return (
-        stream.writeStream.foreachBatch(run_batch)
+        stream.writeStream.queryName(sink_table)
+        .foreachBatch(run_batch)
         .option("checkpointLocation", scratch_dir("cohort_ckpt_"))
         .trigger(availableNow=True)
         .start()
@@ -386,7 +387,8 @@ def start_funnel_channel(
         )
 
     return (
-        transitions.writeStream.foreachBatch(run_batch)
+        transitions.writeStream.queryName(sink_table)
+        .foreachBatch(run_batch)
         .option("checkpointLocation", scratch_dir("funnel_ckpt_"))
         .trigger(availableNow=True)
         .start()
@@ -447,7 +449,8 @@ def start_wau_channel(
         ).createOrReplaceTempView(sink_table)
 
     return (
-        stream.writeStream.foreachBatch(run_batch)
+        stream.writeStream.queryName(sink_table)
+        .foreachBatch(run_batch)
         .option("checkpointLocation", scratch_dir("wau_ckpt_"))
         .trigger(availableNow=True)
         .start()
@@ -613,7 +616,8 @@ def start_events_bucketed_channel(
         open(marker, "w").close()
 
     return (
-        stream.writeStream.foreachBatch(run_batch)
+        stream.writeStream.queryName(tbl)
+        .foreachBatch(run_batch)
         .option("checkpointLocation", scratch_dir("events_bucketed_ckpt_"))
         .trigger(availableNow=True)
         .start()

@@ -421,3 +421,87 @@ def watermark_drop_report(query) -> list[dict]:
             }
         )
     return out
+
+
+def channel_stats(spark, queries=None) -> "DataFrame":
+    """Fleet-wide streaming health as ONE queryable DataFrame — the
+    reference's `/ws/stats` aggregation (`app/api/websocket_routes.py:
+    210-234` keeps per-channel counters across the connection fleet)
+    re-expressed over Structured Streaming's own progress metrics:
+    one row per channel with batches, input rows, state-store rows,
+    the current event-time watermark, and beyond-lateness drops.
+
+    ``queries``: explicit list of StreamingQuery handles (terminated
+    handles keep their progress history, so an ``availableNow`` replay
+    can be inspected after it drains); default = every active query
+    on the session (``spark.streams.active``).
+
+    Driver-side metadata only — O(#queries x #batches) progress
+    objects, retention-bounded by Spark's progress buffer (default
+    100 batches per query), never a data-sized structure.  Columns:
+    (channel, n_batches, input_rows, state_rows, watermark,
+    rows_dropped, is_active); ``watermark`` is NULL for channels
+    without an event-time watermark (the ordered fast paths),
+    ``state_rows`` is 0 for stateless foreachBatch channels."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    if queries is None:
+        queries = list(spark.streams.active)
+    schema = StructType(
+        [
+            StructField("channel", StringType()),
+            StructField("n_batches", LongType()),
+            StructField("input_rows", LongType()),
+            StructField("state_rows", LongType()),
+            StructField("watermark", TimestampType()),
+            StructField("rows_dropped", LongType()),
+            StructField("is_active", BooleanType()),
+        ]
+    )
+    rows = []
+    for q in queries:
+        progs = list(q.recentProgress)
+        batches = {int(p["batchId"]) for p in progs}
+        input_rows = sum(int(p.get("numInputRows", 0) or 0) for p in progs)
+        dropped = sum(
+            int(op.get("numRowsDroppedByWatermark", 0) or 0)
+            for p in progs
+            for op in (p.get("stateOperators") or [])
+        )
+        state_rows = 0
+        wm = None
+        if progs:
+            last = progs[-1]
+            state_rows = sum(
+                int(op.get("numRowsTotal", 0) or 0)
+                for op in (last.get("stateOperators") or [])
+            )
+            wm_s = (last.get("eventTime") or {}).get("watermark")
+            # Spark reports the epoch zero point while no watermark
+            # has been computed yet — surface that as NULL, the same
+            # reading as a channel with no watermark at all
+            if wm_s and not wm_s.startswith("1970-01-01T00:00:00"):
+                import datetime
+
+                wm = datetime.datetime.strptime(
+                    wm_s, "%Y-%m-%dT%H:%M:%S.%fZ"
+                )
+        rows.append(
+            (
+                q.name or str(q.id),
+                len(batches),
+                input_rows,
+                state_rows,
+                wm,
+                dropped,
+                bool(q.isActive),
+            )
+        )
+    return spark.createDataFrame(rows, schema)
