@@ -239,3 +239,94 @@ def test_exact_ntile_by_spreads_hot_group_across_partitions(spark):
         .count()
     )
     assert diff == 0
+
+
+@pytest.fixture(scope="module")
+def hot_band_docs(spark):
+    """A template-family corpus: 30% of documents are ONE template
+    (identical text, hence one minhash signature and one hot band
+    bucket), the rest pairwise-unique.  The banded near-dup joins'
+    power-law hot spot (round-9 verdict Next #7)."""
+    n = 3000
+    template = "the quick brown fox jumps over the lazy dog again"
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(template))
+        .otherwise(
+            F.concat(
+                F.lit("tok"), F.col("id"),
+                F.lit(" mid"), F.col("id") * 7 % 997,
+                F.lit(" tail"), F.col("id") * 13 % 991,
+            )
+        )
+        .alias("text"),
+    )
+
+
+def test_minhash_hot_bucket_partial_aggs_and_spreads(spark, hot_band_docs):
+    """The minhash bucket pipeline on a 30%-hot-template corpus: (a)
+    the (band, band_hash) candidate aggregate runs with a PARTIAL
+    (map-side) stage below its exchange, so the hot band's rows
+    pre-combine per input partition instead of all shipping to one
+    reducer; (b) the in-bucket pair explosion stays ELEMENT-parallel
+    (the round-robin repartition between the bucket aggregate and the
+    pair Generate), so the hot bucket's O(k^2) emission spreads across
+    cores instead of serializing on one task; (c) the answer is the
+    exact C(900, 2) template clique."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+
+    pairs = DD.near_duplicate_pairs(
+        hot_band_docs, threshold=1.0, n_hashes=32, bands=1
+    )
+    n = pairs.count()
+    assert n == 900 * 899 // 2, n
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_collect_set" in plan or plan.count(
+        "ObjectHashAggregate"
+    ) >= 2, f"bucket collect_set lost its partial stage:\n{plan}"
+    assert "RoundRobinPartitioning" in plan, (
+        f"pair explosion lost the element-parallel repartition — a hot "
+        f"bucket's k^2 emission would serialize on one task:\n{plan}"
+    )
+
+
+def test_dhash_hot_band_absorbed_at_signature_granularity(spark):
+    """The dHash banding engine on a 30%-hot-signature corpus: the
+    hot template collapses into ONE signature-group row before any
+    band join (candidate state is O(#distinct hashes), the docstring
+    claim), the signature groupBy partial-aggregates below its
+    exchange, and the expanded answer is exactly the template clique
+    plus nothing else (the random tail is pairwise far)."""
+    from streaming_forex_data_pipeline_spark.llm import dedup as DD
+
+    n, hot = 3000, 900
+    hashes = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 3, F.lit(12345))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1 << 32)))
+        .alias("h_lo"),
+        F.when(F.col("id") % 10 < 3, F.lit(67890))
+        .otherwise(F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1 << 32)))
+        .alias("h_hi"),
+    )
+    # candidate state is signature-granular: the 900 hot docs are ONE
+    # row of the groups frame
+    n_groups = hashes.groupBy("h_lo", "h_hi").count().count()
+    assert n_groups <= n - hot + 1
+    pairs = DD.dhash_near_dup_pairs(hashes, max_hamming=0)
+    got = pairs.count()
+    assert got >= hot * (hot - 1) // 2
+    # the tail is random 64-bit; any extra pairs are rare accidental
+    # exact collisions, never a flood
+    assert got <= hot * (hot - 1) // 2 + 5, got
+    # the signature groupBy sits behind dhash_near_dup_pairs' lazy
+    # localCheckpoint (its plan is invisible from the pairs frame), so
+    # gate the partial stage on the identical construction directly
+    groups = hashes.groupBy("h_lo", "h_hi").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    groups.count()
+    plan = groups._jdf.queryExecution().executedPlan().toString()
+    assert "partial_collect_list" in plan or plan.count(
+        "ObjectHashAggregate"
+    ) >= 2, f"signature groupBy lost its partial stage:\n{plan}"
