@@ -201,6 +201,9 @@ HEADLINE = [
     "video_near_dups",
     "cross_modal_clusters",
     "channel_stats_replay",
+    "video_decode",
+    "top_supplier_revenue",
+    "cheapest_supplier_per_part",
 ]
 
 TIMED_SWEEPS = 2

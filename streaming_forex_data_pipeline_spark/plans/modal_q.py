@@ -416,3 +416,40 @@ def channel_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return funnel.unionByName(wau).orderBy("channel")
+
+
+@register(
+    "video_decode",
+    oracle="""
+WITH vdims2 AS (
+  SELECT doc_id,
+         doc_id % 24 + 6 AS nf,
+         doc_id % 12 + 8 AS w,
+         doc_id % 10 + 6 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(nf AS INT) AS n_frames,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, nf), k ->
+         list_sum(list_transform(range(0, w * h), i ->
+           (doc_id * 31 + k * 101 + i * 7) % 256)))) AS BIGINT)
+         AS pixel_sum
+FROM vdims2
+ORDER BY doc_id
+""",
+    doc="Full-container video decode (llm/multimodal.py:decode_videos)"
+    ": walk every Motion-PNG member by chunk grammar, PNG-decode all "
+    "frames, and emit per-clip frame count, dimensions, and the exact "
+    "int64 pixel total — the video analogue of image_decode/"
+    "audio_decode, and the query that gates the CONTAINER itself "
+    "(sampling-based fingerprints only touch every 2nd frame; this "
+    "reads all of them, so a single corrupt member or off-by-one in "
+    "the chunk walk breaks the sum).  The oracle replays every pixel "
+    "of every frame in closed form.  One Arrow-batched mapInPandas "
+    "pass, no shuffle, embarrassingly parallel.",
+)
+def video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return MM.decode_videos(MM.encode_videos(fan_out(d))).orderBy("doc_id")

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..operators.indicators import cents
 from ..sources.tables import load_table
 from .registry import register
+from .tpch_q import _REV_C4_SQL  # shared integer-cents oracle fragment
 
 R = 6  # float rounding for cross-engine hash stability
 
@@ -307,4 +308,131 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(bal_c) / 100.0, R).alias("totacctbal"),
         )
         .orderBy("n_name")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({_REV_C4_SQL}) AS BIGINT) AS total_c4
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       round(r.total_c4 / 10000.0, 6) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_c4 = (SELECT max(total_c4) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+    doc="Top supplier by quarterly revenue (TPC-H Q15): the revenue "
+    "VIEW + global-scalar-max shape — the spec compares each view row "
+    "against a scalar subquery over the SAME view.  The Spark rewrite "
+    "computes the view once (one keyed partial+final aggregate over "
+    "the shipdate-pruned fact), derives the max as a one-row "
+    "aggregate OF THAT FRAME, and broadcast-cross-joins it back as "
+    "the filter — the view is never computed twice (the classic Q15 "
+    "double-evaluation trap), and the tie comparison runs on the "
+    "EXACT integer cents-x-pct total, so two engines can never "
+    "disagree about who is 'the' top supplier on a float boundary.  "
+    "The supplier dimension broadcasts onto the one-or-few winners.",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    revenue = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev_c4).alias("total_c4"))
+    )
+    mx = revenue.agg(F.max("total_c4").alias("__mx"))
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_c4") == F.col("__mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_c4") / 10000.0, R).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           AS BIGINT) AS tot_c
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT p.p_partkey, p.p_name, s.s_name,
+       round(sp.tot_c / 100.0, 6) AS min_total
+FROM sp
+JOIN part p ON p.p_partkey = sp.l_partkey
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+WHERE sp.tot_c = (SELECT min(sp2.tot_c) FROM sp sp2
+                  WHERE sp2.l_partkey = sp.l_partkey)
+ORDER BY p.p_partkey, s.s_name
+LIMIT 100
+""",
+    doc="Groupwise minimum with a correlated subquery (TPC-H Q2's "
+    "min-cost-supplier shape; the synthetic schema has no partsupp, "
+    "so the cost surface is each supplier's total shipped extended "
+    "price per part): for every part, the supplier(s) achieving the "
+    "minimum total — the spec correlates a scalar MIN subquery on the "
+    "grouping key, and ties keep every achieving supplier.  The "
+    "Spark rewrite is min-aggregate + rejoin: the per-(part, "
+    "supplier) totals aggregate once (keyed partial+final), the "
+    "per-part minimum derives from THAT frame with a second keyed "
+    "aggregate, and an equi-join on (partkey, total == min) selects "
+    "the achievers — both sides co-keyed on partkey, so the rejoin "
+    "adds no third exchange; dimensions broadcast onto the winners.  "
+    "All comparisons on EXACT integer cents — groupwise-min on a "
+    "float aggregate is exactly where cross-engine ties diverge, so "
+    "the total (not an average) is the cost surface.",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("tot_c"))
+    )
+    mins = sp.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("tot_c").alias("__min_c")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        sp.join(
+            mins,
+            (F.col("l_partkey") == F.col("__pk"))
+            & (F.col("tot_c") == F.col("__min_c")),
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round(F.col("tot_c") / 100.0, R).alias("min_total"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
     )
