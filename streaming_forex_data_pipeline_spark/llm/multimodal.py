@@ -502,6 +502,21 @@ def dhash_images(
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _dhash_grid(w: int, h: int, grid_w: int, grid_h: int):
+    import numpy as np
+
+    sy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+    sx = (np.arange(grid_w + 1, dtype=np.int64) * w) // (grid_w + 1)
+    return sy, sx
+
+
+_POW2_32 = None  # lazily-built 1 << arange(32) (numpy import stays lazy)
+
+
 def _dhash_halves(
     px, ch: int, w: int, h: int, grid_w: int = 8, grid_h: int = 8
 ) -> tuple[int, int]:
@@ -521,9 +536,14 @@ def _dhash_halves(
         # (review-found; deterministic integer math so the hash stays
         # engine-replayable)
         px = px.astype(np.int64).sum(axis=2) // ch
-    weights = 1 << np.arange(32, dtype=np.int64)
-    sy = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
-    sx = (np.arange(grid_w + 1, dtype=np.int64) * w) // (grid_w + 1)
+    # per-frame allocations hoisted (review-found): the weights vector
+    # is parameter-free and the sample grids repeat per (w, h) — on the
+    # video path every sampled frame of a clip shares one grid
+    global _POW2_32
+    if _POW2_32 is None:
+        _POW2_32 = 1 << np.arange(32, dtype=np.int64)
+    weights = _POW2_32
+    sy, sx = _dhash_grid(w, h, grid_w, grid_h)
     g = px[np.ix_(sy, sx)].astype(np.int64)
     bits = (g[:, 1:] > g[:, :-1]).astype(np.int64).ravel()
     return int((bits[:32] * weights).sum()), int((bits[32:] * weights).sum())
@@ -675,6 +695,14 @@ def decode_videos(videos: DataFrame) -> DataFrame:
             rows = {k: [] for k in VIDEO_DECODE_SCHEMA.fieldNames()}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 frames = split_mpng(bytes(payload))
+                if not frames:
+                    # split_mpng returns [] for an EMPTY stream (its
+                    # loop never runs) — raise the structural error the
+                    # codec layer promises instead of crashing below on
+                    # int(None) (review-found)
+                    raise ValueError(
+                        f"doc {int(doc_id)}: empty Motion-PNG stream"
+                    )
                 total = 0
                 w = h = None
                 for fb in frames:

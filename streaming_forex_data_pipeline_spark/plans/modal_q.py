@@ -44,19 +44,29 @@ _VBIT = (
     + " THEN 1 ELSE 0 END"
 )
 
+#: the registered sampling stride — ONE definition feeding both the
+#: Spark builders and the oracle CTEs (review-found triplication)
+VIDEO_EVERY_N = 2
+
+# one oracle-side rendering of the llm/multimodal.py video dimension
+# contract, interpolated from the SAME constants the kernels use
+_VDIMS_SQL = (
+    f"SELECT doc_id, "
+    f"doc_id % {MM.VID_NF_MOD} + {MM.VID_NF_OFF} AS nf, "
+    f"doc_id % {MM.VID_W_MOD} + {MM.VID_W_OFF} AS w, "
+    f"doc_id % {MM.VID_H_MOD} + {MM.VID_H_OFF} AS h "
+    f"FROM documents"
+)
+
 _VHASH_CTE = f"""
 vdims AS (
-  SELECT doc_id,
-         doc_id % 24 + 6 AS nf,
-         doc_id % 12 + 8 AS w,
-         doc_id % 10 + 6 AS h
-  FROM documents
+  {_VDIMS_SQL}
 ),
 vframes AS (
   SELECT doc_id, w, h, unnest(range(0, nf)) AS k FROM vdims
 ),
 vsampled AS (
-  SELECT * FROM vframes WHERE k % 2 = 0
+  SELECT * FROM vframes WHERE k % {VIDEO_EVERY_N} = 0
 ),
 vbt AS (
   SELECT doc_id, k,
@@ -104,7 +114,7 @@ ORDER BY doc_id, frame_idx
 def video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return MM.dhash_video_frames(
-        MM.encode_videos(fan_out(d)), every_n=2
+        MM.encode_videos(fan_out(d)), every_n=VIDEO_EVERY_N
     ).orderBy("doc_id", "frame_idx")
 
 
@@ -144,7 +154,9 @@ ORDER BY doc_a, doc_b
 )
 def video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    prints = MM.dhash_video_frames(MM.encode_videos(fan_out(d)), every_n=2)
+    prints = MM.dhash_video_frames(
+        MM.encode_videos(fan_out(d)), every_n=VIDEO_EVERY_N
+    )
     return _video_pairs(prints, max_hamming=1, min_frames=3).orderBy(
         "doc_a", "doc_b"
     )
@@ -323,7 +335,9 @@ def cross_modal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.fingerprint_audio(MM.encode_audio(fan_out(d))), max_hamming=0
     ).select("doc_a", "doc_b", F.lit("audio").alias("modality"))
     video = _video_pairs(
-        MM.dhash_video_frames(MM.encode_videos(fan_out(d)), every_n=2),
+        MM.dhash_video_frames(
+            MM.encode_videos(fan_out(d)), every_n=VIDEO_EVERY_N
+        ),
         max_hamming=0,
         min_frames=3,
     ).select("doc_a", "doc_b", F.lit("video").alias("modality"))
@@ -420,13 +434,9 @@ def channel_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "video_decode",
-    oracle="""
+    oracle=f"""
 WITH vdims2 AS (
-  SELECT doc_id,
-         doc_id % 24 + 6 AS nf,
-         doc_id % 12 + 8 AS w,
-         doc_id % 10 + 6 AS h
-  FROM documents
+  {_VDIMS_SQL}
 )
 SELECT doc_id,
        CAST(nf AS INT) AS n_frames,

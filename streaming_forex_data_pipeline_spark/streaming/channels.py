@@ -490,9 +490,14 @@ def channel_stats(spark, queries=None) -> "DataFrame":
             if wm_s and not wm_s.startswith("1970-01-01T00:00:00"):
                 import datetime
 
+                # the progress string is UTC ('...Z'): attach the
+                # timezone explicitly, or createDataFrame would read a
+                # naive datetime in the session timeZone and shift the
+                # reported watermark on any non-UTC session
+                # (review-found)
                 wm = datetime.datetime.strptime(
                     wm_s, "%Y-%m-%dT%H:%M:%S.%fZ"
-                )
+                ).replace(tzinfo=datetime.timezone.utc)
         rows.append(
             (
                 q.name or str(q.id),

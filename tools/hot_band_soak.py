@@ -71,7 +71,11 @@ def make_hashes(spark, n: int, out: str) -> str:
 
 def main() -> None:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    spark = get_spark("hot-band-soak", cpus=32)
+    # oversubscribing a smaller host would measure the exponents under
+    # self-inflicted contention — the host-noise confound bench.py's
+    # loadavg warning exists to flag (review-found)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(min(32, os.cpu_count() or 8))))
+    spark = get_spark("hot-band-soak", cpus=cpus)
     root = scratch_dir("hot_band_soak_")
 
     cases = {}
@@ -99,16 +103,23 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best, rows
 
-    print("| join | t(1x) | t(10x) | exponent | rows 1x | rows 10x |")
-    print("|---|---|---|---|---|---|")
-    for kind in ("minhash", "dhash"):
-        t1, r1 = run(kind, cases[(kind, "1x")])
-        t10, r10 = run(kind, cases[(kind, "10x")])
-        exp = math.log(t10 / t1) / math.log(10)
-        print(
-            f"| {kind}_hot_band | {t1:.2f}s | {t10:.2f}s | "
-            f"{exp:.2f} | {r1} | {r10} |"
-        )
+    try:
+        print("| join | t(1x) | t(10x) | exponent | rows 1x | rows 10x |")
+        print("|---|---|---|---|---|---|")
+        for kind in ("minhash", "dhash"):
+            t1, r1 = run(kind, cases[(kind, "1x")])
+            t10, r10 = run(kind, cases[(kind, "10x")])
+            exp = math.log(t10 / t1) / math.log(10)
+            print(
+                f"| {kind}_hot_band | {t1:.2f}s | {t10:.2f}s | "
+                f"{exp:.2f} | {r1} | {r10} |"
+            )
+    finally:
+        # the scratch root has no vacuum: leaving four fact-sized
+        # corpora per run accumulates unbounded (review-found)
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
