@@ -204,6 +204,11 @@ HEADLINE = [
     "video_decode",
     "top_supplier_revenue",
     "cheapest_supplier_per_part",
+    "nation_trade_volume",
+    "market_share",
+    "product_type_profit",
+    "supplier_diversity",
+    "dominant_part_suppliers",
 ]
 
 TIMED_SWEEPS = 2

@@ -436,3 +436,388 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey", "s_name")
         .limit(100)
     )
+
+
+# --- round-10 completion of the TPC-H shape catalog: the remaining
+# classic join/aggregate postures (Q7/Q8/Q9) and the two remaining
+# subquery shapes (Q16's NOT-IN exclusion, Q20's nested semi over a
+# correlated aggregate).  With these, every TPC-H query shape the
+# synthetic schema can express has a registered, oracle-exact,
+# posture-documented rendering.
+
+_TRADE_NATIONS = ("NATION_1", "NATION_2")
+
+
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(sum({_REV_C4_SQL}) / 10000.0, 6) AS revenue
+FROM supplier s
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+    doc="Bilateral trade volume (TPC-H Q7): two years of revenue "
+    "between one nation pair, by shipping direction and year.  The "
+    "nation-pair disjunction becomes PER-SIDE PRUNES: the two-nation "
+    "sliver of nation broadcasts into supplier AND customer before "
+    "any fact shuffle (both dimensions drop to ~2/25 of their rows), "
+    "and the cross-side condition reduces to supp_nation <> "
+    "cust_nation as the join residual — the same per-side-relaxation "
+    "move as Q19, applied to dimensions.  The fact chain shuffles in "
+    "fact order (orders-customer on custkey, lineitem on orderkey, "
+    "supplier on suppkey); the shipdate range pushes to the lineitem "
+    "scan; revenue rides as exact integer cents-x-pct; at most "
+    "2 x 2 x #years output groups.",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    pair = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*_TRADE_NATIONS))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(pair, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(pair, F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev_c4) / 10000.0, R).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "market_share",
+    oracle=f"""
+WITH all_sales AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         {_REV_C4_SQL} AS volume_c4,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'STANDARD'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume_c4
+                      ELSE 0 END)
+             / sum(volume_c4), 6) AS mkt_share
+FROM all_sales
+GROUP BY o_year
+ORDER BY o_year
+""",
+    doc="National market share (TPC-H Q8): NATION_1 suppliers' share "
+    "of the ASIA market for one part type, by order year.  Two "
+    "broadcast prunes gate the fact chain: the region-filtered "
+    "customer side (the Q5 move) and the type-filtered part catalog "
+    "sliver; the supplier side joins un-pruned (its NATION is the "
+    "measure, not a filter) with the nation name attached by "
+    "broadcast.  The share is a ratio of two EXACT integer "
+    "cents-x-pct sums aggregated in one pass (conditional numerator "
+    "via CASE — no second scan, no join of two aggregates), so the "
+    "final division is the only float op.  Output is #years rows.",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    std_parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("__nk2"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("__nk2"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    sales = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(std_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(asia_cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(supp_nation, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_c4.alias("volume_c4"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("volume_c4"))
+        .otherwise(F.lit(0))
+    )
+    return (
+        sales.groupBy("o_year")
+        .agg(F.round(num / F.sum("volume_c4"), R).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "product_type_profit",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(sum({_REV_C4_SQL}
+                 - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                   * CAST(round(l.l_quantity) AS BIGINT) * 100)
+             / 10000.0, 6) AS profit
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE 'red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+    doc="Product-line profit by supplier nation and year (TPC-H Q9; "
+    "the synthetic schema has no partsupp supplycost, so cost = the "
+    "part's retail price x quantity — same shape, catalog-priced): "
+    "profit = revenue minus cost for every 'red' part, grouped by "
+    "the supplying nation and order year.  The name-prefix filter "
+    "prunes part to a catalog sliver that BROADCASTS into the "
+    "lineitem scan carrying its retail price (no second fact pass "
+    "for the cost side); orders joins on orderkey only to supply the "
+    "year; nation broadcasts onto the supplier side.  Profit rides "
+    "as ONE exact integer cents-x-pct expression (rev_c4 - "
+    "retail_cents x qty x 100) so the sum is aggregation-order-free "
+    "even though individual amounts go negative.",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_parts = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    amount_c4 = rev_c4 - cents("p_retailprice") * qty * F.lit(100)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(red_parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount_c4) / 10000.0, R).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "supplier_diversity",
+    oracle="""
+SELECT p.p_brand, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+""",
+    doc="Supplier diversity per part class (TPC-H Q16; the synthetic "
+    "supplier has no comment column, so the spec's "
+    "complaint-exclusion NOT IN becomes negative-balance suppliers): "
+    "how many distinct suppliers ship each (brand, size) class, "
+    "excluding one brand, restricted to eight sizes, and never "
+    "counting excluded suppliers.  The NOT IN rewrites as a LEFT "
+    "ANTI join against the (tiny, broadcast) exclusion list — safe "
+    "here because s_suppkey is non-null; a nullable NOT-IN column "
+    "would need the null-aware variant — and both part predicates "
+    "push to the part scan before its broadcast into the fact.  The "
+    "distinct-count aggregate partial-aggregates on (brand, size, "
+    "suppkey) before the final count — the two-level shape that "
+    "keeps a hot part class from shipping raw rows.",
+)
+def supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    excluded = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@register(
+    "dominant_part_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT sp.l_suppkey
+  FROM (SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 AS q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2) sp
+  JOIN part p ON p.p_partkey = sp.l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND 2 * sp.q > (SELECT CAST(sum(CAST(round(l2.l_quantity) AS BIGINT))
+                           AS BIGINT)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = sp.l_partkey
+                      AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                      AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+)
+ORDER BY s.s_suppkey
+""",
+    doc="Dominant part suppliers (TPC-H Q20's nested shape; no "
+    "partsupp availqty in the synthetic schema, so the inner "
+    "threshold becomes market dominance: the supplier shipped MORE "
+    "THAN HALF of a red part's total 1997 quantity): an IN subquery "
+    "whose body itself carries a correlated scalar aggregate — the "
+    "deepest nesting in the TPC-H catalog.  The rewrite flattens "
+    "both levels into aggregates: per-(part, supplier) quantity and "
+    "per-part total both derive from the SAME year-pruned, "
+    "brand-pruned fact slice (co-keyed on partkey, one exchange feeds "
+    "both), the dominance cut is the cross-multiplied EXACT integer "
+    "inequality 2*q > total (no float half), and the IN collapses to "
+    "a distinct key list feeding a LEFT SEMI join against supplier.  "
+    "The year filter pushes to both scans; the red-part sliver "
+    "broadcasts.",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    red = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li_red = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(red, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_partkey", "l_suppkey", qty.alias("__q"))
+    )
+    sp = li_red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("__q").alias("q")
+    )
+    tot = li_red.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__q").alias("__tot")
+    )
+    dominant = (
+        sp.join(tot, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.lit(2) * F.col("q") > F.col("__tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
