@@ -552,3 +552,52 @@ def test_idle_customer_balance_anti_joins_and_broadcasts_scalar(
     assert "o_orderpriority" in pushed, (
         f"urgent filter not pushed to the orders scan:\n{plan}"
     )
+
+
+@pytest.mark.parametrize(
+    "name,pushed,features",
+    [
+        (
+            "nation_trade_volume",
+            ["l_shipdate"],
+            ["BroadcastHashJoin"],  # nation-pair prunes into both dims
+        ),
+        (
+            "market_share",
+            ["o_orderdate", "p_type"],
+            ["BroadcastHashJoin"],
+        ),
+        (
+            "product_type_profit",
+            ["p_name"],  # StartsWith pushes to the part scan
+            ["BroadcastHashJoin"],
+        ),
+        (
+            "supplier_diversity",
+            ["p_brand", "p_size"],
+            ["LeftAnti"],  # NOT IN as anti join on a non-null key
+        ),
+        (
+            "dominant_part_suppliers",
+            ["l_shipdate", "p_name"],
+            ["LeftSemi"],  # IN as semi join on the distinct key list
+        ),
+    ],
+)
+def test_tpch_completion_postures(spark, sf_dir, name, pushed, features):
+    """The round-10 TPC-H catalog completion, posture-pinned: each
+    query's pruning predicates must reach their scans and its
+    signature join shape (broadcast prune / anti / semi) must appear
+    in the executed plan."""
+    df = all_queries()[name].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    got_pushed = "".join(
+        seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]
+    )
+    for col in pushed:
+        assert col in got_pushed, (
+            f"{name}: {col} not pushed to its scan:\n{plan}"
+        )
+    for feat in features:
+        assert feat in plan, f"{name}: plan lost {feat}:\n{plan}"
