@@ -209,6 +209,7 @@ HEADLINE = [
     "product_type_profit",
     "supplier_diversity",
     "dominant_part_suppliers",
+    "incremental_image_dedup",
 ]
 
 TIMED_SWEEPS = 2

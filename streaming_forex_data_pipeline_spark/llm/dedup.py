@@ -1387,3 +1387,161 @@ def cross_modal_clusters(
         )
         .orderBy("cluster_id")
     )
+
+
+def incremental_dhash_pairs(
+    hashes: DataFrame, is_new: Column, max_hamming: int = 3
+) -> DataFrame:
+    """Incremental near-dup over 64-bit two-half signatures — the
+    `incremental_near_dup_pairs` daily-crawl shape applied to the
+    perceptual modalities (image dHash, audio envelope, video frame
+    hashes): find pairs where at least one side is NEW, never
+    re-pairing the historical corpus against itself.
+
+    Keeps `dhash_near_dup_pairs`' SIGNATURE granularity: members
+    aggregate per distinct (h_lo, h_hi) with old/new split, so a
+    template family of any size is one group row until final
+    expansion, and the banded candidate join runs on distinct
+    signatures only.  Candidate signature pairs must touch a
+    new-membered signature; expansion emits new x all and old x new
+    tiers (old x old never expands).  Returns (doc_a, doc_b, hamming)
+    with doc_a < doc_b — exactly `dhash_near_dup_pairs(hashes)`
+    filtered to pairs with a new side, which is what the oracle
+    checks.
+
+    NULL ``is_new`` coalesces to the OLD/index side (the
+    left-join-derived-flag contract shared with the text version)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(f"max_hamming must be in [0, 3], got {max_hamming}")
+    flags = hashes.select(
+        "doc_id", "h_lo", "h_hi",
+        F.coalesce(is_new, F.lit(False)).alias("is_new"),
+    )
+    groups = (
+        flags.groupBy("h_lo", "h_hi")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.when(~F.col("is_new"), F.col("doc_id")))
+            ).alias("old_ids"),
+            F.sort_array(
+                F.collect_set(F.when(F.col("is_new"), F.col("doc_id")))
+            ).alias("new_ids"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sc = hashes.sparkSession.sparkContext
+
+    # hamming-0 tier (within one signature): new-new by tail-slice
+    # explosion, old-new by cross — both element-parallel
+    with_new = groups.filter(F.size("new_ids") > 0)
+    nn = (
+        with_new.filter(F.size("new_ids") > 1)
+        .select(F.posexplode("new_ids").alias("i", "a"), F.col("new_ids"))
+        .repartition(sc.defaultParallelism)
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("new_ids"), F.col("i") + 2, F.size("new_ids"))
+            ).alias("b"),
+        )
+    )
+    on = (
+        with_new.filter(F.size("old_ids") > 0)
+        .select(F.explode("old_ids").alias("a"), F.col("new_ids"))
+        .repartition(sc.defaultParallelism)
+        .select("a", F.explode("new_ids").alias("b"))
+    )
+    intra = (
+        nn.unionAll(on)
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+
+    # cross-signature tier: band the distinct signatures (same four
+    # 16-bit bands as dhash_near_dup_pairs), join new-membered
+    # signatures against ALL signatures, verify hamming, expand
+    mask = F.lit((1 << 16) - 1)
+    def banded(g):
+        return g.select(
+            "h_lo", "h_hi", "old_ids", "new_ids",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"),
+                             F.col("h_lo").bitwiseAND(mask).alias("key")),
+                    F.struct(F.lit(1).alias("band"),
+                             F.shiftright("h_lo", 16).alias("key")),
+                    F.struct(F.lit(2).alias("band"),
+                             F.col("h_hi").bitwiseAND(mask).alias("key")),
+                    F.struct(F.lit(3).alias("band"),
+                             F.shiftright("h_hi", 16).alias("key")),
+                )
+            ).alias("b"),
+        ).select("h_lo", "h_hi", "old_ids", "new_ids", "b.band", "b.key")
+
+    a = banded(with_new).select(
+        "band", "key",
+        F.col("h_lo").alias("lo_a"), F.col("h_hi").alias("hi_a"),
+        F.col("old_ids").alias("old_a"), F.col("new_ids").alias("new_a"),
+    )
+    bb = banded(groups).select(
+        "band", "key",
+        F.col("h_lo").alias("lo_b"), F.col("h_hi").alias("hi_b"),
+        F.col("old_ids").alias("old_b"), F.col("new_ids").alias("new_b"),
+    )
+    sig_a = F.struct(F.col("hi_a"), F.col("lo_a"))
+    sig_b = F.struct(F.col("hi_b"), F.col("lo_b"))
+    # a carries the new-membered side; allow either signature order and
+    # canonicalize pairs at expansion (a candidate signature pair is
+    # kept once via dropDuplicates on the unordered signature key)
+    vpairs = (
+        a.join(bb, ["band", "key"])
+        .filter(sig_a != sig_b)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # multi-band collisions of the SAME orientation dedup here; the
+        # two orientations of a both-sides-new signature pair survive
+        # to expansion (bounded 2x work) and collapse in the final
+        # doc-pair dedup
+        .dropDuplicates(["lo_a", "hi_a", "lo_b", "hi_b"])
+    )
+    # expansion tiers: new_a x (old_b + new_b)  UNION  old_a x new_b.
+    # A signature pair can surface in BOTH (a, b) orientations when
+    # both signatures carry new members — canonicalize the doc pair
+    # and dedup at the end (bounded by true output size).
+    exp1 = (
+        vpairs.select(
+            F.explode("new_a").alias("a"),
+            F.concat("old_b", "new_b").alias("others"),
+            "hamming",
+        )
+        .repartition(sc.defaultParallelism)
+        .select("a", F.explode("others").alias("b"), "hamming")
+    )
+    exp2 = (
+        vpairs.filter(F.size("old_a") > 0)
+        .select(
+            F.explode("old_a").alias("a"),
+            F.col("new_b").alias("others"),
+            "hamming",
+        )
+        .filter(F.size("others") > 0)
+        .repartition(sc.defaultParallelism)
+        .select("a", F.explode("others").alias("b"), "hamming")
+    )
+    cross = (
+        exp1.unionAll(exp2)
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "hamming",
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return intra.unionByName(cross)

@@ -463,3 +463,47 @@ ORDER BY doc_id
 def video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return MM.decode_videos(MM.encode_videos(fan_out(d))).orderBy("doc_id")
+
+
+@register(
+    "incremental_image_dedup",
+    oracle=f"""
+WITH {_DHASH_CTE}
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h_lo, b.h_lo))
+            + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS hamming
+FROM hashes a
+JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h_lo, b.h_lo))
+      + bit_count(xor(a.h_hi, b.h_hi)) <= 1
+  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+ORDER BY doc_a, doc_b
+""",
+    doc="Incremental image dedup (llm/dedup.py:incremental_dhash_pairs)"
+    ": the daily-crawl shape on the perceptual modality — near-dup "
+    "pairs where at least one side is NEW (registered split: every "
+    "5th doc_id plays today's batch), never re-pairing the historical "
+    "corpus against itself.  Signature granularity carries through "
+    "the incremental tiers: members aggregate per distinct hash with "
+    "an old/new split, candidate signature pairs must touch a "
+    "new-membered signature, and expansion emits new x all plus "
+    "old x new (old x old never expands) — so the daily cost is "
+    "O(new-signature bands + touched buckets), not O(corpus).  The "
+    "oracle is the exact all-pairs spec filtered to new-sided pairs, "
+    "so recall against the full answer is checked, not assumed.  The "
+    "same operator serves audio prints and video frame hashes "
+    "unchanged (shared two-half signature contract).",
+)
+def incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashes = MM.dhash_images(MM.encode_images(fan_out(d)))
+    return (
+        DD.incremental_dhash_pairs(
+            hashes, F.col("doc_id") % 5 == 0, max_hamming=1
+        )
+        .select(
+            "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

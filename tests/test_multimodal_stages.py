@@ -454,3 +454,44 @@ def test_cross_modal_clusters_image_only_bridge(spark):
         1,
         1,
     )
+
+
+def test_incremental_dhash_pairs_equals_filtered_full_answer(spark):
+    """The incremental signature-tier contract: over a corpus with a
+    hot template signature, a hamming-1 neighbor group, and a random
+    tail, incremental_dhash_pairs(is_new = doc_id % 5 == 0) must equal
+    dhash_near_dup_pairs filtered to pairs with a new side — every
+    tier (within-signature new-new and old-new, cross-signature
+    new x all and old x new, both orientations of a both-new pair)
+    exercised by construction."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        dhash_near_dup_pairs,
+        incremental_dhash_pairs,
+    )
+
+    hashes = spark.range(800).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 <= 2, F.lit(1000))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1 << 32)))
+        .alias("h_lo"),
+        F.when(F.col("id") % 7 < 2, F.lit(2000))
+        .when(F.col("id") % 7 == 2, F.lit(2001))  # hamming-1 neighbor
+        .otherwise(F.pmod(F.xxhash64(F.col("id") + 5), F.lit(1 << 32)))
+        .alias("h_hi"),
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(hashes, max_hamming=2).collect()
+    }
+    want = {
+        k: v for k, v in full.items() if k[0] % 5 == 0 or k[1] % 5 == 0
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in incremental_dhash_pairs(
+            hashes, F.col("doc_id") % 5 == 0, max_hamming=2
+        ).collect()
+    }
+    assert got == want and 0 < len(want) < len(full)
