@@ -210,6 +210,7 @@ HEADLINE = [
     "supplier_diversity",
     "dominant_part_suppliers",
     "incremental_image_dedup",
+    "video_near_dups_shifted",
 ]
 
 TIMED_SWEEPS = 2

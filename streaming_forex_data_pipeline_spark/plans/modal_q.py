@@ -507,3 +507,86 @@ def incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# all-frames variant of the hash CTE (the shifted matcher must see
+# every frame — a clip shifted by 1 has NO matches on an even-only
+# sampling grid)
+_VHASH_ALL_CTE = _VHASH_CTE.replace(
+    f"SELECT * FROM vframes WHERE k % {VIDEO_EVERY_N} = 0",
+    "SELECT * FROM vframes",
+)
+
+
+@register(
+    "video_near_dups_shifted",
+    oracle=f"""
+WITH {_VHASH_ALL_CTE},
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         b.frame_idx - a.frame_idx AS d,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM vhashes a JOIN vhashes b
+    ON a.h_lo = b.h_lo AND a.h_hi = b.h_hi
+   AND a.doc_id < b.doc_id
+   AND abs(b.frame_idx - a.frame_idx) <= 2
+  GROUP BY 1, 2, 3
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         CAST(d AS INT) AS best_offset,
+         cnt AS n_matching_frames
+  FROM m
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_a, doc_b ORDER BY cnt DESC, d) = 1
+)
+WHERE n_matching_frames >= 4
+ORDER BY doc_a, doc_b
+""",
+    doc="Temporal-offset-tolerant video near-dup: two clips match "
+    "when >= 4 frames carry EQUAL frame hashes under one consistent "
+    "temporal shift of at most 2 frames — the trimmed/padded-clip "
+    "case position-aligned matching (video_near_dups) cannot see; "
+    "457 of the 503 sf0.01 pairs need a nonzero offset.  Per clip "
+    "pair the match count is maximized over the offset (ties break "
+    "to the smallest shift, deterministically, via a struct max — "
+    "never a per-pair window).  The engine path hashes ALL frames "
+    "(a shift of 1 has no even-grid matches), runs the SHARED "
+    "banding engine at Hamming 0 over composite frame ids, derives "
+    "each candidate frame pair's offset from the id arithmetic, and "
+    "reduces by (pair, offset) then (pair) — keyed aggregates end to "
+    "end.  The oracle is the exact spec as a pure signature-EQUALITY "
+    "join (no quadratic all-pairs stage on either engine).",
+)
+def video_near_dups_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    prints = MM.dhash_video_frames(MM.encode_videos(fan_out(d)), every_n=1)
+    fid = (F.col("doc_id") * 1024 + F.col("frame_idx")).alias("doc_id")
+    pairs = DD.dhash_near_dup_pairs(
+        prints.select(fid, "h_lo", "h_hi"), max_hamming=0
+    )
+    va = F.floor(F.col("doc_a") / 1024)
+    vb = F.floor(F.col("doc_b") / 1024)
+    off = (F.col("doc_b") % 1024) - (F.col("doc_a") % 1024)
+    m = (
+        pairs.filter((va != vb) & (F.abs(off) <= 2))
+        .select(va.alias("v_a"), vb.alias("v_b"), off.alias("d"))
+        .groupBy("v_a", "v_b", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = (
+        m.groupBy("v_a", "v_b")
+        .agg(
+            F.max(
+                F.struct(F.col("cnt").alias("c"), (-F.col("d")).alias("nd"))
+            ).alias("__mx")
+        )
+        .select(
+            F.col("v_a").alias("doc_a"),
+            F.col("v_b").alias("doc_b"),
+            (-F.col("__mx.nd")).cast("int").alias("best_offset"),
+            F.col("__mx.c").alias("n_matching_frames"),
+        )
+        .filter(F.col("n_matching_frames") >= 4)
+    )
+    return best.orderBy("doc_a", "doc_b")

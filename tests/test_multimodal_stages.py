@@ -495,3 +495,71 @@ def test_incremental_dhash_pairs_equals_filtered_full_answer(spark):
         ).collect()
     }
     assert got == want and 0 < len(want) < len(full)
+
+
+def test_video_shifted_match_finds_trimmed_clip(spark):
+    """The offset-tolerant matcher's reason to exist: a clip with its
+    FIRST frame trimmed (and one new frame appended) shares zero
+    position-aligned frames with the original, but every surviving
+    frame matches at one consistent shift — the pair must surface
+    with best_offset -1 and a full-overlap count, and the
+    position-aligned rule must NOT pair them."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import (
+        encode_mpng,
+        encode_png,
+    )
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        dhash_near_dup_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.llm.multimodal import (
+        dhash_video_frames,
+    )
+    from streaming_forex_data_pipeline_spark.plans.modal_q import (
+        _video_pairs,
+    )
+
+    rng = np.random.RandomState(41)
+    frames_a = [
+        rng.randint(0, 256, size=(16, 20)).astype("uint8") for _ in range(8)
+    ]
+    frames_b = frames_a[1:] + [
+        rng.randint(0, 256, size=(16, 20)).astype("uint8")
+    ]
+    videos = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series([0, 1], dtype="int64"),
+                "payload": [
+                    encode_mpng([encode_png(p) for p in frames_a]),
+                    encode_mpng([encode_png(p) for p in frames_b]),
+                ],
+            }
+        )
+    )
+    prints = dhash_video_frames(videos, every_n=1)
+    fid = (prints["doc_id"] * 1024 + prints["frame_idx"]).alias("doc_id")
+    pairs = dhash_near_dup_pairs(
+        prints.select(fid, "h_lo", "h_hi"), max_hamming=0
+    )
+    va = F.floor(F.col("doc_a") / 1024)
+    vb = F.floor(F.col("doc_b") / 1024)
+    off = (F.col("doc_b") % 1024) - (F.col("doc_a") % 1024)
+    by_offset = {
+        r["d"]: r["n"]
+        for r in pairs.filter(va != vb)
+        .groupBy(off.alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # A.frame(f+1) == B.frame(f) -> the composite orientation gives
+    # d = f - (f+1) = -1 for all 7 surviving frames, nothing at d=0
+    assert by_offset.get(-1) == 7 and 0 not in by_offset, by_offset
+
+    # the position-aligned rule is blind to the trim
+    aligned = _video_pairs(prints, max_hamming=0, min_frames=1).collect()
+    assert aligned == []

@@ -1587,3 +1587,52 @@ def test_exact_ntile_by_keeps_null_group(spark):
         r["bin"] for r in out.filter(F.col("g").isNull()).collect()
     )
     assert null_bins == [1, 1, 2]
+
+
+def test_exact_ntile_by_shuffle_join_path_matches_broadcast_path(spark):
+    """The round-10 high-cardinality contract (ADVICE #3): with
+    broadcast_frames=False the rejoins run as ordinary shuffle joins —
+    bins must be IDENTICAL to the broadcast path (including the NULL
+    group), and the plan must carry no broadcast of the offsets/totals
+    frames."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.corpus import (
+        exact_ntile_by,
+    )
+
+    rows = [("g%d" % (i % 11) if i % 13 else None, (i * 7) % 29, i)
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    bcast = {
+        (r["g"], r["id"]): r["bin"]
+        for r in exact_ntile_by(
+            df, ["g"], ["v", "id"], 5, out_col="bin", partitions=7
+        ).collect()
+    }
+    # broadcast_frames=False only REFRAINS from forcing the broadcast;
+    # at test scale AQE would still pick one because the frames are
+    # tiny.  Simulate the at-scale decision (frames too big to
+    # broadcast) by disabling the threshold — save/restore, never bare
+    # unset (the shared session pins a non-default value).
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        shuffled_df = exact_ntile_by(
+            df, ["g"], ["v", "id"], 5, out_col="bin", partitions=7,
+            broadcast_frames=False,
+        )
+        shuffled = {
+            (r["g"], r["id"]): r["bin"] for r in shuffled_df.collect()
+        }
+        assert shuffled == bcast and len(bcast) == 400
+        plan = shuffled_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan and (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"broadcast_frames=False still broadcasts a frame:\n{plan}"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
