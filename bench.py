@@ -211,6 +211,7 @@ HEADLINE = [
     "dominant_part_suppliers",
     "incremental_image_dedup",
     "video_near_dups_shifted",
+    "image_contamination",
 ]
 
 TIMED_SWEEPS = 2

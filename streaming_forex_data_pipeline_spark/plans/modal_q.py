@@ -590,3 +590,55 @@ def video_near_dups_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matching_frames") >= 4)
     )
     return best.orderBy("doc_a", "doc_b")
+
+
+@register(
+    "image_contamination",
+    oracle=f"""
+WITH {_DHASH_CTE}
+SELECT t.doc_id AS train_doc,
+       e.doc_id AS eval_doc,
+       CAST(bit_count(xor(t.h_lo, e.h_lo))
+            + bit_count(xor(t.h_hi, e.h_hi)) AS INT) AS hamming
+FROM hashes t
+JOIN hashes e
+  ON t.doc_id % 10 <> 7 AND e.doc_id % 10 = 7
+WHERE bit_count(xor(t.h_lo, e.h_lo))
+      + bit_count(xor(t.h_hi, e.h_hi)) <= 1
+ORDER BY train_doc, eval_doc
+""",
+    doc="Perceptual benchmark decontamination — the text-family "
+    "contamination check (llm/dedup.py:contamination_overlaps) "
+    "carried to the image modality: every training image whose dHash "
+    "sits within Hamming 1 of an EVAL-split image (registered split: "
+    "doc_id % 10 == 7 plays the benchmark), i.e. the train rows a "
+    "leakage-clean corpus must drop even when the contaminated copy "
+    "was resized or brightness-shifted (what byte-level hashes miss). "
+    "The engine reuses incremental_dhash_pairs with the eval split as "
+    "the 'new' side (old x old = train x train never expands) and "
+    "keeps only cross-split pairs, oriented train-left.  The oracle "
+    "is the exact train x eval spec.  At 100 TB the eval side is a "
+    "fixed benchmark (thousands of signatures) — the banded join "
+    "reduces to a broadcast-sized probe against the train signature "
+    "table.",
+)
+def image_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashes = MM.dhash_images(MM.encode_images(fan_out(d)))
+    is_eval = F.col("doc_id") % 10 == 7
+    pairs = DD.incremental_dhash_pairs(hashes, is_eval, max_hamming=1)
+    a_eval = F.col("doc_a") % 10 == 7
+    b_eval = F.col("doc_b") % 10 == 7
+    return (
+        pairs.filter(a_eval != b_eval)  # cross-split only
+        .select(
+            F.when(a_eval, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc"),
+            F.when(a_eval, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("eval_doc"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("train_doc", "eval_doc")
+    )

@@ -821,3 +821,102 @@ def start_ivf_silver_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_image_signature_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "image_dedup_sink",
+    sig_dir: str | None = None,
+    pair_dir: str | None = None,
+    stream=None,
+    max_hamming: int = 1,
+):
+    """Streaming maintenance of the perceptual dedup index — the
+    production loop the text channel's scope note defers: each
+    micro-batch of documents is dHashed (real PNG codec chain), its
+    NEW signatures are checked against the ACCUMULATED signature index
+    of every earlier batch via `llm.dedup.incremental_dhash_pairs`
+    (signature granularity, old x old never expands), and then the
+    batch's signatures are folded INTO the index — so pairs BETWEEN
+    micro-batches are found as soon as the later batch arrives, and
+    after the stream drains the committed pair set equals the batch
+    `dhash_near_dup_pairs` over the whole corpus (the parity test's
+    claim).
+
+    Two transactional logs (`sources/sinks.py:commit_append`, both
+    executor-written, driver O(1)):
+
+    - ``sig_dir``: the signature index, keyed (doc_id, batch);
+    - ``pair_dir``: discovered pairs, keyed (doc_a, doc_b).
+
+    Crash/replay contract: pairs commit BEFORE signatures, and the
+    index read anti-joins the current batch's doc_ids — a replay
+    whose signatures already landed (crash between the two commits)
+    would otherwise see its own documents on BOTH sides of the
+    old/new split and emit self-pairs; with the anti-join the replay
+    recomputes the identical pair set and both logs dedup
+    idempotently on their keys."""
+    from pyspark.sql import functions as F
+
+    from ..llm.dedup import incremental_dhash_pairs
+    from ..llm.multimodal import dhash_images, encode_images
+    from ..sources.scratch import scratch_dir
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if sig_dir is None:
+        sig_dir = scratch_dir("img_sig_index_")
+    if pair_dir is None:
+        pair_dir = scratch_dir("img_sig_pairs_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "documents")
+    spark.createDataFrame(
+        [], "doc_a long, doc_b long, hamming long"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        batch_hashes = dhash_images(
+            encode_images(batch_df.select("doc_id"))
+        ).localCheckpoint(eager=False)
+        try:
+            old = (
+                read_committed(spark, sig_dir, keys=["doc_id", "batch"])
+                .select("doc_id", "h_lo", "h_hi")
+                .join(
+                    batch_hashes.select("doc_id"), "doc_id", "left_anti"
+                )
+            )
+            flagged = old.withColumn("__new", F.lit(False)).unionByName(
+                batch_hashes.withColumn("__new", F.lit(True))
+            )
+        except FileNotFoundError:
+            flagged = batch_hashes.withColumn("__new", F.lit(True))
+        pairs = incremental_dhash_pairs(
+            flagged, F.col("__new"), max_hamming=max_hamming
+        )
+        commit_append(pairs, pair_dir, version=float(batch_id))
+        commit_append(
+            batch_hashes.withColumn(
+                "batch", F.lit(int(batch_id)).cast("long")
+            ),
+            sig_dir,
+            version=float(batch_id),
+        )
+        try:
+            committed = read_committed(
+                spark, pair_dir, keys=["doc_a", "doc_b"]
+            )
+        except FileNotFoundError:
+            return  # every commit so far carried zero pairs
+        committed.select("doc_a", "doc_b", "hamming").createOrReplaceTempView(
+            sink_table
+        )
+
+    return (
+        stream.writeStream.queryName(sink_table)
+        .foreachBatch(run_batch)
+        .option("checkpointLocation", scratch_dir("img_sig_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )

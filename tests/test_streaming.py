@@ -1326,3 +1326,76 @@ def test_channel_stats_over_two_concurrent_channels(
     assert spark.table("cs_wau").count() == replay["events_wau"][
         "state_rows"
     ]
+
+
+def test_image_signature_channel_matches_batch_pairs(
+    spark, sf_dir, tmp_path
+):
+    """The accumulating perceptual dedup index: documents stream in
+    TWO micro-batches split by hash (so near-dup pairs straddle the
+    batch boundary), each batch pairs against the signatures of every
+    EARLIER batch plus itself, and after the drain the committed pair
+    set must equal the batch dhash_near_dup_pairs over the whole
+    corpus — cross-batch pairs included, which is exactly what the
+    text channel's static-index demo defers."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        dhash_near_dup_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.llm.multimodal import (
+        dhash_images,
+        encode_images,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import (
+        fan_out,
+        load_table,
+    )
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_image_signature_channel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_two_batches")
+    os.makedirs(src)
+    halves = str(tmp_path / "doc_halves")
+    d.withColumn("__h", F.xxhash64("doc_id") % 2).repartition(
+        2, "__h"
+    ).drop("__h").write.parquet(halves)
+    parts = sorted(glob.glob(f"{halves}/part-*.parquet"))
+    assert len(parts) >= 2
+    for i, part in enumerate(parts):
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pair_dir = str(tmp_path / "img_pairs")
+    q = start_image_signature_channel(
+        spark, sf_dir, sink_table="img_sig_parity",
+        sig_dir=str(tmp_path / "img_sigs"), pair_dir=pair_dir,
+        stream=stream, max_hamming=1,
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(os.path.join(pair_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — cross-batch pairing "
+        "untested"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in spark.table("img_sig_parity").collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(
+            dhash_images(encode_images(fan_out(d))), max_hamming=1
+        ).collect()
+    }
+    assert got == want and len(want) > 0
