@@ -27,6 +27,53 @@ from ..llm import multimodal as MM
 from ..sources.tables import fan_out, load_table
 from .registry import register
 
+#: bump when any llm/multimodal.py content contract changes — the
+#: payload silver tables below must invalidate even though the source
+#: documents.parquet did not move
+_MEDIA_CONTRACT_VERSION = 1
+
+
+def media_payloads(spark, sf_dir: str, modality: str):
+    """Build-if-missing payload silver table for one modality: the
+    synthetic media payloads are DERIVED from doc_id by the
+    `llm/multimodal.py` content contracts, but in production they are
+    SOURCE DATA — so every query that consumes them should read a
+    materialized table, not re-run the encoder (the ivf_silver
+    pattern: the encode is the once-per-corpus amortized step; bench
+    and driver re-runs measure the probe).  Keyed by the documents
+    fingerprint + contract version under the verified per-user
+    scratch root; atomic-rename build, benign lost-race adoption."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from ..sources.scratch import scratch_path
+    from .llm_q import _corpus_fingerprint
+
+    builders = {
+        "image": MM.encode_images,
+        "audio": MM.encode_audio,
+        "video": MM.encode_videos,
+    }
+    fp = _corpus_fingerprint(sf_dir, table="documents")
+    out_dir = scratch_path(
+        f"media_{modality}_v{_MEDIA_CONTRACT_VERSION}_{fp}"
+    )
+    if not (Path(out_dir) / "_SUCCESS").exists():
+        d = load_table(spark, sf_dir, "documents")
+        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
+        builders[modality](fan_out(d)).write.parquet(tmp)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            # benign lost race only: if no winner's table exists this
+            # was a real failure — surface it
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (Path(out_dir) / "_SUCCESS").exists():
+                raise
+    return spark.read.parquet(out_dir)
+
 # closed-form replay of the dHash bit for position b (0..63) of doc_id:
 # y = b // 8 samples the 8-row grid, x = b % 8 compares the 9-column
 # grid's neighbors x and x+1; src index = ((y*h)//8)*w + (x*w)//9 and
@@ -85,8 +132,9 @@ SELECT doc_id, h_lo, h_hi FROM hashes ORDER BY doc_id
     "and all pairing cost moves to the signature table.",
 )
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return MM.dhash_images(MM.encode_images(fan_out(d))).orderBy("doc_id")
+    return MM.dhash_images(
+        media_payloads(spark, sf_dir, "image")
+    ).orderBy("doc_id")
 
 
 @register(
@@ -115,8 +163,7 @@ ORDER BY doc_a, doc_b
     "simhash_near_dups.",
 )
 def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    hashes = MM.dhash_images(MM.encode_images(fan_out(d)))
+    hashes = MM.dhash_images(media_payloads(spark, sf_dir, "image"))
     return (
         DD.dhash_near_dup_pairs(hashes, max_hamming=1)
         .select(
@@ -181,10 +228,9 @@ SELECT doc_id, h_lo, h_hi FROM ahashes ORDER BY doc_id
     "signatures before any pairing cost.",
 )
 def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return MM.fingerprint_audio(MM.encode_audio(fan_out(d))).orderBy(
-        "doc_id"
-    )
+    return MM.fingerprint_audio(
+        media_payloads(spark, sf_dir, "audio")
+    ).orderBy("doc_id")
 
 
 @register(
@@ -212,8 +258,7 @@ ORDER BY doc_a, doc_b
     "exact quadratic spec over the closed-form prints.",
 )
 def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    prints = MM.fingerprint_audio(MM.encode_audio(fan_out(d)))
+    prints = MM.fingerprint_audio(media_payloads(spark, sf_dir, "audio"))
     return (
         DD.dhash_near_dup_pairs(prints, max_hamming=2)
         .select(
