@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..llm import dedup as DD
 from ..llm import multimodal as MM
-from ..sources.tables import fan_out, load_table
+from ..sources.tables import load_table
 from .media_q import media_payloads
 from .registry import register
 
