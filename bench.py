@@ -212,6 +212,13 @@ HEADLINE = [
     "incremental_image_dedup",
     "video_near_dups_shifted",
     "image_contamination",
+    # round-10 tranche 4: co-bucketed fact layout, audio/video
+    # decontamination
+    "shipping_priority_bucketed",
+    "large_order_customers_bucketed",
+    "order_detail_lookup",
+    "audio_contamination",
+    "video_contamination",
 ]
 
 TIMED_SWEEPS = 2

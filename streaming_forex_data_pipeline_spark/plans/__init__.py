@@ -27,6 +27,7 @@ from . import tpch_q  # noqa: F401,E402 — round-9, after media_q
 from . import scale_q  # noqa: F401,E402 — round-9, after tpch_q
 from . import subquery_q  # noqa: F401,E402 — round-10, after scale_q
 from . import modal_q  # noqa: F401,E402 — round-10, after subquery_q
+from . import pipeline_q  # noqa: F401,E402 — round-10, after modal_q
 from .registry import all_queries, oracle_sqls, spark_queries
 
 __all__ = ["all_queries", "spark_queries", "oracle_sqls"]

@@ -1026,18 +1026,26 @@ LIMIT 10
     "never a global sort).  Revenue in exact 1e-4 integer units.",
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shipping_priority_over(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def shipping_priority_over(
+    c: DataFrame, o: DataFrame, li: DataFrame
+) -> DataFrame:
+    """The Q3 plan over caller-supplied (customer, orders, lineitem)
+    frames — factored so the bucketed-layout probe in
+    plans/pipeline_q.py runs the IDENTICAL composition over the
+    co-bucketed silver tables."""
     from ..operators.indicators import cents
 
     cutoff = F.lit("1998-06-01").cast("timestamp")
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < cutoff
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > cutoff
-    )
+    c = c.filter(F.col("c_mktsegment") == "BUILDING")
+    o = o.filter(F.col("o_orderdate") < cutoff)
+    li = li.filter(F.col("l_shipdate") > cutoff)
     rev_c4 = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
     return (
         li.join(

@@ -250,19 +250,27 @@ LIMIT 100
     "fully deterministic (totalprice DESC, orderdate, orderkey) key.",
 )
 def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return large_order_customers_over(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def large_order_customers_over(
+    li: DataFrame, o: DataFrame, c: DataFrame
+) -> DataFrame:
+    """The Q18 plan over caller-supplied frames — factored so the
+    bucketed-layout probe in plans/pipeline_q.py runs the IDENTICAL
+    composition over the co-bucketed silver tables."""
     qty = F.round(F.col("l_quantity")).cast("bigint")
     big = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
+        li.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("total_qty"))
         .filter(F.col("total_qty") > 175)
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
-    )
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name"
-    )
+    o = o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = c.select("c_custkey", "c_name")
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))

@@ -41,19 +41,21 @@ def attach_bucketed_table(
     return tbl
 
 
-def write_bucketed_events(
+def write_bucketed(
     spark: SparkSession,
-    events: DataFrame,
+    df: DataFrame,
     tbl: str,
     loc: str,
+    key: str,
+    sort_cols: tuple[str, ...],
     n_buckets: int = 8,
 ) -> str:
-    """Build a bucketed-by-user_id layout at ``loc`` and register it
+    """Build a bucketed-by-``key`` layout at ``loc`` and register it
     as ``tbl``.  The build lands in a unique temp location and is
     atomically renamed into place (a concurrent builder's winner is
     adopted — same inputs, same bytes); the pre-write repartition uses
     the same murmur3 hash bucketBy assigns with, so each bucket is one
-    file, sorted by (user_id, ts)."""
+    file, sorted by ``sort_cols``."""
     import os
     import shutil
     import uuid
@@ -64,9 +66,9 @@ def write_bucketed_events(
         tmp_loc = f"{loc}.build-{uuid.uuid4().hex}"
         try:
             (
-                events.repartition(n_buckets, "user_id")
-                .write.bucketBy(n_buckets, "user_id")
-                .sortBy("user_id", "ts")
+                df.repartition(n_buckets, key)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(*sort_cols)
                 .option("path", tmp_loc)
                 .saveAsTable(tmp_tbl)
             )
@@ -89,5 +91,27 @@ def write_bucketed_events(
             if not (Path(loc) / "_SUCCESS").exists():
                 raise
     return attach_bucketed_table(
-        spark, tbl, loc, schema_ddl(events), n_buckets=n_buckets
+        spark,
+        tbl,
+        loc,
+        schema_ddl(df),
+        key=key,
+        sort=", ".join(sort_cols),
+        n_buckets=n_buckets,
+    )
+
+
+def write_bucketed_events(
+    spark: SparkSession,
+    events: DataFrame,
+    tbl: str,
+    loc: str,
+    n_buckets: int = 8,
+) -> str:
+    """The events-table instance of ``write_bucketed``: bucketed by
+    user_id, sorted (user_id, ts) — the power-law-keyed layout the
+    funnel/cohort/serving probes in plans/scale_q.py run on."""
+    return write_bucketed(
+        spark, events, tbl, loc, "user_id", ("user_id", "ts"),
+        n_buckets=n_buckets,
     )

@@ -832,10 +832,73 @@ def start_image_signature_channel(
     stream=None,
     max_hamming: int = 1,
 ):
-    """Streaming maintenance of the perceptual dedup index — the
-    production loop the text channel's scope note defers: each
-    micro-batch of documents is dHashed (real PNG codec chain), its
-    NEW signatures are checked against the ACCUMULATED signature index
+    """The image face of `start_signature_channel`: each micro-batch
+    is dHashed through the real PNG codec chain and folded into the
+    accumulating perceptual index."""
+    from ..llm.multimodal import dhash_images, encode_images
+
+    return start_signature_channel(
+        spark,
+        sf_dir,
+        lambda df: dhash_images(encode_images(df)),
+        sink_table=sink_table,
+        sig_dir=sig_dir,
+        pair_dir=pair_dir,
+        stream=stream,
+        max_hamming=max_hamming,
+        prefix="img_sig",
+    )
+
+
+def start_audio_signature_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "audio_dedup_sink",
+    sig_dir: str | None = None,
+    pair_dir: str | None = None,
+    stream=None,
+    max_hamming: int = 2,
+):
+    """The audio face of `start_signature_channel`: each micro-batch
+    is fingerprinted through the real WAV codec chain (energy-envelope
+    slope signs, `llm/multimodal.py:fingerprint_audio`) and folded
+    into the accumulating perceptual index — the default Hamming 2
+    matches the registered `audio_near_dups` threshold."""
+    from ..llm.multimodal import encode_audio, fingerprint_audio
+
+    return start_signature_channel(
+        spark,
+        sf_dir,
+        lambda df: fingerprint_audio(encode_audio(df)),
+        sink_table=sink_table,
+        sig_dir=sig_dir,
+        pair_dir=pair_dir,
+        stream=stream,
+        max_hamming=max_hamming,
+        prefix="aud_sig",
+    )
+
+
+def start_signature_channel(
+    spark,
+    sf_dir: str,
+    signature_fn,
+    sink_table: str,
+    sig_dir: str | None = None,
+    pair_dir: str | None = None,
+    stream=None,
+    max_hamming: int = 1,
+    prefix: str = "sig",
+):
+    """Streaming maintenance of a perceptual dedup index — the
+    production loop the text channel's scope note defers, generic
+    over the signature function (one engine, every two-half-signature
+    modality): each micro-batch of documents is signed by
+    ``signature_fn`` (a (doc_id)-frame -> (doc_id, h_lo, h_hi)
+    builder — image dHash and audio envelope ship as the
+    `start_image_signature_channel` / `start_audio_signature_channel`
+    faces), its NEW signatures are checked against the ACCUMULATED
+    signature index
     of every earlier batch via `llm.dedup.incremental_dhash_pairs`
     (signature granularity, old x old never expands), and then the
     batch's signatures are folded INTO the index — so pairs BETWEEN
@@ -860,15 +923,14 @@ def start_image_signature_channel(
     from pyspark.sql import functions as F
 
     from ..llm.dedup import incremental_dhash_pairs
-    from ..llm.multimodal import dhash_images, encode_images
     from ..sources.scratch import scratch_dir
     from ..sources.sinks import commit_append, read_committed
     from .channels import read_table_stream
 
     if sig_dir is None:
-        sig_dir = scratch_dir("img_sig_index_")
+        sig_dir = scratch_dir(f"{prefix}_index_")
     if pair_dir is None:
-        pair_dir = scratch_dir("img_sig_pairs_")
+        pair_dir = scratch_dir(f"{prefix}_pairs_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "documents")
     spark.createDataFrame(
@@ -876,8 +938,8 @@ def start_image_signature_channel(
     ).createOrReplaceTempView(sink_table)
 
     def run_batch(batch_df, batch_id):
-        batch_hashes = dhash_images(
-            encode_images(batch_df.select("doc_id"))
+        batch_hashes = signature_fn(
+            batch_df.select("doc_id")
         ).localCheckpoint(eager=False)
         try:
             old = (
@@ -916,7 +978,7 @@ def start_image_signature_channel(
     return (
         stream.writeStream.queryName(sink_table)
         .foreachBatch(run_batch)
-        .option("checkpointLocation", scratch_dir("img_sig_ckpt_"))
+        .option("checkpointLocation", scratch_dir(f"{prefix}_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

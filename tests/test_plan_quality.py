@@ -601,3 +601,86 @@ def test_tpch_completion_postures(spark, sf_dir, name, pushed, features):
         )
     for feat in features:
         assert feat in plan, f"{name}: plan lost {feat}:\n{plan}"
+
+
+def _orderkey_exchanges(plan: str) -> int:
+    return plan.count("Exchange hashpartitioning(l_orderkey") + plan.count(
+        "Exchange hashpartitioning(o_orderkey"
+    )
+
+
+@pytest.mark.parametrize(
+    "raw_name,bucketed_name",
+    [
+        ("shipping_priority", "shipping_priority_bucketed"),
+        ("large_order_customers", "large_order_customers_bucketed"),
+    ],
+)
+def test_bucketed_fact_joins_zero_orderkey_exchanges(
+    spark, sf_dir, raw_name, bucketed_name
+):
+    """THE point of the co-bucketed orders/lineitem silvers: the raw
+    Q3/Q18 plans shuffle the facts on the order key, the bucketed
+    probes satisfy the join AND the groupBy-l_orderkey aggregate from
+    the layout.  Both sides asserted so the gate cannot rot if the
+    query shapes change."""
+    qs = all_queries()
+    raw = qs[raw_name].spark(spark, sf_dir)
+    raw.count()
+    assert _orderkey_exchanges(
+        raw._jdf.queryExecution().executedPlan().toString()
+    ) > 0
+
+    df = qs[bucketed_name].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _orderkey_exchanges(plan) == 0, (
+        f"{bucketed_name} re-grew an orderkey shuffle:\n{plan}"
+    )
+
+
+def test_bucketed_fact_joins_smj_copartitioned_without_broadcasts(
+    spark, sf_dir
+):
+    """The 100 TB shape: with the broadcast escape hatch removed
+    (autoBroadcastJoinThreshold = -1) the orders-lineitem join must
+    run as a sort-merge join CO-PARTITIONED straight off the bucketed
+    scans — sorts allowed, orderkey exchanges not."""
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        for name in (
+            "shipping_priority_bucketed",
+            "large_order_customers_bucketed",
+        ):
+            df = all_queries()[name].spark(spark, sf_dir)
+            df.count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, (
+                f"{name}: broadcast disable did not engage:\n{plan}"
+            )
+            assert _orderkey_exchanges(plan) == 0, (
+                f"{name}: SMJ path re-grew an orderkey shuffle:\n{plan}"
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_order_detail_lookup_bucket_prunes_both_sides(spark, sf_dir):
+    """The serving face of the co-bucketed fact layout: the orderkey
+    equality must prune BOTH silvers at the file index (1 of 8 bucket
+    files each) and the header-lines join must be co-partitioned —
+    zero orderkey exchanges."""
+    import re
+
+    df = all_queries()["order_detail_lookup"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    prunes = re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert len(prunes) == 2, f"bucket pruning lost a side:\n{plan}"
+    assert all(p == ("1", "8") for p in prunes), prunes
+    assert _orderkey_exchanges(plan) == 0, plan

@@ -3,6 +3,8 @@ JSON props extraction."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from streaming_forex_data_pipeline_spark.llm.similarity import (
@@ -102,3 +104,20 @@ def test_week_overlap_keeps_disjoint_week_pair(spark):
     r = out[0]
     assert r["overlap_exact"] == 0
     assert r["union_est"] > max(r["prev_est"], r["cur_est"]) * 1.5
+
+
+@pytest.mark.parametrize(
+    "raw_name,bucketed_name",
+    [
+        ("shipping_priority", "shipping_priority_bucketed"),
+        ("large_order_customers", "large_order_customers_bucketed"),
+    ],
+)
+def test_bucketed_fact_probes_match_raw(
+    spark, sf_dir, raw_name, bucketed_name
+):
+    qs = all_queries()
+    a = qs[raw_name].spark(spark, sf_dir).collect()
+    b = qs[bucketed_name].spark(spark, sf_dir).collect()
+    assert a == b
+

@@ -1399,3 +1399,76 @@ def test_image_signature_channel_matches_batch_pairs(
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_audio_signature_channel_matches_batch_pairs(
+    spark, sf_dir, tmp_path
+):
+    """The audio face of the generic signature channel: two hash-split
+    micro-batches of documents, fingerprinted through the real WAV
+    codec chain, must reproduce the batch dhash_near_dup_pairs over
+    the whole corpus at the audio_near_dups threshold — cross-batch
+    pairs included (the generic engine's accumulation claim, proven
+    per modality because the signature function is the injected
+    part)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.dedup import (
+        dhash_near_dup_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.llm.multimodal import (
+        encode_audio,
+        fingerprint_audio,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import (
+        fan_out,
+        load_table,
+    )
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_audio_signature_channel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_two_batches")
+    os.makedirs(src)
+    halves = str(tmp_path / "doc_halves")
+    d.withColumn("__h", F.xxhash64("doc_id") % 2).repartition(
+        2, "__h"
+    ).drop("__h").write.parquet(halves)
+    parts = sorted(glob.glob(f"{halves}/part-*.parquet"))
+    assert len(parts) >= 2
+    for i, part in enumerate(parts):
+        dst = os.path.join(src, f"batch-{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1700000000 + 100 * i, 1700000000 + 100 * i))
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pair_dir = str(tmp_path / "aud_pairs")
+    q = start_audio_signature_channel(
+        spark, sf_dir, sink_table="aud_sig_parity",
+        sig_dir=str(tmp_path / "aud_sigs"), pair_dir=pair_dir,
+        stream=stream, max_hamming=2,
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(os.path.join(pair_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — cross-batch pairing "
+        "untested"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in spark.table("aud_sig_parity").collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dhash_near_dup_pairs(
+            fingerprint_audio(encode_audio(fan_out(d))), max_hamming=2
+        ).collect()
+    }
+    assert got == want and len(want) > 0
