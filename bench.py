@@ -219,6 +219,7 @@ HEADLINE = [
     "order_detail_lookup",
     "audio_contamination",
     "video_contamination",
+    "weekend_traffic_rollup",
 ]
 
 TIMED_SWEEPS = 2

@@ -305,3 +305,116 @@ def video_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matching_frames") >= 3)
         .orderBy("train_doc", "eval_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# date-partitioned fact layout + dynamic partition pruning
+
+
+def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing the DATE-PARTITIONED events silver — the
+    standard production fact layout (one ``day=YYYY-MM-DD/`` directory
+    per day): retention drops directories, backfills overwrite one
+    directory, and date predicates prune at the file index before any
+    row is read.  Complements the bucketed silver (keyed access) with
+    the time-keyed access path.  Same cache protocol as every silver:
+    fingerprint-keyed location under the 0700 scratch root, unique
+    temp build, atomic rename, lost-race adoption.  Readers go through
+    ``spark.read.parquet`` (path-based partition discovery), so no
+    catalog state outlives the session."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from ..sources.scratch import scratch_path
+    from .llm_q import _corpus_fingerprint
+
+    fp = re.sub(
+        r"[^A-Za-z0-9_]", "_", _corpus_fingerprint(sf_dir, table="events")
+    )
+    loc = scratch_path(f"events_by_day_{fp}")
+    if not (Path(loc) / "_SUCCESS").exists():
+        e = load_table(spark, sf_dir, "events")
+        tmp = f"{loc}.build-{uuid.uuid4().hex}"
+        try:
+            (
+                e.withColumn(
+                    "day", F.date_format("ts", "yyyy-MM-dd")
+                )
+                .repartition("day")
+                .write.partitionBy("day")
+                .parquet(tmp)
+            )
+            os.rename(tmp, loc)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (Path(loc) / "_SUCCESS").exists():
+                raise
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+    return loc
+
+
+@register(
+    "weekend_traffic_rollup",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE dayofweek(ts) IN (0, 6)
+GROUP BY 1
+ORDER BY 1
+""",
+    doc="Weekend traffic rollup through DYNAMIC PARTITION PRUNING "
+    "over the date-partitioned events silver: the weekend-day "
+    "dimension is a runtime frame (distinct weekend days filtered "
+    "from a one-column scan), so no static predicate exists at plan "
+    "time — Catalyst instead plants a dynamicpruningexpression on "
+    "the fact scan's partition filters (plan-gated), the broadcast "
+    "of the filtered dimension is REUSED as the pruning subquery, "
+    "and only the ~2/7 weekend directories are ever read.  This is "
+    "the layout+optimizer contract every 100 TB date-partitioned "
+    "deployment leans on (the static cousin is already pinned by "
+    "ivf_silver_topk's PartitionFilters gate); retention/backfill on "
+    "the same layout are directory drops (sinks S10/S11).  The "
+    "oracle is layout-free SQL over the raw events (DuckDB dayofweek "
+    "is 0-Sunday..6-Saturday; Spark's is 1..7 — both literal sets "
+    "name Saturday+Sunday).  Counts and cents sums are exact "
+    "integers.",
+)
+def weekend_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    loc = _ensure_events_partitioned(spark, sf_dir)
+    part = spark.read.parquet(loc)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.dayofweek("ts").alias("dw"),
+        )
+        .filter(F.col("dw").isin(1, 7))
+        .select("day")
+        .distinct()
+    )
+    return (
+        part.join(F.broadcast(dim), "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.to_timestamp("day").alias("day"),
+            "n_events",
+            "n_users",
+            "value_cents",
+        )
+        .orderBy("day")
+    )

@@ -684,3 +684,22 @@ def test_order_detail_lookup_bucket_prunes_both_sides(spark, sf_dir):
     assert len(prunes) == 2, f"bucket pruning lost a side:\n{plan}"
     assert all(p == ("1", "8") for p in prunes), prunes
     assert _orderkey_exchanges(plan) == 0, plan
+
+
+def test_weekend_traffic_rollup_dynamic_partition_prunes(spark, sf_dir):
+    """The date-partitioned silver's optimizer contract: the weekend
+    dimension is a runtime frame, so the fact scan must carry a
+    DYNAMIC pruning expression on the day partition column (no static
+    predicate exists at plan time), and the aggregate must keep its
+    map-side partial."""
+    df = all_queries()["weekend_traffic_rollup"].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(day" in plan.lower().replace(
+        "#", ""
+    ) or "dynamicpruningexpression" in plan.lower(), (
+        f"dynamic partition pruning did not engage:\n{plan}"
+    )
+    assert "partial_count" in plan, (
+        f"rollup lost its map-side partial:\n{plan}"
+    )
