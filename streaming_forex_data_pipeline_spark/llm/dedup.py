@@ -1352,6 +1352,12 @@ def cross_modal_clusters(
     conditional aggregate over edges joined to their doc_a's
     cluster (doc_a and doc_b are in the same cluster by
     construction, so either endpoint attributes the edge)."""
+    # one materialization for BOTH consumers: connected_components
+    # checkpoints its own symmetric derivative, but the per-modality
+    # edge counts below read the ORIGINAL labeled frame — without this
+    # cut the upstream pair emitters (four full signature passes on
+    # the registered query) execute a second time for ecnt
+    edges = edges.localCheckpoint(eager=False)
     comp = connected_components(edges)
     members = comp.join(
         docs.select(F.col("doc_id").alias("node"), quality_col), "node"

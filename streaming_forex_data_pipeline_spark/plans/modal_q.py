@@ -49,6 +49,32 @@ _VBIT = (
 #: Spark builders and the oracle CTEs (review-found triplication)
 VIDEO_EVERY_N = 2
 
+#: composite frame-id base: frame signatures ride the shared banding
+#: engine as doc_id * VID_FID_BASE + frame_idx — frame counts are
+#: bounded at 29 by the content contract, so the composite is
+#: collision-free and order-preserving.  ONE definition for every
+#: encode/decode site (review-found triplication across modal_q and
+#: pipeline_q).
+VID_FID_BASE = 1024
+
+
+def vid_fid():
+    """Encode (doc_id, frame_idx) into the composite id, aliased back
+    to doc_id for the banding engine."""
+    return (F.col("doc_id") * VID_FID_BASE + F.col("frame_idx")).alias(
+        "doc_id"
+    )
+
+
+def fid_clip(col: str):
+    """The clip id of a composite frame-id column."""
+    return F.floor(F.col(col) / VID_FID_BASE)
+
+
+def fid_frame(col: str):
+    """The frame position of a composite frame-id column."""
+    return F.col(col) % VID_FID_BASE
+
 # one oracle-side rendering of the llm/multimodal.py video dimension
 # contract, interpolated from the SAME constants the kernels use
 _VDIMS_SQL = (
@@ -170,14 +196,13 @@ def _video_pairs(
     bounded at 29 by the content contract, so the composite is
     collision-free and order-preserving).  Shared by video_near_dups
     and the cross-modal edge builder."""
-    fid = (F.col("doc_id") * 1024 + F.col("frame_idx")).alias("doc_id")
     pairs = DD.dhash_near_dup_pairs(
-        prints.select(fid, "h_lo", "h_hi"), max_hamming=max_hamming
+        prints.select(vid_fid(), "h_lo", "h_hi"), max_hamming=max_hamming
     )
-    va = F.floor(F.col("doc_a") / 1024)
-    vb = F.floor(F.col("doc_b") / 1024)
-    fa = F.col("doc_a") % 1024
-    fb = F.col("doc_b") % 1024
+    va = fid_clip("doc_a")
+    vb = fid_clip("doc_b")
+    fa = fid_frame("doc_a")
+    fb = fid_frame("doc_b")
     return (
         pairs.filter((fa == fb) & (va != vb))
         .select(va.alias("doc_a"), vb.alias("doc_b"))
@@ -563,13 +588,12 @@ def video_near_dups_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     prints = MM.dhash_video_frames(
         media_payloads(spark, sf_dir, "video"), every_n=1
     )
-    fid = (F.col("doc_id") * 1024 + F.col("frame_idx")).alias("doc_id")
     pairs = DD.dhash_near_dup_pairs(
-        prints.select(fid, "h_lo", "h_hi"), max_hamming=0
+        prints.select(vid_fid(), "h_lo", "h_hi"), max_hamming=0
     )
-    va = F.floor(F.col("doc_a") / 1024)
-    vb = F.floor(F.col("doc_b") / 1024)
-    off = (F.col("doc_b") % 1024) - (F.col("doc_a") % 1024)
+    va = fid_clip("doc_a")
+    vb = fid_clip("doc_b")
+    off = fid_frame("doc_b") - fid_frame("doc_a")
     m = (
         pairs.filter((va != vb) & (F.abs(off) <= 2))
         .select(va.alias("v_a"), vb.alias("v_b"), off.alias("d"))

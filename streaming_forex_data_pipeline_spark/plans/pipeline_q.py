@@ -33,7 +33,13 @@ from ..llm import dedup as DD
 from ..llm import multimodal as MM
 from ..sources.tables import load_table
 from .media_q import _AFP_CTE, media_payloads
-from .modal_q import _VHASH_CTE, VIDEO_EVERY_N
+from .modal_q import (
+    _VHASH_CTE,
+    VIDEO_EVERY_N,
+    fid_clip,
+    fid_frame,
+    vid_fid,
+)
 from .registry import _REGISTRY, register
 
 R = 6
@@ -61,8 +67,7 @@ def _ensure_fact_bucketed(
     re-attach over the existing files.  8 buckets at test scale; a
     100 TB deployment writes thousands — the invariant that matters is
     only that both facts use the same count."""
-    from ..sources.layout import write_bucketed
-    from ..sources.scratch import scratch_path
+    from ..sources.layout import ensure_bucketed_silver
     from .llm_q import _corpus_fingerprint
 
     out = []
@@ -70,21 +75,17 @@ def _ensure_fact_bucketed(
         ("orders", "o_orderkey", ("o_orderkey",)),
         ("lineitem", "l_orderkey", ("l_orderkey", "l_linenumber")),
     ):
-        fp = re.sub(
-            r"[^A-Za-z0-9_]", "_", _corpus_fingerprint(sf_dir, table=table)
-        )
-        tbl = f"{table}_by_okey_{fp}_b{n_buckets}"
-        if not spark.catalog.tableExists(tbl):
-            write_bucketed(
+        out.append(
+            ensure_bucketed_silver(
                 spark,
                 load_table(spark, sf_dir, table),
-                tbl,
-                scratch_path(tbl),
+                _corpus_fingerprint(sf_dir, table=table),
+                f"{table}_by_okey",
                 key,
                 sort_cols,
                 n_buckets=n_buckets,
             )
-        out.append(tbl)
+        )
     return out[0], out[1]
 
 
@@ -281,21 +282,20 @@ def video_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     prints = MM.dhash_video_frames(
         media_payloads(spark, sf_dir, "video"), every_n=VIDEO_EVERY_N
     )
-    fid = (F.col("doc_id") * 1024 + F.col("frame_idx")).alias("doc_id")
-    is_eval = (
-        F.floor(F.col("doc_id") / 1024) % _EVAL_MOD == _EVAL_REM
-    )
+    is_eval = fid_clip("doc_id") % _EVAL_MOD == _EVAL_REM
     pairs = DD.incremental_dhash_pairs(
-        prints.select(fid, "h_lo", "h_hi"), is_eval, max_hamming=1
+        prints.select(vid_fid(), "h_lo", "h_hi"), is_eval, max_hamming=1
     )
-    va = F.floor(F.col("doc_a") / 1024)
-    vb = F.floor(F.col("doc_b") / 1024)
-    fa = F.col("doc_a") % 1024
-    fb = F.col("doc_b") % 1024
+    va = fid_clip("doc_a")
+    vb = fid_clip("doc_b")
+    fa = fid_frame("doc_a")
+    fb = fid_frame("doc_b")
     a_eval = va % _EVAL_MOD == _EVAL_REM
     b_eval = vb % _EVAL_MOD == _EVAL_REM
+    # (a_eval != b_eval) already implies distinct clips — differing
+    # mod-10 residues cannot share a clip id
     return (
-        pairs.filter((fa == fb) & (va != vb) & (a_eval != b_eval))
+        pairs.filter((fa == fb) & (a_eval != b_eval))
         .select(
             F.when(a_eval, vb).otherwise(va).alias("train_doc"),
             F.when(a_eval, va).otherwise(vb).alias("eval_doc"),
@@ -337,6 +337,9 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     if not (Path(loc) / "_SUCCESS").exists():
         e = load_table(spark, sf_dir, "events")
         tmp = f"{loc}.build-{uuid.uuid4().hex}"
+        # the write and the rename get SEPARATE failure handling (the
+        # media_payloads shape): a write-phase error is never the
+        # benign lost-race case and must always surface
         try:
             (
                 e.withColumn(
@@ -346,14 +349,16 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
                 .write.partitionBy("day")
                 .parquet(tmp)
             )
-            os.rename(tmp, loc)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not (Path(loc) / "_SUCCESS").exists():
-                raise
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        try:
+            os.rename(tmp, loc)
+        except OSError:
+            # benign only if a concurrent builder won the rename race
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (Path(loc) / "_SUCCESS").exists():
+                raise
     return loc
 
 

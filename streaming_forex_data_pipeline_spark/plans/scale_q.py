@@ -167,23 +167,16 @@ def _ensure_events_bucketed(
     layout is what a 100 TB deployment writes once with thousands of
     buckets so every later user-keyed join/aggregate is exchange-free.
     """
-    import re
-
-    from ..sources.layout import write_bucketed_events
-    from ..sources.scratch import scratch_path
+    from ..sources.layout import ensure_bucketed_silver
     from .llm_q import _corpus_fingerprint
 
-    fp = re.sub(
-        r"[^A-Za-z0-9_]", "_", _corpus_fingerprint(sf_dir, table="events")
-    )
-    tbl = f"events_by_user_{fp}_b{n_buckets}"
-    if spark.catalog.tableExists(tbl):
-        return tbl
-    return write_bucketed_events(
+    return ensure_bucketed_silver(
         spark,
         load_table(spark, sf_dir, "events"),
-        tbl,
-        scratch_path(tbl),
+        _corpus_fingerprint(sf_dir, table="events"),
+        "events_by_user",
+        "user_id",
+        ("user_id", "ts"),
         n_buckets=n_buckets,
     )
 

@@ -101,6 +101,37 @@ def write_bucketed(
     )
 
 
+def ensure_bucketed_silver(
+    spark: SparkSession,
+    df: DataFrame,
+    fingerprint: str,
+    name: str,
+    key: str,
+    sort_cols: tuple[str, ...],
+    n_buckets: int = 8,
+) -> str:
+    """Fingerprint-keyed build-once face shared by every bucketed
+    silver (events-by-user in plans/scale_q.py, orders/lineitem-by-
+    orderkey in plans/pipeline_q.py): sanitize the corpus fingerprint
+    into the table name, reuse the table if this session already
+    attached it, else build-or-adopt the layout at its scratch slot.
+    Keeping the sanitize + gate + write sequence here means a cache-key
+    or adoption-semantics fix lands for every silver at once
+    (review-found drift risk)."""
+    import re
+
+    from .scratch import scratch_path
+
+    fp = re.sub(r"[^A-Za-z0-9_]", "_", fingerprint)
+    tbl = f"{name}_{fp}_b{n_buckets}"
+    if spark.catalog.tableExists(tbl):
+        return tbl
+    return write_bucketed(
+        spark, df, tbl, scratch_path(tbl), key, sort_cols,
+        n_buckets=n_buckets,
+    )
+
+
 def write_bucketed_events(
     spark: SparkSession,
     events: DataFrame,
