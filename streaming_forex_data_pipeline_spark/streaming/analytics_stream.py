@@ -565,11 +565,8 @@ def start_events_bucketed_channel(
     zero user-keyed Exchange nodes."""
     import os
 
-    from pyspark.sql import functions as F
-
     from ..sources.layout import write_bucketed_events
     from ..sources.scratch import scratch_dir
-    from ..sources.sinks import commit_append, log_has_version
     from ..sources.tables import load_table
     from .channels import read_table_stream
 
@@ -593,11 +590,42 @@ def start_events_bucketed_channel(
             n_buckets=n_buckets,
         )
 
+    def append_fn(batch_df):
+        batch_df.select(*cols).write.insertInto(tbl)
+
+    def rebuild_fn():
+        rebuild_events_bucketed(
+            spark, sink_dir, tbl, loc, n_buckets=n_buckets
+        )
+
+    run_batch = _maintained_layout_batch(
+        spark, sink_dir, loc, cols, append_fn, rebuild_fn
+    )
+    return (
+        stream.writeStream.queryName(tbl)
+        .foreachBatch(run_batch)
+        .option("checkpointLocation", scratch_dir("events_bucketed_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _maintained_layout_batch(spark, sink_dir, loc, cols, append_fn, rebuild_fn):
+    """The maintained-serving-layout micro-batch protocol, shared by
+    the bucketed and date-partitioned events channels (ONE copy of
+    the crash-recovery logic): replay detection BEFORE committing —
+    batch id in the log but marker missing means a prior attempt
+    crashed between the serving append and the marker, the layout's
+    state is unknowable, rebuild from the log (idempotent); a clean
+    replay (marker present) is a no-op because the log deduped it and
+    serving has it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import commit_append, log_has_version
+
     def run_batch(batch_df, batch_id):
-        # replay detection BEFORE committing: batch id in the log but
-        # marker missing means a prior attempt crashed between the
-        # serving append and the marker — the layout's state is
-        # unknowable, so rebuild from the log (idempotent)
         replayed = log_has_version(sink_dir, float(batch_id))
         delta = batch_df.select(*cols).withColumn(
             "batch", F.lit(int(batch_id)).cast("long")
@@ -605,20 +633,127 @@ def start_events_bucketed_channel(
         commit_append(delta, sink_dir, version=float(batch_id))
         marker = os.path.join(loc, "_published", f"batch-{batch_id}")
         if os.path.exists(marker):
-            return  # clean replay: log deduped it, serving has it
-        if replayed:
-            rebuild_events_bucketed(
-                spark, sink_dir, tbl, loc, n_buckets=n_buckets
-            )  # writes markers
             return
-        batch_df.select(*cols).write.insertInto(tbl)
+        if replayed:
+            rebuild_fn()  # writes markers
+            return
+        append_fn(batch_df)
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         open(marker, "w").close()
 
+    return run_batch
+
+
+def rebuild_events_partitioned(spark, sink_dir: str, loc: str) -> str:
+    """Re-derive the date-partitioned events serving layout from the
+    transactional commit log — the partitioned sibling of
+    `rebuild_events_bucketed` (index-from-WAL): build the replacement
+    completely (day= directories + _published markers) in a sibling
+    location, then swap via rename-ASIDE so no crash interleaving
+    leaves readers without a layout."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from ..sources.sinks import log_versions, read_committed
+
+    committed = read_committed(spark, sink_dir, keys=["event_id", "batch"])
+    data = committed.select(
+        *[c for c in committed.columns if c != "batch"]
+    )
+    tmp_loc = f"{loc}.rebuild-{uuid.uuid4().hex}"
+    try:
+        (
+            data.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("day")
+            .write.partitionBy("day")
+            .parquet(tmp_loc)
+        )
+        marker_dir = os.path.join(tmp_loc, "_published")
+        os.makedirs(marker_dir, exist_ok=True)
+        for v in log_versions(sink_dir):
+            open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
+        old_loc = f"{loc}.old-{uuid.uuid4().hex}"
+        had_old = os.path.isdir(loc)
+        if had_old:
+            os.rename(loc, old_loc)
+        try:
+            os.rename(tmp_loc, loc)
+        except BaseException:
+            if had_old:
+                os.rename(old_loc, loc)
+            raise
+        if had_old:
+            shutil.rmtree(old_loc, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp_loc, ignore_errors=True)
+        raise
+    return loc
+
+
+def start_events_partitioned_channel(
+    spark,
+    sf_dir: str,
+    loc: str | None = None,
+    sink_dir: str | None = None,
+    stream=None,
+    query_name: str = "events_partitioned",
+):
+    """Streaming maintenance of the DATE-PARTITIONED events silver
+    (`plans/pipeline_q.py:_ensure_events_partitioned`'s layout): each
+    micro-batch lands in the transactional log (source of truth) and
+    APPENDS into its day= directories — new days create directories,
+    late events append files into existing ones, and retention stays
+    a directory drop.  Same crash contract as the bucketed channel
+    (the shared `_maintained_layout_batch` protocol): a crash between
+    the serving append and its marker is detected on replay and
+    recovered by `rebuild_events_partitioned` from the log.
+
+    Parity contract (tests/test_streaming.py): after the stream
+    drains, reading the maintained layout equals the batch
+    partitioned build row-for-row, day partition column included."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.scratch import scratch_dir
+    from ..sources.tables import load_table
+    from .channels import read_table_stream
+
+    if sink_dir is None:
+        sink_dir = scratch_dir("events_partitioned_log_")
+    if loc is None:
+        loc = os.path.join(scratch_dir("events_partitioned_serve_"), "tbl")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "events")
+    cols = [
+        f.name for f in load_table(spark, sf_dir, "events").schema.fields
+    ]
+
+    def append_fn(batch_df):
+        (
+            batch_df.select(*cols)
+            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .repartition("day")
+            .write.partitionBy("day")
+            .mode("append")
+            .parquet(loc)
+        )
+
+    def rebuild_fn():
+        rebuild_events_partitioned(spark, sink_dir, loc)
+
+    run_batch = _maintained_layout_batch(
+        spark, sink_dir, loc, cols, append_fn, rebuild_fn
+    )
     return (
-        stream.writeStream.queryName(tbl)
+        stream.writeStream.queryName(query_name)
         .foreachBatch(run_batch)
-        .option("checkpointLocation", scratch_dir("events_bucketed_ckpt_"))
+        .option(
+            "checkpointLocation", scratch_dir("events_partitioned_ckpt_")
+        )
         .trigger(availableNow=True)
         .start()
     )

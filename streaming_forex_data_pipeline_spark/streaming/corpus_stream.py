@@ -879,6 +879,65 @@ def start_audio_signature_channel(
     )
 
 
+def start_video_signature_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "video_dedup_sink",
+    sig_dir: str | None = None,
+    pair_dir: str | None = None,
+    stream=None,
+    max_hamming: int = 1,
+    min_frames: int = 3,
+):
+    """The video face of `start_signature_channel`: each micro-batch's
+    clips are container-split and frame-dHashed onto COMPOSITE frame
+    ids (the modal_q convention), the index accumulates at FRAME
+    granularity — so cross-batch frame pairs are found like any other
+    pair — and the published view reduces the committed frame pairs
+    to CLIP pairs under video_near_dups' multi-evidence rule (>=
+    ``min_frames`` same-position matches).  Publishing from the FULL
+    committed pair log is what makes a clip pair whose evidence
+    straddles micro-batches reach the threshold the moment its later
+    frames arrive."""
+    from pyspark.sql import functions as F
+
+    from ..llm.multimodal import dhash_video_frames, encode_videos
+    from ..plans.modal_q import VIDEO_EVERY_N, fid_clip, fid_frame, vid_fid
+
+    def signature_fn(docs):
+        return dhash_video_frames(
+            encode_videos(docs), every_n=VIDEO_EVERY_N
+        ).select(vid_fid(), "h_lo", "h_hi")
+
+    def publish_fn(pairs):
+        return (
+            pairs.filter(
+                (fid_frame("doc_a") == fid_frame("doc_b"))
+                & (fid_clip("doc_a") != fid_clip("doc_b"))
+            )
+            .select(
+                fid_clip("doc_a").alias("doc_a"),
+                fid_clip("doc_b").alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_matching_frames"))
+            .filter(F.col("n_matching_frames") >= min_frames)
+        )
+
+    return start_signature_channel(
+        spark,
+        sf_dir,
+        signature_fn,
+        sink_table=sink_table,
+        sig_dir=sig_dir,
+        pair_dir=pair_dir,
+        stream=stream,
+        max_hamming=max_hamming,
+        prefix="vid_sig",
+        publish_fn=publish_fn,
+    )
+
+
 def start_signature_channel(
     spark,
     sf_dir: str,
@@ -889,14 +948,16 @@ def start_signature_channel(
     stream=None,
     max_hamming: int = 1,
     prefix: str = "sig",
+    publish_fn=None,
 ):
     """Streaming maintenance of a perceptual dedup index — the
     production loop the text channel's scope note defers, generic
     over the signature function (one engine, every two-half-signature
     modality): each micro-batch of documents is signed by
     ``signature_fn`` (a (doc_id)-frame -> (doc_id, h_lo, h_hi)
-    builder — image dHash and audio envelope ship as the
-    `start_image_signature_channel` / `start_audio_signature_channel`
+    builder — image dHash, audio envelope, and composite-frame-id
+    video ship as the `start_image_signature_channel` /
+    `start_audio_signature_channel` / `start_video_signature_channel`
     faces), its NEW signatures are checked against the ACCUMULATED
     signature index
     of every earlier batch via `llm.dedup.incremental_dhash_pairs`
@@ -919,7 +980,13 @@ def start_signature_channel(
     would otherwise see its own documents on BOTH sides of the
     old/new split and emit self-pairs; with the anti-join the replay
     recomputes the identical pair set and both logs dedup
-    idempotently on their keys."""
+    idempotently on their keys.
+
+    ``publish_fn`` maps the FULL committed pair log to the view the
+    sink table exposes (default: raw (doc_a, doc_b, hamming) pairs);
+    the video face reduces frame pairs to clip pairs here, so
+    evidence that straddles micro-batches counts toward the clip
+    threshold as soon as it lands."""
     from pyspark.sql import functions as F
 
     from ..llm.dedup import incremental_dhash_pairs
@@ -933,8 +1000,12 @@ def start_signature_channel(
         pair_dir = scratch_dir(f"{prefix}_pairs_")
     if stream is None:
         stream = read_table_stream(spark, sf_dir, "documents")
-    spark.createDataFrame(
-        [], "doc_a long, doc_b long, hamming long"
+    if publish_fn is None:
+        def publish_fn(pairs):
+            return pairs.select("doc_a", "doc_b", "hamming")
+
+    publish_fn(
+        spark.createDataFrame([], "doc_a long, doc_b long, hamming long")
     ).createOrReplaceTempView(sink_table)
 
     def run_batch(batch_df, batch_id):
@@ -971,9 +1042,7 @@ def start_signature_channel(
             )
         except FileNotFoundError:
             return  # every commit so far carried zero pairs
-        committed.select("doc_a", "doc_b", "hamming").createOrReplaceTempView(
-            sink_table
-        )
+        publish_fn(committed).createOrReplaceTempView(sink_table)
 
     return (
         stream.writeStream.queryName(sink_table)

@@ -1472,3 +1472,212 @@ def test_audio_signature_channel_matches_batch_pairs(
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_video_signature_channel_matches_batch_clip_pairs(
+    spark, sf_dir, tmp_path
+):
+    """The video face accumulates at FRAME granularity and publishes
+    at CLIP granularity: after two hash-split micro-batches drain, the
+    sink view must equal the batch video_near_dups clip pairs —
+    including clip pairs whose >= 3 frame matches straddle the batch
+    boundary (both clips arrive whole, but the PAIRING of their
+    frames happens when the later batch lands)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.plans.registry import (
+        all_queries,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_video_signature_channel,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_two_batches")
+    # split by doc_id PARITY with one explicit file per half (the
+    # _staged_event_files pattern): the sf0.001 clip-pair set includes
+    # odd-even pairs (e.g. 9~86), so this split provably separates
+    # pair members across the batch boundary — a hash repartition
+    # happened to co-locate every matching pair and left the
+    # cross-batch accumulation claim untested
+    _staged_event_files(
+        spark, d, src,
+        [d.filter(F.col("doc_id") % 2 == 0),
+         d.filter(F.col("doc_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pair_dir = str(tmp_path / "vid_pairs")
+    q = start_video_signature_channel(
+        spark, sf_dir, sink_table="vid_sig_parity",
+        sig_dir=str(tmp_path / "vid_sigs"), pair_dir=pair_dir,
+        stream=stream, max_hamming=1, min_frames=3,
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(os.path.join(pair_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — cross-batch pairing "
+        "untested"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_matching_frames"]
+        for r in spark.table("vid_sig_parity").collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["n_matching_frames"]
+        for r in all_queries()["video_near_dups"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # at least one published clip pair must have its two clips in
+    # DIFFERENT micro-batches — otherwise the accumulation claim went
+    # untested on this fixture
+    import duckdb
+
+    batch_of = {}
+    for i in range(2):
+        con = duckdb.connect()
+        ids = con.execute(
+            f"SELECT doc_id FROM read_parquet('{src}/batch-{i}.parquet')"
+        ).fetchall()
+        for (doc,) in ids:
+            batch_of[doc] = i
+        con.close()
+    assert any(
+        batch_of[a] != batch_of[b] for (a, b) in got
+    ), "no cross-batch clip pair in the fixture"
+
+
+def test_events_partitioned_channel_matches_batch_build(
+    spark, sf_dir, tmp_path
+):
+    """Streaming maintenance of the date-partitioned events silver:
+    micro-batches append into their day= directories; after the drain
+    the maintained layout must equal the raw events row-for-row with
+    every row in its correct day directory, and the log rebuild must
+    reproduce the same layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        rebuild_events_partitioned,
+        start_events_partitioned_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "evp_2files")
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("event_id") % 2 == 0),
+         e.filter(F.col("event_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    loc = str(tmp_path / "evp_serving")
+    log_dir = str(tmp_path / "evp_log")
+    q = start_events_partitioned_channel(
+        spark, sf_dir, loc=loc, sink_dir=log_dir, stream=stream
+    )
+    q.awaitTermination(240)
+    assert len(os.listdir(os.path.join(log_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — incrementality untested"
+    )
+
+    maintained = spark.read.parquet(loc)
+    # every row in its correct day directory
+    bad = maintained.filter(
+        F.col("day") != F.date_format("ts", "yyyy-MM-dd")
+    ).count()
+    assert bad == 0
+    data = maintained.select(*[c for c in e.columns])
+    assert data.count() == e.count()
+    assert data.exceptAll(e).count() == 0
+    assert e.exceptAll(data).count() == 0
+    # one directory per day present in the data
+    days = {
+        d.split("=", 1)[1]
+        for d in os.listdir(loc)
+        if d.startswith("day=")
+    }
+    want_days = {
+        r["day"]
+        for r in e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).distinct().collect()
+    }
+    assert days == want_days
+
+    # crash-recovery path reproduces the layout from the log
+    rebuild_events_partitioned(spark, log_dir, loc)
+    rebuilt = spark.read.parquet(loc).select(*[c for c in e.columns])
+    assert rebuilt.count() == e.count()
+    assert rebuilt.exceptAll(e).count() == 0
+    assert len(os.listdir(os.path.join(loc, "_published"))) >= 2
+
+
+def test_events_partitioned_channel_recovers_from_crashed_append(
+    spark, sf_dir, tmp_path
+):
+    """Crash window between the day-directory append and its marker:
+    batch 0 is in the log AND in the layout, marker missing.  The
+    replay must rebuild from the log instead of appending again — no
+    duplicated events."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        commit_append,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_events_partitioned_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    h1 = e.filter(F.col("event_id") % 2 == 0)
+    src = str(tmp_path / "evp_crash")
+    _staged_event_files(
+        spark, e, src, [h1, e.filter(F.col("event_id") % 2 == 1)]
+    )
+    loc = str(tmp_path / "evp_serving_crash")
+    log_dir = str(tmp_path / "evp_log_crash")
+    # the crashed first attempt: batch 0 committed + appended, NO marker
+    commit_append(
+        h1.withColumn("batch", F.lit(0).cast("long")), log_dir, version=0.0
+    )
+    (
+        h1.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .mode("append")
+        .parquet(loc)
+    )
+    assert not os.path.exists(os.path.join(loc, "_published"))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_events_partitioned_channel(
+        spark, sf_dir, loc=loc, sink_dir=log_dir, stream=stream
+    )
+    q.awaitTermination(240)
+
+    data = spark.read.parquet(loc).select(*[c for c in e.columns])
+    assert data.count() == e.count()  # no duplicated batch-0 rows
+    assert data.exceptAll(e).count() == 0
+    assert e.exceptAll(data).count() == 0
