@@ -327,6 +327,7 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
     import uuid
     from pathlib import Path
 
+    from ..sources.layout import write_day_partitioned
     from ..sources.scratch import scratch_path
     from .llm_q import _corpus_fingerprint
 
@@ -341,14 +342,7 @@ def _ensure_events_partitioned(spark: SparkSession, sf_dir: str) -> str:
         # media_payloads shape): a write-phase error is never the
         # benign lost-race case and must always surface
         try:
-            (
-                e.withColumn(
-                    "day", F.date_format("ts", "yyyy-MM-dd")
-                )
-                .repartition("day")
-                .write.partitionBy("day")
-                .parquet(tmp)
-            )
+            write_day_partitioned(e, tmp)
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise

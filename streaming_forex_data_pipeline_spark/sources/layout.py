@@ -146,3 +146,24 @@ def write_bucketed_events(
         spark, events, tbl, loc, "user_id", ("user_id", "ts"),
         n_buckets=n_buckets,
     )
+
+
+def write_day_partitioned(
+    events: DataFrame, out_dir: str, mode: str = "errorifexists"
+) -> None:
+    """The date-partitioned events layout recipe — ONE definition of
+    the day derivation (UTC date_format yyyy-MM-dd into day= Hive
+    directories) shared by the batch silver build
+    (plans/pipeline_q.py), the streaming append, and the log rebuild
+    (streaming/analytics_stream.py).  The streaming channel's parity
+    contract with the batch silver depends on every site deriving the
+    partition value identically (review-found triplication)."""
+    from pyspark.sql import functions as F
+
+    (
+        events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("day")
+        .write.partitionBy("day")
+        .mode(mode)
+        .parquet(out_dir)
+    )

@@ -467,13 +467,12 @@ def rebuild_events_bucketed(
     `corpus_stream.rebuild_ivf_serving`).  The log is the source of
     truth: committed (event_id, batch) rows dedup idempotently, so the
     rebuild is exact under any crash interleaving."""
-    import os
     import shutil
     import uuid
 
     from ..sources.layout import attach_bucketed_table, schema_ddl
     from ..sources.layout import write_bucketed_events
-    from ..sources.sinks import log_versions, read_committed
+    from ..sources.sinks import read_committed
 
     committed = read_committed(spark, sink_dir, keys=["event_id", "batch"])
     data = committed.select(
@@ -482,9 +481,9 @@ def rebuild_events_bucketed(
     # build the replacement COMPLETELY (data + markers) in a sibling
     # location before touching the live layout: a crash mid-build
     # leaves the old table readable, and the destructive window
-    # shrinks to the rmtree+rename swap (review-found: the first
-    # version dropped the table before building, so a build failure
-    # left NOTHING for consumers to read)
+    # shrinks to the swap (review-found: the first version dropped the
+    # table before building, so a build failure left NOTHING for
+    # consumers to read)
     tmp_tbl = f"{tbl}_rebuild_{uuid.uuid4().hex}"
     tmp_loc = f"{loc}.rebuild-{uuid.uuid4().hex}"
     try:
@@ -492,32 +491,8 @@ def rebuild_events_bucketed(
             spark, data, tmp_tbl, tmp_loc, n_buckets=n_buckets
         )
         spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-        marker_dir = os.path.join(tmp_loc, "_published")
-        os.makedirs(marker_dir, exist_ok=True)
-        # published batch ids come from the O(#commits) manifest
-        # metadata, never a data-sized distinct over the committed rows
-        for v in log_versions(sink_dir):
-            open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        # swap via rename-ASIDE, not rmtree-then-rename: a crash
-        # between a destructive rmtree and the rename would leave
-        # NEITHER layout on disk (catalog entry already dropped) and
-        # readers fail until another replay re-triggers the rebuild —
-        # setting the old copy aside keeps the window recoverable, and
-        # it is deleted only after the replacement rename succeeded
-        # (round-9 ADVICE)
-        old_loc = f"{loc}.old-{uuid.uuid4().hex}"
-        had_old = os.path.isdir(loc)
-        if had_old:
-            os.rename(loc, old_loc)
-        try:
-            os.rename(tmp_loc, loc)
-        except BaseException:
-            if had_old:
-                os.rename(old_loc, loc)  # restore the live layout
-            raise
-        if had_old:
-            shutil.rmtree(old_loc, ignore_errors=True)
+        _publish_rebuilt_layout(sink_dir, loc, tmp_loc)
     except BaseException:
         # a failed rebuild must not leak its uuid-named fact-sized tmp
         # copy: the scratch root has no vacuum, and each retry would
@@ -528,6 +503,40 @@ def rebuild_events_bucketed(
     return attach_bucketed_table(
         spark, tbl, loc, schema_ddl(data), n_buckets=n_buckets
     )
+
+
+def _publish_rebuilt_layout(sink_dir: str, loc: str, tmp_loc: str) -> None:
+    """Marker re-derivation + rename-ASIDE swap, shared by both layout
+    rebuilds (ONE copy of the crash-safety tail): published batch ids
+    come from the O(#commits) manifest metadata, never a data-sized
+    distinct over the committed rows; and the swap sets the live copy
+    aside rather than rmtree-ing it — a crash between a destructive
+    rmtree and the rename would leave NEITHER layout on disk and
+    readers fail until another replay re-triggers the rebuild, while
+    the aside copy keeps the window recoverable and is deleted only
+    after the replacement rename succeeded (round-9 ADVICE)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.sinks import log_versions
+
+    marker_dir = os.path.join(tmp_loc, "_published")
+    os.makedirs(marker_dir, exist_ok=True)
+    for v in log_versions(sink_dir):
+        open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
+    old_loc = f"{loc}.old-{uuid.uuid4().hex}"
+    had_old = os.path.isdir(loc)
+    if had_old:
+        os.rename(loc, old_loc)
+    try:
+        os.rename(tmp_loc, loc)
+    except BaseException:
+        if had_old:
+            os.rename(old_loc, loc)  # restore the live layout
+        raise
+    if had_old:
+        shutil.rmtree(old_loc, ignore_errors=True)
 
 
 def start_events_bucketed_channel(
@@ -599,7 +608,7 @@ def start_events_bucketed_channel(
         )
 
     run_batch = _maintained_layout_batch(
-        spark, sink_dir, loc, cols, append_fn, rebuild_fn
+        sink_dir, loc, cols, append_fn, rebuild_fn
     )
     return (
         stream.writeStream.queryName(tbl)
@@ -610,7 +619,7 @@ def start_events_bucketed_channel(
     )
 
 
-def _maintained_layout_batch(spark, sink_dir, loc, cols, append_fn, rebuild_fn):
+def _maintained_layout_batch(sink_dir, loc, cols, append_fn, rebuild_fn):
     """The maintained-serving-layout micro-batch protocol, shared by
     the bucketed and date-partitioned events channels (ONE copy of
     the crash-recovery logic): replay detection BEFORE committing —
@@ -648,16 +657,13 @@ def rebuild_events_partitioned(spark, sink_dir: str, loc: str) -> str:
     """Re-derive the date-partitioned events serving layout from the
     transactional commit log — the partitioned sibling of
     `rebuild_events_bucketed` (index-from-WAL): build the replacement
-    completely (day= directories + _published markers) in a sibling
-    location, then swap via rename-ASIDE so no crash interleaving
-    leaves readers without a layout."""
-    import os
+    completely in a sibling location, then publish through the shared
+    marker + rename-ASIDE tail."""
     import shutil
     import uuid
 
-    from pyspark.sql import functions as F
-
-    from ..sources.sinks import log_versions, read_committed
+    from ..sources.layout import write_day_partitioned
+    from ..sources.sinks import read_committed
 
     committed = read_committed(spark, sink_dir, keys=["event_id", "batch"])
     data = committed.select(
@@ -665,28 +671,8 @@ def rebuild_events_partitioned(spark, sink_dir: str, loc: str) -> str:
     )
     tmp_loc = f"{loc}.rebuild-{uuid.uuid4().hex}"
     try:
-        (
-            data.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-            .repartition("day")
-            .write.partitionBy("day")
-            .parquet(tmp_loc)
-        )
-        marker_dir = os.path.join(tmp_loc, "_published")
-        os.makedirs(marker_dir, exist_ok=True)
-        for v in log_versions(sink_dir):
-            open(os.path.join(marker_dir, f"batch-{int(v)}"), "w").close()
-        old_loc = f"{loc}.old-{uuid.uuid4().hex}"
-        had_old = os.path.isdir(loc)
-        if had_old:
-            os.rename(loc, old_loc)
-        try:
-            os.rename(tmp_loc, loc)
-        except BaseException:
-            if had_old:
-                os.rename(old_loc, loc)
-            raise
-        if had_old:
-            shutil.rmtree(old_loc, ignore_errors=True)
+        write_day_partitioned(data, tmp_loc)
+        _publish_rebuilt_layout(sink_dir, loc, tmp_loc)
     except BaseException:
         shutil.rmtree(tmp_loc, ignore_errors=True)
         raise
@@ -716,8 +702,7 @@ def start_events_partitioned_channel(
     partitioned build row-for-row, day partition column included."""
     import os
 
-    from pyspark.sql import functions as F
-
+    from ..sources.layout import write_day_partitioned
     from ..sources.scratch import scratch_dir
     from ..sources.tables import load_table
     from .channels import read_table_stream
@@ -733,20 +718,13 @@ def start_events_partitioned_channel(
     ]
 
     def append_fn(batch_df):
-        (
-            batch_df.select(*cols)
-            .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-            .repartition("day")
-            .write.partitionBy("day")
-            .mode("append")
-            .parquet(loc)
-        )
+        write_day_partitioned(batch_df.select(*cols), loc, mode="append")
 
     def rebuild_fn():
         rebuild_events_partitioned(spark, sink_dir, loc)
 
     run_batch = _maintained_layout_batch(
-        spark, sink_dir, loc, cols, append_fn, rebuild_fn
+        sink_dir, loc, cols, append_fn, rebuild_fn
     )
     return (
         stream.writeStream.queryName(query_name)
