@@ -18,6 +18,10 @@ host-level CPU contention inflated back-to-back samples):
   wall time 1.4x for tens of seconds — must recur at the same query
   in both sweeps to survive the min, instead of only needing to span
   one query's back-to-back runs;
+- the slowest DECILE then gets one extra timed run (round 10: even
+  min-of-2 left individual CPU-heavy queries swinging 2-4x between
+  otherwise-identical quiet runs; the outliers land exactly in the
+  slow tail, so min-of-3 there clips them at ~10% of a sweep's cost);
 - the candle silver table is materialized once per session
   (sources.tables candle cache), so indicator timings measure the
   indicator, not a repeated resample.
@@ -279,6 +283,16 @@ def main() -> None:
         for name in HEADLINE:
             t = run(name)
             best[name] = min(t, best.get(name, t))
+    # slowest-decile third sweep: on this host, individual CPU-heavy
+    # queries swing 2-4x between otherwise-identical quiet runs even
+    # at min-of-2 (round-10 record: image_resize 15.7 s in one run,
+    # under 4 s in the next).  One extra pass over just the slowest
+    # 10% costs ~10% of a sweep and clips exactly the tail those
+    # outliers land in — the min-of-N-where-it-matters shape the
+    # round-9 verdict suggested.
+    decile = max(1, len(HEADLINE) // 10)
+    for name in sorted(best, key=best.get, reverse=True)[:decile]:
+        best[name] = min(best[name], run(name))
     timings = {name: round(best[name], 3) for name in HEADLINE}
 
     # The driver captures only the TAIL of stdout (~2000 chars) — the
@@ -298,6 +312,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "runs_per_query": TIMED_SWEEPS,
+        "slow_decile_extra_runs": 1,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
@@ -316,6 +331,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": float(sf),
         "runs_per_query": TIMED_SWEEPS,
+        "slow_decile_extra_runs": 1,
         "loadavg_start": detail["loadavg_start"],
         "loadavg_end": detail["loadavg_end"],
         "detail": "BENCH_DETAIL.json",
