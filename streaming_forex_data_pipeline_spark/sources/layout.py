@@ -167,3 +167,68 @@ def write_day_partitioned(
         .mode(mode)
         .parquet(out_dir)
     )
+
+
+def compact_day_partitions(
+    spark: SparkSession, loc: str, max_files_per_day: int = 1
+) -> dict:
+    """Small-files compaction for the date-partitioned layout: every
+    streaming micro-batch append (`streaming/analytics_stream.py:
+    start_events_partitioned_channel`) lands one file per touched day,
+    so a long-running channel accretes batch-count files per
+    directory — at 100 TB the difference between a day partition of a
+    few large files and thousands of batch-sized ones is the
+    difference between a scan task list that fits in driver memory
+    and one that does not.  Rewrites each day= directory holding more
+    than ``max_files_per_day`` parquet files down to one file,
+    content-preserving, one day at a time via build-aside +
+    rename-ASIDE (readers of a day see the old file set or the new
+    one, never a mixture; a crash mid-compaction loses nothing but
+    the one aside directory's cleanup).  Markers and _SUCCESS at the
+    layout root are untouched.  Returns {'days_compacted', 'files_before',
+    'files_after'}."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    days_compacted = files_before = files_after = 0
+    for entry in sorted(os.listdir(loc)):
+        day_dir = os.path.join(loc, entry)
+        if not entry.startswith("day=") or not os.path.isdir(day_dir):
+            continue
+        files = glob.glob(os.path.join(day_dir, "*.parquet"))
+        files_before += len(files)
+        if len(files) <= max_files_per_day:
+            files_after += len(files)
+            continue
+        tmp = f"{day_dir}.compact-{uuid.uuid4().hex}"
+        try:
+            # one partition -> one file; the rewrite reads only this
+            # day's files, never the whole layout
+            spark.read.parquet(day_dir).coalesce(1).write.parquet(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        old = f"{day_dir}.old-{uuid.uuid4().hex}"
+        os.rename(day_dir, old)
+        try:
+            os.rename(tmp, day_dir)
+        except BaseException:
+            os.rename(old, day_dir)  # restore the live day
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+        # Spark writes its own _SUCCESS inside the rewritten day dir;
+        # harmless to partition discovery, but drop it to keep the
+        # directory shape identical to the append path's
+        success = os.path.join(day_dir, "_SUCCESS")
+        if os.path.exists(success):
+            os.remove(success)
+        days_compacted += 1
+        files_after += len(glob.glob(os.path.join(day_dir, "*.parquet")))
+    return {
+        "days_compacted": days_compacted,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

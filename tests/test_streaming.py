@@ -1681,3 +1681,68 @@ def test_events_partitioned_channel_recovers_from_crashed_append(
     assert data.count() == e.count()  # no duplicated batch-0 rows
     assert data.exceptAll(e).count() == 0
     assert e.exceptAll(data).count() == 0
+
+
+def test_compact_day_partitions_preserves_content(spark, sf_dir, tmp_path):
+    """The small-files answer for the streaming-appended partitioned
+    layout: after a two-batch channel run every touched day holds two
+    files; compaction must bring each day to one file with the
+    layout's content and day assignment bit-identical, markers
+    untouched, and a second compaction a no-op."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        compact_day_partitions,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_events_partitioned_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "evc_2files")
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("event_id") % 2 == 0),
+         e.filter(F.col("event_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    loc = str(tmp_path / "evc_serving")
+    q = start_events_partitioned_channel(
+        spark, sf_dir, loc=loc, sink_dir=str(tmp_path / "evc_log"),
+        stream=stream,
+    )
+    q.awaitTermination(240)
+
+    day_dirs = [d for d in os.listdir(loc) if d.startswith("day=")]
+    multi = [
+        d for d in day_dirs
+        if len(glob.glob(os.path.join(loc, d, "*.parquet"))) > 1
+    ]
+    assert multi, "fixture produced no multi-file day — nothing to compact"
+    before = spark.read.parquet(loc)
+    before_rows = before.count()
+
+    stats = compact_day_partitions(spark, loc)
+    assert stats["days_compacted"] == len(multi)
+    assert stats["files_after"] < stats["files_before"]
+    for d in day_dirs:
+        assert len(glob.glob(os.path.join(loc, d, "*.parquet"))) == 1, d
+
+    after = spark.read.parquet(loc)
+    assert after.count() == before_rows
+    assert after.exceptAll(e.withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))).count() == 0
+    assert os.path.isdir(os.path.join(loc, "_published"))
+
+    # idempotent: a second pass finds nothing to do
+    stats2 = compact_day_partitions(spark, loc)
+    assert stats2["days_compacted"] == 0
+    assert stats2["files_before"] == stats2["files_after"]
