@@ -232,3 +232,78 @@ def compact_day_partitions(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def drop_day_partitions(loc: str, before_day: str) -> list:
+    """Retention on the date-partitioned layout: delete every day=
+    directory strictly older than ``before_day`` (zero-padded
+    yyyy-MM-dd, so lexicographic order IS chronological order).  The
+    whole point of partitioning the fact by day — expiring a day is
+    one directory unlink, never a rewrite of surviving data (the
+    partition-drop semantics of sinks S10/S11 carried to the layout).
+    Returns the dropped day values."""
+    import os
+    import re
+    import shutil
+
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", before_day):
+        raise ValueError(f"before_day must be yyyy-MM-dd, got {before_day!r}")
+    dropped = []
+    for entry in sorted(os.listdir(loc)):
+        if not entry.startswith("day="):
+            continue
+        day = entry.split("=", 1)[1]
+        if day < before_day:
+            shutil.rmtree(os.path.join(loc, entry))
+            dropped.append(day)
+    return dropped
+
+
+def backfill_day(
+    spark: SparkSession, loc: str, day: str, events: DataFrame
+) -> None:
+    """Reprocessing face of the date-partitioned layout: replace
+    exactly ONE day= directory with corrected data, atomically
+    (build-aside + rename-ASIDE — readers of the day see the old file
+    set or the new one, never a mixture), leaving every other day's
+    bytes untouched.  Refuses rows whose ts falls outside ``day`` —
+    a backfill that silently relocates rows to the wrong directory
+    would corrupt every later partition-pruned read."""
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
+        raise ValueError(f"day must be yyyy-MM-dd, got {day!r}")
+    stray = events.filter(
+        F.date_format("ts", "yyyy-MM-dd") != F.lit(day)
+    ).count()
+    if stray:
+        raise ValueError(
+            f"backfill_day({day!r}): {stray} rows have ts outside the day"
+        )
+    day_dir = os.path.join(loc, f"day={day}")
+    tmp = f"{day_dir}.backfill-{uuid.uuid4().hex}"
+    try:
+        events.coalesce(1).write.parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    success = os.path.join(tmp, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    old = f"{day_dir}.old-{uuid.uuid4().hex}"
+    had_old = os.path.isdir(day_dir)
+    if had_old:
+        os.rename(day_dir, old)
+    try:
+        os.rename(tmp, day_dir)
+    except BaseException:
+        if had_old:
+            os.rename(old, day_dir)
+        raise
+    if had_old:
+        shutil.rmtree(old, ignore_errors=True)

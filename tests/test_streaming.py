@@ -1746,3 +1746,78 @@ def test_compact_day_partitions_preserves_content(spark, sf_dir, tmp_path):
     stats2 = compact_day_partitions(spark, loc)
     assert stats2["days_compacted"] == 0
     assert stats2["files_before"] == stats2["files_after"]
+
+
+def test_day_layout_retention_and_backfill(spark, sf_dir, tmp_path):
+    """The partitioned layout's lifecycle claims made real: retention
+    drops exactly the pre-cutoff day directories without touching
+    surviving bytes; backfill atomically replaces one day's content
+    and refuses rows whose ts falls outside the day."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        backfill_day,
+        drop_day_partitions,
+        write_day_partitioned,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    loc = str(tmp_path / "day_layout")
+    write_day_partitioned(e, loc)
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(loc)
+        if d.startswith("day=")
+    )
+    assert len(days) >= 3
+    cutoff = days[2]
+
+    # bytes of a surviving day must not move
+    keep_dir = os.path.join(loc, f"day={days[-1]}")
+    keep_mtimes = {
+        f: os.stat(os.path.join(keep_dir, f)).st_mtime_ns
+        for f in os.listdir(keep_dir)
+    }
+    dropped = drop_day_partitions(loc, cutoff)
+    assert dropped == days[:2]
+    assert not os.path.isdir(os.path.join(loc, f"day={days[0]}"))
+    assert {
+        f: os.stat(os.path.join(keep_dir, f)).st_mtime_ns
+        for f in os.listdir(keep_dir)
+    } == keep_mtimes
+    survivors = spark.read.parquet(loc)
+    want = e.filter(F.date_format("ts", "yyyy-MM-dd") >= cutoff)
+    assert survivors.count() == want.count()
+
+    # backfill one day with a corrected copy (values zeroed)
+    target = days[3]
+    fixed = e.filter(
+        F.date_format("ts", "yyyy-MM-dd") == target
+    ).withColumn("value", F.lit(0.0))
+    backfill_day(spark, loc, target, fixed)
+    after = spark.read.parquet(loc)
+    assert after.count() == want.count()
+    assert (
+        after.filter(F.col("day") == target)
+        .agg(F.sum(F.abs("value")))
+        .collect()[0][0]
+        == 0.0
+    )
+    # every other day untouched
+    other = after.filter(F.col("day") != target).drop("day")
+    assert other.exceptAll(
+        want.filter(F.date_format("ts", "yyyy-MM-dd") != target)
+    ).count() == 0
+
+    # a row outside the day must be refused
+    with pytest.raises(ValueError, match="outside the day"):
+        backfill_day(
+            spark, loc, target,
+            e.filter(F.date_format("ts", "yyyy-MM-dd") == days[-1]),
+        )
+    with pytest.raises(ValueError, match="yyyy-MM-dd"):
+        drop_day_partitions(loc, "Jan 5")
