@@ -224,6 +224,7 @@ HEADLINE = [
     "audio_contamination",
     "video_contamination",
     "weekend_traffic_rollup",
+    "incremental_embedding_dedup",
 ]
 
 TIMED_SWEEPS = 2

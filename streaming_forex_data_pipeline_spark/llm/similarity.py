@@ -180,6 +180,73 @@ def embedding_near_dup_candidates(
     )
 
 
+def incremental_embedding_pairs(
+    emb: DataFrame,
+    is_new: Column,
+    threshold: float,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental semantic near-dup over the LSH-bucketed tier — the
+    `incremental_near_dup_pairs` daily-crawl shape carried to the
+    embedding modality: same-bucket pairs scored only where at least
+    one side is NEW (new x new upper-triangle plus old x new; the
+    historical corpus is NEVER re-paired against itself), verified
+    with the exact cosine >= ``threshold``.  Exactly
+    `embedding_near_dup_candidates(emb, threshold, n_planes)`
+    filtered to new-sided pairs, which is what the oracle checks.
+
+    Daily cost at 100 TB: the old side reduces to the touched
+    buckets' members via the bucket equi-join (new-batch buckets are
+    a small set), so work is O(new x same-bucket) instead of
+    O(corpus²/2^planes).  NULL ``is_new`` coalesces to the OLD/index
+    side (the left-join-derived-flag contract shared with the other
+    incremental tiers)."""
+    from ..sources.tables import fan_out
+
+    flags = fan_out(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.coalesce(is_new, F.lit(False)).alias("is_new"),
+        )
+    )
+    b = flags.select(
+        "id",
+        "v",
+        norm(F.col("v")).alias("n"),
+        lsh_bucket(F.col("v"), n_planes).alias("bucket"),
+        "is_new",
+    )
+    new = b.filter(F.col("is_new"))
+    old = b.filter(~F.col("is_new"))
+
+    def sides(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "bucket",
+            F.col("id").alias(f"id_{tag}"),
+            F.col("v").alias(f"v_{tag}"),
+            F.col("n").alias(f"n_{tag}"),
+        )
+
+    nn = sides(new, "a").join(sides(new, "b"), "bucket").filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    on = sides(old, "a").join(sides(new, "b"), "bucket")
+    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        nn.unionByName(on)
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cos_sim",
+        )
+    )
+
+
 def _bootstrap_centroids(
     emb: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -417,3 +417,62 @@ def weekend_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental semantic dedup (completes the incremental matrix)
+
+
+def _incremental_embedding_oracle() -> str:
+    from .llm_q import _lsh_bucket_sql
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', n_planes=4)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 5) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "incremental_embedding_dedup",
+    oracle=_incremental_embedding_oracle(),
+    doc="Incremental SEMANTIC near-dup "
+    "(llm/similarity.py:incremental_embedding_pairs): the daily-crawl "
+    "shape on the embedding modality — same-LSH-bucket pairs scored "
+    "only where at least one side is NEW (registered split: every "
+    "5th vec_id plays today's batch, the incremental_image_dedup "
+    "convention), exact cosine >= 0.35 verification, old x old never "
+    "scored.  With this, every near-dup tier in the engine has an "
+    "incremental face: text MinHash, image dHash, audio envelope, "
+    "video frames, and semantic embeddings — the historical corpus "
+    "is never re-paired against itself on any modality.  Daily cost "
+    "is O(new x same-bucket members): the bucket equi-join touches "
+    "only the buckets today's vectors land in.  Same plane literals "
+    "and threshold as embedding_near_dups_lsh, so the oracle is that "
+    "query's exact spec filtered to new-sided pairs — recall against "
+    "the full answer is checked, not assumed.",
+)
+def incremental_embedding_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.incremental_embedding_pairs(
+        e, F.col("vec_id") % 5 == 0, threshold=0.35, n_planes=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 5).alias("cos_sim")
+    ).orderBy("id_a", "id_b")

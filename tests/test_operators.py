@@ -1636,3 +1636,39 @@ def test_exact_ntile_by_shuffle_join_path_matches_broadcast_path(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_incremental_embedding_pairs_equal_full_filtered(spark, sf_dir):
+    """The incremental semantic tier's contract: exactly the LSH
+    candidate pairs (same planes, same threshold) restricted to pairs
+    with at least one NEW side — and a corpus where every tier
+    (new x new, old x new, old x old) is populated, so the
+    old-x-old exclusion is actually exercised."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.similarity import (
+        embedding_near_dup_candidates,
+        incremental_embedding_pairs,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 5 == 0
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in incremental_embedding_pairs(
+            e, is_new, threshold=0.35, n_planes=4
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_candidates(
+            e, threshold=0.35, n_planes=4
+        ).collect()
+    }
+    want = {
+        (a, b) for (a, b) in full if a % 5 == 0 or b % 5 == 0
+    }
+    assert got == want and len(want) > 0
+    excluded = {(a, b) for (a, b) in full if a % 5 != 0 and b % 5 != 0}
+    assert excluded, "no old x old pair in the fixture — exclusion untested"
