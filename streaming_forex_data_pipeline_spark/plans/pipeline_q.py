@@ -1,7 +1,9 @@
-"""Round-10 tranche-4 registered queries: the co-bucketed fact-fact
-join layout and the audio/video close of the decontamination matrix.
+"""Round-10 tranche-4+ registered queries: the co-bucketed fact-fact
+join layout, the audio/video close of the decontamination matrix, the
+date-partitioned layout's dynamic-partition-pruning face, and the
+incremental semantic dedup tier.
 
-Two capability groups:
+Capability groups:
 
 - **Co-bucketed orders/lineitem silvers.**  The events silver killed
   the user-keyed shuffle for the analytics family; the SAME one-time
@@ -18,6 +20,13 @@ Two capability groups:
   modalities complete the grid through the SAME incremental signature
   machinery (`llm/dedup.py:incremental_dhash_pairs` with the eval
   split as the new side — train x train never expands).
+- **Date-partitioned fact layout + DPP.**  The time-keyed production
+  layout (one day= directory per day) with a plan-gated DYNAMIC
+  partition pruning probe — the join-derived cousin of the static
+  PartitionFilters evidence.
+- **Incremental semantic dedup.**  The daily-crawl shape on the
+  embedding modality, completing the incremental matrix across all
+  five near-dup tiers.
 
 Import order (after modal_q) keeps every earlier registration index
 stable for the driver's evidence rotation."""
