@@ -1051,3 +1051,91 @@ def start_signature_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_embedding_index_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "embedding_dedup_sink",
+    vec_dir: str | None = None,
+    pair_dir: str | None = None,
+    stream=None,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+):
+    """Streaming maintenance of the SEMANTIC dedup index — the
+    embedding face of the accumulating-index family (the signature
+    channels' contract carried to vectors, which do not fit the
+    two-half-signature frame): each micro-batch's new vectors are
+    paired against the committed index of every earlier batch via
+    `llm.similarity.incremental_embedding_pairs` (same-LSH-bucket
+    candidates, exact cosine >= ``threshold`` verify, old x old never
+    scored), then folded into the index.  After the drain the
+    committed pair set equals the batch
+    `embedding_near_dup_candidates` over the whole corpus — the
+    parity test's claim, cross-batch pairs included.
+
+    Same two-log crash contract as `start_signature_channel`: pairs
+    commit BEFORE vectors, and the index read anti-joins the current
+    batch's ids so a replay whose vectors already landed cannot
+    self-pair."""
+    from pyspark.sql import functions as F
+
+    from ..llm.similarity import incremental_embedding_pairs
+    from ..sources.scratch import scratch_dir
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if vec_dir is None:
+        vec_dir = scratch_dir("emb_idx_index_")
+    if pair_dir is None:
+        pair_dir = scratch_dir("emb_idx_pairs_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "embeddings")
+    spark.createDataFrame(
+        [], "id_a long, id_b long, cos_sim double"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        batch_vecs = batch_df.select(
+            "vec_id", "embedding"
+        ).localCheckpoint(eager=False)
+        try:
+            old = (
+                read_committed(spark, vec_dir, keys=["vec_id", "batch"])
+                .select("vec_id", "embedding")
+                .join(batch_vecs.select("vec_id"), "vec_id", "left_anti")
+            )
+            flagged = old.withColumn("__new", F.lit(False)).unionByName(
+                batch_vecs.withColumn("__new", F.lit(True))
+            )
+        except FileNotFoundError:
+            flagged = batch_vecs.withColumn("__new", F.lit(True))
+        pairs = incremental_embedding_pairs(
+            flagged, F.col("__new"), threshold=threshold, n_planes=n_planes
+        )
+        commit_append(pairs, pair_dir, version=float(batch_id))
+        commit_append(
+            batch_vecs.withColumn(
+                "batch", F.lit(int(batch_id)).cast("long")
+            ),
+            vec_dir,
+            version=float(batch_id),
+        )
+        try:
+            committed = read_committed(
+                spark, pair_dir, keys=["id_a", "id_b"]
+            )
+        except FileNotFoundError:
+            return  # every commit so far carried zero pairs
+        committed.select("id_a", "id_b", "cos_sim").createOrReplaceTempView(
+            sink_table
+        )
+
+    return (
+        stream.writeStream.queryName(sink_table)
+        .foreachBatch(run_batch)
+        .option("checkpointLocation", scratch_dir("emb_idx_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )

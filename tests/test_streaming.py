@@ -1821,3 +1821,63 @@ def test_day_layout_retention_and_backfill(spark, sf_dir, tmp_path):
         )
     with pytest.raises(ValueError, match="yyyy-MM-dd"):
         drop_day_partitions(loc, "Jan 5")
+
+
+def test_embedding_index_channel_matches_batch_pairs(
+    spark, sf_dir, tmp_path
+):
+    """The semantic face of the accumulating-index family: embeddings
+    stream in TWO micro-batches split by vec_id parity (23 of the 39
+    sf0.001 LSH pairs are odd-even, so cross-batch pairing is
+    provably exercised); after the drain the committed pair set must
+    equal the batch embedding_near_dup_candidates over the whole
+    corpus at the same planes/threshold."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm.similarity import (
+        embedding_near_dup_candidates,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_embedding_index_channel,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "emb_two_batches")
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("vec_id") % 2 == 0),
+         e.filter(F.col("vec_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pair_dir = str(tmp_path / "emb_pairs")
+    q = start_embedding_index_channel(
+        spark, sf_dir, sink_table="emb_idx_parity",
+        vec_dir=str(tmp_path / "emb_vecs"), pair_dir=pair_dir,
+        stream=stream, threshold=0.35, n_planes=4,
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(os.path.join(pair_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — cross-batch pairing "
+        "untested"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 5)
+        for r in spark.table("emb_idx_parity").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 5)
+        for r in embedding_near_dup_candidates(
+            e, threshold=0.35, n_planes=4
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    assert any(a % 2 != b % 2 for (a, b) in got), (
+        "no cross-batch pair — the accumulation claim went untested"
+    )
