@@ -184,33 +184,47 @@ def compact_day_partitions(
     content-preserving, one day at a time via build-aside +
     rename-ASIDE (readers of a day see the old file set or the new
     one, never a mixture; a crash mid-compaction loses nothing but
-    the one aside directory's cleanup).  Markers and _SUCCESS at the
-    layout root are untouched.  Returns {'days_compacted', 'files_before',
-    'files_after'}."""
+    the one aside directory's cleanup).  Maintenance directories are
+    underscore-prefixed (``_compact-*``/``_old-*``) so Spark's file
+    index never parses them as partitions — a crash between the two
+    renames leaves only invisible-to-readers leftovers, which the next
+    maintenance call sweeps (advice-found: the earlier
+    ``day=X.old-<hex>`` names WERE partition-discoverable, so a crash
+    made duplicated rows visible under bogus string day values).
+    Files appended by a live streaming channel after the compaction
+    snapshot are detected in the aside copy (basenames not in the
+    snapshot) and carried into the rewritten day before the aside is
+    deleted, so compaction never loses committed rows (advice-found).
+    Markers and _SUCCESS at the layout root are untouched.  Returns
+    {'days_compacted', 'files_before', 'files_after'}."""
     import glob
     import os
     import shutil
     import uuid
 
+    sweep_maintenance_leftovers(loc)
     days_compacted = files_before = files_after = 0
     for entry in sorted(os.listdir(loc)):
         day_dir = os.path.join(loc, entry)
         if not entry.startswith("day=") or not os.path.isdir(day_dir):
             continue
-        files = glob.glob(os.path.join(day_dir, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(day_dir, "*.parquet")))
         files_before += len(files)
         if len(files) <= max_files_per_day:
             files_after += len(files)
             continue
-        tmp = f"{day_dir}.compact-{uuid.uuid4().hex}"
+        snapshot = {os.path.basename(f) for f in files}
+        tmp = os.path.join(loc, f"_compact-{uuid.uuid4().hex}")
         try:
-            # one partition -> one file; the rewrite reads only this
-            # day's files, never the whole layout
-            spark.read.parquet(day_dir).coalesce(1).write.parquet(tmp)
+            # one partition -> one file; the rewrite reads exactly the
+            # snapshot file list, never the whole layout — so any file
+            # a live appender lands afterwards is provably NOT in the
+            # compacted output and must be carried over below
+            spark.read.parquet(*files).coalesce(1).write.parquet(tmp)
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        old = f"{day_dir}.old-{uuid.uuid4().hex}"
+        old = os.path.join(loc, f"_old-{uuid.uuid4().hex}")
         os.rename(day_dir, old)
         try:
             os.rename(tmp, day_dir)
@@ -218,6 +232,13 @@ def compact_day_partitions(
             os.rename(old, day_dir)  # restore the live day
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        # carry late-appended files (present in the aside copy, absent
+        # from the snapshot) into the rewritten day — their writer's
+        # markers already claim them published
+        for f in glob.glob(os.path.join(old, "*.parquet")):
+            base = os.path.basename(f)
+            if base not in snapshot:
+                os.rename(f, os.path.join(day_dir, base))
         shutil.rmtree(old, ignore_errors=True)
         # Spark writes its own _SUCCESS inside the rewritten day dir;
         # harmless to partition discovery, but drop it to keep the
@@ -232,6 +253,24 @@ def compact_day_partitions(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def sweep_maintenance_leftovers(loc: str) -> list:
+    """Remove stale ``_compact-*``/``_old-*``/``_backfill-*``
+    directories a crashed maintenance call left under the layout root.
+    They are underscore-named, so Spark readers never saw them — this
+    only reclaims the bytes.  Called at the start of every maintenance
+    entry point; safe because no two maintenance calls run concurrently
+    on one layout (same contract as the rename-aside swap itself)."""
+    import os
+    import shutil
+
+    swept = []
+    for entry in os.listdir(loc):
+        if entry.startswith(("_compact-", "_old-", "_backfill-")):
+            shutil.rmtree(os.path.join(loc, entry), ignore_errors=True)
+            swept.append(entry)
+    return swept
 
 
 def drop_day_partitions(loc: str, before_day: str) -> list:
@@ -265,8 +304,10 @@ def backfill_day(
     """Reprocessing face of the date-partitioned layout: replace
     exactly ONE day= directory with corrected data, atomically
     (build-aside + rename-ASIDE — readers of the day see the old file
-    set or the new one, never a mixture), leaving every other day's
-    bytes untouched.  Refuses rows whose ts falls outside ``day`` —
+    set or the new one, never a mixture; temp/aside dirs are
+    underscore-prefixed so partition discovery ignores a crash's
+    leftovers, advice-found), leaving every other day's bytes
+    untouched.  Refuses rows whose ts falls outside ``day`` —
     a backfill that silently relocates rows to the wrong directory
     would corrupt every later partition-pruned read."""
     import os
@@ -278,6 +319,7 @@ def backfill_day(
 
     if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
         raise ValueError(f"day must be yyyy-MM-dd, got {day!r}")
+    sweep_maintenance_leftovers(loc)
     stray = events.filter(
         F.date_format("ts", "yyyy-MM-dd") != F.lit(day)
     ).count()
@@ -286,7 +328,7 @@ def backfill_day(
             f"backfill_day({day!r}): {stray} rows have ts outside the day"
         )
     day_dir = os.path.join(loc, f"day={day}")
-    tmp = f"{day_dir}.backfill-{uuid.uuid4().hex}"
+    tmp = os.path.join(loc, f"_backfill-{uuid.uuid4().hex}")
     try:
         events.coalesce(1).write.parquet(tmp)
     except BaseException:
@@ -295,7 +337,7 @@ def backfill_day(
     success = os.path.join(tmp, "_SUCCESS")
     if os.path.exists(success):
         os.remove(success)
-    old = f"{day_dir}.old-{uuid.uuid4().hex}"
+    old = os.path.join(loc, f"_old-{uuid.uuid4().hex}")
     had_old = os.path.isdir(day_dir)
     if had_old:
         os.rename(day_dir, old)
@@ -304,6 +346,9 @@ def backfill_day(
     except BaseException:
         if had_old:
             os.rename(old, day_dir)
+        # mirror compact_day_partitions: a failed swap must not leak
+        # the fully-built tmp dir (advice-found)
+        shutil.rmtree(tmp, ignore_errors=True)
         raise
     if had_old:
         shutil.rmtree(old, ignore_errors=True)

@@ -1748,6 +1748,115 @@ def test_compact_day_partitions_preserves_content(spark, sf_dir, tmp_path):
     assert stats2["files_before"] == stats2["files_after"]
 
 
+def _split_day_into_two_files(spark, day_dir):
+    """Rewrite one day= directory as two parquet files (compactable)."""
+    import glob
+    import os
+    import shutil
+
+    rows = spark.read.parquet(day_dir)
+    n = rows.count()
+    first = rows.limit(n // 2)
+    rest = rows.exceptAll(first)
+    # materialize both halves BEFORE deleting the source files the
+    # lazy plans still reference
+    tmp_a, tmp_b = day_dir + ".tmpa", day_dir + ".tmpb"
+    first.coalesce(1).write.parquet(tmp_a)
+    rest.coalesce(1).write.parquet(tmp_b)
+    shutil.rmtree(day_dir)
+    os.makedirs(day_dir)
+    for i, tmp in enumerate((tmp_a, tmp_b)):
+        for f in glob.glob(os.path.join(tmp, "*.parquet")):
+            os.rename(f, os.path.join(day_dir, f"half{i}-{os.path.basename(f)}"))
+        shutil.rmtree(tmp)
+
+
+def test_day_layout_maintenance_crash_and_live_append_safety(
+    spark, sf_dir, tmp_path
+):
+    """The advice-found maintenance hazards pinned: (a) crash leftovers
+    are underscore-named, so Spark partition discovery never parses
+    them as bogus day values, and the next maintenance call sweeps
+    them; (b) a file appended into a day AFTER the compaction snapshot
+    but before the aside-rename survives the rewrite (carried into the
+    compacted day, not rmtree'd with the aside copy); (c) the sweep is
+    callable standalone."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        compact_day_partitions,
+        sweep_maintenance_leftovers,
+        write_day_partitioned,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").limit(4000)
+    loc = str(tmp_path / "evm")
+    write_day_partitioned(e, loc)
+    truth = e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    truth_rows = truth.count()
+    day_dirs = sorted(d for d in os.listdir(loc) if d.startswith("day="))
+
+    # (a) simulated crash leftovers: a duplicated aside copy and a
+    # half-built compact dir under the layout root.  Readers must see
+    # neither (row count and day-value set unchanged), and compaction
+    # must sweep them.
+    victim = os.path.join(loc, day_dirs[0])
+    shutil.copytree(victim, os.path.join(loc, "_old-deadbeef"))
+    shutil.copytree(victim, os.path.join(loc, "_compact-deadbeef"))
+    visible = spark.read.parquet(loc)
+    assert visible.count() == truth_rows
+    assert visible.select("day").distinct().count() == len(day_dirs)
+
+    # (b) live-append survival: make one day compactable, then inject a
+    # "late append" at the exact race window — after the snapshot, just
+    # before the day dir is renamed aside — by intercepting os.rename.
+    split_dir = os.path.join(loc, day_dirs[1])
+    _split_day_into_two_files(spark, split_dir)
+    late_dir = str(tmp_path / "late")
+    truth.filter(F.col("day") == day_dirs[1].split("=", 1)[1]).limit(
+        3
+    ).drop("day").coalesce(1).write.parquet(late_dir)
+    late_file = glob.glob(os.path.join(late_dir, "*.parquet"))[0]
+
+    real_rename = os.rename
+    injected = {"done": False}
+
+    def racing_rename(src, dst):
+        if (
+            not injected["done"]
+            and os.path.basename(dst).startswith("_old-")
+        ):
+            shutil.copy(late_file, os.path.join(src, "late-append.parquet"))
+            injected["done"] = True
+        return real_rename(src, dst)
+
+    os.rename = racing_rename
+    try:
+        stats = compact_day_partitions(spark, loc)
+    finally:
+        os.rename = real_rename
+    assert injected["done"], "race injection never fired"
+    assert stats["days_compacted"] >= 1
+    # crash leftovers from (a) were swept
+    assert not [
+        d for d in os.listdir(loc) if d.startswith(("_old-", "_compact-"))
+    ]
+    # the late-appended file was carried into the rewritten day
+    assert glob.glob(os.path.join(loc, "day=*", "late-append.parquet"))
+    final = spark.read.parquet(loc)
+    assert final.count() == truth_rows + 3
+    assert final.exceptAll(truth).count() == 3
+
+    # (c) sweep is callable standalone and returns what it removed
+    os.makedirs(os.path.join(loc, "_backfill-cafe"))
+    assert sweep_maintenance_leftovers(loc) == ["_backfill-cafe"]
+
+
 def test_day_layout_retention_and_backfill(spark, sf_dir, tmp_path):
     """The partitioned layout's lifecycle claims made real: retention
     drops exactly the pre-cutoff day directories without touching
