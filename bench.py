@@ -65,6 +65,7 @@ HEADLINE = [
     "normalize_robust",
     # analysis
     "patterns",
+    "pattern_alerts_replay",
     "signals_sma",
     "backtest_metrics",
     "feature_importance",

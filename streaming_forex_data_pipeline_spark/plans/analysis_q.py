@@ -45,12 +45,11 @@ feat AS (
 """
 
 
-@register(
-    "patterns",
-    oracle=CANDLES_CTE
-    + _PATTERNS_BASE
-    + """
-SELECT * FROM (
+#: the six-pattern UNION body — shared verbatim by the `patterns`
+#: oracle below and the `pattern_alerts_replay` oracle
+#: (plans/streaming_q.py), so the alert channel's replay face can never
+#: drift from the batch pattern semantics.
+_PATTERNS_UNION = """
   SELECT symbol, ts, 'doji' AS pattern,
          CASE WHEN body_ratio <= 0.05 THEN 'high' ELSE 'medium' END AS confidence,
          round(close, 6) AS price_level,
@@ -96,7 +95,16 @@ SELECT * FROM (
   FROM feat
   WHERE f_c > f_o AND p_body < f_body * 0.3 AND close < open
     AND close < (f_o + f_c) / 2
-) u
+"""
+
+
+@register(
+    "patterns",
+    oracle=CANDLES_CTE
+    + _PATTERNS_BASE
+    + "SELECT * FROM (\n"
+    + _PATTERNS_UNION
+    + """) u
 ORDER BY symbol, ts, pattern
 """,
     doc="P1 — candlestick patterns (doji/hammer/engulfing/stars) as "

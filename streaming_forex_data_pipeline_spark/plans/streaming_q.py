@@ -222,6 +222,65 @@ def technical_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("symbol", "ts")
 
 
+def _pattern_alerts_oracle() -> str:
+    """Alert-envelope SQL over the SAME six-pattern union the `patterns`
+    oracle uses (analysis_q._PATTERNS_UNION) — the replay face cannot
+    drift from the batch pattern semantics."""
+    from .analysis_q import _PATTERNS_BASE, _PATTERNS_UNION
+
+    return (
+        CANDLES_CTE
+        + _PATTERNS_BASE
+        + ", pat AS (\n"
+        + _PATTERNS_UNION
+        + """)
+SELECT symbol, ts,
+       pattern AS pattern_detected,
+       confidence,
+       CASE WHEN pattern IN ('bullish_engulfing', 'hammer')
+            THEN 'bullish' ELSE 'bearish' END AS direction,
+       CASE WHEN signal_strength > 0.8 THEN 'strong'
+            WHEN signal_strength > 0.6 THEN 'medium'
+            ELSE 'weak' END AS strength,
+       price_level,
+       signal_strength,
+       CASE pattern
+         WHEN 'doji' THEN 'Doji'
+         WHEN 'hammer' THEN 'Hammer'
+         WHEN 'bullish_engulfing' THEN 'Bullish Engulfing'
+         WHEN 'bearish_engulfing' THEN 'Bearish Engulfing'
+         WHEN 'morning_star' THEN 'Morning Star'
+         ELSE 'Evening Star' END
+       || ' pattern detected with '
+       || CAST(CAST(floor(signal_strength * 1000) AS BIGINT) // 10 AS VARCHAR)
+       || '.'
+       || CAST(CAST(floor(signal_strength * 1000) AS BIGINT) % 10 AS VARCHAR)
+       || '% confidence' AS description
+FROM pat
+ORDER BY symbol, ts, pattern_detected
+"""
+    )
+
+
+@register(
+    "pattern_alerts_replay",
+    oracle=_pattern_alerts_oracle(),
+    doc="ST1 — the pattern_alerts channel's batch replay face: the "
+    "reference's 2-second alert stream (websocket_manager.py:29, :204 "
+    "trigger table, :450-473 message shape) over the REAL pattern "
+    "detector instead of the reference's random simulator.  Direction "
+    "follows the reference's membership list (morning_star reads "
+    "'bearish' — quirk preserved); strength tiers at >0.8/>0.6; the "
+    "description percent renders from integers so the string is "
+    "engine-exact.  The streaming channel "
+    "(streaming.channels.start_pattern_alerts_channel) runs this same "
+    "transform per micro-batch; stream/batch parity is pytest-pinned.",
+)
+def pattern_alerts_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return ST.pattern_alerts(c).orderBy("symbol", "ts", "pattern_detected")
+
+
 @register(
     "order_book_features",
     oracle="""

@@ -57,6 +57,7 @@ CHANNEL_TRIGGERS = {
     "market_depth": "500 milliseconds",
     "microstructure": "5 seconds",
     "economic_events": "10 seconds",
+    "pattern_alerts": "2 seconds",
 }
 
 
@@ -252,6 +253,51 @@ def start_candle_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_pattern_alerts_channel(
+    spark: SparkSession,
+    sf_dir: str,
+    sink: "BroadcastSink | None" = None,
+    available_now: bool = True,
+):
+    """ST1 pattern_alerts channel — the reference's 2-second alert
+    stream (websocket_manager.py:29 StreamType.PATTERN_ALERTS, :204
+    trigger table, :450-473 message shape) wired end-to-end: events
+    stream -> watermarked candle aggregation -> per-micro-batch pattern
+    detection (streaming.features.pattern_alerts — the SAME transform
+    the oracle-checked ``pattern_alerts_replay`` batch query runs) ->
+    alert envelope -> broadcast sink.
+
+    The lag-window pattern predicates need per-symbol candle history,
+    which has no incremental append-mode rendering — so like the
+    ml_features channel, the detector runs inside ``foreachBatch`` over
+    each micro-batch's candles (the analog of the reference's per-emit
+    recompute over its trailing buffer).  Alerts per batch are
+    O(detected patterns), well inside the BroadcastSink's
+    O(symbols x channels) contract.
+
+    ``available_now=True`` (tests/replays) drains the file source in
+    one pass; production passes False to run on the channel's 2 s
+    processing-time trigger (CHANNEL_TRIGGERS['pattern_alerts']).
+    Returns (query, sink)."""
+    from .features import pattern_alerts
+
+    out_sink = sink if sink is not None else BroadcastSink()
+    candles = candle_channel(read_events_stream(spark, sf_dir))
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        alerts = pattern_alerts(batch_df)
+        out_sink(wrap_stream_messages(alerts, "pattern_alerts"), batch_id)
+
+    writer = candles.writeStream.outputMode("append").foreachBatch(emit)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(
+            processingTime=CHANNEL_TRIGGERS["pattern_alerts"]
+        )
+    return writer.start(), out_sink
 
 
 class BroadcastSink:

@@ -155,6 +155,81 @@ def trading_signals(features: DataFrame) -> DataFrame:
     )
 
 
+#: display names for the alert description — the fixed six-pattern
+#: vocabulary of operators.patterns.detect_patterns, title-cased the way
+#: the reference's ``pattern.replace('_',' ').title()`` renders them
+#: (websocket_manager.py:471)
+_PATTERN_DISPLAY = {
+    "doji": "Doji",
+    "hammer": "Hammer",
+    "bullish_engulfing": "Bullish Engulfing",
+    "bearish_engulfing": "Bearish Engulfing",
+    "morning_star": "Morning Star",
+    "evening_star": "Evening Star",
+}
+
+#: the reference's bullish-direction membership list
+#: (websocket_manager.py:468: ["bullish_engulfing", "hammer",
+#: "breakout"]) — morning_star is NOT in it, so it reads "bearish";
+#: quirk preserved, not fixed.
+_BULLISH_PATTERNS = ("bullish_engulfing", "hammer")
+
+
+def pattern_alerts(candles: DataFrame) -> DataFrame:
+    """ST1 pattern_alerts channel transform — the reference's
+    2-second alert stream (websocket_manager.py:29 StreamType, :204
+    trigger table, :450-473 message shape) made real: instead of the
+    reference's random simulator, alerts come from the actual pattern
+    detector (pattern_detection.py:102-286 semantics via
+    operators.patterns.detect_patterns), wrapped in the reference's
+    alert envelope: pattern_detected, confidence label, direction,
+    strength tier (strong >0.8 / medium >0.6 / weak), price_level, and
+    the human description string.
+
+    The description's percent is rendered from integers
+    (floor(strength·1000) split into whole.tenth) so the string is
+    bit-identical across engines — no float formatting in the output.
+    Pure Column algebra over detect_patterns: runs as a batch query
+    (oracle-checked as ``pattern_alerts_replay``) and unchanged inside
+    the streaming channel's foreachBatch."""
+    from ..operators.patterns import detect_patterns
+
+    sig = detect_patterns(candles)
+    direction = F.when(
+        F.col("pattern").isin(*_BULLISH_PATTERNS), "bullish"
+    ).otherwise("bearish")
+    ss = F.round("signal_strength", 6)
+    strength = (
+        F.when(ss > 0.8, "strong").when(ss > 0.6, "medium").otherwise("weak")
+    )
+    display = F.col("pattern")
+    for raw, disp in _PATTERN_DISPLAY.items():
+        display = F.when(F.col("pattern") == raw, disp).otherwise(display)
+    pm = F.floor(ss * 1000).cast("bigint")
+    pct = F.concat(
+        (pm / 10).cast("bigint").cast("string"),
+        F.lit("."),
+        F.pmod(pm, 10).cast("bigint").cast("string"),
+    )
+    description = F.concat(
+        display,
+        F.lit(" pattern detected with "),
+        pct,
+        F.lit("% confidence"),
+    )
+    return sig.select(
+        SYMBOL,
+        TS,
+        F.col("pattern").alias("pattern_detected"),
+        F.col("confidence"),
+        direction.alias("direction"),
+        strength.alias("strength"),
+        F.round("price_level", 6).alias("price_level"),
+        ss.alias("signal_strength"),
+        description.alias("description"),
+    )
+
+
 def technical_analysis(features: DataFrame) -> DataFrame:
     """ST4 — trend from the SMA(5/10/20) ordering, RSI momentum and
     band status, fixed-offset S/R levels, recommendation

@@ -151,6 +151,54 @@ def test_ml_features_channel_runs_in_foreachbatch(spark, sf_dir):
         assert r["signal"] == batch_map[key], f"stream/batch signal diverged at {key}"
 
 
+def test_pattern_alerts_channel_matches_batch_replay(spark, sf_dir):
+    """ST1 pattern_alerts — the reference's 2 s alert channel
+    (websocket_manager.py:29/:204/:450-473): the streaming face must
+    emit exactly the oracle-checked pattern_alerts_replay rows for
+    every candle the watermark closes (append mode withholds each
+    symbol's open tail), with the full alert envelope (direction,
+    strength tier, integer-rendered description) byte-identical."""
+    import json
+
+    import pandas as pd
+
+    from streaming_forex_data_pipeline_spark.plans.registry import all_queries
+
+    q, sink = CH.start_pattern_alerts_channel(spark, sf_dir)
+    q.awaitTermination(120)
+
+    msgs = [json.loads(m) for m in sink.buffers["pattern_alerts"]]
+    assert msgs, "channel emitted no alerts"
+    assert {m["stream_type"] for m in msgs} == {"pattern_alerts"}
+
+    batch = (
+        all_queries()["pattern_alerts_replay"].spark(spark, sf_dir).collect()
+    )
+    batch_map = {
+        (r["symbol"], r["ts"], r["pattern_detected"]): r for r in batch
+    }
+    assert len(batch_map) == len(batch)
+    for m in msgs:
+        d = dict(m["data"])
+        # the envelope JSON renders ts in ISO form (UTC session); parse
+        # back to the naive datetime the batch rows carry
+        tsv = pd.Timestamp(d["ts"])
+        if tsv.tzinfo is not None:
+            tsv = tsv.tz_convert("UTC").tz_localize(None)
+        key = (d["symbol"], tsv.to_pydatetime(), d["pattern_detected"])
+        assert key in batch_map, f"stream alert {key} absent from batch"
+        b = batch_map[key]
+        for c in ("confidence", "direction", "strength", "description"):
+            assert d[c] == b[c], (c, key, d[c], b[c])
+        assert abs(d["price_level"] - b["price_level"]) <= 1e-12
+        assert abs(d["signal_strength"] - b["signal_strength"]) <= 1e-12
+    # the channel is registered in the reference trigger table
+    assert CH.CHANNEL_TRIGGERS["pattern_alerts"] == "2 seconds"
+    # coverage: only the watermark-open tail may be withheld
+    n_symbols = len({r["symbol"] for r in batch})
+    assert len(msgs) >= len(batch) - 3 * n_symbols
+
+
 def test_session_channel_matches_batch_session_windows(spark, sf_dir):
     """ST8 parity: the streaming session_window channel over the same
     events file must reproduce the batch session_windows aggregates on
