@@ -1264,11 +1264,17 @@ def dhash_near_dup_pairs(
         # 4 fixed bands only pigeonhole up to 3 flips; more would
         # silently void the recall guarantee
         raise ValueError(f"max_hamming must be in [0, 3], got {max_hamming}")
-    groups = (
-        hashes.groupBy("h_lo", "h_hi")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .localCheckpoint(eager=False)
+    groups = hashes.groupBy("h_lo", "h_hi").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
+    if max_hamming == 0:
+        # exact-signature tier only: a cross-signature banded candidate
+        # has hamming >= 1 by construction, so the whole explode +
+        # band-bucket join would verify to empty — skip it (this is the
+        # hot path of the cross-modal edge tiers and the shifted video
+        # query, all of which pair at hamming 0)
+        return _intra_signature_pairs(groups)
+    groups = groups.localCheckpoint(eager=False)
 
     # hamming-0 tier: pairs within one signature group
     intra = _intra_signature_pairs(groups)

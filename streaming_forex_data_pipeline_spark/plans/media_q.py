@@ -74,6 +74,67 @@ def media_payloads(spark, sf_dir: str, modality: str):
                 raise
     return spark.read.parquet(out_dir)
 
+#: bump when any signature computation in llm/multimodal.py changes
+#: (dhash grid walk, envelope framing, frame sampling) — the signature
+#: silvers below must invalidate independently of the payload contract
+_SIG_CONTRACT_VERSION = 1
+
+
+def media_signatures(
+    spark, sf_dir: str, modality: str, every_n: int | None = None
+):
+    """Build-once perceptual-signature silver for one modality — the
+    r10-verdict follow-up to `media_payloads`: dHash / envelope /
+    frame-hash signatures were recomputed by EVERY consumer
+    (video_*, *_contamination, cross_modal_clusters — together ~25 s
+    of the bench), even though the signature of a payload corpus is
+    as immutable as the payloads themselves.  One decode+hash pass per
+    (corpus fingerprint, media contract, signature contract, modality,
+    frame stride) materializes the 16-byte-per-item signature table;
+    every pairing/banding/contamination consumer reads the table, so
+    at 100 TB the codec work is paid once per corpus, not once per
+    query.  Schemas: image/audio (doc_id, h_lo, h_hi); video
+    (doc_id, frame_idx, h_lo, h_hi) at stride ``every_n``.
+
+    Same protocol as media_payloads: build to a temp dir, atomic
+    rename, adopt a concurrent builder's winner."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    from ..sources.scratch import scratch_path
+    from .llm_q import _corpus_fingerprint
+
+    if modality == "video":
+        if every_n is None:
+            raise ValueError("video signatures require every_n")
+        builder = lambda df: MM.dhash_video_frames(df, every_n=every_n)
+        suffix = f"_e{every_n}"
+    elif modality == "image":
+        builder, suffix = MM.dhash_images, ""
+    elif modality == "audio":
+        builder, suffix = MM.fingerprint_audio, ""
+    else:
+        raise ValueError(f"unknown modality {modality!r}")
+    fp = _corpus_fingerprint(sf_dir, table="documents")
+    out_dir = scratch_path(
+        f"sig_{modality}{suffix}"
+        f"_v{_MEDIA_CONTRACT_VERSION}_{_SIG_CONTRACT_VERSION}_{fp}"
+    )
+    if not (Path(out_dir) / "_SUCCESS").exists():
+        payloads = media_payloads(spark, sf_dir, modality)
+        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
+        builder(payloads).write.parquet(tmp)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (Path(out_dir) / "_SUCCESS").exists():
+                raise
+    return spark.read.parquet(out_dir)
+
+
 # closed-form replay of the dHash bit for position b (0..63) of doc_id:
 # y = b // 8 samples the 8-row grid, x = b % 8 compares the 9-column
 # grid's neighbors x and x+1; src index = ((y*h)//8)*w + (x*w)//9 and
@@ -132,9 +193,7 @@ SELECT doc_id, h_lo, h_hi FROM hashes ORDER BY doc_id
     "and all pairing cost moves to the signature table.",
 )
 def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.dhash_images(
-        media_payloads(spark, sf_dir, "image")
-    ).orderBy("doc_id")
+    return media_signatures(spark, sf_dir, "image").orderBy("doc_id")
 
 
 @register(
@@ -163,7 +222,7 @@ ORDER BY doc_a, doc_b
     "simhash_near_dups.",
 )
 def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashes = MM.dhash_images(media_payloads(spark, sf_dir, "image"))
+    hashes = media_signatures(spark, sf_dir, "image")
     return (
         DD.dhash_near_dup_pairs(hashes, max_hamming=1)
         .select(
@@ -228,9 +287,7 @@ SELECT doc_id, h_lo, h_hi FROM ahashes ORDER BY doc_id
     "signatures before any pairing cost.",
 )
 def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.fingerprint_audio(
-        media_payloads(spark, sf_dir, "audio")
-    ).orderBy("doc_id")
+    return media_signatures(spark, sf_dir, "audio").orderBy("doc_id")
 
 
 @register(
@@ -258,7 +315,7 @@ ORDER BY doc_a, doc_b
     "exact quadratic spec over the closed-form prints.",
 )
 def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prints = MM.fingerprint_audio(media_payloads(spark, sf_dir, "audio"))
+    prints = media_signatures(spark, sf_dir, "audio")
     return (
         DD.dhash_near_dup_pairs(prints, max_hamming=2)
         .select(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..llm import dedup as DD
 from ..llm import multimodal as MM
 from ..sources.tables import load_table
-from .media_q import media_payloads
+from .media_q import media_payloads, media_signatures
 from .registry import register
 
 # closed-form replay of video-frame dHash bit b (0..63) for sampled
@@ -139,8 +139,8 @@ ORDER BY doc_id, frame_idx
     "path (the stub stays for its established byte-level oracle).",
 )
 def video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return MM.dhash_video_frames(
-        media_payloads(spark, sf_dir, "video"), every_n=VIDEO_EVERY_N
+    return media_signatures(
+        spark, sf_dir, "video", every_n=VIDEO_EVERY_N
     ).orderBy("doc_id", "frame_idx")
 
 
@@ -179,9 +179,7 @@ ORDER BY doc_a, doc_b
     "clip pair — no all-pairs stage anywhere in the plan.",
 )
 def video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prints = MM.dhash_video_frames(
-        media_payloads(spark, sf_dir, "video"), every_n=VIDEO_EVERY_N
-    )
+    prints = media_signatures(spark, sf_dir, "video", every_n=VIDEO_EVERY_N)
     return _video_pairs(prints, max_hamming=1, min_frames=3).orderBy(
         "doc_a", "doc_b"
     )
@@ -353,17 +351,15 @@ def cross_modal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, threshold=1.0, n_hashes=32, bands=1
     ).select("doc_a", "doc_b", F.lit("text").alias("modality"))
     image = DD.dhash_near_dup_pairs(
-        MM.dhash_images(media_payloads(spark, sf_dir, "image")),
+        media_signatures(spark, sf_dir, "image"),
         max_hamming=0,
     ).select("doc_a", "doc_b", F.lit("image").alias("modality"))
     audio = DD.dhash_near_dup_pairs(
-        MM.fingerprint_audio(media_payloads(spark, sf_dir, "audio")),
+        media_signatures(spark, sf_dir, "audio"),
         max_hamming=0,
     ).select("doc_a", "doc_b", F.lit("audio").alias("modality"))
     video = _video_pairs(
-        MM.dhash_video_frames(
-            media_payloads(spark, sf_dir, "video"), every_n=VIDEO_EVERY_N
-        ),
+        media_signatures(spark, sf_dir, "video", every_n=VIDEO_EVERY_N),
         max_hamming=0,
         min_frames=3,
     ).select("doc_a", "doc_b", F.lit("video").alias("modality"))
@@ -523,7 +519,7 @@ ORDER BY doc_a, doc_b
     "unchanged (shared two-half signature contract).",
 )
 def incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashes = MM.dhash_images(media_payloads(spark, sf_dir, "image"))
+    hashes = media_signatures(spark, sf_dir, "image")
     return (
         DD.incremental_dhash_pairs(
             hashes, F.col("doc_id") % 5 == 0, max_hamming=1
@@ -585,9 +581,7 @@ ORDER BY doc_a, doc_b
     "join (no quadratic all-pairs stage on either engine).",
 )
 def video_near_dups_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prints = MM.dhash_video_frames(
-        media_payloads(spark, sf_dir, "video"), every_n=1
-    )
+    prints = media_signatures(spark, sf_dir, "video", every_n=1)
     pairs = DD.dhash_near_dup_pairs(
         prints.select(vid_fid(), "h_lo", "h_hi"), max_hamming=0
     )
@@ -649,7 +643,7 @@ ORDER BY train_doc, eval_doc
     "table.",
 )
 def image_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashes = MM.dhash_images(media_payloads(spark, sf_dir, "image"))
+    hashes = media_signatures(spark, sf_dir, "image")
     is_eval = F.col("doc_id") % 10 == 7
     pairs = DD.incremental_dhash_pairs(hashes, is_eval, max_hamming=1)
     a_eval = F.col("doc_a") % 10 == 7

@@ -39,9 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm import dedup as DD
-from ..llm import multimodal as MM
 from ..sources.tables import load_table
-from .media_q import _AFP_CTE, media_payloads
+from .media_q import _AFP_CTE, media_payloads, media_signatures
 from .modal_q import (
     _VHASH_CTE,
     VIDEO_EVERY_N,
@@ -237,7 +236,7 @@ ORDER BY train_doc, eval_doc
     "train x eval spec over the closed-form prints.",
 )
 def audio_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prints = MM.fingerprint_audio(media_payloads(spark, sf_dir, "audio"))
+    prints = media_signatures(spark, sf_dir, "audio")
     is_eval = F.col("doc_id") % _EVAL_MOD == _EVAL_REM
     pairs = DD.incremental_dhash_pairs(prints, is_eval, max_hamming=2)
     a_eval = F.col("doc_a") % _EVAL_MOD == _EVAL_REM
@@ -288,9 +287,7 @@ ORDER BY train_doc, eval_doc
     "exact train x eval frame-join spec.",
 )
 def video_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prints = MM.dhash_video_frames(
-        media_payloads(spark, sf_dir, "video"), every_n=VIDEO_EVERY_N
-    )
+    prints = media_signatures(spark, sf_dir, "video", every_n=VIDEO_EVERY_N)
     is_eval = fid_clip("doc_id") % _EVAL_MOD == _EVAL_REM
     pairs = DD.incremental_dhash_pairs(
         prints.select(vid_fid(), "h_lo", "h_hi"), is_eval, max_hamming=1
