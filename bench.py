@@ -231,6 +231,40 @@ HEADLINE = [
 TIMED_SWEEPS = 2
 
 
+def calibration_probe(reps: int = 5) -> float:
+    """Fixed CPU-bound calibration probe (round-10 verdict Next #3):
+    the same deterministic single-core workload every round — one
+    640x480x3 PNG encode+decode through the repo's own codec
+    (llm/codecs.py, the identical code path the media kernels run) —
+    so cross-round per-query ratios can be read against measured host
+    speed instead of guessed host epochs.  r10's same-HEAD sweeps
+    spread 240.8 -> 195.6 s (~1.25x) with zero code delta; dividing
+    wall times by this probe collapses that to host drift.
+
+    Pure Python/NumPy, no Spark, no disk, no BLAS threading — MEDIAN
+    of ``reps`` post-warm-up seconds (smaller = faster host; median,
+    not min, so a one-off turbo burst cannot define the epoch)."""
+    import numpy as np
+
+    from streaming_forex_data_pipeline_spark.llm.codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (640, 480, 3), dtype=np.uint8)
+    rot = lambda y: y % 5  # noqa: E731 — exercises all 5 filter paths
+    times = []
+    for i in range(reps + 1):  # iteration 0 is the untimed warm-up
+        t0 = time.perf_counter()
+        png = encode_png(img, filter_for_row=rot)
+        decode_png(png)
+        if i:
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    return round(times[len(times) // 2], 4)
+
+
 def _simhash_fast(spark, sf_dir):
     """Bench-only variant: simhash_near_dups with the xxhash64 fast
     path (not registered — no DuckDB oracle exists for xxhash64, and
@@ -269,6 +303,7 @@ def main() -> None:
             f"regressions into these numbers",
             file=sys.stderr,
         )
+    calib_start = calibration_probe()
     spark = get_spark("sfdp-bench", cpus=cpus)
 
     qs = dict(plans.spark_queries(), **EXTRA)
@@ -307,6 +342,7 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
     )
+    calib_end = calibration_probe()
     detail = {
         "metric": "headline_query_wall_seconds",
         "value": total,
@@ -317,6 +353,10 @@ def main() -> None:
         "slow_decile_extra_runs": 1,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # fixed single-core probe (seconds, smaller = faster host):
+        # divide any wall time by (calib / <reference calib>) before
+        # comparing across rounds — see calibration_probe
+        "calib": {"start_sec": calib_start, "end_sec": calib_end},
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -336,6 +376,7 @@ def main() -> None:
         "slow_decile_extra_runs": 1,
         "loadavg_start": detail["loadavg_start"],
         "loadavg_end": detail["loadavg_end"],
+        "calib": detail["calib"],
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)
