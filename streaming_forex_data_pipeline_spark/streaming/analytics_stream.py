@@ -84,6 +84,73 @@ def start_cohort_channel(
     )
 
 
+#: event_type of the self-injected watermark-flush sentinels — never a
+#: funnel stage, so the state machine ignores the rows entirely
+FLUSH_EVENT_TYPE = "__funnel_flush__"
+
+
+def append_flush_sentinels(
+    spark, source_dir: str, lateness: str
+) -> None:
+    """Write two one-row sentinel parquet files into a funnel channel's
+    OWN file-source directory so an ``availableNow`` replay flushes its
+    reorder buffer without external ``wm_pusher`` rows (round-10
+    ADVICE/Next #4): sentinel 1 (ts = max(ts) + 2·lateness) lifts the
+    event-time watermark past every buffered event; sentinel 2 (+3·
+    lateness), arriving one micro-batch later (mtime-ordered,
+    maxFilesPerTrigger=1), is the batch in which the armed event-time
+    timeouts actually fire and drain the buffers.  Two sentinels are
+    required by Structured Streaming's design: the watermark used in
+    batch N is computed from batch N-1, and timers fire only while a
+    batch runs.  Sentinel rows carry ``FLUSH_EVENT_TYPE`` (not a
+    stage), so they release nothing and count no violations."""
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(source_dir)
+    mx = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    if mx is None:
+        return
+    horizon = (
+        spark.createDataFrame([(mx,)], "m timestamp")
+        .select(
+            F.expr(f"m + (INTERVAL {lateness}) * 2").alias("t1"),
+            F.expr(f"m + (INTERVAL {lateness}) * 3").alias("t2"),
+        )
+        .collect()[0]
+    )
+    # sentinels must sort AFTER every real file in the source's
+    # modification-time order
+    base = max(
+        [os.path.getmtime(p) for p in glob.glob(f"{source_dir}/*")]
+        + [_time.time()]
+    )
+    for i, t in enumerate((horizon["t1"], horizon["t2"])):
+        vals = tuple(
+            t
+            if f.name == "ts"
+            else -1
+            if f.name in ("user_id", "event_id")
+            else FLUSH_EVENT_TYPE
+            if f.name == "event_type"
+            else None
+            for f in batch.schema.fields
+        )
+        tmp = os.path.join(source_dir, f"_flush_build_{i}")
+        spark.createDataFrame([vals], batch.schema).coalesce(
+            1
+        ).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = os.path.join(source_dir, f"zz-flush-{i}.parquet")
+        shutil.copy(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + 60 * (i + 1),) * 2)
+
+
 def start_funnel_channel(
     spark,
     sf_dir: str,
@@ -91,6 +158,8 @@ def start_funnel_channel(
     sink_table: str = "funnel_sink",
     sink_dir: str | None = None,
     stream=None,
+    source_dir: str | None = None,
+    final_flush: bool = False,
     lateness: str | None = "1 day",
     ordered: bool = False,
 ):
@@ -162,12 +231,17 @@ def start_funnel_channel(
     transient (bounded by ``lateness``) for a continuous stream.  A
     replay that must account every event has two options: append a
     watermark-pusher batch whose event time exceeds max(ts) +
-    lateness (the parity tests' ``wm_pusher`` pattern — any dummy
-    user works, the timeout flush needs no per-user data), or opt
-    into ``ordered=True`` when the source is already sorted.  This is
+    lateness (the ``wm_pusher`` pattern — any dummy user works, the
+    timeout flush needs no per-user data), or opt into
+    ``ordered=True`` when the source is already sorted.  This is
     Structured Streaming's design, not a removable limitation: state
     can only be released by watermark movement, and the watermark is
-    data-driven.
+    data-driven.  Since round 11 the pusher pattern is BUILT IN: pass
+    ``final_flush=True`` (with ``source_dir``, or letting the channel
+    stage its own default source) and the channel appends its own
+    flush-sentinel files before starting — see
+    ``append_flush_sentinels`` — so an ``availableNow`` replay
+    accounts every event with no caller-side pusher rows.
 
     State is #stages longs per user plus, in the reorder tier, the
     within-lateness buffer (bounded by the user's event rate x
@@ -205,8 +279,39 @@ def start_funnel_channel(
         )
     if sink_dir is None:
         sink_dir = scratch_dir("funnel_")
+    if final_flush and stream is not None:
+        raise ValueError(
+            "final_flush requires the channel to OWN its file source "
+            "(it appends flush-sentinel files) — pass source_dir, or "
+            "neither stream nor source_dir, instead of a prebuilt "
+            "stream"
+        )
     if stream is None:
-        stream = read_table_stream(spark, sf_dir, "events")
+        if source_dir is None and final_flush:
+            # private staging: the shared read_table_stream dir is
+            # cached across queries on the session and must not grow
+            # this channel's flush sentinels
+            import os as _os
+
+            source_dir = scratch_dir("funnel_src_")
+            _os.symlink(
+                f"{sf_dir}/events.parquet",
+                f"{source_dir}/events.parquet",
+            )
+        if source_dir is not None:
+            src_schema = spark.read.parquet(source_dir).schema
+            if final_flush and not ordered:
+                append_flush_sentinels(spark, source_dir, lateness)
+            # one file per trigger keeps the sentinels in their own,
+            # strictly later micro-batches (and preserves a staged
+            # fixture's intended batch structure)
+            stream = (
+                spark.readStream.schema(src_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(source_dir)
+            )
+        else:
+            stream = read_table_stream(spark, sf_dir, "events")
     if lateness is not None:
         stream = stream.withWatermark("ts", lateness)
     spark.createDataFrame(

@@ -748,9 +748,8 @@ def test_funnel_reorder_tier_matches_batch_on_disordered_stream(
     and releases them in event-time order only once the watermark has
     passed them — the final stage counts must equal the batch
     funnel_conversion exactly, with ZERO recorded violations.  The
-    pusher batches advance the watermark past the corpus so buffered
-    users flush via event-time timeouts (no new data for them)."""
-    import datetime
+    drain is the channel's OWN final_flush (round-10 ADVICE made
+    built-in): no caller-side wm_pusher rows anywhere in this test."""
     import os
 
     from pyspark.sql import functions as F
@@ -767,25 +766,12 @@ def test_funnel_reorder_tier_matches_batch_on_disordered_stream(
     # 1's max — cross-batch disorder for every user
     h1 = e.filter(F.xxhash64("event_id") % 2 == 0)
     h2 = e.filter(F.xxhash64("event_id") % 2 != 0)
-    far = datetime.datetime(2025, 6, 1)
-    pusher = spark.createDataFrame(
-        [(int(-1), far, int(-1), "wm_pusher", 0.0, "")], e.schema
-    )
-    pusher2 = spark.createDataFrame(
-        [(int(-2), far + datetime.timedelta(days=1), int(-1), "wm_pusher",
-          0.0, "")], e.schema
-    )
     src = str(tmp_path / "events_disordered")
-    _staged_event_files(spark, e, src, [h1, h2, pusher, pusher2])
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
+    _staged_event_files(spark, e, src, [h1, h2])
     sink_dir = str(tmp_path / "funnel_reorder_sink")
     q = start_funnel_channel(
         spark, sf_dir, sink_table="funnel_reorder", sink_dir=sink_dir,
-        stream=stream, lateness="90 days",
+        source_dir=src, final_flush=True, lateness="90 days",
     )
     q.awaitTermination(300)
     assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 2, (
@@ -815,10 +801,9 @@ def test_funnel_default_invocation_corrects_disorder(
     tier and must reproduce the batch funnel on a disordered stream.
     The fixture's disorder is bounded (each event's file assignment is
     its ts jittered by a deterministic +/-6 h, files cover 2-day
-    windows), so it sits inside the default 1-day lateness; two
-    watermark-pusher batches flush the buffered tail (the documented
-    drain semantics of an availableNow replay)."""
-    import datetime
+    windows), so it sits inside the default 1-day lateness; the
+    channel's own final_flush drains the buffered tail (no caller-side
+    pusher rows)."""
     import os
 
     from pyspark.sql import functions as F
@@ -833,7 +818,8 @@ def test_funnel_default_invocation_corrects_disorder(
 
     e = load_table(spark, sf_dir, "events")
     # an 8-day slice keeps the micro-batch count small (4 window files
-    # + 2 pushers) while still crossing several file boundaries
+    # + the channel's 2 flush sentinels) while still crossing several
+    # file boundaries
     cut = F.lit("2024-01-09").cast("timestamp")
     sl = e.filter(F.col("ts") < cut)
     # pmod, not %: Spark's % keeps the dividend's sign, which would
@@ -849,30 +835,16 @@ def test_funnel_default_invocation_corrects_disorder(
     # to file -1, and skipping that file would silently drop rows the
     # batch comparator still counts
     fmin, fmax = filed.agg(F.min("__file"), F.max("__file")).first()
-    far = datetime.datetime(2025, 6, 1)
     frames = [
         filed.filter(F.col("__file") == i).drop("__file")
         for i in range(fmin, fmax + 1)
-    ] + [
-        spark.createDataFrame(
-            [(int(-1), far, int(-1), "wm_pusher", 0.0, "")], e.schema
-        ),
-        spark.createDataFrame(
-            [(int(-2), far + datetime.timedelta(days=1), int(-1),
-              "wm_pusher", 0.0, "")], e.schema
-        ),
     ]
     src = str(tmp_path / "events_default_disordered")
     _staged_event_files(spark, e, src, frames)
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
     sink_dir = str(tmp_path / "funnel_default_sink")
     q = start_funnel_channel(
         spark, sf_dir, sink_table="funnel_default", sink_dir=sink_dir,
-        stream=stream,
+        source_dir=src, final_flush=True,
     )
     q.awaitTermination(300)
     assert len(os.listdir(os.path.join(sink_dir, "_log"))) >= 3, (
