@@ -148,6 +148,142 @@ def write_bucketed_events(
     )
 
 
+#: matches Spark's bucketed-file naming (BucketingUtils): the bucket id
+#: is the final _NNNNN group before the extensions
+_BUCKET_FILE_RE = r"_(\d{5})(?:\..*)?\.parquet$"
+
+
+def repair_bucketed_compaction(loc: str) -> dict:
+    """Bring a bucketed layout back to a consistent state after a
+    crashed `compact_bucketed_table` call, using the per-bucket aside
+    manifest: each ``_old-*`` dir records the name of the compacted
+    replacement file; if that file made it into the live dir the
+    compaction completed (drop the aside copy), otherwise it did not
+    (restore the aside files — never delete data whose replacement
+    never went live).  Half-built ``_compact-*`` dirs are always safe
+    to drop: their content either never went live, or went live and
+    left the build dir empty.  ``_published`` markers and ``_SUCCESS``
+    are never touched.  Idempotent; called at the start of every
+    compaction.  Returns {'restored', 'completed'}."""
+    import os
+    import shutil
+
+    restored = completed = 0
+    for entry in os.listdir(loc):
+        p = os.path.join(loc, entry)
+        if entry.startswith("_old-") and os.path.isdir(p):
+            man = os.path.join(p, "_MANIFEST")
+            final = None
+            if os.path.exists(man):
+                with open(man) as fh:
+                    final = fh.read().strip()
+            if final and os.path.exists(os.path.join(loc, final)):
+                shutil.rmtree(p, ignore_errors=True)
+                completed += 1
+            else:
+                for f in os.listdir(p):
+                    if f != "_MANIFEST":
+                        os.rename(os.path.join(p, f), os.path.join(loc, f))
+                shutil.rmtree(p, ignore_errors=True)
+                restored += 1
+        elif entry.startswith("_compact-") and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+    return {"restored": restored, "completed": completed}
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    loc: str,
+    max_files_per_bucket: int = 1,
+    sort_cols: tuple[str, ...] = ("user_id", "ts"),
+) -> dict:
+    """Small-files compaction for the user-bucketed serving layout —
+    the bucketed sibling of `compact_day_partitions` (round-10 verdict
+    Next #6): every micro-batch append from
+    `streaming/analytics_stream.py:start_events_bucketed_channel`
+    lands one file PER TOUCHED BUCKET, so a long-running channel
+    accretes batch-count files per bucket; this rewrites each bucket
+    holding more than ``max_files_per_bucket`` parquet files down to
+    one file, sorted (user_id, ts) to restore the layout's SORTED BY
+    spec, named with the bucket's ``_NNNNN`` suffix so the catalog's
+    bucket spec keeps routing reads/joins exchange-free.  Untouched
+    buckets' bytes are never rewritten.
+
+    Crash contract (single maintenance writer; stop or drain the
+    channel first — same operational rule as the day layout): per
+    bucket, (1) build the compacted file under an underscore-invisible
+    ``_compact-*`` dir, (2) move the snapshot's old files into an
+    ``_old-*`` aside dir whose _MANIFEST names the replacement, (3)
+    one atomic rename puts the replacement live, (4) drop the aside.
+    A crash at any point is repaired deterministically by
+    `repair_bucketed_compaction` (restore if the replacement never
+    went live, drop the aside if it did); files appended after the
+    snapshot are not in it and are never moved or deleted.  Markers
+    (``_published``) and ``_SUCCESS`` untouched.  Readers that go
+    through a catalog table must ``spark.catalog.refreshTable(tbl)``
+    afterwards (Spark caches the file index).  Returns
+    {'buckets_compacted', 'files_before', 'files_after', 'repair'}."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    repair = repair_bucketed_compaction(loc)
+    pat = re.compile(_BUCKET_FILE_RE)
+    by_bucket: dict[int, list[str]] = {}
+    for f in sorted(os.listdir(loc)):
+        if f.startswith(("_", ".")) or not os.path.isfile(
+            os.path.join(loc, f)
+        ):
+            continue
+        m = pat.search(f)
+        if m:
+            by_bucket.setdefault(int(m.group(1)), []).append(f)
+    buckets_compacted = files_before = files_after = 0
+    for b, files in sorted(by_bucket.items()):
+        files_before += len(files)
+        if len(files) <= max_files_per_bucket:
+            files_after += len(files)
+            continue
+        paths = [os.path.join(loc, f) for f in files]
+        tmp = os.path.join(loc, f"_compact-{uuid.uuid4().hex}")
+        final_name = (
+            f"part-00000-{uuid.uuid4().hex}_{b:05d}.c000.snappy.parquet"
+        )
+        try:
+            (
+                spark.read.parquet(*paths)
+                .coalesce(1)
+                .sortWithinPartitions(*sort_cols)
+                .write.parquet(tmp)
+            )
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(tmp, final_name))
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        old = os.path.join(loc, f"_old-{uuid.uuid4().hex}")
+        os.makedirs(old)
+        with open(os.path.join(old, "_MANIFEST"), "w") as fh:
+            fh.write(final_name)
+        for f in files:
+            os.rename(os.path.join(loc, f), os.path.join(old, f))
+        os.rename(
+            os.path.join(tmp, final_name), os.path.join(loc, final_name)
+        )
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        buckets_compacted += 1
+        files_after += 1
+    return {
+        "buckets_compacted": buckets_compacted,
+        "files_before": files_before,
+        "files_after": files_after,
+        "repair": repair,
+    }
+
+
 def write_day_partitioned(
     events: DataFrame, out_dir: str, mode: str = "errorifexists"
 ) -> None:

@@ -1138,6 +1138,145 @@ def test_events_bucketed_channel_matches_batch_build(spark, sf_dir, tmp_path):
     assert len(os.listdir(os.path.join(loc, "_published"))) >= 2
 
 
+def test_compact_bucketed_table_preserves_content_and_contract(
+    spark, sf_dir, tmp_path
+):
+    """Round-10 verdict Next #6 — bucketed-layout compaction parity
+    with the day layout: after a two-batch channel run every touched
+    bucket holds multiple files; compaction must bring each bucket to
+    one correctly-named file with content, markers, and the
+    zero-user-keyed-exchange funnel contract intact; a follow-up
+    append touching ONE bucket must leave every other bucket's bytes
+    untouched (inode/mtime-pinned); and the crash-repair protocol must
+    restore an aside dir whose replacement never went live."""
+    import glob
+    import os
+    import re
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        funnel_over_events,
+    )
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        _BUCKET_FILE_RE,
+        compact_bucketed_table,
+        repair_bucketed_compaction,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_events_bucketed_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "evb_2files")
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("event_id") % 2 == 0),
+         e.filter(F.col("event_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tbl = f"events_compact_{uuid.uuid4().hex[:8]}"
+    loc = str(tmp_path / "evb_serving")
+    q = start_events_bucketed_channel(
+        spark, sf_dir, tbl, loc=loc, sink_dir=str(tmp_path / "evb_log"),
+        stream=stream,
+    )
+    q.awaitTermination(240)
+
+    pat = re.compile(_BUCKET_FILE_RE)
+
+    def live_by_bucket():
+        out = {}
+        for f in sorted(os.listdir(loc)):
+            m = pat.search(f)
+            if m and not f.startswith(("_", ".")):
+                out.setdefault(int(m.group(1)), []).append(f)
+        return out
+
+    assert any(len(v) > 1 for v in live_by_bucket().values()), (
+        "fixture produced no multi-file bucket — nothing to compact"
+    )
+    truth = e.count()
+
+    stats = compact_bucketed_table(spark, loc)
+    assert stats["buckets_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    assert all(len(v) == 1 for v in live_by_bucket().values())
+    spark.catalog.refreshTable(tbl)
+    maintained = spark.table(tbl)
+    assert maintained.count() == truth
+    assert maintained.exceptAll(e).count() == 0
+    assert os.path.isdir(os.path.join(loc, "_published"))
+
+    # layout contract survives: funnel over the compacted table stays
+    # free of user-keyed exchanges
+    fn = funnel_over_events(maintained)
+    plan = fn._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 0
+
+    # idempotent
+    stats2 = compact_bucketed_table(spark, loc)
+    assert stats2["buckets_compacted"] == 0
+
+    # targeted append into ONE bucket, then recompact: every other
+    # bucket's single file must be byte-untouched (inode + mtime)
+    uid = e.select("user_id").first()["user_id"]
+    one = e.filter(F.col("user_id") == uid)
+    one.select(*[f.name for f in e.schema.fields]).write.insertInto(tbl)
+    touched = {b for b, v in live_by_bucket().items() if len(v) > 1}
+    assert len(touched) == 1, touched
+    pinned = {
+        f: (os.stat(os.path.join(loc, f)).st_ino,
+            os.stat(os.path.join(loc, f)).st_mtime_ns)
+        for b, v in live_by_bucket().items()
+        if b not in touched
+        for f in v
+    }
+    stats3 = compact_bucketed_table(spark, loc)
+    assert stats3["buckets_compacted"] == 1
+    for f, (ino, mt) in pinned.items():
+        st = os.stat(os.path.join(loc, f))
+        assert (st.st_ino, st.st_mtime_ns) == (ino, mt), (
+            f"untouched bucket file {f} was rewritten"
+        )
+    spark.catalog.refreshTable(tbl)
+    assert spark.table(tbl).count() == truth + one.count()
+
+    # crash repair, restore branch: aside a live bucket file behind a
+    # manifest naming a replacement that never went live
+    victim_bucket, (victim,) = next(iter(live_by_bucket().items()))
+    aside = os.path.join(loc, "_old-deadbeef")
+    os.makedirs(aside)
+    with open(os.path.join(aside, "_MANIFEST"), "w") as fh:
+        fh.write("part-00000-neverwritten_99999.c000.snappy.parquet")
+    os.rename(os.path.join(loc, victim), os.path.join(aside, victim))
+    rep = repair_bucketed_compaction(loc)
+    assert rep["restored"] == 1
+    assert os.path.exists(os.path.join(loc, victim))
+    # crash repair, completed branch: aside a COPY whose manifest names
+    # a file that IS live — the redundant aside must be dropped
+    aside2 = os.path.join(loc, "_old-cafef00d")
+    os.makedirs(aside2)
+    with open(os.path.join(aside2, "_MANIFEST"), "w") as fh:
+        fh.write(victim)
+    shutil.copy(
+        os.path.join(loc, victim), os.path.join(aside2, "stale-copy.parquet")
+    )
+    rep2 = repair_bucketed_compaction(loc)
+    assert rep2 == {"restored": 0, "completed": 1}
+    assert not os.path.isdir(aside2)
+    spark.catalog.refreshTable(tbl)
+    assert spark.table(tbl).count() == truth + one.count()
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_events_bucketed_channel_recovers_from_crashed_append(
     spark, sf_dir, tmp_path
 ):
