@@ -68,6 +68,7 @@ HEADLINE = [
     "pattern_alerts_replay",
     "signals_sma",
     "backtest_metrics",
+    "backtest_trades_multi",
     "feature_importance",
     "ml_features",
     # streaming-transform batch faces

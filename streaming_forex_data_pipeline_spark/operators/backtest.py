@@ -373,13 +373,21 @@ def metrics_from_trades(
     }
 
 
-def backtest_trades(signals_df: DataFrame, pin_grid: bool = False) -> DataFrame:
-    """P6 — closed-trade ledger, one applyInPandas kernel per symbol."""
+def backtest_trades(
+    signals_df: DataFrame, pin_grid: bool = False, max_positions: int = 1
+) -> DataFrame:
+    """P6 — closed-trade ledger, one applyInPandas kernel per symbol.
+    ``max_positions`` is the reference's concurrent-position capacity
+    (backtesting_engine.py:284 run_backtest arg): entries are skipped
+    while the open list is full; each open trade is exit-scanned every
+    row."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts").reset_index(drop=True)
         sym = pdf["symbol"].iloc[0] if len(pdf) else None
-        closed, _cap = simulate(pdf, pin_grid=pin_grid)
+        closed, _cap = simulate(
+            pdf, pin_grid=pin_grid, max_positions=max_positions
+        )
         return pd.DataFrame(
             [
                 {

@@ -229,6 +229,39 @@ def signals_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: the shared price/signal head of every backtest oracle: grid-pinned
+#: hourly candles, SMA(10/20) cross signals, is_last flag — one copy so
+#: the single- and multi-position recursive loops can never disagree on
+#: their inputs (see _bt_candles for the price-grid rationale)
+_BT_BASE_CTES = """candles AS (
+  SELECT event_type AS symbol,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+         100.0 + floor(round(max_by("value", event_id), 6) * 10.0) / 10000.0 AS close
+  FROM events GROUP BY 1, 2
+),
+sig0 AS (
+  SELECT symbol, ts, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n_rows,
+         CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY ts) >= 10
+              THEN avg(close) OVER (PARTITION BY symbol ORDER BY ts
+                                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) END AS f,
+         CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY ts) >= 20
+              THEN avg(close) OVER (PARTITION BY symbol ORDER BY ts
+                                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS s
+  FROM candles
+),
+base AS (
+  SELECT symbol, rn, ts, close AS price, (rn = n_rows) AS is_last,
+         CASE WHEN f > s AND lag(f) OVER (PARTITION BY symbol ORDER BY ts)
+                              <= lag(s) OVER (PARTITION BY symbol ORDER BY ts) THEN 1
+              WHEN f < s AND lag(f) OVER (PARTITION BY symbol ORDER BY ts)
+                              >= lag(s) OVER (PARTITION BY symbol ORDER BY ts) THEN -1
+              ELSE 0 END AS sig
+  FROM sig0
+)"""
+
+
 def _bt_rec_sql(commission: str = "0.0001") -> str:
     """DuckDB recursive-CTE rendering of the backtest event loop
     (backtesting_engine.py:284-379) at max_positions=1: the loop state
@@ -281,33 +314,7 @@ def _bt_rec_sql(commission: str = "0.0001") -> str:
     )
     next_open = f"({h_open} AND NOT {close_now})"
     return f"""
-WITH RECURSIVE candles AS (
-  SELECT event_type AS symbol,
-         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
-         100.0 + floor(round(max_by("value", event_id), 6) * 10.0) / 10000.0 AS close
-  FROM events GROUP BY 1, 2
-),
-sig0 AS (
-  SELECT symbol, ts, close,
-         row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
-         count(*) OVER (PARTITION BY symbol) AS n_rows,
-         CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY ts) >= 10
-              THEN avg(close) OVER (PARTITION BY symbol ORDER BY ts
-                                    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) END AS f,
-         CASE WHEN row_number() OVER (PARTITION BY symbol ORDER BY ts) >= 20
-              THEN avg(close) OVER (PARTITION BY symbol ORDER BY ts
-                                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS s
-  FROM candles
-),
-base AS (
-  SELECT symbol, rn, ts, close AS price, (rn = n_rows) AS is_last,
-         CASE WHEN f > s AND lag(f) OVER (PARTITION BY symbol ORDER BY ts)
-                              <= lag(s) OVER (PARTITION BY symbol ORDER BY ts) THEN 1
-              WHEN f < s AND lag(f) OVER (PARTITION BY symbol ORDER BY ts)
-                              >= lag(s) OVER (PARTITION BY symbol ORDER BY ts) THEN -1
-              ELSE 0 END AS sig
-  FROM sig0
-),
+WITH RECURSIVE {_BT_BASE_CTES},
 rec AS (
   SELECT symbol, CAST(0 AS BIGINT) AS rn,
          CAST(10000.0 AS DOUBLE) AS capital, FALSE AS open,
@@ -343,6 +350,116 @@ rec AS (
          END
   FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
 )
+"""
+
+
+def _bt_rec_multi_sql(n_pos: int, commission: str = "0.0001") -> str:
+    """DuckDB recursive-CTE rendering of the backtest event loop at
+    ``max_positions = n_pos`` (backtesting_engine.py:284-379 — the
+    reference's general case, round-10 verdict Next #7): the loop state
+    is no longer one fixed tuple but the OPEN POSITION LIST, which the
+    recursive relation carries as a LIST<STRUCT> column.  Each step:
+
+      1. entry — if sig <> 0 and len(open_list) < n_pos, append one
+         trade sized 10% of current capital (entry commission leg
+         subtracted first, exactly the reference's order);
+      2. exit scan — list_filter over the held list (INCLUDING the
+         just-opened trade, as the reference's loop does) with the
+         opposite-signal / ±5%-stop / end-of-data conditions;
+      3. capital — list_reduce folds each closed trade's pnl into
+         capital SEQUENTIALLY with the cent-grid pin after every
+         update and the reference's ``if trade.pnl:`` zero-skip,
+         mirroring simulate(pin_grid=True)'s per-close recurrence
+         (a single pinned sum would round differently).
+
+    Closed trades are emitted through a per-step ``closed`` list and
+    unnested at the end.  Same pinned arithmetic and price grid as
+    `_bt_rec_sql`."""
+    C = commission
+
+    def p2(x: str) -> str:
+        return f"(floor(({x}) * 100.0 + 0.5) / 100.0)"
+
+    def p6(x: str) -> str:
+        return f"(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
+
+    trade_t = (
+        "STRUCT(e_time TIMESTAMP, e_price DOUBLE, is_buy BOOLEAN, "
+        "size DOUBLE, comm DOUBLE)"
+    )
+    closed_t = (
+        "STRUCT(e_time TIMESTAMP, x_time TIMESTAMP, e_price DOUBLE, "
+        "x_price DOUBLE, is_buy BOOLEAN, size DOUBLE, comm DOUBLE, "
+        "pnl DOUBLE, ret DOUBLE)"
+    )
+    opened = f"(len(r.open_list) < {n_pos} AND b.sig <> 0)"
+    o_size = p2("r.capital * 0.1")
+    leg = p6(f"{o_size} * {C}")
+    capital1 = (
+        f"(CASE WHEN {opened} THEN {p2(f'r.capital - {leg}')} "
+        f"ELSE r.capital END)"
+    )
+    new_trade = (
+        "{'e_time': b.ts, 'e_price': b.price, 'is_buy': b.sig > 0, "
+        f"'size': {o_size}, 'comm': {leg}}}"
+    )
+    held = (
+        f"(CASE WHEN {opened} THEN list_append(r.open_list, {new_trade}) "
+        f"ELSE r.open_list END)"
+    )
+    close_cond = (
+        "((t.is_buy AND b.sig < 0) OR ((NOT t.is_buy) AND b.sig > 0)"
+        " OR (t.is_buy AND b.price <= t.e_price * 0.95)"
+        " OR ((NOT t.is_buy) AND b.price >= t.e_price * 1.05)"
+        " OR b.is_last)"
+    )
+    direction = "(CASE WHEN t.is_buy THEN 1.0 ELSE -1.0 END)"
+    total_comm = p6(f"t.comm + {p6(f't.size * {C}')}")
+    pnl = p6(f"{direction} * (b.price - t.e_price) * t.size - {total_comm}")
+    ret = p6(f"{direction} * (b.price - t.e_price) / t.e_price * 100.0")
+    closed_now = (
+        f"list_transform(list_filter({held}, t -> {close_cond}), t -> "
+        "{'e_time': t.e_time, 'x_time': b.ts, 'e_price': t.e_price, "
+        "'x_price': b.price, 'is_buy': t.is_buy, 'size': t.size, "
+        f"'comm': {total_comm}, 'pnl': {pnl}, 'ret': {ret}}})"
+    )
+    remaining = f"list_filter({held}, t -> NOT {close_cond})"
+    capital2 = (
+        f"list_reduce(list_concat([{capital1}], "
+        f"list_transform({closed_now}, t -> t.pnl)), "
+        f"(acc, x) -> CASE WHEN x <> 0.0 THEN {p2('acc + x')} "
+        "ELSE acc END)"
+    )
+    return f"""
+WITH RECURSIVE {_BT_BASE_CTES},
+rec AS (
+  SELECT symbol, CAST(0 AS BIGINT) AS rn,
+         CAST(10000.0 AS DOUBLE) AS capital,
+         CAST([] AS {trade_t}[]) AS open_list,
+         CAST([] AS {closed_t}[]) AS closed
+  FROM (SELECT DISTINCT symbol FROM base)
+  UNION ALL
+  SELECT b.symbol, b.rn,
+         {capital2},
+         {remaining},
+         {closed_now}
+  FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+"""
+
+
+_BT_TRADES_MULTI_ORACLE = _bt_rec_multi_sql(3) + """
+, x AS (
+  SELECT symbol, unnest(closed) AS t FROM rec WHERE len(closed) > 0
+)
+SELECT symbol,
+       t.e_time AS entry_time, t.x_time AS exit_time,
+       t.e_price AS entry_price, t.x_price AS exit_price,
+       CASE WHEN t.is_buy THEN 'buy' ELSE 'sell' END AS trade_type,
+       t.size AS size, t.comm AS commission,
+       t.pnl AS pnl, t.ret AS return_pct
+FROM x
+ORDER BY symbol, entry_time
 """
 
 
@@ -468,6 +585,41 @@ def _bt_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def backtest_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = B.sma_cross_signals(_bt_candles(spark, sf_dir))
     out = B.backtest_trades(sig, pin_grid=True)
+    return out.select(
+        "symbol",
+        "entry_time",
+        "exit_time",
+        "entry_price",
+        "exit_price",
+        "trade_type",
+        "size",
+        "commission",
+        "pnl",
+        "return_pct",
+    ).orderBy("symbol", "entry_time")
+
+
+@register(
+    "backtest_trades_multi",
+    oracle=_BT_TRADES_MULTI_ORACLE,
+    doc="P6 — the reference event loop at max_positions=3 "
+    "(backtesting_engine.py:284 run_backtest's general case, round-10 "
+    "verdict Next #7): up to three concurrent positions per symbol, "
+    "entries skipped while the book is full, every open trade "
+    "exit-scanned per row (so an opposite signal both OPENS the "
+    "reverse position and CLOSES the standing one in the same row — "
+    "capacity genuinely binds: the max_positions=1 ledger is "
+    "long-only on this fixture, this one carries shorts).  The "
+    "oracle carries the open-position LIST as a LIST<STRUCT> column "
+    "through a recursive CTE with list_filter/list_transform/"
+    "list_reduce — the per-close sequentially-pinned capital fold "
+    "replayed exactly (_bt_rec_multi_sql).  Differential-tested "
+    "against simulate() on a capacity-binding fixture in "
+    "tests/test_backtest.py.",
+)
+def backtest_trades_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = B.sma_cross_signals(_bt_candles(spark, sf_dir))
+    out = B.backtest_trades(sig, pin_grid=True, max_positions=3)
     return out.select(
         "symbol",
         "entry_time",

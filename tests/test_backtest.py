@@ -119,3 +119,82 @@ def test_spark_kernel_matches_driver_simulation(spark, sf_dir):
         row = got.loc[sym]
         for k, v in want.items():
             assert row[k] == pytest.approx(v, rel=1e-9), f"{sym}.{k}"
+
+
+def test_simulate_multi_position_capacity_binds():
+    """max_positions > 1 (backtesting_engine.py:284 run_backtest's
+    general case): consecutive same-direction signals stack positions
+    up to the capacity, the entry at capacity is SKIPPED, and an
+    opposite signal closes every standing trade while opening the
+    reverse one in the same row.  Also pins that the max_positions=1
+    ledger is a strict restriction (fewer trades, no stacking)."""
+    prices = [100.0, 101.0, 102.0, 103.0, 104.0, 105.0, 106.0]
+    signals = [1, 1, 1, 1, -1, -1, 0]
+    pdf = pd.DataFrame(
+        {
+            "ts": [_ts(i) for i in range(len(prices))],
+            "close": prices,
+            "signal": signals,
+        }
+    )
+    closed2, cap2 = B.simulate(pdf, max_positions=2)
+    closed1, cap1 = B.simulate(pdf, max_positions=1)
+
+    # capacity 2: rows 0 and 1 open buys; rows 2-4 are BLOCKED (the
+    # entry scan precedes the exit scan, so at row 4's -1 the book is
+    # STILL full — capacity binds exactly there); row 4 then closes
+    # both buys; row 5's second -1 finds the book empty and opens a
+    # sell, force-closed at the end.
+    assert len(closed2) == 3
+    assert [t["trade_type"] for t in closed2] == ["buy", "buy", "sell"]
+    assert [t["entry_price"] for t in closed2] == [100.0, 101.0, 105.0]
+    assert all(t["exit_price"] == 104.0 for t in closed2[:2])
+
+    # capacity 1: the row-1 buy is blocked (book full), so only the
+    # 100 -> 104 buy and the 105 sell exist — strictly fewer stacked
+    # trades, different capital path
+    assert len(closed1) == 2
+    assert [t["trade_type"] for t in closed1] == ["buy", "sell"]
+    assert [t["entry_price"] for t in closed1] == [100.0, 105.0]
+    assert cap1 != cap2
+
+
+def test_backtest_trades_multi_matches_driver_simulation(spark, sf_dir):
+    """The Spark kernel at max_positions=3 must equal the driver-side
+    simulate() over identical per-symbol frames — the same plumbing
+    proof as the single-position test, now with a stacked book."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.plans.analysis_q import (
+        _bt_candles,
+    )
+
+    sig = B.sma_cross_signals(_bt_candles(spark, sf_dir))
+    got = (
+        B.backtest_trades(sig, pin_grid=True, max_positions=3)
+        .orderBy("symbol", "entry_time")
+        .toPandas()
+    )
+    frames = (
+        sig.select("symbol", "ts", "close", "signal")
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+    )
+    want_rows = []
+    for sym, grp in frames.groupby("symbol", sort=True):
+        closed, _cap = B.simulate(
+            grp.reset_index(drop=True), pin_grid=True, max_positions=3
+        )
+        for t in closed:
+            want_rows.append((sym, t["entry_time"], t["trade_type"],
+                              t["pnl"], t["size"]))
+    want = sorted(want_rows)
+    gotl = sorted(
+        zip(got["symbol"], got["entry_time"], got["trade_type"],
+            got["pnl"], got["size"])
+    )
+    assert gotl == want
+    assert len(want) > len(
+        B.backtest_trades(sig, pin_grid=True).toPandas()
+    ), "capacity never bound — multi ledger should exceed single"
+    assert "sell" in set(got["trade_type"])
