@@ -48,6 +48,7 @@ HEADLINE = [
     "candles_1h",
     "sma",
     "ema",
+    "ema_native",
     "macd",
     "bollinger",
     "stochastic",

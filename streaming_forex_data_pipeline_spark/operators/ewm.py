@@ -152,3 +152,68 @@ def atr_ema(
     return _grouped(
         df, ["high", "low", "close"], [f"atr_{period}"], kernel, symbol, ts
     )
+
+
+#: truncation frame per span for the JVM-side EMA tier: M chosen so the
+#: dropped adjust=True tail weight (1-alpha)^M < ~5e-14 — three orders
+#: below the queries' 1e-6 output rounding grain at price scale, so the
+#: truncated weighted mean is indistinguishable from the exact kernel
+#: after round(,6) (span 5: (2/3)^75 ~ 6e-14; 12: (11/13)^180 ~ 9e-14;
+#: 26: (25/27)^400 ~ 4e-14)
+EMA_NATIVE_FRAMES = {5: 75, 12: 180, 26: 400}
+
+
+def ema_native(
+    df: DataFrame,
+    spans: Sequence[int] = (5, 12, 26),
+    col: str = "close",
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """W2 EMA, JVM-side tier (round-10 verdict Next #8): pandas
+    ``ewm(span=N, adjust=True)`` is the weighted mean
+    sum((1-a)^i · x_{t-i}) / sum((1-a)^i) — for bounded spans the tail
+    weights vanish below the output rounding grain within
+    ``EMA_NATIVE_FRAMES[span]`` rows, so a TRUNCATED rendering is a
+    Horner fold over a fixed-length trailing frame: numerator
+    fold(acc·r + x) and denominator fold(acc·r + 1) over
+    collect_list(col) in frame order.  Everything stays in the JVM
+    (window + higher-order aggregate, no Python workers, no Arrow
+    transfer) — the tier for 100 TB hot paths where the exact
+    applyInPandas kernel's Python workers are the bottleneck (the r10
+    bench epoch shift hit exactly those queries).  Early rows
+    (rn <= M) carry the FULL history, i.e. the exact adjust=True
+    value; later rows differ from the kernel by < 1e-11 absolute at
+    price scale (tolerance-pinned in tests/test_operators.py).
+
+    The fold is left-to-right with init 0.0 — the registered oracle
+    replays the identical op sequence via list_reduce(list_prepend(
+    0.0, xs), ...), so the query is hash-EXACT against DuckDB even
+    though it is tolerance-tiered against the pandas kernel."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(symbol).orderBy(ts)
+    # materialize the frame lists in their own projection: higher-order
+    # folds get no subexpression elimination, and folding directly over
+    # the window expression would re-collect the list per fold
+    frames = df.select(
+        symbol,
+        ts,
+        *[
+            F.collect_list(col)
+            .over(w.rowsBetween(-(EMA_NATIVE_FRAMES[s] - 1), 0))
+            .alias(f"__xs_{s}")
+            for s in spans
+        ],
+    )
+    def _folds(s: int):
+        # bind r via closure, not a default arg — PySpark reads the
+        # lambda's parameter count as the higher-order arity
+        r = F.lit(1.0 - 2.0 / (s + 1.0))
+        xs = F.col(f"__xs_{s}")
+        num = F.aggregate(xs, F.lit(0.0), lambda a, x: a * r + x)
+        den = F.aggregate(xs, F.lit(0.0), lambda a, x: a * r + F.lit(1.0))
+        return (num / den).alias(f"ema_{s}")
+
+    return frames.select(F.col(symbol), F.col(ts), *[_folds(s) for s in spans])

@@ -75,6 +75,69 @@ def ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("symbol", "ts")
 
 
+def _ema_native_oracle() -> str:
+    from ..operators.ewm import EMA_NATIVE_FRAMES
+
+    frame_cols = ",\n".join(
+        f"         list(close) OVER ({_W} ROWS BETWEEN "
+        f"{EMA_NATIVE_FRAMES[s] - 1} PRECEDING AND CURRENT ROW) AS xs_{s}"
+        for s in (5, 12, 26)
+    )
+    outs = []
+    for s in (5, 12, 26):
+        r = repr(1.0 - 2.0 / (s + 1.0))
+        outs.append(
+            f"       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs_{s}),"
+            f" (a, x) -> a * {r} + x)\n"
+            f"             / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs_{s}),"
+            f" (a, x) -> a * {r} + 1.0), 6) AS ema_{s}"
+        )
+    return (
+        CANDLES_CTE
+        + f"""
+, fr AS (
+  SELECT symbol, ts,
+{frame_cols}
+  FROM candles
+)
+SELECT symbol, ts,
+"""
+        + ",\n".join(outs)
+        + """
+FROM fr
+ORDER BY symbol, ts
+"""
+    )
+
+
+@register(
+    "ema_native",
+    oracle=_ema_native_oracle(),
+    doc="W2 EMA, JVM-side tier (round-10 verdict Next #8): truncated "
+    "adjust=True weighted mean as a Horner fold over a fixed trailing "
+    "frame (operators/ewm.py:ema_native — numerator fold(acc·r + x), "
+    "denominator fold(acc·r + 1) over collect_list in frame order; "
+    "frames sized so the dropped tail weight < 5e-14, three orders "
+    "below the 1e-6 output grain).  No Python workers, no Arrow "
+    "transfer — the 100 TB hot-path tier beside the exact "
+    "applyInPandas kernel (`ema`), benched side-by-side; "
+    "tolerance-pinned against the kernel in tests/test_operators.py, "
+    "hash-EXACT against the oracle's identical list_reduce fold.",
+)
+def ema_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ewm import ema_native as EN
+
+    c = candles_from_events(spark, sf_dir)
+    out = EN(c, spans=(5, 12, 26))
+    return out.select(
+        "symbol",
+        "ts",
+        F.round("ema_5", R).alias("ema_5"),
+        F.round("ema_12", R).alias("ema_12"),
+        F.round("ema_26", R).alias("ema_26"),
+    ).orderBy("symbol", "ts")
+
+
 @register(
     "rsi",
     oracle=CANDLES_CTE

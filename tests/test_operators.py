@@ -1709,3 +1709,43 @@ def test_ml_tier_goldens_fresh(spark, sf_dir):
         a = got[cols].sort_values(cols).reset_index(drop=True)
         b = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_exact=True), name
+
+
+def test_ema_native_tracks_exact_kernel(spark, sf_dir):
+    """The JVM-side truncated EMA tier (operators/ewm.py:ema_native,
+    round-10 verdict Next #8) must agree with the exact pandas
+    adjust=True kernel to well under the 1e-6 output rounding grain:
+    early rows carry the full history (exactly the adjusted mean),
+    later rows drop tail weight < 5e-14.  After the queries' round(,6)
+    the two tiers are indistinguishable except at half-ulp boundary
+    coincidences."""
+    import numpy as np
+
+    from streaming_forex_data_pipeline_spark.operators.ewm import (
+        EMA_NATIVE_FRAMES,
+        ema,
+        ema_native,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import (
+        candles_from_events,
+    )
+
+    c = candles_from_events(spark, sf_dir)
+    spans = (5, 12, 26)
+    assert set(spans) <= set(EMA_NATIVE_FRAMES)
+    exact = (
+        ema(c, list(spans))
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    nat = (
+        ema_native(c, spans=spans)
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) == len(nat) > 0
+    for s in spans:
+        d = np.abs(exact[f"ema_{s}"].values - nat[f"ema_{s}"].values).max()
+        assert d < 1e-9, f"ema_{s}: native tier drifted {d:.3e} from kernel"
