@@ -50,6 +50,7 @@ HEADLINE = [
     "ema",
     "ema_native",
     "macd",
+    "macd_native",
     "bollinger",
     "stochastic",
     "obv_proxy",

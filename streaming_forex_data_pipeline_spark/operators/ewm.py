@@ -158,9 +158,9 @@ def atr_ema(
 #: dropped adjust=True tail weight (1-alpha)^M < ~5e-14 — three orders
 #: below the queries' 1e-6 output rounding grain at price scale, so the
 #: truncated weighted mean is indistinguishable from the exact kernel
-#: after round(,6) (span 5: (2/3)^75 ~ 6e-14; 12: (11/13)^180 ~ 9e-14;
-#: 26: (25/27)^400 ~ 4e-14)
-EMA_NATIVE_FRAMES = {5: 75, 12: 180, 26: 400}
+#: after round(,6) (span 5: (2/3)^75 ~ 6e-14; 9: (4/5)^140 ~ 3e-14;
+#: 12: (11/13)^180 ~ 9e-14; 26: (25/27)^400 ~ 4e-14)
+EMA_NATIVE_FRAMES = {5: 75, 9: 140, 12: 180, 26: 400}
 
 
 def ema_native(
@@ -207,13 +207,71 @@ def ema_native(
             for s in spans
         ],
     )
-    def _folds(s: int):
-        # bind r via closure, not a default arg — PySpark reads the
-        # lambda's parameter count as the higher-order arity
-        r = F.lit(1.0 - 2.0 / (s + 1.0))
-        xs = F.col(f"__xs_{s}")
-        num = F.aggregate(xs, F.lit(0.0), lambda a, x: a * r + x)
-        den = F.aggregate(xs, F.lit(0.0), lambda a, x: a * r + F.lit(1.0))
-        return (num / den).alias(f"ema_{s}")
+    return frames.select(
+        F.col(symbol),
+        F.col(ts),
+        *[_horner_ema(f"__xs_{s}", s).alias(f"ema_{s}") for s in spans],
+    )
 
-    return frames.select(F.col(symbol), F.col(ts), *[_folds(s) for s in spans])
+
+def _horner_ema(xs_col: str, span: int):
+    """The truncated adjust=True EMA as two left folds over an
+    already-materialized frame-list column: numerator fold(acc·r + x),
+    denominator fold(acc·r + 1), both with init 0.0 — the exact op
+    sequence the oracles replay with list_reduce(list_prepend(0.0,
+    xs), ...).  r is bound via closure, not a lambda default: PySpark
+    reads the lambda's parameter count as the higher-order arity."""
+    from pyspark.sql import functions as F
+
+    r = F.lit(1.0 - 2.0 / (span + 1.0))
+    xs = F.col(xs_col)
+    num = F.aggregate(xs, F.lit(0.0), lambda a, x: a * r + x)
+    den = F.aggregate(xs, F.lit(0.0), lambda a, x: a * r + F.lit(1.0))
+    return num / den
+
+
+def macd_native(
+    df: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    col: str = "close",
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """W4 MACD(12,26,9), JVM-side tier: the hot indicator CHAIN of the
+    reference (feature_engineer.py:137-161) rendered entirely as
+    window collect_list + Horner folds — stage 1 computes the MACD
+    line from the fast/slow truncated EMAs, stage 2 collects the
+    derived line's trailing frame and folds the signal EMA over it,
+    histogram = line - signal.  No Python workers anywhere in the
+    chain; each stage materializes its frame lists in a dedicated
+    projection (higher-order folds get no subexpression elimination).
+    Same truncation tiers as `ema_native` (EMA_NATIVE_FRAMES); the
+    registered oracle replays both stages' folds exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(symbol).orderBy(ts)
+
+    def frame(c: str, s: int):
+        return (
+            F.collect_list(c)
+            .over(w.rowsBetween(-(EMA_NATIVE_FRAMES[s] - 1), 0))
+            .alias(f"__xs_{s}")
+        )
+
+    line = df.select(symbol, ts, frame(col, fast), frame(col, slow)).select(
+        symbol,
+        ts,
+        (_horner_ema(f"__xs_{fast}", fast) - _horner_ema(f"__xs_{slow}", slow)).alias(
+            "macd"
+        ),
+    )
+    sig_frames = line.select(symbol, ts, "macd", frame("macd", signal))
+    return sig_frames.select(
+        symbol,
+        ts,
+        "macd",
+        _horner_ema(f"__xs_{signal}", signal).alias("macd_signal"),
+    ).withColumn("macd_histogram", F.col("macd") - F.col("macd_signal"))

@@ -138,6 +138,78 @@ def ema_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("symbol", "ts")
 
 
+def _macd_native_oracle() -> str:
+    from ..operators.ewm import EMA_NATIVE_FRAMES
+
+    def fold(xs: str, span: int) -> str:
+        r = repr(1.0 - 2.0 / (span + 1.0))
+        pre = f"list_prepend(CAST(0.0 AS DOUBLE), {xs})"
+        return (
+            f"(list_reduce({pre}, (a, x) -> a * {r} + x)"
+            f" / list_reduce({pre}, (a, x) -> a * {r} + 1.0))"
+        )
+
+    def frame(c: str, span: int) -> str:
+        m = EMA_NATIVE_FRAMES[span]
+        return (
+            f"list({c}) OVER ({_W} ROWS BETWEEN {m - 1} "
+            f"PRECEDING AND CURRENT ROW)"
+        )
+
+    return (
+        CANDLES_CTE
+        + f"""
+, f1 AS (
+  SELECT symbol, ts,
+         {frame('close', 12)} AS xs12,
+         {frame('close', 26)} AS xs26
+  FROM candles
+),
+m AS (
+  SELECT symbol, ts, {fold('xs12', 12)} - {fold('xs26', 26)} AS macd
+  FROM f1
+),
+f2 AS (
+  SELECT symbol, ts, macd, {frame('macd', 9)} AS xs9
+  FROM m
+)
+SELECT symbol, ts,
+       round(macd, 6) AS macd,
+       round({fold('xs9', 9)}, 6) AS macd_signal,
+       round(macd - {fold('xs9', 9)}, 6) AS macd_histogram
+FROM f2
+ORDER BY symbol, ts
+"""
+    )
+
+
+@register(
+    "macd_native",
+    oracle=_macd_native_oracle(),
+    doc="W4 MACD(12,26,9), JVM-side tier (operators/ewm.py:"
+    "macd_native): the full hot chain — fast/slow truncated-EMA "
+    "Horner folds for the line, a second collect_list + fold over the "
+    "DERIVED line for the signal, histogram = line - signal — with no "
+    "Python workers anywhere.  Same truncation tiers as ema_native "
+    "(tail weight < 5e-14, three orders below the 1e-6 output grain); "
+    "the oracle replays both stages' folds op-for-op, so the query is "
+    "hash-exact even though it is tolerance-tiered against the exact "
+    "pandas kernel (`macd`).",
+)
+def macd_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ewm import macd_native as MN
+
+    c = candles_from_events(spark, sf_dir)
+    out = MN(c)
+    return out.select(
+        "symbol",
+        "ts",
+        F.round("macd", R).alias("macd"),
+        F.round("macd_signal", R).alias("macd_signal"),
+        F.round("macd_histogram", R).alias("macd_histogram"),
+    ).orderBy("symbol", "ts")
+
+
 @register(
     "rsi",
     oracle=CANDLES_CTE

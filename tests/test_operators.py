@@ -1749,3 +1749,34 @@ def test_ema_native_tracks_exact_kernel(spark, sf_dir):
     for s in spans:
         d = np.abs(exact[f"ema_{s}"].values - nat[f"ema_{s}"].values).max()
         assert d < 1e-9, f"ema_{s}: native tier drifted {d:.3e} from kernel"
+
+
+def test_macd_native_tracks_exact_kernel(spark, sf_dir):
+    """The JVM-side MACD chain (operators/ewm.py:macd_native) must
+    agree with the exact pandas kernel through BOTH stages — the
+    signal fold runs over the truncated line, so error compounding
+    would show up here first."""
+    import numpy as np
+
+    from streaming_forex_data_pipeline_spark.operators.ewm import (
+        macd,
+        macd_native,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import (
+        candles_from_events,
+    )
+
+    c = candles_from_events(spark, sf_dir)
+    exact = (
+        macd(c).toPandas().sort_values(["symbol", "ts"]).reset_index(drop=True)
+    )
+    nat = (
+        macd_native(c)
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) == len(nat) > 0
+    for col in ("macd", "macd_signal", "macd_histogram"):
+        d = np.abs(exact[col].values - nat[col].values).max()
+        assert d < 1e-9, f"{col}: native tier drifted {d:.3e} from kernel"
