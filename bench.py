@@ -51,6 +51,8 @@ HEADLINE = [
     "ema_native",
     "macd",
     "macd_native",
+    "rsi_native",
+    "atr_native",
     "bollinger",
     "stochastic",
     "obv_proxy",

@@ -159,8 +159,9 @@ def atr_ema(
 #: below the queries' 1e-6 output rounding grain at price scale, so the
 #: truncated weighted mean is indistinguishable from the exact kernel
 #: after round(,6) (span 5: (2/3)^75 ~ 6e-14; 9: (4/5)^140 ~ 3e-14;
-#: 12: (11/13)^180 ~ 9e-14; 26: (25/27)^400 ~ 4e-14)
-EMA_NATIVE_FRAMES = {5: 75, 9: 140, 12: 180, 26: 400}
+#: 12: (11/13)^180 ~ 9e-14; 14: (13/15)^210 ~ 9e-14;
+#: 26: (25/27)^400 ~ 4e-14)
+EMA_NATIVE_FRAMES = {5: 75, 9: 140, 12: 180, 14: 210, 26: 400}
 
 
 def ema_native(
@@ -275,3 +276,81 @@ def macd_native(
         "macd",
         _horner_ema(f"__xs_{signal}", signal).alias("macd_signal"),
     ).withColumn("macd_histogram", F.col("macd") - F.col("macd_signal"))
+
+
+def rsi_native(
+    df: DataFrame,
+    period: int = 14,
+    col: str = "close",
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """W3 RSI, JVM-side tier: gain/loss split is lag algebra (leading
+    NULL delta maps to 0, the reference's NaN->0), then ONE truncated
+    numerator fold per side — the adjust=True denominators of avg_gain
+    and avg_loss are identical, so they cancel in
+    rsi = 100·ag/(ag+al) = 100·num_g/(num_g+num_l), and the
+    zero-denominator row maps to NULL exactly like the kernel query.
+    Same truncation tier as ema_native; oracle replays the folds
+    op-for-op."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(symbol).orderBy(ts)
+    m = EMA_NATIVE_FRAMES[period]
+    delta = F.col(col) - F.lag(col).over(w)
+    s0 = df.select(
+        symbol,
+        ts,
+        F.when(delta > 0, delta).otherwise(F.lit(0.0)).alias("__gain"),
+        F.when(delta < 0, -delta).otherwise(F.lit(0.0)).alias("__loss"),
+    )
+    fr = w.rowsBetween(-(m - 1), 0)
+    s1 = s0.select(
+        symbol,
+        ts,
+        F.collect_list("__gain").over(fr).alias("__xg"),
+        F.collect_list("__loss").over(fr).alias("__xl"),
+    )
+    r = F.lit(1.0 - 2.0 / (period + 1.0))
+    num_g = F.aggregate(F.col("__xg"), F.lit(0.0), lambda a, x: a * r + x)
+    num_l = F.aggregate(F.col("__xl"), F.lit(0.0), lambda a, x: a * r + x)
+    rsi = F.when(num_g + num_l != 0, 100.0 * num_g / (num_g + num_l))
+    return s1.select(symbol, ts, rsi.alias(f"rsi_{period}"))
+
+
+def atr_native(
+    df: DataFrame,
+    period: int = 14,
+    symbol: str = "symbol",
+    ts: str = "ts",
+) -> DataFrame:
+    """W6 ATR, JVM-side tier: true range is lag algebra (first row
+    degrades to high-low through the coalesce, the reference's NaN-
+    skipping row max), then the truncated EMA fold — the last piece of
+    the W2 chain (EMA/MACD/RSI/ATR) rendered without Python
+    workers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(symbol).orderBy(ts)
+    m = EMA_NATIVE_FRAMES[period]
+    prev = F.lag("close").over(w)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.coalesce(F.abs(F.col("high") - prev), F.lit(0.0)),
+        F.coalesce(F.abs(F.col("low") - prev), F.lit(0.0)),
+    )
+    s0 = df.select(symbol, ts, tr.alias("__tr"))
+    s1 = s0.select(
+        symbol,
+        ts,
+        F.collect_list("__tr")
+        .over(w.rowsBetween(-(m - 1), 0))
+        .alias(f"__xs_{period}"),
+    )
+    return s1.select(
+        symbol,
+        ts,
+        _horner_ema(f"__xs_{period}", period).alias(f"atr_{period}"),
+    )

@@ -297,6 +297,103 @@ def macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("symbol", "ts")
 
 
+def _fold_sql(xs: str, span: int, num_only: bool = False) -> str:
+    """DuckDB rendering of the truncated-EMA Horner fold(s) —
+    op-for-op the same sequence as operators/ewm.py:_horner_ema."""
+    r = repr(1.0 - 2.0 / (span + 1.0))
+    pre = f"list_prepend(CAST(0.0 AS DOUBLE), {xs})"
+    num = f"list_reduce({pre}, (a, x) -> a * {r} + x)"
+    if num_only:
+        return f"({num})"
+    return f"({num} / list_reduce({pre}, (a, x) -> a * {r} + 1.0))"
+
+
+def _native_frame_sql(c: str, span: int) -> str:
+    from ..operators.ewm import EMA_NATIVE_FRAMES
+
+    m = EMA_NATIVE_FRAMES[span]
+    return f"list({c}) OVER ({_W} ROWS BETWEEN {m - 1} PRECEDING AND CURRENT ROW)"
+
+
+@register(
+    "rsi_native",
+    oracle=CANDLES_CTE
+    + f"""
+, nb AS (
+  SELECT symbol, ts, close,
+         close - lag(close) OVER ({_W}) AS delta
+  FROM candles
+),
+gl AS (
+  SELECT symbol, ts,
+         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+  FROM nb
+),
+fr AS (
+  SELECT symbol, ts,
+         {_native_frame_sql('gain', 14)} AS xg,
+         {_native_frame_sql('loss', 14)} AS xl
+  FROM gl
+)
+SELECT symbol, ts,
+       round(CASE WHEN {_fold_sql('xg', 14, True)} + {_fold_sql('xl', 14, True)} <> 0
+                  THEN 100.0 * {_fold_sql('xg', 14, True)}
+                       / ({_fold_sql('xg', 14, True)} + {_fold_sql('xl', 14, True)})
+             END, 6) AS rsi_14
+FROM fr
+ORDER BY symbol, ts
+""",
+    doc="W3 RSI-14, JVM-side tier (operators/ewm.py:rsi_native): "
+    "gain/loss lag algebra, one truncated numerator fold per side "
+    "(the adjust=True denominators cancel in 100·ag/(ag+al)), NULL on "
+    "the zero-denominator rows like the kernel query.  No Python "
+    "workers; oracle replays the folds op-for-op.",
+)
+def rsi_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ewm import rsi_native as RN
+
+    c = candles_from_events(spark, sf_dir)
+    return RN(c, period=14).select(
+        "symbol", "ts", F.round("rsi_14", R).alias("rsi_14")
+    ).orderBy("symbol", "ts")
+
+
+@register(
+    "atr_native",
+    oracle=CANDLES_CTE
+    + f"""
+, tr AS (
+  SELECT symbol, ts,
+         greatest(high - low,
+                  coalesce(abs(high - lag(close) OVER ({_W})), 0.0),
+                  coalesce(abs(low  - lag(close) OVER ({_W})), 0.0)) AS tr
+  FROM candles
+),
+fr AS (
+  SELECT symbol, ts, {_native_frame_sql('tr', 14)} AS xs
+  FROM tr
+)
+SELECT symbol, ts, round({_fold_sql('xs', 14)}, 6) AS atr_14
+FROM fr
+ORDER BY symbol, ts
+""",
+    doc="W6 ATR-14, JVM-side tier (operators/ewm.py:atr_native): true "
+    "range as lag algebra, truncated-EMA Horner fold — completes the "
+    "native rendering of the whole W2 chain (EMA/MACD/RSI/ATR) so the "
+    "reference's hot indicator path can run with zero Python workers "
+    "at 100 TB.  Tolerance-tiered against the exact kernel "
+    "(`atr_ema`), hash-exact against the oracle's identical folds.",
+)
+def atr_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ewm import atr_native as AN
+
+    c = candles_from_events(spark, sf_dir)
+    return AN(c, period=14).select(
+        "symbol", "ts", F.round("atr_14", R).alias("atr_14")
+    ).orderBy("symbol", "ts")
+
+
 @register(
     "atr_ema",
     oracle=CANDLES_CTE

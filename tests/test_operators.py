@@ -1780,3 +1780,56 @@ def test_macd_native_tracks_exact_kernel(spark, sf_dir):
     for col in ("macd", "macd_signal", "macd_histogram"):
         d = np.abs(exact[col].values - nat[col].values).max()
         assert d < 1e-9, f"{col}: native tier drifted {d:.3e} from kernel"
+
+
+def test_rsi_atr_native_track_exact_kernels(spark, sf_dir):
+    """The remaining W2-chain native tiers (rsi_native, atr_native)
+    must agree with their exact pandas kernels, including the RSI
+    zero-denominator NULL rows."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.operators import ewm as E
+    from streaming_forex_data_pipeline_spark.sources.tables import (
+        candles_from_events,
+    )
+
+    c = candles_from_events(spark, sf_dir)
+    comp = E.rsi_components(c, period=14)
+    ag, al = F.col("avg_gain"), F.col("avg_loss")
+    exact_rsi = (
+        comp.select(
+            "symbol", "ts",
+            F.when(ag + al != 0, 100.0 * ag / (ag + al)).alias("rsi_14"),
+        )
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    nat_rsi = (
+        E.rsi_native(c)
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(exact_rsi) == len(nat_rsi) > 0
+    assert (exact_rsi["rsi_14"].isna() == nat_rsi["rsi_14"].isna()).all()
+    d = np.nanmax(
+        np.abs(exact_rsi["rsi_14"].values - nat_rsi["rsi_14"].values)
+    )
+    assert d < 1e-9, f"rsi_14 native drift {d:.3e}"
+
+    exact_atr = (
+        E.atr_ema(c)
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    nat_atr = (
+        E.atr_native(c)
+        .toPandas()
+        .sort_values(["symbol", "ts"])
+        .reset_index(drop=True)
+    )
+    d = np.abs(exact_atr["atr_14"].values - nat_atr["atr_14"].values).max()
+    assert d < 1e-9, f"atr_14 native drift {d:.3e}"
