@@ -701,3 +701,19 @@ def test_weekend_traffic_rollup_dynamic_partition_prunes(spark, sf_dir):
     assert "partial_count" in plan, (
         f"rollup lost its map-side partial:\n{plan}"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["ema_native", "macd_native", "rsi_native", "atr_native"]
+)
+def test_native_indicator_tier_has_zero_python_workers(spark, sf_dir, name):
+    """The whole point of the W2-chain native tier (round-10 verdict
+    Next #8) is zero Python workers in the hot indicator path: the
+    executed plan must contain no EvalPython / FlatMapGroupsInPandas
+    node anywhere — only window + higher-order aggregate."""
+    df = all_queries()[name].spark(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, f"{name} fell back to Python:\n{plan}"
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "aggregate(" in plan or "Window" in plan
