@@ -73,6 +73,8 @@ HEADLINE = [
     "signals_sma",
     "backtest_metrics",
     "backtest_trades_multi",
+    "signals_macd",
+    "strategy_comparison",
     "feature_importance",
     "ml_features",
     # streaming-transform batch faces

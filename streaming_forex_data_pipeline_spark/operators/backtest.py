@@ -103,6 +103,37 @@ def rsi_exit_signals(
     return out.withColumn("signal", sig).drop("__rsi")
 
 
+def macd_cross_signals(
+    df: DataFrame, fast: int = 12, slow: int = 26, signal: int = 9,
+    symbol: str = "symbol", ts: str = "ts",
+) -> DataFrame:
+    """P5 — MACD-line/signal-line crossover strategy
+    (backtesting_engine.py:239-274 MACDStrategy.generate_signals):
+    +1 when the MACD line crosses above its signal line, -1 below.
+    The lines come from the JVM-side fold tier
+    (operators/ewm.py:macd_native) rather than the pandas kernel, so
+    the crossover booleans are bit-reproducible against the fold-replay
+    oracle — a kernel-vs-SQL 1-ulp difference at a near-tie would
+    otherwise flip a signal and cascade through the whole backtest
+    ledger."""
+    from .ewm import macd_native
+
+    w = Window.partitionBy(symbol).orderBy(ts)
+    lines = macd_native(
+        df, fast=fast, slow=slow, signal=signal, symbol=symbol, ts=ts
+    )
+    sig = lines.select(
+        symbol,
+        ts,
+        _cross_signal(F.col("macd"), F.col("macd_signal"), w).alias(
+            "signal"
+        ),
+    )
+    # join the signal back so callers keep every input column (the
+    # backtest needs close); equi-join on the (symbol, ts) key
+    return df.join(sig, [symbol, ts])
+
+
 #: one output row per symbol with the full A9 metric set
 METRICS_SCHEMA = StructType(
     [

@@ -229,17 +229,91 @@ def signals_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _macd_lines_sql(src: str, prefix: str) -> str:
+    """CTE chain computing the fold-tier MACD(12,26,9) lines over
+    ``src`` (must expose symbol, ts, close) — the SQL twin of
+    operators/ewm.py:macd_native, shared by signals_macd and the
+    strategy-comparison base."""
+    from .ewm_q import _fold_sql, _native_frame_sql
+
+    return f"""{prefix}_f1 AS (
+  SELECT symbol, ts, close,
+         row_number() OVER ({_W}) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n_rows,
+         {_native_frame_sql('close', 12)} AS xs12,
+         {_native_frame_sql('close', 26)} AS xs26
+  FROM {src}
+),
+{prefix}_m AS (
+  SELECT symbol, ts, close, rn, n_rows,
+         {_fold_sql('xs12', 12)} - {_fold_sql('xs26', 26)} AS macd
+  FROM {prefix}_f1
+),
+{prefix}_f2 AS (
+  SELECT symbol, ts, close, rn, n_rows, macd,
+         {_native_frame_sql('macd', 9)} AS xs9
+  FROM {prefix}_m
+),
+{prefix}_l AS (
+  SELECT symbol, ts, close, rn, n_rows, macd,
+         {_fold_sql('xs9', 9)} AS msig
+  FROM {prefix}_f2
+),
+{prefix}_x AS (
+  SELECT symbol, ts, close, rn, n_rows, macd, msig,
+         lag(macd) OVER ({_W}) AS p_m,
+         lag(msig) OVER ({_W}) AS p_s
+  FROM {prefix}_l
+)"""
+
+
+_MACD_SIG_CASE = """CASE WHEN macd > msig AND p_m <= p_s THEN 1
+            WHEN macd < msig AND p_m >= p_s THEN -1
+            ELSE 0 END"""
+
+
+@register(
+    "signals_macd",
+    oracle=CANDLES_CTE
+    + ", "
+    + _macd_lines_sql("candles", "mc")
+    + f"""
+SELECT symbol, ts,
+       {_MACD_SIG_CASE} AS signal
+FROM mc_x
+ORDER BY symbol, ts
+""",
+    doc="P5 — MACD(12,26,9) line/signal crossover strategy signals "
+    "(backtesting_engine.py:239-274 MACDStrategy — the third and last "
+    "in-reference strategy, previously the only one without a "
+    "registered face).  The lines come from the JVM-side fold tier "
+    "(operators/ewm.py:macd_native), so the crossover booleans are "
+    "bit-reproducible against the oracle's identical folds — a "
+    "kernel-vs-SQL 1-ulp near-tie cannot flip a signal.",
+)
+def signals_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = candles_from_events(spark, sf_dir)
+    return (
+        B.macd_cross_signals(c)
+        .select("symbol", "ts", "signal")
+        .orderBy("symbol", "ts")
+    )
+
+
 #: the shared price/signal head of every backtest oracle: grid-pinned
 #: hourly candles, SMA(10/20) cross signals, is_last flag — one copy so
 #: the single- and multi-position recursive loops can never disagree on
 #: their inputs (see _bt_candles for the price-grid rationale)
-_BT_BASE_CTES = """candles AS (
+_BT_CANDLES = """candles AS (
   SELECT event_type AS symbol,
          date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
          100.0 + floor(round(max_by("value", event_id), 6) * 10.0) / 10000.0 AS close
   FROM events GROUP BY 1, 2
-),
-sig0 AS (
+)"""
+
+#: SMA(10/20)-cross signal base over the grid candles — (symbol, rn,
+#: ts, price, is_last, sig), the shape every rec loop consumes
+_BT_SMA_BASE = """sig0 AS (
   SELECT symbol, ts, close,
          row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn,
          count(*) OVER (PARTITION BY symbol) AS n_rows,
@@ -251,7 +325,7 @@ sig0 AS (
                                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) END AS s
   FROM candles
 ),
-base AS (
+base AS MATERIALIZED (
   SELECT symbol, rn, ts, close AS price, (rn = n_rows) AS is_last,
          CASE WHEN f > s AND lag(f) OVER (PARTITION BY symbol ORDER BY ts)
                               <= lag(s) OVER (PARTITION BY symbol ORDER BY ts) THEN 1
@@ -261,8 +335,12 @@ base AS (
   FROM sig0
 )"""
 
+_BT_BASE_CTES = _BT_CANDLES + ",\n" + _BT_SMA_BASE
 
-def _bt_rec_sql(commission: str = "0.0001") -> str:
+
+def _bt_rec_loop(
+    base: str = "base", rec: str = "rec", commission: str = "0.0001"
+) -> str:
     """DuckDB recursive-CTE rendering of the backtest event loop
     (backtesting_engine.py:284-379) at max_positions=1: the loop state
     collapses to one fixed tuple (capital, open?, entry, price, side,
@@ -313,9 +391,30 @@ def _bt_rec_sql(commission: str = "0.0001") -> str:
         f" THEN {p2(f'{capital1} + {pnl}')} ELSE {capital1} END)"
     )
     next_open = f"({h_open} AND NOT {close_now})"
+    return _bt_rec_body_text(
+        capital2, next_open, h_etime, h_eprice, h_buy, h_size, h_comm,
+        close_now, total_comm, pnl, direction, p6, base=base, rec=rec,
+    )
+
+
+def _bt_rec_sql(commission: str = "0.0001") -> str:
+    """Full single-strategy oracle head: grid candles + SMA-cross base
+    + one rec loop (see _bt_rec_loop's docstring above for the state
+    and pinning story)."""
     return f"""
 WITH RECURSIVE {_BT_BASE_CTES},
-rec AS (
+{_bt_rec_loop("base", "rec", commission)}
+"""
+
+
+def _bt_rec_body_text(
+    capital2, next_open, h_etime, h_eprice, h_buy, h_size, h_comm,
+    close_now, total_comm, pnl, direction, p6, base: str, rec: str
+) -> str:
+    """One rec-loop CTE body over the signal base ``base``, named
+    ``rec`` — factored out so the strategy-comparison oracle can stamp
+    one loop per strategy without duplicating the transition SQL."""
+    return f"""{rec} AS (
   SELECT symbol, CAST(0 AS BIGINT) AS rn,
          CAST(10000.0 AS DOUBLE) AS capital, FALSE AS open,
          CAST(NULL AS TIMESTAMP) AS e_time, CAST(NULL AS DOUBLE) AS e_price,
@@ -326,7 +425,7 @@ rec AS (
          CAST(NULL AS VARCHAR) AS t_type, CAST(NULL AS DOUBLE) AS t_size,
          CAST(NULL AS DOUBLE) AS t_comm, CAST(NULL AS DOUBLE) AS t_pnl,
          CAST(NULL AS DOUBLE) AS t_ret
-  FROM (SELECT DISTINCT symbol FROM base)
+  FROM (SELECT DISTINCT symbol FROM {base})
   UNION ALL
   SELECT b.symbol, b.rn,
          {capital2},
@@ -348,9 +447,8 @@ rec AS (
          CASE WHEN {close_now}
               THEN {p6(f'{direction} * (b.price - {h_eprice}) / {h_eprice} * 100.0')}
          END
-  FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
-)
-"""
+  FROM {rec} r JOIN {base} b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)"""
 
 
 def _bt_rec_multi_sql(n_pos: int, commission: str = "0.0001") -> str:
@@ -551,6 +649,231 @@ LEFT JOIN agg a ON a.symbol = f.symbol
 LEFT JOIN std6 s ON s.symbol = f.symbol
 ORDER BY f.symbol
 """
+
+
+#: RSI(14) band-exit signal base over the grid candles — the
+#: strategy-comparison twin of signals_rsi's oracle, shaped like
+#: _BT_SMA_BASE's (symbol, rn, ts, price, is_last, sig)
+_BT_RSI_BASE = f"""rsi_d AS (
+  SELECT symbol, ts, close,
+         close - lag(close) OVER ({_W}) AS delta,
+         row_number() OVER ({_W}) AS rn,
+         count(*) OVER (PARTITION BY symbol) AS n_rows
+  FROM candles
+),
+rsi_gl AS (
+  SELECT symbol, ts, close, rn, n_rows,
+         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+  FROM rsi_d
+),
+rsi_avg AS (
+  SELECT symbol, ts, close, rn, n_rows,
+         CASE WHEN rn >= 14
+              THEN avg(gain) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         END AS ag,
+         CASE WHEN rn >= 14
+              THEN avg(loss) OVER ({_W} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         END AS al
+  FROM rsi_gl
+),
+rsi_v AS (
+  SELECT symbol, ts, close, rn, n_rows,
+         CASE WHEN ag + al <> 0 THEN 100.0 * ag / (ag + al) END AS rsi
+  FROM rsi_avg
+),
+rsi_x AS (
+  SELECT symbol, ts, close, rn, n_rows, rsi,
+         lag(rsi) OVER ({_W}) AS p_rsi
+  FROM rsi_v
+),
+rsi_base AS MATERIALIZED (
+  SELECT symbol, rn, ts, close AS price, (rn = n_rows) AS is_last,
+         CASE WHEN rsi > 30 AND p_rsi <= 30 THEN 1
+              WHEN rsi < 70 AND p_rsi >= 70 THEN -1
+              ELSE 0 END AS sig
+  FROM rsi_x
+)"""
+
+
+def _strategy_comparison_oracle() -> str:
+    """All three in-reference strategies through the pinned event loop
+    (one rec-loop CTE per strategy over its own signal base), unioned
+    with strategy labels, then ONE metrics tail keyed
+    (strategy, symbol) plus the reference report's per-metric rankings
+    (generate_performance_report, backtesting_engine.py:391-439)."""
+    mc_base = (
+        _macd_lines_sql("candles", "cmp")
+        + f""",
+mc_base AS MATERIALIZED (
+  SELECT symbol, rn, ts, close AS price, (rn = n_rows) AS is_last,
+         {_MACD_SIG_CASE} AS sig
+  FROM cmp_x
+)"""
+    )
+    loops = ",\n".join(
+        [
+            _bt_rec_loop("base", "rec_sma"),
+            _bt_rec_loop("rsi_base", "rec_rsi"),
+            _bt_rec_loop("mc_base", "rec_macd"),
+        ]
+    )
+    return f"""
+WITH RECURSIVE {_BT_CANDLES},
+{_BT_SMA_BASE},
+{_BT_RSI_BASE},
+{mc_base},
+{loops},
+rec AS (
+  SELECT 'sma_cross' AS strategy, * FROM rec_sma
+  UNION ALL SELECT 'rsi_exit', * FROM rec_rsi
+  UNION ALL SELECT 'macd_cross', * FROM rec_macd
+),
+trades AS MATERIALIZED (
+  SELECT strategy, symbol, rn,
+         floor(t_pnl * 1000000.0 + 0.5) AS pnl_s,
+         floor(t_ret * 1000000.0 + 0.5) AS ret_s
+  FROM rec WHERE emit
+),
+tseq AS (
+  SELECT *, row_number() OVER (PARTITION BY strategy, symbol ORDER BY rn) AS seq
+  FROM trades
+),
+finals AS (
+  SELECT strategy, symbol, capital AS final_capital
+  FROM rec
+  QUALIFY row_number() OVER (PARTITION BY strategy, symbol ORDER BY rn DESC) = 1
+),
+curve AS (
+  SELECT strategy, symbol, seq,
+         10000000000.0 + sum(pnl_s) OVER (PARTITION BY strategy, symbol ORDER BY seq) AS cap_s
+  FROM tseq
+),
+peaks AS (
+  SELECT strategy, symbol, seq, cap_s,
+         greatest(10000000000.0,
+                  max(cap_s) OVER (PARTITION BY strategy, symbol ORDER BY seq)) AS peak_s
+  FROM curve
+),
+agg AS (
+  SELECT strategy, symbol,
+         count(*) AS total_trades,
+         count(*) FILTER (WHERE pnl_s > 0) AS winning_trades,
+         sum(ret_s) AS sum_ret_s,
+         sum(ret_s * ret_s) AS sum_ret2_s,
+         sum(CASE WHEN pnl_s > 0 THEN pnl_s ELSE 0.0 END) AS gp_s,
+         abs(sum(CASE WHEN pnl_s < 0 THEN pnl_s ELSE 0.0 END)) AS gl_s
+  FROM trades GROUP BY strategy, symbol
+),
+std6 AS (
+  SELECT strategy, symbol,
+         sqrt(greatest((sum_ret2_s / total_trades)
+                       - (sum_ret_s / total_trades) * (sum_ret_s / total_trades),
+                       0.0)) / 1000000.0 AS std6,
+         (sum_ret_s / total_trades) / 1000000.0 AS mean6
+  FROM agg
+),
+summary AS (
+  SELECT f.strategy, f.symbol,
+         coalesce(a.total_trades, 0) AS total_trades,
+         coalesce((CAST(a.winning_trades AS DOUBLE)
+                   / CAST(a.total_trades AS DOUBLE)) * 100.0, 0.0) AS win_rate,
+         (f.final_capital - 10000.0) / 10000.0 * 100.0 AS total_return,
+         coalesce((SELECT max((p.peak_s - p.cap_s) / p.peak_s * 100.0)
+                   FROM peaks p
+                   WHERE p.strategy = f.strategy AND p.symbol = f.symbol),
+                  0.0) AS max_drawdown,
+         coalesce(CASE WHEN a.total_trades >= 2 AND s.std6 <> 0.0
+                       THEN (s.mean6 - 2.0) / s.std6 ELSE 0.0 END, 0.0)
+           AS sharpe_ratio,
+         coalesce(CASE WHEN a.gl_s = 0
+                       THEN (CASE WHEN a.gp_s > 0
+                                  THEN CAST('infinity' AS DOUBLE) ELSE 0.0 END)
+                       ELSE a.gp_s / a.gl_s END, 0.0) AS profit_factor
+  FROM finals f
+  LEFT JOIN agg a ON a.strategy = f.strategy AND a.symbol = f.symbol
+  LEFT JOIN std6 s ON s.strategy = f.strategy AND s.symbol = f.symbol
+)
+SELECT strategy, symbol, total_trades, win_rate, total_return, max_drawdown,
+       sharpe_ratio, profit_factor,
+       CAST(rank() OVER (PARTITION BY symbol
+                         ORDER BY total_return DESC, strategy) AS INT)
+         AS rank_total_return,
+       CAST(rank() OVER (PARTITION BY symbol
+                         ORDER BY win_rate DESC, strategy) AS INT)
+         AS rank_win_rate,
+       CAST(rank() OVER (PARTITION BY symbol
+                         ORDER BY sharpe_ratio DESC, strategy) AS INT)
+         AS rank_sharpe_ratio,
+       CAST(rank() OVER (PARTITION BY symbol
+                         ORDER BY profit_factor DESC, strategy) AS INT)
+         AS rank_profit_factor
+FROM summary
+ORDER BY symbol, strategy
+"""
+
+
+@register(
+    "strategy_comparison",
+    oracle=_strategy_comparison_oracle(),
+    doc="P6+A9 — the reference's compare_strategies + performance "
+    "report (backtesting_engine.py:381-439): all three strategies "
+    "(SMA cross / RSI band-exit / MACD cross) through the pinned "
+    "event loop per symbol, one summary row per (strategy, symbol) "
+    "with the report's metric set, plus per-symbol rank columns for "
+    "the report's four ranking metrics (ties broken by strategy name "
+    "so the order is total on both engines).  One metrics tail keyed "
+    "(strategy, symbol) serves all strategies; the MACD signals come "
+    "from the fold tier so crossover booleans are engine-exact.",
+)
+def strategy_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    c = _bt_candles(spark, sf_dir)
+    strategies = [
+        ("sma_cross", B.sma_cross_signals(c)),
+        ("rsi_exit", B.rsi_exit_signals(c)),
+        ("macd_cross", B.macd_cross_signals(c)),
+    ]
+    parts = []
+    for name, sig in strategies:
+        m = B.backtest_metrics(sig, pin_grid=True)
+        parts.append(
+            m.select(
+                F.lit(name).alias("strategy"),
+                "symbol",
+                "total_trades",
+                "win_rate",
+                "total_return",
+                "max_drawdown",
+                "sharpe_ratio",
+                "profit_factor",
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    wsym = Window.partitionBy("symbol")
+
+    def rk(metric: str):
+        return F.rank().over(
+            wsym.orderBy(F.col(metric).desc(), F.col("strategy"))
+        ).alias(f"rank_{metric}")
+
+    return u.select(
+        "strategy",
+        "symbol",
+        "total_trades",
+        "win_rate",
+        "total_return",
+        "max_drawdown",
+        "sharpe_ratio",
+        "profit_factor",
+        rk("total_return"),
+        rk("win_rate"),
+        rk("sharpe_ratio"),
+        rk("profit_factor"),
+    ).orderBy("symbol", "strategy")
 
 
 def _bt_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
