@@ -652,6 +652,7 @@ def start_events_bucketed_channel(
     sink_dir: str | None = None,
     stream=None,
     n_buckets: int = 8,
+    compact_every: int | None = None,
 ):
     """Streaming maintenance of the bucketed-by-user_id events silver
     layout (`sources/layout.py`): at 100 TB the layout that makes
@@ -712,8 +713,18 @@ def start_events_bucketed_channel(
             spark, sink_dir, tbl, loc, n_buckets=n_buckets
         )
 
+    def maintain_fn():
+        from ..sources.layout import compact_bucketed_table
+
+        compact_bucketed_table(spark, loc)
+        # the compaction swapped files under the catalog table —
+        # invalidate the cached file index before the next insertInto
+        # batch's readers see the layout
+        spark.catalog.refreshTable(tbl)
+
     run_batch = _maintained_layout_batch(
-        sink_dir, loc, cols, append_fn, rebuild_fn
+        sink_dir, loc, cols, append_fn, rebuild_fn,
+        maintain_fn=maintain_fn, maintain_every=compact_every,
     )
     return (
         stream.writeStream.queryName(tbl)
@@ -724,7 +735,10 @@ def start_events_bucketed_channel(
     )
 
 
-def _maintained_layout_batch(sink_dir, loc, cols, append_fn, rebuild_fn):
+def _maintained_layout_batch(
+    sink_dir, loc, cols, append_fn, rebuild_fn,
+    maintain_fn=None, maintain_every: int | None = None,
+):
     """The maintained-serving-layout micro-batch protocol, shared by
     the bucketed and date-partitioned events channels (ONE copy of
     the crash-recovery logic): replay detection BEFORE committing —
@@ -732,7 +746,18 @@ def _maintained_layout_batch(sink_dir, loc, cols, append_fn, rebuild_fn):
     crashed between the serving append and the marker, the layout's
     state is unknowable, rebuild from the log (idempotent); a clean
     replay (marker present) is a no-op because the log deduped it and
-    serving has it."""
+    serving has it.
+
+    ``maintain_fn`` (with ``maintain_every`` = N): optional in-channel
+    small-files maintenance, invoked after every Nth batch's clean
+    publish — INSIDE foreachBatch, where the channel's writes are
+    serialized, so the single-maintenance-writer contract of
+    `compact_day_partitions` / `compact_bucketed_table` holds by
+    construction (no quiesce step needed; a crash mid-compaction is
+    repaired by the compactors' own aside/manifest protocols and, in
+    the worst case, the WAL rebuild).  Maintenance never runs on a
+    replayed batch — the rebuild already rewrote the layout
+    compactly."""
     import os
 
     from pyspark.sql import functions as F
@@ -754,6 +779,12 @@ def _maintained_layout_batch(sink_dir, loc, cols, append_fn, rebuild_fn):
         append_fn(batch_df)
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         open(marker, "w").close()
+        if (
+            maintain_fn is not None
+            and maintain_every
+            and int(batch_id) % maintain_every == maintain_every - 1
+        ):
+            maintain_fn()
 
     return run_batch
 
@@ -791,6 +822,7 @@ def start_events_partitioned_channel(
     sink_dir: str | None = None,
     stream=None,
     query_name: str = "events_partitioned",
+    compact_every: int | None = None,
 ):
     """Streaming maintenance of the DATE-PARTITIONED events silver
     (`plans/pipeline_q.py:_ensure_events_partitioned`'s layout): each
@@ -828,8 +860,14 @@ def start_events_partitioned_channel(
     def rebuild_fn():
         rebuild_events_partitioned(spark, sink_dir, loc)
 
+    def maintain_fn():
+        from ..sources.layout import compact_day_partitions
+
+        compact_day_partitions(spark, loc)
+
     run_batch = _maintained_layout_batch(
-        sink_dir, loc, cols, append_fn, rebuild_fn
+        sink_dir, loc, cols, append_fn, rebuild_fn,
+        maintain_fn=maintain_fn, maintain_every=compact_every,
     )
     return (
         stream.writeStream.queryName(query_name)

@@ -1277,6 +1277,89 @@ def test_compact_bucketed_table_preserves_content_and_contract(
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_channels_self_compact_with_compact_every(spark, sf_dir, tmp_path):
+    """In-channel auto-maintenance (`_maintained_layout_batch`'s
+    maintain hook): with compact_every=1 both layout channels compact
+    inside foreachBatch — where the channel's writes are serialized,
+    so the single-maintenance-writer contract holds by construction.
+    After a two-batch run each layout must be fully compacted (one
+    file per day / per bucket) with content still exactly the events
+    table."""
+    import glob
+    import os
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        _BUCKET_FILE_RE,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.analytics_stream import (
+        start_events_bucketed_channel,
+        start_events_partitioned_channel,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    halves = [
+        e.filter(F.col("event_id") % 2 == 0),
+        e.filter(F.col("event_id") % 2 == 1),
+    ]
+
+    # date-partitioned channel
+    src1 = str(tmp_path / "amp_src")
+    _staged_event_files(spark, e, src1, halves)
+    stream1 = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src1)
+    )
+    loc1 = str(tmp_path / "amp_serving")
+    q1 = start_events_partitioned_channel(
+        spark, sf_dir, loc=loc1, sink_dir=str(tmp_path / "amp_log"),
+        stream=stream1, compact_every=1,
+    )
+    q1.awaitTermination(240)
+    for d in os.listdir(loc1):
+        if d.startswith("day="):
+            n = len(glob.glob(os.path.join(loc1, d, "*.parquet")))
+            assert n == 1, f"{d} holds {n} files after auto-compaction"
+    got = spark.read.parquet(loc1)
+    assert got.count() == e.count()
+    assert got.drop("day").exceptAll(e).count() == 0
+
+    # bucketed channel
+    src2 = str(tmp_path / "amb_src")
+    _staged_event_files(spark, e, src2, halves)
+    stream2 = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    tbl = f"events_autocompact_{uuid.uuid4().hex[:8]}"
+    loc2 = str(tmp_path / "amb_serving")
+    q2 = start_events_bucketed_channel(
+        spark, sf_dir, tbl, loc=loc2, sink_dir=str(tmp_path / "amb_log"),
+        stream=stream2, compact_every=1,
+    )
+    q2.awaitTermination(240)
+    pat = re.compile(_BUCKET_FILE_RE)
+    by_bucket = {}
+    for f in os.listdir(loc2):
+        m = pat.search(f)
+        if m and not f.startswith(("_", ".")):
+            by_bucket.setdefault(m.group(1), []).append(f)
+    assert by_bucket and all(len(v) == 1 for v in by_bucket.values()), (
+        by_bucket
+    )
+    spark.catalog.refreshTable(tbl)
+    maintained = spark.table(tbl)
+    assert maintained.count() == e.count()
+    assert maintained.exceptAll(e).count() == 0
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_events_bucketed_channel_recovers_from_crashed_append(
     spark, sf_dir, tmp_path
 ):
