@@ -117,6 +117,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_segment",
     "knn_graph",
+    "knn_graph_topk",
     "incremental_dedup",
     "ivf_pq_topk",
     "bpe_encode_counts",

@@ -1245,3 +1245,86 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             .alias("clustering"),
         )
     )
+
+
+def knn_graph_search(
+    emb: DataFrame,
+    graph: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    beam: int = 4,
+    steps: int = 4,
+    entry_ids: "list[int] | None" = None,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Greedy beam search over a prebuilt kNN graph — the navigation
+    tier that graph-based ANN (HNSW's base layer) runs at query time,
+    completing the ladder: brute force -> LSH buckets -> IVF cells ->
+    PQ codes -> kNN-graph BUILD (`knn_graph`) -> graph SEARCH (this).
+
+    Deterministic greedy best-first with a fixed step budget: start
+    from ``entry_ids`` — default ONE ENTRY PER LSH BUCKET (the lowest
+    vec_id; ``n_planes`` must match the graph build), because the
+    bucketed build yields one disconnected component per bucket and a
+    single-entry walk can never leave its component (measured: recall
+    0 from a lone entry, the bridging failure IVF-style multi-entry
+    exists to fix).  Each round expands the current beam's out-edges,
+    scores unvisited candidates by cosine to the query, and keeps the
+    top-``beam`` of ALL visited nodes (ties to the lower vec_id).
+    After ``steps`` rounds the answer is the top-``k`` of the visited
+    set — so the oracle can replay the walk exactly as ``steps``
+    unrolled relational rounds.
+
+    Driver-side loop with BOUNDED collects: the beam is <= ``beam``
+    ids and the visited set <= #entries + steps·beam·k_graph ids
+    (tens at the defaults) — scalar-scale frontier state, never
+    data-sized; the per-round candidate scoring is a broadcast-id
+    probe of the scores frame.  At 100 TB the graph lives in a silver
+    bucketed by src, so each expansion is a pruned point lookup, and
+    the corpus is never scanned beyond the one pass that builds the
+    scores projection."""
+    q = query.select(F.col("embedding").alias("q_embedding"))
+    scores = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        cosine(F.col("embedding"), F.col("q_embedding")).alias("cos_sim"),
+    )
+    if entry_ids is None:
+        entry_ids = [
+            int(r["e"])
+            for r in emb.select(
+                lsh_bucket(F.col("embedding"), n_planes=n_planes).alias(
+                    "bucket"
+                ),
+                "vec_id",
+            )
+            .groupBy("bucket")
+            .agg(F.min("vec_id").alias("e"))
+            .collect()
+        ]
+    visited = {int(e) for e in entry_ids}
+    beam_ids = sorted(visited)
+    for _ in range(steps):
+        cands = {
+            int(r["dst"])
+            for r in graph.filter(F.col("src").isin(beam_ids))
+            .select("dst")
+            .distinct()
+            .collect()
+        } - visited
+        if not cands:
+            break  # frontier exhausted: further rounds are no-ops
+        visited |= cands
+        beam_ids = [
+            int(r["vec_id"])
+            for r in scores.filter(
+                F.col("vec_id").isin(sorted(visited))
+            )
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(beam)
+            .collect()
+        ]
+    return (
+        scores.filter(F.col("vec_id").isin(sorted(visited)))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

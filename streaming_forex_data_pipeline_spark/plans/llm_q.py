@@ -1196,10 +1196,10 @@ def pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_graph",
-    oracle=f"""
-WITH b AS (
+#: the kNN-graph construction CTEs — shared by the `knn_graph` oracle
+#: and the `knn_graph_topk` search oracle, so build and search can
+#: never disagree on the graph
+_KNN_GRAPH_CTES = f"""b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                CAST(embedding AS DOUBLE[]))) AS nn,
@@ -1216,7 +1216,14 @@ r AS (
          CAST(row_number() OVER (PARTITION BY src
                                  ORDER BY cos DESC, dst ASC) AS INT) AS rank
   FROM pairs
-)
+)"""
+
+
+@register(
+    "knn_graph",
+    oracle="WITH "
+    + _KNN_GRAPH_CTES
+    + """
 SELECT src, dst, round(cos, 5) AS cos_sim, rank
 FROM r WHERE rank <= 3
 ORDER BY src, rank
@@ -1237,6 +1244,158 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src", "dst", F.round("cos_sim", 5).alias("cos_sim"), "rank"
     ).orderBy("src", "rank")
+
+
+@register(
+    "knn_graph_topk",
+    oracle="WITH "
+    + _KNN_GRAPH_CTES
+    + f""",
+bk2 AS (
+  SELECT vec_id, v, nn, {_lsh_bucket_sql('v', n_planes=2)} AS bucket
+  FROM b
+),
+pairs2 AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
+  FROM bk2 a JOIN bk2 c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+r2 AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos DESC, dst ASC) AS rank
+  FROM pairs2
+),
+graph AS MATERIALIZED (
+  SELECT src, dst FROM r WHERE rank <= 3
+  UNION
+  SELECT src, dst FROM r2 WHERE rank <= 3
+),
+q AS (SELECT v AS qv, nn AS qn FROM b WHERE vec_id = 100),
+scores AS MATERIALIZED (
+  SELECT b.vec_id, list_dot_product(b.v, q.qv) / (b.nn * q.qn) AS cos
+  FROM b, q
+),
+v0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM b GROUP BY bucket),
+b0 AS (SELECT vec_id FROM v0),
+c1 AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM graph g JOIN b0 ON g.src = b0.vec_id
+  WHERE g.dst NOT IN (SELECT vec_id FROM v0)
+),
+v1 AS MATERIALIZED (SELECT vec_id FROM v0 UNION SELECT vec_id FROM c1),
+b1 AS MATERIALIZED (
+  SELECT s.vec_id FROM scores s JOIN v1 USING (vec_id)
+  ORDER BY s.cos DESC, s.vec_id LIMIT 16
+),
+c2 AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM graph g JOIN b1 ON g.src = b1.vec_id
+  WHERE g.dst NOT IN (SELECT vec_id FROM v1)
+),
+v2 AS MATERIALIZED (SELECT vec_id FROM v1 UNION SELECT vec_id FROM c2),
+b2 AS MATERIALIZED (
+  SELECT s.vec_id FROM scores s JOIN v2 USING (vec_id)
+  ORDER BY s.cos DESC, s.vec_id LIMIT 16
+),
+c3 AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM graph g JOIN b2 ON g.src = b2.vec_id
+  WHERE g.dst NOT IN (SELECT vec_id FROM v2)
+),
+v3 AS MATERIALIZED (SELECT vec_id FROM v2 UNION SELECT vec_id FROM c3),
+b3 AS MATERIALIZED (
+  SELECT s.vec_id FROM scores s JOIN v3 USING (vec_id)
+  ORDER BY s.cos DESC, s.vec_id LIMIT 16
+),
+c4 AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM graph g JOIN b3 ON g.src = b3.vec_id
+  WHERE g.dst NOT IN (SELECT vec_id FROM v3)
+),
+v4 AS MATERIALIZED (SELECT vec_id FROM v3 UNION SELECT vec_id FROM c4),
+b4 AS MATERIALIZED (
+  SELECT s.vec_id FROM scores s JOIN v4 USING (vec_id)
+  ORDER BY s.cos DESC, s.vec_id LIMIT 16
+),
+c5 AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM graph g JOIN b4 ON g.src = b4.vec_id
+  WHERE g.dst NOT IN (SELECT vec_id FROM v4)
+),
+v5 AS MATERIALIZED (SELECT vec_id FROM v4 UNION SELECT vec_id FROM c5),
+b5 AS MATERIALIZED (
+  SELECT s.vec_id FROM scores s JOIN v5 USING (vec_id)
+  ORDER BY s.cos DESC, s.vec_id LIMIT 16
+),
+c6 AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM graph g JOIN b5 ON g.src = b5.vec_id
+  WHERE g.dst NOT IN (SELECT vec_id FROM v5)
+),
+v6 AS MATERIALIZED (SELECT vec_id FROM v5 UNION SELECT vec_id FROM c6),
+b6 AS MATERIALIZED (
+  SELECT s.vec_id FROM scores s JOIN v6 USING (vec_id)
+  ORDER BY s.cos DESC, s.vec_id LIMIT 16
+),
+c7 AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM graph g JOIN b6 ON g.src = b6.vec_id
+  WHERE g.dst NOT IN (SELECT vec_id FROM v6)
+),
+v7 AS MATERIALIZED (SELECT vec_id FROM v6 UNION SELECT vec_id FROM c7),
+b7 AS MATERIALIZED (
+  SELECT s.vec_id FROM scores s JOIN v7 USING (vec_id)
+  ORDER BY s.cos DESC, s.vec_id LIMIT 16
+),
+c8 AS MATERIALIZED (
+  SELECT DISTINCT g.dst AS vec_id
+  FROM graph g JOIN b7 ON g.src = b7.vec_id
+  WHERE g.dst NOT IN (SELECT vec_id FROM v7)
+),
+v8 AS MATERIALIZED (SELECT vec_id FROM v7 UNION SELECT vec_id FROM c8),
+b8 AS MATERIALIZED (
+  SELECT s.vec_id FROM scores s JOIN v8 USING (vec_id)
+  ORDER BY s.cos DESC, s.vec_id LIMIT 16
+)
+SELECT s.vec_id, round(s.cos, 5) AS cos_sim
+FROM scores s JOIN v8 USING (vec_id)
+ORDER BY s.cos DESC, s.vec_id
+LIMIT 10
+""",
+    doc="Graph-probe ANN search (llm/similarity.py:knn_graph_search): "
+    "greedy beam search over a NAVIGABLE kNN graph — the union of two "
+    "bucketed builds (4-plane and 2-plane LSH), because a single "
+    "bucket system's graph is one disconnected component per bucket "
+    "and a walk can never leave its component (measured: recall 0 "
+    "single-entry, 0.3 multi-entry single-system; the union's crossed "
+    "partitions bridge components, the same trick as multi-table "
+    "LSH).  Deterministic walk: one entry per 4-plane bucket, "
+    "8-step budget, beam 16, ties to the lower vec_id — so "
+    "the oracle replays it exactly as 8 unrolled relational "
+    "rounds over the SAME graph CTEs.  Driver state is the bounded "
+    "frontier (tens of ids), never data-sized; at 100 TB each "
+    "expansion is a point probe of a src-bucketed graph silver.  "
+    "Recall@10 vs brute force ~0.5-0.6 here (floor-pinned in "
+    "tests/test_operators.py) — the navigation tier completing the "
+    "ANN ladder after the `knn_graph` BUILD step.",
+)
+def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    g4 = SIM.knn_graph(e, k=3, n_planes=4)
+    g2 = SIM.knn_graph(e, k=3, n_planes=2)
+    g = (
+        g4.select("src", "dst")
+        .unionByName(g2.select("src", "dst"))
+        .distinct()
+    )
+    q = e.filter(F.col("vec_id") == 100)
+    out = SIM.knn_graph_search(
+        e, g, q, k=10, beam=16, steps=8
+    )
+    return out.select(
+        "vec_id", F.round("cos_sim", 5).alias("cos_sim")
+    )
 
 
 @register(
@@ -2125,8 +2284,8 @@ bex AS (
   FROM toks
 ),
 per AS (SELECT doc_id, bg, count(*) AS k FROM bex GROUP BY 1, 2),
-c2 AS (SELECT bg, sum(k) AS c2 FROM per GROUP BY bg),
-c1 AS (
+c2 AS MATERIALIZED (SELECT bg, sum(k) AS c2 FROM per GROUP BY bg),
+c1 AS MATERIALIZED (
   SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1
 ),
 uv AS (

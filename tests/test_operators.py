@@ -1833,3 +1833,42 @@ def test_rsi_atr_native_track_exact_kernels(spark, sf_dir):
     )
     d = np.abs(exact_atr["atr_14"].values - nat_atr["atr_14"].values).max()
     assert d < 1e-9, f"atr_14 native drift {d:.3e}"
+
+
+def test_knn_graph_search_recall_floor(spark, sf_dir):
+    """The graph-probe ANN tier (llm/similarity.py:knn_graph_search over
+    the union 4-plane/2-plane kNN graph) must clear a recall floor
+    against brute-force truth — the grade that makes an approximate
+    tier honest.  Also pins the structural finding that motivated the
+    union graph: a single bucket system's graph is one component per
+    bucket, so the same walk over ONLY the 4-plane graph must do
+    strictly worse or equal."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") == 100)
+    truth = {
+        r["vec_id"] for r in SIM.brute_force_topk(e, qdf, k=10).collect()
+    }
+    g4 = SIM.knn_graph(e, k=3, n_planes=4).select("src", "dst")
+    g2 = SIM.knn_graph(e, k=3, n_planes=2).select("src", "dst")
+    union = g4.unionByName(g2).distinct()
+    got_union = {
+        r["vec_id"]
+        for r in SIM.knn_graph_search(
+            e, union, qdf, k=10, beam=16, steps=8
+        ).collect()
+    }
+    recall_union = len(truth & got_union) / 10
+    assert recall_union >= 0.4, f"union-graph recall {recall_union} < 0.4"
+    got_single = {
+        r["vec_id"]
+        for r in SIM.knn_graph_search(
+            e, g4, qdf, k=10, beam=16, steps=8
+        ).collect()
+    }
+    recall_single = len(truth & got_single) / 10
+    assert recall_union >= recall_single, (recall_union, recall_single)
