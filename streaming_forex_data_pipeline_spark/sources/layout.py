@@ -331,14 +331,24 @@ def compact_day_partitions(
     snapshot are detected in the aside copy (basenames not in the
     snapshot) and carried into the rewritten day before the aside is
     deleted, so compaction never loses committed rows (advice-found).
-    Markers and _SUCCESS at the layout root are untouched.  Returns
-    {'days_compacted', 'files_before', 'files_after'}."""
+
+    Crash contract (advice-found, round 12): immediately before the
+    aside rename a ``_MANIFEST`` is written INTO the live day dir —
+    first line the ``day=X`` entry name, following lines the snapshot
+    basenames — so the atomic rename carries the aside's identity
+    with it.  A hard crash between ``rename(day, old)`` and
+    ``rename(tmp, day)`` therefore leaves a self-describing aside
+    holding the day's only copy; `repair_day_maintenance` restores it
+    (the earlier unconditional sweep would have DELETED it — the one
+    window where "leftovers are safe to sweep" was false).  Markers
+    and _SUCCESS at the layout root are untouched.  Returns
+    {'days_compacted', 'files_before', 'files_after', 'repair'}."""
     import glob
     import os
     import shutil
     import uuid
 
-    sweep_maintenance_leftovers(loc)
+    repair = repair_day_maintenance(loc)
     days_compacted = files_before = files_after = 0
     for entry in sorted(os.listdir(loc)):
         day_dir = os.path.join(loc, entry)
@@ -361,11 +371,16 @@ def compact_day_partitions(
             shutil.rmtree(tmp, ignore_errors=True)
             raise
         old = os.path.join(loc, f"_old-{uuid.uuid4().hex}")
+        # the manifest rides the atomic rename into the aside, so a
+        # crash inside the swap leaves a restorable, self-describing
+        # aside — never an anonymous dir a sweep would delete
+        _write_day_manifest(day_dir, entry, snapshot)
         os.rename(day_dir, old)
         try:
             os.rename(tmp, day_dir)
         except BaseException:
             os.rename(old, day_dir)  # restore the live day
+            _drop_day_manifest(day_dir)
             shutil.rmtree(tmp, ignore_errors=True)
             raise
         # carry late-appended files (present in the aside copy, absent
@@ -388,25 +403,108 @@ def compact_day_partitions(
         "days_compacted": days_compacted,
         "files_before": files_before,
         "files_after": files_after,
+        "repair": repair,
+    }
+
+
+def _write_day_manifest(day_dir: str, entry: str, snapshot: set) -> None:
+    """First line: the ``day=X`` entry name this content belongs to;
+    following lines: the snapshot basenames the replacement was built
+    from.  Underscore-named, so Spark's file index never reads it."""
+    import os
+
+    with open(os.path.join(day_dir, "_MANIFEST"), "w") as fh:
+        fh.write("\n".join([entry, *sorted(snapshot)]))
+
+
+def _drop_day_manifest(day_dir: str) -> None:
+    import os
+
+    man = os.path.join(day_dir, "_MANIFEST")
+    if os.path.exists(man):
+        os.remove(man)
+
+
+def repair_day_maintenance(loc: str) -> dict:
+    """Bring a date-partitioned layout back to a consistent state after
+    a crashed maintenance call (the day-layout sibling of
+    `repair_bucketed_compaction`, advice-found round 12):
+
+    - ``_compact-*`` / ``_backfill-*`` dirs are replacement builds that
+      either never went live (the final rename is atomic) or went live
+      under the day= name, leaving this build dir behind — always safe
+      to drop.  ``_drop-*`` dirs are retention asides of already-
+      expired days — equally safe.
+    - ``_old-*`` dirs are a day's previous content, moved aside between
+      the rename pair.  Their ``_MANIFEST`` (written into the live day
+      dir immediately before the aside rename, so the atomic rename
+      carries it) names the day= entry and the snapshot file list:
+      if the named day dir is MISSING the replacement never went live —
+      restore the aside (rename it back, drop the manifest); if it is
+      PRESENT the swap completed — replay the late-append carry (aside
+      files not in the snapshot move into the day) and drop the aside.
+    - A manifest-less ``_old-*`` (pre-manifest crash leftovers) is
+      unidentifiable — it is NEVER deleted (the bug this function
+      fixes: the old unconditional sweep destroyed the only copy of a
+      day whose swap crashed mid-rename), only reported.
+
+    Idempotent; called at the start of every maintenance entry point.
+    Safe because no two maintenance calls run concurrently on one
+    layout (same contract as the rename-aside swap itself).  Also
+    drops a stray ``_MANIFEST`` inside live day dirs (a crash after
+    the manifest write but before the aside rename).  Returns
+    {'swept', 'restored', 'carried', 'unidentified'}."""
+    import os
+    import shutil
+
+    swept, restored, unidentified = [], [], []
+    carried = 0
+    for entry in sorted(os.listdir(loc)):
+        p = os.path.join(loc, entry)
+        if entry.startswith(("_compact-", "_backfill-", "_drop-")):
+            shutil.rmtree(p, ignore_errors=True)
+            swept.append(entry)
+        elif entry.startswith("_old-") and os.path.isdir(p):
+            man = os.path.join(p, "_MANIFEST")
+            if not os.path.exists(man):
+                unidentified.append(entry)
+                continue
+            with open(man) as fh:
+                lines = fh.read().splitlines()
+            day_entry, snapshot = lines[0], set(lines[1:])
+            day_dir = os.path.join(loc, day_entry)
+            if os.path.isdir(day_dir):
+                # swap completed before the crash: finish the carry,
+                # then the aside is a pure duplicate
+                for f in os.listdir(p):
+                    if f.endswith(".parquet") and f not in snapshot:
+                        os.rename(
+                            os.path.join(p, f), os.path.join(day_dir, f)
+                        )
+                        carried += 1
+                shutil.rmtree(p, ignore_errors=True)
+                swept.append(entry)
+            else:
+                # replacement never went live: the aside holds the
+                # day's ONLY copy — put it back
+                os.rename(p, day_dir)
+                _drop_day_manifest(day_dir)
+                restored.append(day_entry)
+        elif entry.startswith("day=") and os.path.isdir(p):
+            _drop_day_manifest(p)
+    return {
+        "swept": swept,
+        "restored": restored,
+        "carried": carried,
+        "unidentified": unidentified,
     }
 
 
 def sweep_maintenance_leftovers(loc: str) -> list:
-    """Remove stale ``_compact-*``/``_old-*``/``_backfill-*``
-    directories a crashed maintenance call left under the layout root.
-    They are underscore-named, so Spark readers never saw them — this
-    only reclaims the bytes.  Called at the start of every maintenance
-    entry point; safe because no two maintenance calls run concurrently
-    on one layout (same contract as the rename-aside swap itself)."""
-    import os
-    import shutil
-
-    swept = []
-    for entry in os.listdir(loc):
-        if entry.startswith(("_compact-", "_old-", "_backfill-")):
-            shutil.rmtree(os.path.join(loc, entry), ignore_errors=True)
-            swept.append(entry)
-    return swept
+    """Back-compat face of `repair_day_maintenance`: returns the
+    entries it removed.  Restores (never deletes) asides whose
+    replacement never went live — see the repair docstring."""
+    return repair_day_maintenance(loc)["swept"]
 
 
 def drop_day_partitions(loc: str, before_day: str) -> list:
@@ -416,10 +514,18 @@ def drop_day_partitions(loc: str, before_day: str) -> list:
     whole point of partitioning the fact by day — expiring a day is
     one directory unlink, never a rewrite of surviving data (the
     partition-drop semantics of sinks S10/S11 carried to the layout).
-    Returns the dropped day values."""
+    Each expired day is first atomically renamed to an underscore
+    ``_drop-*`` aside, THEN deleted: readers and live appenders see
+    the day vanish in one rename, never a half-deleted directory, and
+    a crash mid-delete leaves only an always-safe-to-sweep aside
+    (expired bytes by definition).  A file an appender lands in the
+    old path after the rename recreates the day dir — correct, since
+    that data is newer than the drop moment.  Returns the dropped day
+    values."""
     import os
     import re
     import shutil
+    import uuid
 
     if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", before_day):
         raise ValueError(f"before_day must be yyyy-MM-dd, got {before_day!r}")
@@ -429,7 +535,9 @@ def drop_day_partitions(loc: str, before_day: str) -> list:
             continue
         day = entry.split("=", 1)[1]
         if day < before_day:
-            shutil.rmtree(os.path.join(loc, entry))
+            aside = os.path.join(loc, f"_drop-{uuid.uuid4().hex}")
+            os.rename(os.path.join(loc, entry), aside)
+            shutil.rmtree(aside)
             dropped.append(day)
     return dropped
 
@@ -455,7 +563,7 @@ def backfill_day(
 
     if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", day):
         raise ValueError(f"day must be yyyy-MM-dd, got {day!r}")
-    sweep_maintenance_leftovers(loc)
+    repair_day_maintenance(loc)
     stray = events.filter(
         F.date_format("ts", "yyyy-MM-dd") != F.lit(day)
     ).count()
@@ -476,15 +584,31 @@ def backfill_day(
     old = os.path.join(loc, f"_old-{uuid.uuid4().hex}")
     had_old = os.path.isdir(day_dir)
     if had_old:
+        # every file present now is being replaced, so the manifest's
+        # snapshot is the full current list; a crash inside the swap
+        # leaves a self-describing aside repair_day_maintenance can
+        # restore (advice-found: the anonymous aside was sweep-bait)
+        snapshot = {
+            f for f in os.listdir(day_dir) if f.endswith(".parquet")
+        }
+        _write_day_manifest(day_dir, f"day={day}", snapshot)
         os.rename(day_dir, old)
     try:
         os.rename(tmp, day_dir)
     except BaseException:
         if had_old:
             os.rename(old, day_dir)
+            _drop_day_manifest(day_dir)
         # mirror compact_day_partitions: a failed swap must not leak
         # the fully-built tmp dir (advice-found)
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     if had_old:
+        # carry files a live appender landed after the snapshot (in
+        # the aside, not in it) — backfill replaces the day's HISTORY,
+        # it must not eat rows committed while it ran (advice-found:
+        # only the compact path carried; backfill rmtree'd them)
+        for f in os.listdir(old):
+            if f.endswith(".parquet") and f not in snapshot:
+                os.rename(os.path.join(old, f), os.path.join(day_dir, f))
         shutil.rmtree(old, ignore_errors=True)

