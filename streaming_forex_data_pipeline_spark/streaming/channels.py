@@ -46,18 +46,24 @@ def _cleanup_staging() -> None:
         shutil.rmtree(path, ignore_errors=True)
     _STREAM_STAGING.clear()
 
-#: reference channel -> emit period (websocket_manager.py:199-209);
-#: used as processing-time trigger intervals.
+#: reference channel -> emit period, matching the reference's
+#: StreamConfig frequency table EXACTLY (websocket_manager.py:201-209,
+#: values in ms; channel names from the StreamType enum :24-39); used
+#: as processing-time trigger intervals.  A channel absent from the
+#: reference's config table gets its documented 1000 ms fallback
+#: (``configs.get(stream_type, StreamConfig(stream_type, 1000))``) —
+#: that is where the engine-local ohlcv_candles channel sits.
 CHANNEL_TRIGGERS = {
     "raw_ticks": "100 milliseconds",
-    "ohlcv_candles": "1 second",
-    "technical_analysis": "2 seconds",
-    "trading_signals": "5 seconds",
     "ml_features": "1 second",
-    "market_depth": "500 milliseconds",
+    "trading_signals": "500 milliseconds",
+    "pattern_alerts": "2 seconds",
+    "technical_analysis": "1 second",
+    "order_book": "200 milliseconds",
     "microstructure": "5 seconds",
     "economic_events": "10 seconds",
-    "pattern_alerts": "2 seconds",
+    # engine-local channel; reference default frequency (1000 ms)
+    "ohlcv_candles": "1 second",
 }
 
 
