@@ -472,7 +472,20 @@ def _bt_rec_multi_sql(n_pos: int, commission: str = "0.0001") -> str:
 
     Closed trades are emitted through a per-step ``closed`` list and
     unnested at the end.  Same pinned arithmetic and price grid as
-    `_bt_rec_sql`."""
+    `_bt_rec_sql`.
+
+    Last-row fold-order equivalence limit (advice-found, round 12):
+    on the FINAL row this rendering folds all closing trades into
+    capital in open-list (entry) order via one list_filter pass,
+    while the reference's simulate() closes scan-condition exits
+    first and end-of-data leftovers after the loop.  When both kinds
+    coexist on the last row, the cent-pinned capital fold order can
+    differ.  Invisible today — `backtest_trades_multi` emits only the
+    trade rows (identical either way: pnl/ret are per-trade) and no
+    trade can OPEN after the last row — but if final_capital or
+    multi-position equity metrics are ever surfaced from this CTE,
+    split the last-row close into scan-closes followed by is_last
+    closes to replay simulate()'s exact order."""
     C = commission
 
     def p2(x: str) -> str:

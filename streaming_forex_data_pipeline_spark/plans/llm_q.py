@@ -1702,22 +1702,49 @@ def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # but their outputs are deterministic (seeded coefficients; the kmeans
 # input is one unsplittable row-group, so aggregation order is fixed —
 # verified bit-identical across local[6]/local[32] at all three
-# scales), so the oracle is the pinned expected answer per corpus
-# scale, keyed by the corpus content checksum sum(documents.n_chars)
-# (plain row counts collide between sf0.001 and sf0.01).  Regenerate with
+# scales), so the oracle is the pinned expected answer per corpus,
+# keyed by a CONTENT fingerprint: md5 of the doc_id-ordered per-doc
+# text md5s (advice-found round 12 — the earlier sum(n_chars) key was
+# blind to same-length content edits, and an unknown corpus silently
+# selected zero golden rows; now an unknown corpus raises a clear
+# error() instead of a confusing row-count mismatch).  Regenerate with
 # tests/goldens/regen_ml_tiers.py after any intentional pipeline
 # change; tests/test_operators.py gates freshness.
 _GOLDEN_DIR = str(Path(__file__).resolve().parents[2] / "tests" / "goldens")
 
+#: DuckDB-computable corpus content fingerprint — md5 is engine- and
+#: version-portable, unlike DuckDB's hash()
+_CORPUS_MD5_SQL = (
+    "SELECT md5(string_agg(md5(coalesce(text, '')), '' ORDER BY doc_id)) "
+    "AS f FROM documents"
+)
+
+
+def _golden_oracle(name: str, select: str, order: str) -> str:
+    """Golden-slice oracle with the fail-fast guard: select the rows
+    whose ``corpus_md5`` matches the live corpus fingerprint, raising
+    a self-explanatory error when NO golden slice exists for this
+    corpus (rather than matching zero rows and reporting a baffling
+    count mismatch)."""
+    golden = f"read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
+    return f"""
+SELECT {select}
+FROM {golden}
+WHERE corpus_md5 = (
+  SELECT CASE WHEN f IN (SELECT DISTINCT corpus_md5 FROM {golden}) THEN f
+         ELSE error('{name}: no golden slice for this corpus (content '
+                    || 'md5 ' || f
+                    || ') -- run tests/goldens/regen_ml_tiers.py') END
+  FROM ({_CORPUS_MD5_SQL}))
+ORDER BY {order}
+"""
+
 
 @register(
     "ivf_topk_kmeans",
-    oracle=f"""
-SELECT vec_id, cos_sim
-FROM read_parquet('{_GOLDEN_DIR}/ivf_topk_kmeans.parquet')
-WHERE n_corpus = (SELECT sum(n_chars) FROM documents)
-ORDER BY cos_sim DESC, vec_id
-""",
+    oracle=_golden_oracle(
+        "ivf_topk_kmeans", "vec_id, cos_sim", "cos_sim DESC, vec_id"
+    ),
     doc="IVF-flat top-k over a FITTED coarse quantizer (seeded "
     "spark.ml KMeans, llm/similarity.py:kmeans_centroids) — the "
     "recall-tuned production tier beside the deterministic "
@@ -2173,12 +2200,9 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle.  Side evidence stays: differential test vs the
     # exact-Jaccard truth (precision exactly 1, recall floor, rerun
     # determinism) in tests/test_operators.py.
-    oracle=f"""
-SELECT doc_a, doc_b, jaccard
-FROM read_parquet('{_GOLDEN_DIR}/minhash_near_dups_ml.parquet')
-WHERE n_corpus = (SELECT sum(n_chars) FROM documents)
-ORDER BY doc_a, doc_b
-""",
+    oracle=_golden_oracle(
+        "minhash_near_dups_ml", "doc_a, doc_b, jaccard", "doc_a, doc_b"
+    ),
     doc="spark.ml tier of MinHash near-dup "
     "(llm/dedup.py:near_duplicate_pairs_ml; the SURVEY §7 "
     "approx_similarity_join mandate): HashingTF binary vectors -> "

@@ -252,9 +252,9 @@ SELECT symbol, ts,
          WHEN 'morning_star' THEN 'Morning Star'
          ELSE 'Evening Star' END
        || ' pattern detected with '
-       || CAST(CAST(floor(signal_strength * 1000) AS BIGINT) // 10 AS VARCHAR)
+       || CAST(CAST(floor(signal_strength * 1000 + 0.5) AS BIGINT) // 10 AS VARCHAR)
        || '.'
-       || CAST(CAST(floor(signal_strength * 1000) AS BIGINT) % 10 AS VARCHAR)
+       || CAST(CAST(floor(signal_strength * 1000 + 0.5) AS BIGINT) % 10 AS VARCHAR)
        || '% confidence' AS description
 FROM pat
 ORDER BY symbol, ts, pattern_detected
@@ -270,9 +270,12 @@ ORDER BY symbol, ts, pattern_detected
     "trigger table, :450-473 message shape) over the REAL pattern "
     "detector instead of the reference's random simulator.  Direction "
     "follows the reference's membership list (morning_star reads "
-    "'bearish' — quirk preserved); strength tiers at >0.8/>0.6; the "
-    "description percent renders from integers so the string is "
-    "engine-exact.  The streaming channel "
+    "'bearish' — quirk preserved); strength tiers at >0.8/>0.6 keyed "
+    "off signal_strength (the numeric confidence analogue — ours is a "
+    "label); the description percent renders round-half-up from "
+    "integers (floor(ss*1000+0.5), matching Python :.1% away from "
+    "exact decimal ties) so the string is engine-exact.  The "
+    "streaming channel "
     "(streaming.channels.start_pattern_alerts_channel) runs this same "
     "transform per micro-batch; stream/batch parity is pytest-pinned.",
 )

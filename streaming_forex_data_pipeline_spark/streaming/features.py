@@ -186,9 +186,18 @@ def pattern_alerts(candles: DataFrame) -> DataFrame:
     strength tier (strong >0.8 / medium >0.6 / weak), price_level, and
     the human description string.
 
-    The description's percent is rendered from integers
-    (floor(strength·1000) split into whole.tenth) so the string is
-    bit-identical across engines — no float formatting in the output.
+    The description's percent is rendered from integers —
+    floor(strength·1000 + 0.5) split into whole.tenth, i.e.
+    round-half-up, matching Python's ``f"{x:.1%}"`` on every
+    non-exact-tie double (advice-found: plain floor rendered 0.857 as
+    '85.6%' where the reference prints '85.7%') — so the string is
+    bit-identical across engines: no float formatting in the output.
+    Deliberate deviations from websocket_manager.py:450-473, both
+    because the reference's numeric ``confidence`` is a random uniform
+    while ours is a categorical label from the real detector: the
+    percent AND the strength tiers key off ``signal_strength`` (the
+    engine's numeric confidence analogue), and exact decimal ties may
+    round up where Python's round-half-even would round down.
     Pure Column algebra over detect_patterns: runs as a batch query
     (oracle-checked as ``pattern_alerts_replay``) and unchanged inside
     the streaming channel's foreachBatch."""
@@ -205,7 +214,7 @@ def pattern_alerts(candles: DataFrame) -> DataFrame:
     display = F.col("pattern")
     for raw, disp in _PATTERN_DISPLAY.items():
         display = F.when(F.col("pattern") == raw, disp).otherwise(display)
-    pm = F.floor(ss * 1000).cast("bigint")
+    pm = F.floor(ss * 1000 + F.lit(0.5)).cast("bigint")
     pct = F.concat(
         (pm / 10).cast("bigint").cast("string"),
         F.lit("."),

@@ -7,8 +7,12 @@ kmeans input is a single unsplittable row-group, so aggregation order
 is fixed; verified bit-identical across local[6]/local[32] sessions at
 all three scales).  So the driver-visible oracle is a pinned golden:
 one parquet per query holding the exact expected rows for each
-testdata scale, keyed by the corpus checksum sum(documents.n_chars), and the oracle SQL
-selects the matching scale's slice.
+testdata scale, keyed by a corpus CONTENT fingerprint — md5 of the
+doc_id-ordered per-doc text md5s, computed with DuckDB exactly as the
+oracle SQL computes it (advice-found round 12: the earlier
+sum(n_chars) key was blind to same-length content edits and matched
+zero rows silently on an unknown corpus; the oracle now error()s
+instead) — and the oracle SQL selects the matching slice.
 
 Run AFTER any intentional change to the seeded pipelines:
 
@@ -35,6 +39,17 @@ SF_DIRS = [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
 GOLDEN_QUERIES = ["ivf_topk_kmeans", "minhash_near_dups_ml"]
 
 
+def corpus_md5(sf_dir: str) -> str:
+    """The golden key — identical to plans/llm_q._CORPUS_MD5_SQL."""
+    import duckdb
+
+    return duckdb.execute(
+        "SELECT md5(string_agg(md5(coalesce(text, '')), '' "
+        "ORDER BY doc_id)) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -52,18 +67,13 @@ def main() -> None:
     for name in GOLDEN_QUERIES:
         parts = []
         for sf_dir in SF_DIRS:
-            # content checksum, not a row count: sf0.001 and sf0.01
-            # have identical documents/embeddings row counts but
-            # different contents — must match the oracle discriminator
-            n_corpus = (
-                spark.read.parquet(f"{sf_dir}/documents.parquet")
-                .agg({"n_chars": "sum"})
-                .collect()[0][0]
-            )
+            # the key must be computed by the SAME engine expression
+            # the oracle's WHERE uses (md5 is engine-portable)
+            fp = corpus_md5(sf_dir)
             pdf = qs[name].spark(spark, sf_dir).toPandas()
-            pdf.insert(0, "n_corpus", n_corpus)
+            pdf.insert(0, "corpus_md5", fp)
             parts.append(pdf)
-            print(f"{name} @ {sf_dir}: {len(pdf)} rows (n_corpus={n_corpus})")
+            print(f"{name} @ {sf_dir}: {len(pdf)} rows (corpus_md5={fp})")
         golden = pd.concat(parts, ignore_index=True)
         path = os.path.join(OUT_DIR, f"{name}.parquet")
         golden.to_parquet(path, index=False)

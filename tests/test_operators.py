@@ -1687,23 +1687,27 @@ def test_ml_tier_goldens_fresh(spark, sf_dir):
 
     from streaming_forex_data_pipeline_spark.plans.registry import all_queries
 
+    import duckdb
+
     goldens_dir = os.path.join(os.path.dirname(__file__), "goldens")
     qs = all_queries()
-    n_corpus = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .agg({"n_chars": "sum"})
-        .collect()[0][0]
-    )
+    # the same content fingerprint regen_ml_tiers.corpus_md5 writes and
+    # the oracle's WHERE recomputes
+    fp = duckdb.execute(
+        "SELECT md5(string_agg(md5(coalesce(text, '')), '' "
+        "ORDER BY doc_id)) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
     for name in ("ivf_topk_kmeans", "minhash_near_dups_ml"):
         golden = pd.read_parquet(
             os.path.join(goldens_dir, f"{name}.parquet")
         )
         want = (
-            golden[golden["n_corpus"] == n_corpus]
-            .drop(columns=["n_corpus"])
+            golden[golden["corpus_md5"] == fp]
+            .drop(columns=["corpus_md5"])
             .reset_index(drop=True)
         )
-        assert len(want), f"{name}: no golden slice for n_corpus={n_corpus}"
+        assert len(want), f"{name}: no golden slice for corpus_md5={fp}"
         got = qs[name].spark(spark, sf_dir).toPandas()
         cols = sorted(got.columns)
         a = got[cols].sort_values(cols).reset_index(drop=True)
