@@ -234,6 +234,8 @@ HEADLINE = [
     "video_contamination",
     "weekend_traffic_rollup",
     "incremental_embedding_dedup",
+    # round 12: batch graph-probe ANN over the build-once graph silver
+    "knn_graph_topk_batch",
 ]
 
 TIMED_SWEEPS = 2
@@ -340,6 +342,28 @@ def main() -> None:
         best[name] = min(best[name], run(name))
     timings = {name: round(best[name], 3) for name in HEADLINE}
 
+    # slow-lane coverage sweep (r11 verdict Next #5: 81 registered
+    # queries had never appeared in any BENCH_DETAIL): every
+    # registered query NOT in HEADLINE gets ONE timed run per round at
+    # the gate scale (the sf0.01 sibling of the bench dir), so no
+    # query can regress unobserved between rounds.  Single run, no
+    # warm-up — these numbers are coverage-grade, not
+    # regression-grade; promote a query to HEADLINE for min-of-N
+    # treatment.
+    lane_dir = os.path.join(
+        os.path.dirname(os.path.abspath(sf_dir.rstrip("/"))), "sf0.01"
+    )
+    if not os.path.isdir(lane_dir):
+        lane_dir = sf_dir
+    slow_lane: dict[str, float] = {}
+    for name in sorted(set(qs) - set(HEADLINE)):
+        t0 = time.perf_counter()
+        qs[name](spark, lane_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        slow_lane[name] = round(time.perf_counter() - t0, 3)
+    never_timed = sorted(set(qs) - set(timings) - set(slow_lane))
+
     # The driver captures only the TAIL of stdout (~2000 chars) — the
     # full 118-query map overflowed it every round since r6, leaving
     # the official BENCH_r*.json with "parsed": null.  So: the one
@@ -365,6 +389,12 @@ def main() -> None:
         # divide any wall time by (calib / <reference calib>) before
         # comparing across rounds — see calibration_probe
         "calib": {"start_sec": calib_start, "end_sec": calib_end},
+        # coverage lane: single-run sf0.01 timings for every
+        # registered query outside HEADLINE (see the slow-lane note
+        # in main); never_timed must stay empty
+        "slow_lane_sf001": slow_lane,
+        "slow_lane_sf_dir": lane_dir,
+        "coverage": {"never_timed": never_timed},
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -385,6 +415,8 @@ def main() -> None:
         "loadavg_start": detail["loadavg_start"],
         "loadavg_end": detail["loadavg_end"],
         "calib": detail["calib"],
+        "n_slow_lane": len(slow_lane),
+        "n_never_timed": len(never_timed),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(out)

@@ -1284,9 +1284,19 @@ def knn_graph_search(
     the corpus is never scanned beyond the one pass that builds the
     scores projection."""
     q = query.select(F.col("embedding").alias("q_embedding"))
-    scores = emb.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        cosine(F.col("embedding"), F.col("q_embedding")).alias("cos_sim"),
+    # one corpus pass, materialized: every round's top-beam re-ranking
+    # and the final top-k probe hit the (vec_id, cos_sim) projection —
+    # N x 16 bytes, distributed — instead of re-scanning embeddings
+    # per round (the walk is `steps` sequential rounds)
+    scores = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .localCheckpoint()
     )
     if entry_ids is None:
         entry_ids = [
@@ -1327,4 +1337,94 @@ def knn_graph_search(
         scores.filter(F.col("vec_id").isin(sorted(visited)))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def knn_graph_search_batch(
+    emb: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 4,
+    steps: int = 4,
+    n_planes: int = 4,
+) -> DataFrame:
+    """SET-ORIENTED graph-probe ANN (r11 verdict Next #3): walk EVERY
+    query vector simultaneously, one beam step per relational round —
+    the shape the training-data consumers of ANN actually run
+    (hard-negative mining, retrieval eval: thousands of queries, not
+    one).  Per-query semantics are EXACTLY `knn_graph_search`'s
+    (same entries, beam ranking, tie-breaks, step budget, final
+    top-k) — pinned by test — but the driver holds ZERO per-query
+    state: the walk state lives in two DataFrames keyed by the query
+    id, (qid, vec_id) visited and beam, and each round is one
+    qid-keyed join against the graph silver plus one per-qid window.
+
+    ``queries`` is (vec_id, embedding); its vec_id becomes ``qid`` in
+    the output (qid, vec_id, cos_sim, rank), rank 1..k per qid.
+
+    Scale shape: queries broadcast against the corpus for the one
+    scores pass (Q small by definition — it is a batch of probes);
+    every round's candidate expansion is a graph join keyed on src;
+    visited stays <= Q x (entries + steps*beam*k_graph) rows.
+    Lineage is cut with localCheckpoint per round (the iterative-
+    algorithm precedent: integer_pagerank), so `steps` rounds never
+    stack a deep plan.  The early-exhaustion break is per-query by
+    construction: a query whose frontier dried up simply adds no new
+    (qid, vec_id) rows in later rounds."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    scores = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("embedding"), F.col("q_embedding")).alias(
+                "cos_sim"
+            ),
+        )
+        .localCheckpoint()
+    )
+    qids = q.select("qid")
+    entries = (
+        emb.select(
+            lsh_bucket(F.col("embedding"), n_planes=n_planes).alias(
+                "bucket"
+            ),
+            "vec_id",
+        )
+        .groupBy("bucket")
+        .agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id")
+    )
+    visited = qids.crossJoin(entries).localCheckpoint()
+    beam_df = visited
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    for _ in range(steps):
+        cands = (
+            beam_df.join(
+                graph, beam_df["vec_id"] == graph["src"], "inner"
+            )
+            .select("qid", graph["dst"].alias("vec_id"))
+            .distinct()
+        )
+        new = cands.join(visited, ["qid", "vec_id"], "left_anti")
+        visited = visited.unionByName(new).localCheckpoint()
+        beam_df = (
+            visited.join(scores, ["qid", "vec_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= beam)
+            .select("qid", "vec_id")
+        )
+    return (
+        visited.join(scores, ["qid", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cos_sim", "rank")
     )

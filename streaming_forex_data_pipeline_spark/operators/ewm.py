@@ -180,9 +180,13 @@ def ema_native(
     fold(acc·r + x) and denominator fold(acc·r + 1) over
     collect_list(col) in frame order.  Everything stays in the JVM
     (window + higher-order aggregate, no Python workers, no Arrow
-    transfer) — the tier for 100 TB hot paths where the exact
-    applyInPandas kernel's Python workers are the bottleneck (the r10
-    bench epoch shift hit exactly those queries).  Early rows
+    transfer).  Measured honestly (r12, tools/bench_native_tiers.py,
+    16x-symbol soak): this tier is 0.2-0.5x the pandas kernel's
+    throughput at every scale — the fold is O(rows x frame) work vs
+    the kernel's O(rows), and no scale-up changes that ratio.  Its
+    value is OPERATIONAL: exact indicator parity on deployments with
+    no Python on the executors; the applyInPandas kernel is the
+    production-throughput default.  Early rows
     (rn <= M) carry the FULL history, i.e. the exact adjust=True
     value; later rows differ from the kernel by < 1e-11 absolute at
     price scale (tolerance-pinned in tests/test_operators.py).

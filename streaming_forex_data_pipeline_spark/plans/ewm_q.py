@@ -119,9 +119,14 @@ ORDER BY symbol, ts
     "denominator fold(acc·r + 1) over collect_list in frame order; "
     "frames sized so the dropped tail weight < 5e-14, three orders "
     "below the 1e-6 output grain).  No Python workers, no Arrow "
-    "transfer — the 100 TB hot-path tier beside the exact "
-    "applyInPandas kernel (`ema`), benched side-by-side; "
-    "tolerance-pinned against the kernel in tests/test_operators.py, "
+    "transfer.  Claim measured and repositioned (r12, "
+    "tools/bench_native_tiers.py at 16x symbols): the fold does "
+    "O(rows x frame) arithmetic vs the kernel's O(rows), so it is "
+    "0.2-0.5x the applyInPandas kernel's throughput at EVERY scale — "
+    "its value is OPERATIONAL (exact indicators on Python-less / "
+    "pure-JVM executors, plan-gated zero-Python), not speed; the "
+    "pandas kernel (`ema`) is the production default.  "
+    "Tolerance-pinned against the kernel in tests/test_operators.py, "
     "hash-EXACT against the oracle's identical list_reduce fold.",
 )
 def ema_native(spark: SparkSession, sf_dir: str) -> DataFrame:

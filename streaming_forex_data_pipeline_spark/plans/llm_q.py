@@ -1239,8 +1239,7 @@ ORDER BY src, rank
     "ranks exactly hash-checkable.",
 )
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    out = SIM.knn_graph(e, k=3, n_planes=4)
+    out = _knn_graph_silver(spark, sf_dir, k=3, n_planes=4)
     return out.select(
         "src", "dst", F.round("cos_sim", 5).alias("cos_sim"), "rank"
     ).orderBy("src", "rank")
@@ -1382,13 +1381,7 @@ LIMIT 10
 )
 def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    g4 = SIM.knn_graph(e, k=3, n_planes=4)
-    g2 = SIM.knn_graph(e, k=3, n_planes=2)
-    g = (
-        g4.select("src", "dst")
-        .unionByName(g2.select("src", "dst"))
-        .distinct()
-    )
+    g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
     q = e.filter(F.col("vec_id") == 100)
     out = SIM.knn_graph_search(
         e, g, q, k=10, beam=16, steps=8
@@ -1396,6 +1389,144 @@ def knn_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.round("cos_sim", 5).alias("cos_sim")
     )
+
+
+def _knn_walk_batch_ctes(
+    qpred: str, steps: int = 8, beam: int = 16, prefix: str = ""
+) -> str:
+    """The qid-keyed unrolled walk as DuckDB CTE text (no leading
+    WITH): the union graph CTEs, the query set selected by ``qpred``
+    over ``b``, per-(qid) scores, and ``steps`` relational rounds
+    ending at ``v{steps}`` — exactly `knn_graph_search_batch`'s
+    semantics.  Callers append a final SELECT over
+    ``scores JOIN v{steps} USING (qid, vec_id)``.  CTE namespace
+    (all ``prefix``-able, so the chain composes into oracles that
+    already use b/q/c — ann_recall_report's graph tier): b/pairs/r
+    (graph build), bk2/pairs2/r2, graph, q, scores, e0,
+    v0..v{steps}, b0..b{steps}, c1..c{steps}; bodies alias the
+    prefixed names back to the short ones, so only FROM targets
+    carry the prefix."""
+    p = prefix
+    head = f"""{p}b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn,
+         {_lsh_bucket_sql('CAST(embedding AS DOUBLE[])', n_planes=4)} AS bucket
+  FROM embeddings
+),
+{p}pairs AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
+  FROM {p}b a JOIN {p}b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+{p}r AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos DESC, dst ASC) AS rank
+  FROM {p}pairs
+),
+{p}bk2 AS (
+  SELECT vec_id, v, nn, {_lsh_bucket_sql('v', n_planes=2)} AS bucket
+  FROM {p}b
+),
+{p}pairs2 AS (
+  SELECT a.vec_id AS src, c.vec_id AS dst,
+         list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
+  FROM {p}bk2 a JOIN {p}bk2 c
+    ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+{p}r2 AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY cos DESC, dst ASC) AS rank
+  FROM {p}pairs2
+),
+{p}graph AS MATERIALIZED (
+  SELECT src, dst FROM {p}r WHERE rank <= 3
+  UNION
+  SELECT src, dst FROM {p}r2 WHERE rank <= 3
+),
+{p}q AS (
+  SELECT vec_id AS qid, v AS qv, nn AS qn FROM {p}b WHERE {qpred}
+),
+{p}scores AS MATERIALIZED (
+  SELECT q.qid, b.vec_id,
+         list_dot_product(b.v, q.qv) / (b.nn * q.qn) AS cos
+  FROM {p}b b, {p}q q
+),
+{p}e0 AS MATERIALIZED (
+  SELECT min(vec_id) AS vec_id FROM {p}b GROUP BY bucket
+),
+{p}v0 AS MATERIALIZED (
+  SELECT q.qid, e.vec_id FROM {p}q q, {p}e0 e
+),
+{p}b0 AS (SELECT qid, vec_id FROM {p}v0)"""
+    rounds = []
+    for i in range(1, steps + 1):
+        rounds.append(f""",
+{p}c{i} AS MATERIALIZED (
+  SELECT DISTINCT p.qid, g.dst AS vec_id
+  FROM {p}graph g JOIN {p}b{i - 1} p ON g.src = p.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM {p}v{i - 1} x
+                    WHERE x.qid = p.qid AND x.vec_id = g.dst)
+),
+{p}v{i} AS MATERIALIZED (
+  SELECT qid, vec_id FROM {p}v{i - 1}
+  UNION
+  SELECT qid, vec_id FROM {p}c{i}
+),
+{p}b{i} AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+    FROM {p}scores s JOIN {p}v{i} USING (qid, vec_id))
+  WHERE rn <= {beam}
+)""")
+    return head + "".join(rounds)
+
+
+@register(
+    "knn_graph_topk_batch",
+    oracle="WITH "
+    + _knn_walk_batch_ctes("vec_id % 7 = 3", steps=8, beam=16)
+    + """
+SELECT qid, vec_id, round(cos, 5) AS cos_sim, rank
+FROM (
+  SELECT s.qid, s.vec_id, s.cos,
+         CAST(row_number() OVER (PARTITION BY s.qid
+                                 ORDER BY s.cos DESC, s.vec_id ASC)
+              AS INT) AS rank
+  FROM scores s JOIN v8 USING (qid, vec_id))
+WHERE rank <= 10
+ORDER BY qid, rank
+""",
+    doc="Batch graph-probe ANN (llm/similarity.py:"
+    "knn_graph_search_batch, r11 verdict Next #3): every 7th vector "
+    "(71+ queries at the gate scale) walks the SAME union graph "
+    "silver simultaneously — the hard-negative-mining / "
+    "retrieval-eval shape, thousands of probes per job.  Per-query "
+    "semantics identical to knn_graph_topk's single walk "
+    "(pytest-pinned); driver state ZERO — walk state is two "
+    "qid-keyed DataFrames, each round one join against the "
+    "src-sorted graph silver plus one per-qid window, lineage cut "
+    "per round.  The oracle unrolls the same 8 rounds qid-keyed.  "
+    "At 100 TB the batch face amortizes the per-round job overhead "
+    "across the whole query set — the reason it exists.",
+)
+def knn_graph_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
+    qs = e.filter(F.col("vec_id") % 7 == 3)
+    out = SIM.knn_graph_search_batch(
+        e, g, qs, k=10, beam=16, steps=8
+    )
+    return out.select(
+        "qid",
+        "vec_id",
+        F.round("cos_sim", 5).alias("cos_sim"),
+        "rank",
+    ).orderBy("qid", "rank")
 
 
 @register(
@@ -1591,6 +1722,82 @@ def semantic_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "cluster_topics",
+    oracle=r"""
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, nn AS cn FROM n WHERE vec_id < 16),
+assign AS (
+  SELECT n.vec_id AS doc_id, c.cid AS cell,
+         list_dot_product(n.v, c.cv) / (n.nn * c.cn) AS ccos
+  FROM n, c
+  QUALIFY row_number() OVER (PARTITION BY n.vec_id
+                             ORDER BY ccos DESC, c.cid ASC) = 1
+),
+toks AS (
+  SELECT a.cell,
+         unnest(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS term
+  FROM assign a JOIN documents d USING (doc_id)
+),
+per AS (SELECT cell, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+cfreq AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+nc AS (SELECT count(DISTINCT cell) AS n_cells FROM assign),
+sizes AS (SELECT cell, count(*) AS n_docs FROM assign GROUP BY cell),
+scored AS (
+  SELECT p.cell, p.term, p.tf, f.df,
+         p.tf * ln(CAST(n_cells AS DOUBLE) / f.df) AS tfidf
+  FROM per p JOIN cfreq f USING (term), nc
+),
+r AS (
+  SELECT cell, term, tf, df, tfidf,
+         CAST(row_number() OVER (PARTITION BY cell
+                                 ORDER BY tfidf DESC, term ASC) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT r.cell, s.n_docs, r.term, r.tf, r.df,
+       round(r.tfidf, 6) AS tfidf, r.rank
+FROM r JOIN sizes s USING (cell)
+WHERE r.rank <= 5
+ORDER BY r.cell, r.rank
+""",
+    doc="Cluster-topic labeling (llm/vocab.py:cluster_topics, r11 "
+    "verdict Next #6): the Nemotron-CC-style 'what is this cluster' "
+    "step — per-cell top-5 TF-IDF terms over the semdedup cell "
+    "assignment (the same deterministic IVF quantizer the semantic "
+    "dedup family shares; vec_id = doc_id), each cluster playing the "
+    "document role so a term scores high when it saturates one cell "
+    "and is absent from the rest.  Ties break to the smaller term; "
+    "tf/df exact integers, the score per-row arithmetic over them — "
+    "rank, not just score, is exactly hash-checked.  One explode "
+    "pass; cluster frequency re-aggregates the vocabulary-sized "
+    "(cell, term) counts; the top-k window partitions by cell.",
+)
+def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import vocab as VB
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    assign = SIM.semdedup(e, n_cells=16, threshold=0.45).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    out = VB.cluster_topics(d, assign, k=5)
+    return out.select(
+        "cell",
+        "n_docs",
+        "term",
+        "tf",
+        "df",
+        F.round("tfidf", 6).alias("tfidf"),
+        "rank",
+    ).orderBy("cell", "rank")
 
 
 @register(
@@ -2701,6 +2908,100 @@ def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     return f"{tag}_{h.hexdigest()[:16]}"
 
 
+def _knn_graph_silver(
+    spark: SparkSession, sf_dir: str, k: int = 3, n_planes: int = 4
+) -> DataFrame:
+    """Build-once kNN-graph silver (r11 verdict Next #1): the
+    `llm/similarity.knn_graph` edge table for one (corpus fingerprint,
+    k, n_planes) key, materialized ONCE per corpus and read back by
+    every graph consumer (`knn_graph`, `pagerank_topk`,
+    `triangle_topk`, the union silver below) — the media_signatures
+    doctrine applied to the similarity graph: an index over immutable
+    data is as immutable as the data, so rebuilding it inline on
+    every query run pays the bucketed self-join + top-k window per
+    RUN instead of per CORPUS.  Files are range-partitioned and
+    sorted by ``src`` so point probes (`graph.filter(src IN beam)`)
+    prune row groups on min/max stats — the local[32] analogue of the
+    src-bucketed table the 100 TB deployment would keep
+    (sources/layout.write_bucketed).  Same atomic-rename build
+    protocol as the IVF silver: concurrent builders race benignly and
+    the loser adopts the winner's identical (deterministic) graph."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.scratch import scratch_path
+
+    fp = _corpus_fingerprint(sf_dir)
+    out_dir = scratch_path(f"knng_{fp}_k{k}_p{n_planes}")
+    if not (Path(out_dir) / "_SUCCESS").exists():
+        e = load_table(spark, sf_dir, "embeddings")
+        g = SIM.knn_graph(e, k=k, n_planes=n_planes)
+        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
+        (
+            g.repartitionByRange(8, "src")
+            .sortWithinPartitions("src", "rank")
+            .write.parquet(tmp)
+        )
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (Path(out_dir) / "_SUCCESS").exists():
+                raise
+    return spark.read.parquet(out_dir)
+
+
+def _knn_union_graph_silver(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    planes: tuple = (4, 2),
+) -> DataFrame:
+    """The NAVIGABLE union graph silver: distinct (src, dst) edges of
+    the per-planes kNN graphs — the multi-bucket-system union that
+    bridges the per-bucket components a single LSH system leaves
+    disconnected (see knn_graph_topk's doc).  Built once per (corpus
+    fingerprint, k, planes-set) FROM the per-planes silvers, so the
+    expensive bucketed self-joins are shared with every other graph
+    consumer and the union pays only one distinct.  Read by the graph
+    ANN search faces (`knn_graph_topk`, `knn_graph_topk_batch`,
+    `ann_recall_report`'s graph tier)."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.scratch import scratch_path
+
+    fp = _corpus_fingerprint(sf_dir)
+    tag = "-".join(str(p) for p in planes)
+    out_dir = scratch_path(f"knng_union_{fp}_k{k}_p{tag}")
+    if not (Path(out_dir) / "_SUCCESS").exists():
+        parts = [
+            _knn_graph_silver(spark, sf_dir, k=k, n_planes=p).select(
+                "src", "dst"
+            )
+            for p in planes
+        ]
+        g = parts[0]
+        for part in parts[1:]:
+            g = g.unionByName(part)
+        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
+        (
+            g.distinct()
+            .repartitionByRange(8, "src")
+            .sortWithinPartitions("src", "dst")
+            .write.parquet(tmp)
+        )
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (Path(out_dir) / "_SUCCESS").exists():
+                raise
+    return spark.read.parquet(out_dir)
+
+
 def _ivf_silver_dir(sf_dir: str) -> str:
     """Deterministic per-corpus silver-table location: the index
     build is the once-per-corpus amortized step, so repeated query
@@ -3219,11 +3520,20 @@ ivf AS (
   JOIN probe p ON a.cid = p.cid, nq
   ORDER BY list_dot_product(n.v, nq.qv) / (n.nn * nq.qn) DESC, n.vec_id ASC
   LIMIT 10
+),
+{_knn_walk_batch_ctes('vec_id = 0', steps=8, beam=16, prefix='g')},
+gtop AS (
+  SELECT s.vec_id FROM gscores s JOIN gv8 USING (qid, vec_id)
+  ORDER BY s.cos DESC, s.vec_id ASC
+  LIMIT 10
 )
 SELECT tier, n_hits, recall_at_10 FROM (
   SELECT 'brute' AS tier, CAST(count(*) AS BIGINT) AS n_hits,
          round(count(*) / 10.0, 6) AS recall_at_10
   FROM brute t JOIN brute USING (vec_id)
+  UNION ALL
+  SELECT 'graph', CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
+  FROM gtop t JOIN brute USING (vec_id)
   UNION ALL
   SELECT 'ivf', CAST(count(*) AS BIGINT), round(count(*) / 10.0, 6)
   FROM ivf t JOIN brute USING (vec_id)
@@ -3245,8 +3555,11 @@ ORDER BY tier
     "tier's exact construction (same rounding, same tie-breaks), so "
     "the recall numbers are deterministic and hash-checked — "
     "evaluation results as reproducible as the queries they grade; "
-    "the brute row is the =1.0 sanity invariant.  All tiers share "
-    "one corpus scan lineage; the report is 4 rows.",
+    "the brute row is the =1.0 sanity invariant.  The graph tier "
+    "(round 12) walks the build-once union graph silver with the "
+    "knn_graph_topk parameters for the same query, completing the "
+    "dashboard across every registered ANN tier; the report is 5 "
+    "rows.",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute_ids = knn_cosine_topk(spark, sf_dir).select("vec_id")
@@ -3265,10 +3578,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    e = load_table(spark, sf_dir, "embeddings")
+    walk = SIM.knn_graph_search(
+        e,
+        _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2)),
+        e.filter(F.col("vec_id") == 0),
+        k=10,
+        beam=16,
+        steps=8,
+    )
     out = (
         # the brute row joins brute_ids with itself (the =1.0 sanity
         # invariant) instead of constructing a second full brute plan
         hits(brute_ids, "brute")
+        .unionByName(hits(walk, "graph"))
         .unionByName(hits(ivf_topk(spark, sf_dir), "ivf"))
         .unionByName(hits(ann_lsh_topk(spark, sf_dir), "lsh"))
         .unionByName(hits(ann_multiprobe_topk(spark, sf_dir), "multiprobe"))

@@ -1142,9 +1142,14 @@ LIMIT {k}
 )
 def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import similarity as SIM
+    from .llm_q import _knn_graph_silver
 
     e = load_table(spark, sf_dir, "embeddings")
-    edges = SIM.knn_graph(e, k=3, n_planes=4).select("src", "dst")
+    # r11 verdict Next #1: read the build-once graph silver instead of
+    # rebuilding the bucketed self-join + top-k window per run
+    edges = _knn_graph_silver(spark, sf_dir, k=3, n_planes=4).select(
+        "src", "dst"
+    )
     pr = SIM.integer_pagerank(
         edges, e.select("vec_id"), iters=10, scale=1_000_000_000_000
     )

@@ -88,9 +88,13 @@ LIMIT 20
 )
 def triangle_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import similarity as SIM
+    from .llm_q import _knn_graph_silver
 
-    e = load_table(spark, sf_dir, "embeddings")
-    edges = SIM.knn_graph(e, k=3, n_planes=4).select("src", "dst")
+    # r11 verdict Next #1: read the build-once graph silver instead of
+    # rebuilding the bucketed self-join + top-k window per run
+    edges = _knn_graph_silver(spark, sf_dir, k=3, n_planes=4).select(
+        "src", "dst"
+    )
     t = SIM.triangle_counts(edges)
     return (
         t.select(

@@ -1876,3 +1876,109 @@ def test_knn_graph_search_recall_floor(spark, sf_dir):
     }
     recall_single = len(truth & got_single) / 10
     assert recall_union >= recall_single, (recall_union, recall_single)
+
+
+def test_batch_graph_walk_matches_single_query_walks(spark, sf_dir):
+    """r11 verdict Next #3 done-criterion: the set-oriented batch walk
+    (llm/similarity.py:knn_graph_search_batch) must reproduce the
+    single-query walk's result for EVERY query in the batch — same
+    entries, beam ranking, tie-breaks, step budget, final top-k.
+    Also pins the batch recall floor over the whole query set."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g4 = SIM.knn_graph(e, k=3, n_planes=4).select("src", "dst")
+    g2 = SIM.knn_graph(e, k=3, n_planes=2).select("src", "dst")
+    union = g4.unionByName(g2).distinct().localCheckpoint()
+    queries = e.filter(F.col("vec_id") % 7 == 3)
+    assert queries.count() >= 64, "batch face needs a real query set"
+    batch = (
+        SIM.knn_graph_search_batch(
+            e, union, queries, k=10, beam=16, steps=8
+        )
+        .toPandas()
+        .sort_values(["qid", "rank"])
+    )
+    assert batch["qid"].nunique() == queries.count()
+    # spot-check three spread-out queries against the single walk
+    sample = sorted(batch["qid"].unique())[::31][:3]
+    for qid in sample:
+        single = (
+            SIM.knn_graph_search(
+                e,
+                union,
+                e.filter(F.col("vec_id") == int(qid)),
+                k=10,
+                beam=16,
+                steps=8,
+            )
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .toPandas()
+        )
+        got = batch[batch["qid"] == qid].reset_index(drop=True)
+        assert list(got["vec_id"]) == list(single["vec_id"]), qid
+        assert (
+            abs(got["cos_sim"].values - single["cos_sim"].values).max()
+            < 1e-12
+        ), qid
+    # recall floor vs brute force on the sampled queries
+    hits = 0
+    for qid in sample:
+        t = {
+            r["vec_id"]
+            for r in SIM.brute_force_topk(
+                e, e.filter(F.col("vec_id") == int(qid)), k=10
+            ).collect()
+        }
+        got_ids = set(batch[batch["qid"] == qid]["vec_id"])
+        hits += len(t & got_ids)
+    assert hits / (10 * len(sample)) >= 0.4
+
+
+def test_knn_graph_silver_builds_once(spark, sf_dir):
+    """r11 verdict Next #1 done-criterion: the graph consumers read a
+    build-once silver — the second run of every graph query must not
+    rewrite the silver files (inode+mtime pinned) and must return the
+    identical result."""
+    import os
+
+    from streaming_forex_data_pipeline_spark.plans.llm_q import (
+        _knn_graph_silver,
+        _knn_union_graph_silver,
+        knn_graph_topk,
+    )
+    from streaming_forex_data_pipeline_spark.plans.olap_q import (
+        pagerank_topk,
+    )
+
+    first = knn_graph_topk(spark, sf_dir).toPandas()
+    pr_first = pagerank_topk(spark, sf_dir).toPandas()
+    # locate both silver dirs via their build functions (cache hit)
+    dirs = []
+    for df, loc in (
+        (_knn_graph_silver(spark, sf_dir), None),
+        (_knn_union_graph_silver(spark, sf_dir), None),
+    ):
+        files = [
+            f.replace("file:", "")
+            for f in df.inputFiles()
+        ]
+        assert files, "silver has no files"
+        dirs.append(os.path.dirname(files[0]))
+    pinned = {}
+    for d in dirs:
+        for f in os.listdir(d):
+            st = os.stat(os.path.join(d, f))
+            pinned[os.path.join(d, f)] = (st.st_ino, st.st_mtime_ns)
+    second = knn_graph_topk(spark, sf_dir).toPandas()
+    pr_second = pagerank_topk(spark, sf_dir).toPandas()
+    assert first.equals(second)
+    assert pr_first.equals(pr_second)
+    for p, (ino, mt) in pinned.items():
+        st = os.stat(p)
+        assert (st.st_ino, st.st_mtime_ns) == (ino, mt), (
+            f"silver file {p} was rewritten"
+        )
