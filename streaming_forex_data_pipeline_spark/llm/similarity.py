@@ -838,6 +838,96 @@ def knn_graph(
     )
 
 
+def knn_graph_delta(
+    emb: DataFrame,
+    old_graph: DataFrame,
+    is_new: Column,
+    k: int = 3,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental kNN-graph maintenance — the daily-refresh shape for
+    the graph silver (`incremental_near_dup_pairs`' doctrine carried
+    to the INDEX itself): given the prebuilt graph of the historical
+    corpus and today's batch, produce the full corpus's graph while
+    recomputing ONLY the buckets today's vectors land in.
+
+    Correctness rests on a locality property of the bucketed build: a
+    vector's top-k depends solely on its bucket's MEMBERSHIP, so an
+    edge whose src sits in a bucket that gained no new member is
+    byte-identical in the old and new graphs (copied through,
+    cos_sim/rank untouched), and every other src is re-ranked inside
+    its (old + new members) bucket exactly as the from-scratch build
+    would.  Output therefore EQUALS `knn_graph` over the full corpus
+    — which is what the registered oracle checks, making the
+    incremental path's equivalence driver-verified rather than
+    assumed.
+
+    Daily cost at 100 TB: the affected-bucket set broadcasts (a day's
+    batch touches few of the 2^planes buckets), the carried edges are
+    one broadcast anti-join over the old silver, and the quadratic
+    pair work is confined to affected buckets' members — the full
+    corpus is never re-paired.  NULL ``is_new`` coalesces to OLD (the
+    shared incremental-tier contract)."""
+    from ..sources.tables import fan_out
+
+    b = fan_out(
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.coalesce(is_new, F.lit(False)).alias("is_new"),
+        )
+    ).select(
+        "id",
+        "v",
+        norm(F.col("v")).alias("n"),
+        lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
+        "is_new",
+    )
+    affected = b.filter(F.col("is_new")).select("bucket").distinct()
+    src_bucket = b.select(F.col("id").alias("src"), "bucket")
+    carried = (
+        old_graph.join(src_bucket, "src")
+        .join(F.broadcast(affected), "bucket", "left_anti")
+        .select("src", "dst", "cos_sim", "rank")
+    )
+    mem = b.join(F.broadcast(affected), "bucket")
+    lhs = mem.select(
+        "bucket",
+        F.col("id").alias("src"),
+        F.col("v").alias("v_s"),
+        F.col("n").alias("n_s"),
+    )
+    rhs = mem.select(
+        "bucket",
+        F.col("id").alias("dst"),
+        F.col("v").alias("v_d"),
+        F.col("n").alias("n_d"),
+    )
+    pairs = (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                dot(F.col("v_s"), F.col("v_d"))
+                / (F.col("n_s") * F.col("n_d"))
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    rebuilt = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+    return carried.unionByName(rebuilt)
+
+
 def integer_pagerank(
     edges: DataFrame,
     nodes: DataFrame,

@@ -1246,6 +1246,41 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_knn_graph",
+    oracle="WITH "
+    + _KNN_GRAPH_CTES
+    + """
+SELECT src, dst, round(cos, 5) AS cos_sim, rank
+FROM r WHERE rank <= 3
+ORDER BY src, rank
+""",
+    doc="Incremental kNN-graph maintenance "
+    "(llm/similarity.py:knn_graph_delta): the daily-refresh shape for "
+    "the graph silver — given the historical corpus's prebuilt graph "
+    "and today's batch (every 5th vec_id, the incremental-family "
+    "convention), recompute ONLY the buckets new vectors land in and "
+    "carry every other edge through untouched (a vector's top-k "
+    "depends solely on its bucket's membership, so untouched buckets' "
+    "edges are byte-identical by construction).  The oracle is the "
+    "FULL from-scratch knn_graph build — equality of the incremental "
+    "path with the rebuild is driver-checked, not assumed.  At 100 TB "
+    "the affected-bucket set broadcasts and the quadratic pair work "
+    "is confined to touched buckets; the historical corpus is never "
+    "re-paired against itself.",
+)
+def incremental_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % 5 == 0
+    old_graph = SIM.knn_graph(
+        e.filter(~is_new), k=3, n_planes=4
+    )
+    out = SIM.knn_graph_delta(e, old_graph, is_new, k=3, n_planes=4)
+    return out.select(
+        "src", "dst", F.round("cos_sim", 5).alias("cos_sim"), "rank"
+    ).orderBy("src", "rank")
+
+
+@register(
     "knn_graph_topk",
     oracle="WITH "
     + _KNN_GRAPH_CTES

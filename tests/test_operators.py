@@ -1938,6 +1938,54 @@ def test_batch_graph_walk_matches_single_query_walks(spark, sf_dir):
     assert hits / (10 * len(sample)) >= 0.4
 
 
+def test_incremental_knn_graph_equals_rebuild_and_carries(spark, sf_dir):
+    """knn_graph_delta's two contracts: (1) the incremental result
+    EQUALS the from-scratch build (also driver-checked by the oracle,
+    re-pinned here with a batch small enough that most buckets are
+    untouched); (2) the carry path really fires — edges in untouched
+    buckets are present and identical to the old graph's rows, i.e.
+    the quadratic work was confined to affected buckets."""
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cutoff = e.agg(F.max("vec_id")).collect()[0][0] - 4  # 5 newest
+    is_new = F.col("vec_id") >= cutoff
+    old_graph = SIM.knn_graph(e.filter(~is_new), k=3, n_planes=4)
+    out = SIM.knn_graph_delta(e, old_graph, is_new, k=3, n_planes=4)
+    full = SIM.knn_graph(e, k=3, n_planes=4)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in full.collect())
+    assert got == want
+    # the 5-new-vector batch must leave at least one of the 16 buckets
+    # untouched, and every untouched-bucket edge must be carried
+    # byte-identically from the old graph
+    buckets = e.select(
+        "vec_id",
+        SIM.lsh_bucket(F.col("embedding"), n_planes=4).alias("bucket"),
+    )
+    affected = {
+        r["bucket"]
+        for r in buckets.filter(is_new).select("bucket").distinct().collect()
+    }
+    all_b = {
+        r["bucket"] for r in buckets.select("bucket").distinct().collect()
+    }
+    assert affected < all_b, "fixture left no untouched bucket"
+    by_src = {
+        r["vec_id"]: r["bucket"] for r in buckets.collect()
+    }
+    old_rows = {
+        tuple(r)
+        for r in old_graph.collect()
+        if by_src[r["src"]] not in affected
+    }
+    carried = {t for t in got if by_src[t[0]] not in affected}
+    assert carried == old_rows
+
+
 def test_knn_graph_silver_builds_once(spark, sf_dir):
     """r11 verdict Next #1 done-criterion: the graph consumers read a
     build-once silver — the second run of every graph query must not
