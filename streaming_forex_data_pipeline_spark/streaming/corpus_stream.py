@@ -1139,3 +1139,106 @@ def start_embedding_index_channel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_knn_graph_channel(
+    spark,
+    sf_dir: str,
+    sink_table: str = "knn_graph_sink",
+    vec_dir: str | None = None,
+    graph_dir: str | None = None,
+    stream=None,
+    k: int = 3,
+    n_planes: int = 4,
+):
+    """Streaming maintenance of the kNN-GRAPH index (round 12): the
+    graph-silver sibling of `start_ivf_silver_channel`, closing the
+    `knn_graph_delta` loop as a live channel.  Each micro-batch:
+
+    1. read the committed vector index (anti-joining the batch's own
+       ids, the shared replay-safety contract);
+    2. recompute the kNN graph ONLY over the LSH buckets the batch's
+       vectors land in (`llm.similarity.knn_graph` over the affected
+       buckets' members — identical rows to `knn_graph_delta`'s
+       rebuilt half, since a vector's top-k depends solely on its
+       bucket's membership);
+    3. commit those edges keyed (src, rank): `read_committed(keys=
+       ["src", "rank"])` keep-latest semantics make the commit an
+       UPSERT — re-ranked sources overwrite their old edges, while
+       untouched buckets' edges are never re-written or even read (a
+       src's out-degree min(k, |bucket|-1) only grows as members
+       arrive, so (src, rank) keys are never orphaned);
+    4. commit the batch's vectors (graph BEFORE vectors, so a replay
+       after a crash between the two recomputes an identical upsert).
+
+    After the drain the committed graph equals the batch
+    `knn_graph` over the whole corpus — the parity test's claim.
+    Per-batch storage work is proportional to affected buckets, never
+    the corpus: the accumulating-index doctrine applied to the index
+    STRUCTURE itself."""
+    from pyspark.sql import functions as F
+
+    from ..llm.similarity import knn_graph, lsh_bucket
+    from ..sources.scratch import scratch_dir
+    from ..sources.sinks import commit_append, read_committed
+    from .channels import read_table_stream
+
+    if vec_dir is None:
+        vec_dir = scratch_dir("knng_idx_vecs_")
+    if graph_dir is None:
+        graph_dir = scratch_dir("knng_idx_edges_")
+    if stream is None:
+        stream = read_table_stream(spark, sf_dir, "embeddings")
+    spark.createDataFrame(
+        [], "src long, dst long, cos_sim double, rank int"
+    ).createOrReplaceTempView(sink_table)
+
+    def run_batch(batch_df, batch_id):
+        batch_vecs = batch_df.select(
+            "vec_id", "embedding"
+        ).localCheckpoint(eager=False)
+        try:
+            old = (
+                read_committed(spark, vec_dir, keys=["vec_id", "batch"])
+                .select("vec_id", "embedding")
+                .join(batch_vecs.select("vec_id"), "vec_id", "left_anti")
+            )
+            everyone = old.unionByName(batch_vecs)
+        except FileNotFoundError:
+            everyone = batch_vecs
+        affected = (
+            batch_vecs.select(
+                lsh_bucket(F.col("embedding"), n_planes=n_planes).alias(
+                    "bucket"
+                )
+            )
+            .distinct()
+        )
+        members = (
+            everyone.withColumn(
+                "bucket",
+                lsh_bucket(F.col("embedding"), n_planes=n_planes),
+            )
+            .join(F.broadcast(affected), "bucket")
+            .select("vec_id", "embedding")
+        )
+        rebuilt = knn_graph(members, k=k, n_planes=n_planes)
+        commit_append(rebuilt, graph_dir, version=float(batch_id))
+        commit_append(
+            batch_vecs.withColumn(
+                "batch", F.lit(int(batch_id)).cast("long")
+            ),
+            vec_dir,
+            version=float(batch_id),
+        )
+        read_committed(spark, graph_dir, keys=["src", "rank"]).select(
+            "src", "dst", "cos_sim", "rank"
+        ).createOrReplaceTempView(sink_table)
+
+    return (
+        stream.writeStream.queryName(sink_table)
+        .foreachBatch(run_batch)
+        .option("checkpointLocation", scratch_dir("knng_idx_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )

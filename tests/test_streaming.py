@@ -2455,3 +2455,59 @@ def test_embedding_index_channel_matches_batch_pairs(
     assert any(a % 2 != b % 2 for (a, b) in got), (
         "no cross-batch pair — the accumulation claim went untested"
     )
+
+
+def test_knn_graph_channel_matches_batch_build(spark, sf_dir, tmp_path):
+    """Round 12: streaming kNN-graph maintenance.  Embeddings arrive
+    in TWO micro-batches split by vec_id parity; each batch upserts
+    only the affected buckets' edges (keyed (src, rank)).  After the
+    drain the committed graph must equal the batch knn_graph over the
+    whole corpus — including re-ranked batch-1 sources whose buckets
+    batch 2 touched (the upsert claim)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_knn_graph_channel,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "knng_two_batches")
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("vec_id") % 2 == 0),
+         e.filter(F.col("vec_id") % 2 == 1)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    graph_dir = str(tmp_path / "knng_edges")
+    q = start_knn_graph_channel(
+        spark, sf_dir, sink_table="knng_parity",
+        vec_dir=str(tmp_path / "knng_vecs"), graph_dir=graph_dir,
+        stream=stream, k=3, n_planes=4,
+    )
+    q.awaitTermination(300)
+    assert len(os.listdir(os.path.join(graph_dir, "_log"))) >= 2, (
+        "stream collapsed into one micro-batch — incrementality untested"
+    )
+    got = sorted(
+        (r["src"], r["dst"], round(r["cos_sim"], 5), r["rank"])
+        for r in spark.table("knng_parity").collect()
+    )
+    want = sorted(
+        (r["src"], r["dst"], round(r["cos_sim"], 5), r["rank"])
+        for r in SIM.knn_graph(e, k=3, n_planes=4).collect()
+    )
+    assert got == want and len(want) > 0
+    # the upsert claim: at least one EVEN (batch-1) source's final
+    # edge set must include an ODD (batch-2) neighbor — i.e. batch 2
+    # actually re-ranked a batch-1 source rather than only appending
+    assert any(s % 2 == 0 and d % 2 == 1 for s, d, _, _ in got), (
+        "no batch-1 source re-ranked by batch 2 — upsert untested"
+    )
