@@ -1373,55 +1373,73 @@ def knn_graph_search(
     bucketed by src, so each expansion is a pruned point lookup, and
     the corpus is never scanned beyond the one pass that builds the
     scores projection."""
-    q = query.select(F.col("embedding").alias("q_embedding"))
+    from ..sources.tables import fan_out
+
     # one corpus pass, materialized: every round's top-beam re-ranking
     # and the final top-k probe hit the (vec_id, cos_sim) projection —
     # N x 16 bytes, distributed — instead of re-scanning embeddings
-    # per round (the walk is `steps` sequential rounds)
+    # per round (the walk is `steps` sequential rounds).  fan_out
+    # splits the single-row-group parquet across cores and norms are
+    # computed once per vector, not per pair (r12 bench finding).
+    base = fan_out(
+        emb.select("vec_id", F.col("embedding").alias("v"))
+    ).select(
+        "vec_id",
+        "v",
+        norm(F.col("v")).alias("n"),
+        lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
+    )
+    q = query.select(F.col("embedding").alias("qv")).select(
+        "qv", norm(F.col("qv")).alias("qn")
+    )
     scores = (
-        emb.crossJoin(F.broadcast(q))
+        base.crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            cosine(F.col("embedding"), F.col("q_embedding")).alias(
-                "cos_sim"
-            ),
+            (
+                dot(F.col("v"), F.col("qv"))
+                / (F.col("n") * F.col("qn"))
+            ).alias("cos_sim"),
         )
         .localCheckpoint()
     )
+    # driver-side score cache (bounded: one float per visited id) —
+    # each round is then ONE job (candidate expansion + their scores
+    # in a single plan) instead of two, and the beam re-rank costs
+    # nothing; orderings replicate Spark's exactly ((-cos, id) with
+    # all-finite doubles), so the walk is unchanged (r12: the
+    # two-jobs-per-round shape dominated the warm query's wall time)
     if entry_ids is None:
-        entry_ids = [
-            int(r["e"])
-            for r in emb.select(
-                lsh_bucket(F.col("embedding"), n_planes=n_planes).alias(
-                    "bucket"
-                ),
-                "vec_id",
-            )
-            .groupBy("bucket")
-            .agg(F.min("vec_id").alias("e"))
+        rows0 = (
+            base.groupBy("bucket")
+            .agg(F.min("vec_id").alias("vec_id"))
+            .join(scores, "vec_id")
             .collect()
-        ]
-    visited = {int(e) for e in entry_ids}
+        )
+    else:
+        rows0 = scores.filter(
+            F.col("vec_id").isin([int(e) for e in entry_ids])
+        ).collect()
+    cos_of = {int(r["vec_id"]): r["cos_sim"] for r in rows0}
+    visited = set(cos_of)
     beam_ids = sorted(visited)
     for _ in range(steps):
-        cands = {
-            int(r["dst"])
-            for r in graph.filter(F.col("src").isin(beam_ids))
-            .select("dst")
+        rows = (
+            graph.filter(F.col("src").isin(beam_ids))
+            .select(F.col("dst").alias("vec_id"))
             .distinct()
+            .join(scores, "vec_id")
             .collect()
-        } - visited
+        )
+        cands = {int(r["vec_id"]) for r in rows} - visited
         if not cands:
             break  # frontier exhausted: further rounds are no-ops
+        for r in rows:
+            cos_of.setdefault(int(r["vec_id"]), r["cos_sim"])
         visited |= cands
         beam_ids = [
-            int(r["vec_id"])
-            for r in scores.filter(
-                F.col("vec_id").isin(sorted(visited))
-            )
-            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-            .limit(beam)
-            .collect()
+            i
+            for _, i in sorted((-cos_of[i], i) for i in visited)[:beam]
         ]
     return (
         scores.filter(F.col("vec_id").isin(sorted(visited)))
@@ -1464,30 +1482,43 @@ def knn_graph_search_batch(
     (qid, vec_id) rows in later rounds."""
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_embedding"),
+    from ..sources.tables import fan_out
+
+    # one corpus pass for the (qid, vec_id) score matrix: fan_out
+    # splits the single-row-group parquet across cores, norms are
+    # computed ONCE per vector/query (not per pair — the naive
+    # cosine-per-pair form tripled the fold work and ran on one core:
+    # 27.6 s -> this shape at sf0.1), queries broadcast (Q is a batch
+    # of probes, small by definition)
+    base = fan_out(
+        emb.select(
+            F.col("vec_id"), F.col("embedding").alias("v")
+        )
+    ).select(
+        "vec_id",
+        "v",
+        norm(F.col("v")).alias("n"),
+        lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
     )
+    qn = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+    ).select("qid", "qv", norm(F.col("qv")).alias("qn"))
     scores = (
-        emb.crossJoin(F.broadcast(q))
+        base.crossJoin(F.broadcast(qn))
         .select(
             "qid",
             "vec_id",
-            cosine(F.col("embedding"), F.col("q_embedding")).alias(
-                "cos_sim"
-            ),
+            (
+                dot(F.col("v"), F.col("qv"))
+                / (F.col("n") * F.col("qn"))
+            ).alias("cos_sim"),
         )
         .localCheckpoint()
     )
-    qids = q.select("qid")
+    qids = qn.select("qid")
     entries = (
-        emb.select(
-            lsh_bucket(F.col("embedding"), n_planes=n_planes).alias(
-                "bucket"
-            ),
-            "vec_id",
-        )
-        .groupBy("bucket")
+        base.groupBy("bucket")
         .agg(F.min("vec_id").alias("vec_id"))
         .select("vec_id")
     )
@@ -1497,23 +1528,30 @@ def knn_graph_search_batch(
         F.desc("cos_sim"), F.asc("vec_id")
     )
     for _ in range(steps):
+        # walk state (beam, visited) stays frontier-sized — broadcast
+        # it against the graph and the score matrix so no round ever
+        # shuffles corpus-sized data
         cands = (
-            beam_df.join(
-                graph, beam_df["vec_id"] == graph["src"], "inner"
+            graph.join(
+                F.broadcast(beam_df),
+                beam_df["vec_id"] == graph["src"],
+                "inner",
             )
             .select("qid", graph["dst"].alias("vec_id"))
             .distinct()
         )
-        new = cands.join(visited, ["qid", "vec_id"], "left_anti")
+        new = cands.join(
+            F.broadcast(visited), ["qid", "vec_id"], "left_anti"
+        )
         visited = visited.unionByName(new).localCheckpoint()
         beam_df = (
-            visited.join(scores, ["qid", "vec_id"])
+            scores.join(F.broadcast(visited), ["qid", "vec_id"])
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= beam)
             .select("qid", "vec_id")
         )
     return (
-        visited.join(scores, ["qid", "vec_id"])
+        scores.join(F.broadcast(visited), ["qid", "vec_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "cos_sim", "rank")
