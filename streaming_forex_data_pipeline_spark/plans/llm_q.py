@@ -1565,6 +1565,102 @@ def knn_graph_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_recall_batch",
+    oracle="WITH "
+    + _knn_walk_batch_ctes("vec_id % 7 = 3", steps=8, beam=16)
+    + """,
+wtop AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+    FROM scores s JOIN v8 USING (qid, vec_id))
+  WHERE rn <= 10
+),
+btop AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+    FROM scores s)
+  WHERE rn <= 10
+),
+hits AS (
+  SELECT w.qid, count(*) AS n_hits
+  FROM wtop w JOIN btop b USING (qid, vec_id)
+  GROUP BY w.qid
+)
+SELECT q.qid,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10
+FROM q LEFT JOIN hits h USING (qid)
+ORDER BY q.qid
+""",
+    doc="Batch retrieval eval (the face a curated-corpus pipeline "
+    "actually grades ANN with): per-query recall@10 of the batch "
+    "graph walk (knn_graph_topk_batch's exact construction over the "
+    "union graph silver) against the per-query brute-force top-10, "
+    "over the whole 71+-query set — ann_recall_report generalized "
+    "from one probe to the query DISTRIBUTION, so recall variance "
+    "and dead queries (walk never reaches the true neighborhood) are "
+    "visible, not averaged away.  The brute side falls out of the "
+    "same (qid, vec_id) score matrix the walk ranks with — one "
+    "corpus pass serves both sides; integers + one exact division, "
+    "hash-checked per query.",
+)
+def graph_recall_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.tables import fan_out
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
+    qs = e.filter(F.col("vec_id") % 7 == 3)
+    walk = SIM.knn_graph_search_batch(
+        e, g, qs, k=10, beam=16, steps=8
+    ).select("qid", "vec_id")
+    base = fan_out(
+        e.select("vec_id", F.col("embedding").alias("v"))
+    ).select("vec_id", "v", SIM.norm(F.col("v")).alias("n"))
+    qn = qs.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+    ).select("qid", "qv", SIM.norm(F.col("qv")).alias("qn"))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    brute = (
+        base.crossJoin(F.broadcast(qn))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                SIM.dot(F.col("v"), F.col("qv"))
+                / (F.col("n") * F.col("qn"))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = walk.join(brute, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        qn.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
+        .orderBy("qid")
+    )
+
+
+@register(
     "incremental_dedup",
     oracle=r"""
 WITH m AS (
