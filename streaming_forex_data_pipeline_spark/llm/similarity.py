@@ -1543,12 +1543,18 @@ def knn_graph_search_batch(
         new = cands.join(
             F.broadcast(visited), ["qid", "vec_id"], "left_anti"
         )
+        # BOTH state frames are checkpointed every round: each is
+        # frontier-sized (thousands of rows), and an un-cut beam plan
+        # would re-execute its scores-window lineage inside every
+        # broadcast build that references it — the profiled cost was
+        # plan re-execution, not the checkpoints themselves
         visited = visited.unionByName(new).localCheckpoint()
         beam_df = (
             scores.join(F.broadcast(visited), ["qid", "vec_id"])
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= beam)
             .select("qid", "vec_id")
+            .localCheckpoint()
         )
     return (
         scores.join(F.broadcast(visited), ["qid", "vec_id"])
