@@ -662,6 +662,56 @@ def temperature_mixture(
     )
 
 
+def mixture_apply(
+    docs: DataFrame, budget: int = 10_000, text: str = "text"
+) -> DataFrame:
+    """Materialize the temperature mixture (round 12): the transform a
+    pipeline actually feeds downstream of `temperature_mixture`'s
+    allocation table — per source, documents are taken in doc_id
+    order while the running token total BEFORE the document is under
+    the source's allocation (greedy fill: the crossing document is
+    included, so every positive allocation is met on its first
+    crossing; a zero allocation selects nothing).  Deterministic by
+    construction — no RNG, total order per source.
+
+    Returns (doc_id, source, n_tokens, cum_tokens), cum_tokens the
+    inclusive running total that crossed (or stayed under) the
+    allocation.
+
+    Scale shape: the allocation frame is catalog-sized and
+    broadcasts; the cumulative sum is one window per source (the
+    parallel axis); one corpus scan end to end."""
+    from .text import token_count
+
+    alloc = temperature_mixture(docs, budget=budget, text=text).select(
+        "source", "alloc_tokens"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.select(
+        "doc_id", "source", token_count(text).cast("long").alias("n_tokens")
+    )
+    cum = toks.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return (
+        cum.join(F.broadcast(alloc), "source")
+        .filter(F.col("cum_before") < F.col("alloc_tokens"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("cum_before") + F.col("n_tokens"))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+
+
 def _ares_keyed(docs, seed: str, weight_col: str | None, id_col: str):
     """Shared A-Res key construction for the global and per-group
     reservoir faces: seeded engine-portable md5 uniform

@@ -2310,10 +2310,14 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.curriculum_bins(fan_out(d), k=4)
 
 
-@register(
-    "temperature_mixture",
-    oracle=r"""
-WITH per AS (
+def _temp_mix_ctes(budget: int) -> str:
+    """The temperature-mixture apportionment CTE chain (no leading
+    WITH), parameterized by the token budget — shared by the
+    `temperature_mixture` allocation oracle and the `mixture_apply`
+    materialization oracle so the two can never disagree on the
+    apportionment arithmetic.  Ends at ``r``/``d`` (callers read
+    base/rk/deficit)."""
+    return rf"""per AS (
   SELECT source, count(*) AS n_docs,
          CAST(coalesce(sum(CASE WHEN trim(text) = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END),
@@ -2323,7 +2327,7 @@ WITH per AS (
 wsum AS (
   SELECT list_reduce(
            list_transform(
-             list_sort(list({'source': source, 'w': sqrt(n_tokens)})),
+             list_sort(list({{'source': source, 'w': sqrt(n_tokens)}})),
              s -> s.w),
            (a, b) -> a + b) AS W
   FROM per
@@ -2332,14 +2336,21 @@ scored AS (
   SELECT source, n_docs, n_tokens, sqrt(n_tokens) / W AS q FROM per, wsum
 ),
 based AS (
-  SELECT *, CAST(floor(1000000.0 * q) AS BIGINT) AS base,
-         1000000.0 * q - floor(1000000.0 * q) AS rem
+  SELECT *, CAST(floor({budget}.0 * q) AS BIGINT) AS base,
+         {budget}.0 * q - floor({budget}.0 * q) AS rem
   FROM scored
 ),
-d AS (SELECT 1000000 - sum(base) AS deficit FROM based),
+d AS (SELECT {budget} - sum(base) AS deficit FROM based),
 r AS (
   SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM based
-)
+)"""
+
+
+@register(
+    "temperature_mixture",
+    oracle="WITH "
+    + _temp_mix_ctes(1_000_000)
+    + """
 SELECT source, n_docs, n_tokens, round(q, 6) AS weight,
        CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
          AS alloc_tokens
@@ -2362,6 +2373,57 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return CO.temperature_mixture(d, budget=1_000_000)
+
+
+@register(
+    "mixture_apply",
+    oracle="WITH "
+    + _temp_mix_ctes(10_000)
+    + r""",
+alloc AS (
+  SELECT source,
+         CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_tokens
+  FROM r, d
+),
+toks AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_before
+  FROM toks
+)
+SELECT c.doc_id, c.source, c.n_tokens,
+       CAST(c.cum_before + c.n_tokens AS BIGINT) AS cum_tokens
+FROM cum c JOIN alloc a USING (source)
+WHERE c.cum_before < a.alloc_tokens
+ORDER BY c.source, c.doc_id
+""",
+    doc="The mixture MATERIALIZED (llm/corpus.py:mixture_apply): "
+    "temperature_mixture's exact largest-remainder allocations "
+    "applied to the corpus — per source, documents in doc_id order "
+    "fill greedily while the running token total is under the "
+    "allocation (the crossing document is included; a zero "
+    "allocation selects nothing), at a 10k-token budget so the "
+    "cutoff genuinely binds at every testdata scale.  Shares the "
+    "apportionment CTE chain with the allocation oracle, so the two "
+    "faces cannot drift.  One corpus scan + a catalog-sized "
+    "broadcast + one per-source cumulative window; integers end to "
+    "end, hash-exact.",
+)
+def mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm import corpus as CO
+
+    d = load_table(spark, sf_dir, "documents")
+    return CO.mixture_apply(d, budget=10_000).orderBy("source", "doc_id")
 
 
 @register(
