@@ -355,13 +355,22 @@ def main() -> None:
     )
     if not os.path.isdir(lane_dir):
         lane_dir = sf_dir
-    slow_lane: dict[str, float] = {}
+    # per-query error isolation: the lane exists to OBSERVE regressions
+    # in queries the headline sweeps never run — one of them raising
+    # must not take down the whole bench after the expensive headline
+    # sweeps (null timing + error string recorded instead)
+    slow_lane: dict[str, object] = {}
+    lane_errors: dict[str, str] = {}
     for name in sorted(set(qs) - set(HEADLINE)):
         t0 = time.perf_counter()
-        qs[name](spark, lane_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        slow_lane[name] = round(time.perf_counter() - t0, 3)
+        try:
+            qs[name](spark, lane_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            slow_lane[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            slow_lane[name] = None
+            lane_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     never_timed = sorted(set(qs) - set(timings) - set(slow_lane))
 
     # The driver captures only the TAIL of stdout (~2000 chars) — the
@@ -394,6 +403,7 @@ def main() -> None:
         # in main); never_timed must stay empty
         "slow_lane_sf001": slow_lane,
         "slow_lane_sf_dir": lane_dir,
+        "slow_lane_errors": lane_errors,
         "coverage": {"never_timed": never_timed},
     }
     detail_path = os.path.join(
@@ -416,6 +426,7 @@ def main() -> None:
         "loadavg_end": detail["loadavg_end"],
         "calib": detail["calib"],
         "n_slow_lane": len(slow_lane),
+        "n_slow_lane_errors": len(lane_errors),
         "n_never_timed": len(never_timed),
         "detail": "BENCH_DETAIL.json",
     }

@@ -1337,6 +1337,22 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cos_desc_key(cos_of: dict):
+    """Sort key replicating Spark's ``ORDER BY cos_sim DESC, vec_id``
+    on the driver INCLUDING the NaN contract: Spark (and DuckDB) rank
+    NaN above every finite double in descending order, while Python's
+    sorted() with raw NaN keys produces arbitrary placement
+    (review-found — a zero-norm vector's 0/0 cosine would silently
+    desync the driver-side beam from the relational walk)."""
+    import math
+
+    def key(i):
+        c = cos_of[i]
+        return (0, 0.0, i) if math.isnan(c) else (1, -c, i)
+
+    return key
+
+
 def knn_graph_search(
     emb: DataFrame,
     graph: DataFrame,
@@ -1437,14 +1453,43 @@ def knn_graph_search(
         for r in rows:
             cos_of.setdefault(int(r["vec_id"]), r["cos_sim"])
         visited |= cands
-        beam_ids = [
-            i
-            for _, i in sorted((-cos_of[i], i) for i in visited)[:beam]
-        ]
+        beam_ids = sorted(visited, key=_cos_desc_key(cos_of))[:beam]
     return (
         scores.filter(F.col("vec_id").isin(sorted(visited)))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def batch_cosine_scores(emb: DataFrame, queries: DataFrame) -> DataFrame:
+    """The (qid, vec_id, cos_sim) score matrix for a batch of query
+    vectors, materialized (localCheckpoint) after ONE corpus pass:
+    fan_out splits the single-row-group parquet across cores, norms
+    are computed once per vector/query (never per pair), and the
+    query side broadcasts.  Shared by `knn_graph_search_batch` and
+    any consumer that also needs brute-force truth over the same
+    queries (`graph_recall_batch`) — pass it in so the corpus pays
+    one cosine pass, not one per consumer (review-found)."""
+    from ..sources.tables import fan_out
+
+    base = fan_out(
+        emb.select("vec_id", F.col("embedding").alias("v"))
+    ).select("vec_id", "v", norm(F.col("v")).alias("n"))
+    qn = queries.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+    ).select("qid", "qv", norm(F.col("qv")).alias("qn"))
+    return (
+        base.crossJoin(F.broadcast(qn))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                dot(F.col("v"), F.col("qv"))
+                / (F.col("n") * F.col("qn"))
+            ).alias("cos_sim"),
+        )
+        .localCheckpoint()
     )
 
 
@@ -1456,6 +1501,7 @@ def knn_graph_search_batch(
     beam: int = 4,
     steps: int = 4,
     n_planes: int = 4,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """SET-ORIENTED graph-probe ANN (r11 verdict Next #3): walk EVERY
     query vector simultaneously, one beam step per relational round —
@@ -1484,41 +1530,21 @@ def knn_graph_search_batch(
 
     from ..sources.tables import fan_out
 
-    # one corpus pass for the (qid, vec_id) score matrix: fan_out
-    # splits the single-row-group parquet across cores, norms are
-    # computed ONCE per vector/query (not per pair — the naive
-    # cosine-per-pair form tripled the fold work and ran on one core:
-    # 27.6 s -> this shape at sf0.1), queries broadcast (Q is a batch
-    # of probes, small by definition)
-    base = fan_out(
-        emb.select(
-            F.col("vec_id"), F.col("embedding").alias("v")
-        )
-    ).select(
-        "vec_id",
-        "v",
-        norm(F.col("v")).alias("n"),
-        lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
-    )
-    qn = queries.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-    ).select("qid", "qv", norm(F.col("qv")).alias("qn"))
-    scores = (
-        base.crossJoin(F.broadcast(qn))
-        .select(
-            "qid",
-            "vec_id",
-            (
-                dot(F.col("v"), F.col("qv"))
-                / (F.col("n") * F.col("qn"))
-            ).alias("cos_sim"),
-        )
-        .localCheckpoint()
-    )
-    qids = qn.select("qid")
+    # the score matrix is one corpus pass (see batch_cosine_scores);
+    # callers that also need brute-force truth pass a prebuilt one
+    if scores is None:
+        scores = batch_cosine_scores(emb, queries)
+    qids = queries.select(F.col("vec_id").alias("qid"))
     entries = (
-        base.groupBy("bucket")
+        fan_out(
+            emb.select(
+                lsh_bucket(
+                    F.col("embedding"), n_planes=n_planes
+                ).alias("bucket"),
+                "vec_id",
+            )
+        )
+        .groupBy("bucket")
         .agg(F.min("vec_id").alias("vec_id"))
         .select("vec_id")
     )

@@ -1611,35 +1611,21 @@ ORDER BY q.qid
 def graph_recall_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..sources.tables import fan_out
-
     e = load_table(spark, sf_dir, "embeddings")
     g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
     qs = e.filter(F.col("vec_id") % 7 == 3)
+    # ONE materialized score matrix serves both the walk's ranking and
+    # the brute-force truth (review-found: building it twice doubled
+    # the face's corpus-pass work)
+    scores = SIM.batch_cosine_scores(e, qs)
     walk = SIM.knn_graph_search_batch(
-        e, g, qs, k=10, beam=16, steps=8
+        e, g, qs, k=10, beam=16, steps=8, scores=scores
     ).select("qid", "vec_id")
-    base = fan_out(
-        e.select("vec_id", F.col("embedding").alias("v"))
-    ).select("vec_id", "v", SIM.norm(F.col("v")).alias("n"))
-    qn = qs.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-    ).select("qid", "qv", SIM.norm(F.col("qv")).alias("qn"))
     w = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
     brute = (
-        base.crossJoin(F.broadcast(qn))
-        .select(
-            "qid",
-            "vec_id",
-            (
-                SIM.dot(F.col("v"), F.col("qv"))
-                / (F.col("n") * F.col("qn"))
-            ).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+        scores.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("qid", "vec_id")
     )
@@ -1647,7 +1633,7 @@ def graph_recall_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits")
     )
     return (
-        qn.select("qid")
+        qs.select(F.col("vec_id").alias("qid"))
         .join(hits, "qid", "left")
         .select(
             "qid",
@@ -2050,12 +2036,20 @@ def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change; tests/test_operators.py gates freshness.
 _GOLDEN_DIR = str(Path(__file__).resolve().parents[2] / "tests" / "goldens")
 
-#: DuckDB-computable corpus content fingerprint — md5 is engine- and
-#: version-portable, unlike DuckDB's hash()
-_CORPUS_MD5_SQL = (
-    "SELECT md5(string_agg(md5(coalesce(text, '')), '' ORDER BY doc_id)) "
-    "AS f FROM documents"
-)
+def corpus_md5_sql(from_target: str = "documents") -> str:
+    """DuckDB-computable corpus content fingerprint — md5 is engine-
+    and version-portable, unlike DuckDB's hash().  THE single
+    definition of the golden key expression: the oracle WHERE clauses,
+    tests/goldens/regen_ml_tiers.py, and the freshness gate all import
+    this (review-found: three hand-typed copies could silently drift,
+    desynchronizing the key so fresh goldens fail as 'no slice')."""
+    return (
+        "SELECT md5(string_agg(md5(coalesce(text, '')), '' "
+        f"ORDER BY doc_id)) AS f FROM {from_target}"
+    )
+
+
+_CORPUS_MD5_SQL = corpus_md5_sql()
 
 
 def _golden_oracle(name: str, select: str, order: str) -> str:
@@ -3101,6 +3095,41 @@ def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
     return f"{tag}_{h.hexdigest()[:16]}"
 
 
+def _build_once(out_dir: str, build) -> str:
+    """THE build-once protocol, shared by every per-corpus silver
+    artifact in this module (kNN graph, union graph, IVF silver,
+    k-means centroids — review-found: four verbatim copies had
+    accreted): if ``out_dir`` lacks a ``_SUCCESS``, run
+    ``build(tmp)`` into a unique ``.build-*`` temp dir and atomically
+    rename it into place.  A failed build removes its tmp; on a
+    failed rename only the benign lost-race is swallowed (the
+    winner's equivalent artifact exists) — a real failure
+    (EACCES/EXDEV/...) surfaces rather than leaving a path a later
+    read fails on with no cause.  Known leak, deliberately kept: a
+    hard-KILLED builder's ``.build-*`` dir is never reclaimed,
+    because sweeping would race a CONCURRENT live builder's tmp;
+    scratch roots are per-user temp space.  Returns ``out_dir``."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    if not (Path(out_dir) / "_SUCCESS").exists():
+        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
+        try:
+            build(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not (Path(out_dir) / "_SUCCESS").exists():
+                raise
+    return out_dir
+
+
 def _knn_graph_silver(
     spark: SparkSession, sf_dir: str, k: int = 3, n_planes: int = 4
 ) -> DataFrame:
@@ -3116,33 +3145,24 @@ def _knn_graph_silver(
     sorted by ``src`` so point probes (`graph.filter(src IN beam)`)
     prune row groups on min/max stats — the local[32] analogue of the
     src-bucketed table the 100 TB deployment would keep
-    (sources/layout.write_bucketed).  Same atomic-rename build
-    protocol as the IVF silver: concurrent builders race benignly and
-    the loser adopts the winner's identical (deterministic) graph."""
-    import os
-    import shutil
-    import uuid
-
+    (sources/layout.write_bucketed).  Shared `_build_once` protocol:
+    concurrent builders race benignly and the loser adopts the
+    winner's identical (deterministic) graph."""
     from ..sources.scratch import scratch_path
 
     fp = _corpus_fingerprint(sf_dir)
     out_dir = scratch_path(f"knng_{fp}_k{k}_p{n_planes}")
-    if not (Path(out_dir) / "_SUCCESS").exists():
+
+    def build(tmp: str) -> None:
         e = load_table(spark, sf_dir, "embeddings")
         g = SIM.knn_graph(e, k=k, n_planes=n_planes)
-        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
         (
             g.repartitionByRange(8, "src")
             .sortWithinPartitions("src", "rank")
             .write.parquet(tmp)
         )
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not (Path(out_dir) / "_SUCCESS").exists():
-                raise
-    return spark.read.parquet(out_dir)
+
+    return spark.read.parquet(_build_once(out_dir, build))
 
 
 def _knn_union_graph_silver(
@@ -3160,16 +3180,13 @@ def _knn_union_graph_silver(
     consumer and the union pays only one distinct.  Read by the graph
     ANN search faces (`knn_graph_topk`, `knn_graph_topk_batch`,
     `ann_recall_report`'s graph tier)."""
-    import os
-    import shutil
-    import uuid
-
     from ..sources.scratch import scratch_path
 
     fp = _corpus_fingerprint(sf_dir)
     tag = "-".join(str(p) for p in planes)
     out_dir = scratch_path(f"knng_union_{fp}_k{k}_p{tag}")
-    if not (Path(out_dir) / "_SUCCESS").exists():
+
+    def build(tmp: str) -> None:
         parts = [
             _knn_graph_silver(spark, sf_dir, k=k, n_planes=p).select(
                 "src", "dst"
@@ -3179,20 +3196,14 @@ def _knn_union_graph_silver(
         g = parts[0]
         for part in parts[1:]:
             g = g.unionByName(part)
-        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
         (
             g.distinct()
             .repartitionByRange(8, "src")
             .sortWithinPartitions("src", "dst")
             .write.parquet(tmp)
         )
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not (Path(out_dir) / "_SUCCESS").exists():
-                raise
-    return spark.read.parquet(out_dir)
+
+    return spark.read.parquet(_build_once(out_dir, build))
 
 
 def _ivf_silver_dir(sf_dir: str) -> str:
@@ -3224,65 +3235,35 @@ def _cached_kmeans_centroids(
     centroid rows back from parquet.  Doubles round-trip parquet
     exactly, so the cached frame is bit-identical to the fit's output
     and downstream assignment/probing is unchanged.  Same
-    atomic-rename build protocol as the IVF silver table: concurrent
+    `_build_once` protocol as every silver artifact: concurrent
     sessions race benignly, the loser adopts the winner's centroids
     (which ARE its own — same seed, same corpus)."""
-    import os
-    import shutil
-    import uuid
-    from pathlib import Path
-
     from ..sources.scratch import scratch_path
 
     out_dir = scratch_path(
         f"kmc_{_corpus_fingerprint(sf_dir)}_k{n_cells}_s{seed}"
     )
-    if not (Path(out_dir) / "_SUCCESS").exists():
+
+    def build(tmp: str) -> None:
         e = load_table(spark, sf_dir, "embeddings")
         cents = SIM.kmeans_centroids(e, n_cells=n_cells, seed=seed)
-        tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
         cents.coalesce(1).write.parquet(tmp)
-        try:
-            os.rename(tmp, out_dir)
-        except OSError:
-            # only the benign lost-race is swallowed: if the winner's
-            # table is NOT there, this was a real failure (EACCES,
-            # EXDEV, ...) — keep nothing, surface the cause instead of
-            # a later PATH_NOT_FOUND with the fit result discarded
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not (Path(out_dir) / "_SUCCESS").exists():
-                raise
-    return spark.read.parquet(out_dir)
+
+    return spark.read.parquet(_build_once(out_dir, build))
 
 
 def _ensure_ivf_silver(spark: SparkSession, sf_dir: str) -> str:
     """Build the silver table if (and only if) this corpus fingerprint
     has no index yet.  The build lands in a unique temp dir and is
-    atomically renamed into place, so two concurrent sessions cannot
-    interleave writes into one directory — the loser of the rename
-    just uses the winner's table."""
-    import os
-    import shutil
-    import uuid
-    from pathlib import Path
+    atomically renamed into place (`_build_once`), so two concurrent
+    sessions cannot interleave writes into one directory — the loser
+    of the rename just uses the winner's table."""
 
-    out_dir = _ivf_silver_dir(sf_dir)
-    if (Path(out_dir) / "_SUCCESS").exists():
-        return out_dir
-    e = load_table(spark, sf_dir, "embeddings")
-    tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
-    SIM.write_ivf_silver(e, tmp, n_cells=16)
-    try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        # another session won the race — its table is equivalent; but
-        # if no winner's table exists this was a REAL failure
-        # (EACCES/EXDEV/...), so surface it rather than returning a
-        # path a later read will fail on with no cause
-        shutil.rmtree(tmp, ignore_errors=True)
-        if not (Path(out_dir) / "_SUCCESS").exists():
-            raise
-    return out_dir
+    def build(tmp: str) -> None:
+        e = load_table(spark, sf_dir, "embeddings")
+        SIM.write_ivf_silver(e, tmp, n_cells=16)
+
+    return _build_once(_ivf_silver_dir(sf_dir), build)
 
 
 @register(

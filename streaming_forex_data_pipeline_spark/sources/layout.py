@@ -373,8 +373,14 @@ def compact_day_partitions(
         old = os.path.join(loc, f"_old-{uuid.uuid4().hex}")
         # the manifest rides the atomic rename into the aside, so a
         # crash inside the swap leaves a restorable, self-describing
-        # aside — never an anonymous dir a sweep would delete
-        _write_day_manifest(day_dir, entry, snapshot)
+        # aside — never an anonymous dir a sweep would delete; the
+        # replacement basenames let repair tell a completed swap from
+        # an appender-recreated day dir
+        repl = {
+            os.path.basename(f)
+            for f in glob.glob(os.path.join(tmp, "*.parquet"))
+        }
+        _write_day_manifest(day_dir, entry, snapshot, repl)
         os.rename(day_dir, old)
         try:
             os.rename(tmp, day_dir)
@@ -407,14 +413,36 @@ def compact_day_partitions(
     }
 
 
-def _write_day_manifest(day_dir: str, entry: str, snapshot: set) -> None:
+def _write_day_manifest(
+    day_dir: str, entry: str, snapshot: set, replacements: set = ()
+) -> None:
     """First line: the ``day=X`` entry name this content belongs to;
-    following lines: the snapshot basenames the replacement was built
-    from.  Underscore-named, so Spark's file index never reads it."""
+    then one ``repl:<basename>`` line per replacement file the
+    incoming swap will put live (so repair can tell a completed swap
+    from a day dir RECREATED by a live appender after a mid-swap
+    crash — review-found: without this, repair read any existing day
+    dir as 'swap completed' and deleted the aside holding the only
+    historical copy); then one ``snap:<basename>`` line per snapshot
+    file the replacement was built from.  fsync'd before returning —
+    the very next operation is the aside rename, and a power loss
+    that persists the rename but not the file data would leave an
+    empty manifest (the ext4 zero-length outcome).  Underscore-named,
+    so Spark's file index never reads it."""
     import os
 
-    with open(os.path.join(day_dir, "_MANIFEST"), "w") as fh:
-        fh.write("\n".join([entry, *sorted(snapshot)]))
+    path = os.path.join(day_dir, "_MANIFEST")
+    with open(path, "w") as fh:
+        fh.write(
+            "\n".join(
+                [
+                    entry,
+                    *(f"repl:{r}" for r in sorted(replacements)),
+                    *(f"snap:{s}" for s in sorted(snapshot)),
+                ]
+            )
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 def _drop_day_manifest(day_dir: str) -> None:
@@ -471,11 +499,39 @@ def repair_day_maintenance(loc: str) -> dict:
                 continue
             with open(man) as fh:
                 lines = fh.read().splitlines()
-            day_entry, snapshot = lines[0], set(lines[1:])
+            # malformed/empty manifest (e.g. power loss persisted the
+            # rename but not the file data): unidentifiable — never
+            # crash the repair path, never delete (review-found)
+            if (
+                not lines
+                or not lines[0].startswith("day=")
+                or any(
+                    not ln.startswith(("repl:", "snap:"))
+                    for ln in lines[1:]
+                )
+            ):
+                unidentified.append(entry)
+                continue
+            day_entry = lines[0]
+            repl = {
+                ln[5:] for ln in lines[1:] if ln.startswith("repl:")
+            }
+            snapshot = {
+                ln[5:] for ln in lines[1:] if ln.startswith("snap:")
+            }
             day_dir = os.path.join(loc, day_entry)
-            if os.path.isdir(day_dir):
-                # swap completed before the crash: finish the carry,
-                # then the aside is a pure duplicate
+            if not os.path.isdir(day_dir):
+                # replacement never went live: the aside holds the
+                # day's ONLY copy — put it back
+                os.rename(p, day_dir)
+                _drop_day_manifest(day_dir)
+                restored.append(day_entry)
+            elif any(
+                os.path.exists(os.path.join(day_dir, r)) for r in repl
+            ):
+                # a named replacement file is live: the swap really
+                # completed — finish the late-append carry, then the
+                # aside is a pure duplicate
                 for f in os.listdir(p):
                     if f.endswith(".parquet") and f not in snapshot:
                         os.rename(
@@ -485,10 +541,20 @@ def repair_day_maintenance(loc: str) -> dict:
                 shutil.rmtree(p, ignore_errors=True)
                 swept.append(entry)
             else:
-                # replacement never went live: the aside holds the
-                # day's ONLY copy — put it back
-                os.rename(p, day_dir)
-                _drop_day_manifest(day_dir)
+                # the day dir exists but holds NONE of the swap's
+                # replacement files: a live appender RECREATED it
+                # after the mid-swap crash (review-found — the old
+                # dir-exists test deleted the only historical copy
+                # here).  Merge-restore: every aside file returns to
+                # the day beside the appender's new ones.
+                for f in os.listdir(p):
+                    if f.endswith(".parquet") and not os.path.exists(
+                        os.path.join(day_dir, f)
+                    ):
+                        os.rename(
+                            os.path.join(p, f), os.path.join(day_dir, f)
+                        )
+                shutil.rmtree(p, ignore_errors=True)
                 restored.append(day_entry)
         elif entry.startswith("day=") and os.path.isdir(p):
             _drop_day_manifest(p)
@@ -591,7 +657,10 @@ def backfill_day(
         snapshot = {
             f for f in os.listdir(day_dir) if f.endswith(".parquet")
         }
-        _write_day_manifest(day_dir, f"day={day}", snapshot)
+        repl = {
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        }
+        _write_day_manifest(day_dir, f"day={day}", snapshot, repl)
         os.rename(day_dir, old)
     try:
         os.rename(tmp, day_dir)

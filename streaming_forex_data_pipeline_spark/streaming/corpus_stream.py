@@ -1231,7 +1231,13 @@ def start_knn_graph_channel(
             vec_dir,
             version=float(batch_id),
         )
-        read_committed(spark, graph_dir, keys=["src", "rank"]).select(
+        try:
+            committed = read_committed(
+                spark, graph_dir, keys=["src", "rank"]
+            )
+        except FileNotFoundError:
+            return  # every commit so far carried zero edges
+        committed.select(
             "src", "dst", "cos_sim", "rank"
         ).createOrReplaceTempView(sink_table)
 

@@ -40,13 +40,16 @@ GOLDEN_QUERIES = ["ivf_topk_kmeans", "minhash_near_dups_ml"]
 
 
 def corpus_md5(sf_dir: str) -> str:
-    """The golden key — identical to plans/llm_q._CORPUS_MD5_SQL."""
+    """The golden key — computed with the ONE shared SQL definition
+    the oracle WHERE clauses use (plans/llm_q.corpus_md5_sql)."""
     import duckdb
 
+    from streaming_forex_data_pipeline_spark.plans.llm_q import (
+        corpus_md5_sql,
+    )
+
     return duckdb.execute(
-        "SELECT md5(string_agg(md5(coalesce(text, '')), '' "
-        "ORDER BY doc_id)) "
-        f"FROM '{sf_dir}/documents.parquet'"
+        corpus_md5_sql(f"'{sf_dir}/documents.parquet'")
     ).fetchone()[0]
 
 

@@ -1689,14 +1689,17 @@ def test_ml_tier_goldens_fresh(spark, sf_dir):
 
     import duckdb
 
+    from streaming_forex_data_pipeline_spark.plans.llm_q import (
+        corpus_md5_sql,
+    )
+
     goldens_dir = os.path.join(os.path.dirname(__file__), "goldens")
     qs = all_queries()
     # the same content fingerprint regen_ml_tiers.corpus_md5 writes and
-    # the oracle's WHERE recomputes
+    # the oracle's WHERE recomputes — all three sites share ONE SQL
+    # definition
     fp = duckdb.execute(
-        "SELECT md5(string_agg(md5(coalesce(text, '')), '' "
-        "ORDER BY doc_id)) "
-        f"FROM '{sf_dir}/documents.parquet'"
+        corpus_md5_sql(f"'{sf_dir}/documents.parquet'")
     ).fetchone()[0]
     for name in ("ivf_topk_kmeans", "minhash_near_dups_ml"):
         golden = pd.read_parquet(

@@ -2066,16 +2066,18 @@ def test_day_layout_maintenance_crash_and_live_append_safety(
     victim = os.path.join(loc, day_dirs[0])
     aside_a = os.path.join(loc, "_old-deadbeef")
     shutil.copytree(victim, aside_a)
-    # self-describing aside (manifest names the live day and lists all
-    # its files as the snapshot) — the repair's "completed" branch, the
-    # only kind the sweep may delete
+    # self-describing aside (manifest names the live day, the live
+    # replacement files, and the snapshot) — the repair's "completed"
+    # branch, the only kind the sweep may delete
+    files_a = sorted(
+        f for f in os.listdir(aside_a) if f.endswith(".parquet")
+    )
     with open(os.path.join(aside_a, "_MANIFEST"), "w") as fh:
         fh.write(
             "\n".join(
                 [day_dirs[0]]
-                + sorted(
-                    f for f in os.listdir(aside_a) if f.endswith(".parquet")
-                )
+                + [f"repl:{f}" for f in files_a]
+                + [f"snap:{f}" for f in files_a]
             )
         )
     shutil.copytree(victim, os.path.join(loc, "_compact-deadbeef"))
@@ -2233,7 +2235,12 @@ def test_repair_day_maintenance_restores_crashed_swap(
     vic_dir = os.path.join(loc, victim)
     snap = sorted(f for f in os.listdir(vic_dir) if f.endswith(".parquet"))
     with open(os.path.join(vic_dir, "_MANIFEST"), "w") as fh:
-        fh.write("\n".join([victim, *snap]))
+        fh.write(
+            "\n".join(
+                [victim, "repl:never-went-live.parquet"]
+                + [f"snap:{f}" for f in snap]
+            )
+        )
     os.rename(vic_dir, os.path.join(loc, "_old-crashed"))
     os.makedirs(os.path.join(loc, "_compact-halfbuilt"))
 
@@ -2253,8 +2260,14 @@ def test_repair_day_maintenance_restores_crashed_swap(
     late_rows = spark.read.parquet(
         os.path.join(aside2, "late-carry.parquet")
     ).count()
+    # the replacement name IS live in the day dir -> truly completed
     with open(os.path.join(aside2, "_MANIFEST"), "w") as fh:
-        fh.write("\n".join([day2, *snap2]))
+        fh.write(
+            "\n".join(
+                [day2, f"repl:{snap2[0]}"]
+                + [f"snap:{f}" for f in snap2]
+            )
+        )
 
     # --- unidentifiable aside: no manifest — must survive untouched
     unident = os.path.join(loc, "_old-anonymous")
@@ -2269,11 +2282,58 @@ def test_repair_day_maintenance_restores_crashed_swap(
     with open(os.path.join(loc, day3, "_MANIFEST"), "w") as fh:
         fh.write(day3)
 
+    # --- appender-recreated branch (review-found): mid-swap crash
+    # asided the whole day, then a live appender recreated the day
+    # dir with one NEW file before repair ran.  None of the
+    # manifest's replacement files are live, so repair must
+    # MERGE-RESTORE the aside, not delete it as a duplicate.
+    day4 = day_dirs[3]
+    d4_dir = os.path.join(loc, day4)
+    snap4 = sorted(
+        f for f in os.listdir(d4_dir) if f.endswith(".parquet")
+    )
+    d4_rows = spark.read.parquet(d4_dir).count()
+    aside4 = os.path.join(loc, "_old-recreated")
+    os.makedirs(aside4)
+    for f in snap4:
+        os.rename(os.path.join(d4_dir, f), os.path.join(aside4, f))
+    with open(os.path.join(aside4, "_MANIFEST"), "w") as fh:
+        fh.write(
+            "\n".join(
+                [day4, "repl:never-went-live.parquet"]
+                + [f"snap:{f}" for f in snap4]
+            )
+        )
+    append4 = spark.read.parquet(
+        os.path.join(aside4, snap4[0])
+    ).limit(2)
+    appender_rows = append4.count()
+    append4.coalesce(1).write.mode("append").parquet(d4_dir)
+
+    # --- malformed manifest (power loss zeroed the file): must be
+    # reported unidentified, never crash the repair, never delete
+    empty_aside = os.path.join(loc, "_old-empty")
+    os.makedirs(empty_aside)
+    open(os.path.join(empty_aside, "_MANIFEST"), "w").close()
+    shutil.copy(
+        os.path.join(d2_dir, snap2[0]),
+        os.path.join(empty_aside, "orphan.parquet"),
+    )
+
     rep = repair_day_maintenance(loc)
-    assert rep["restored"] == [victim]
+    assert rep["restored"] == [victim, day4]
     assert sorted(rep["swept"]) == ["_compact-halfbuilt", "_old-completed"]
     assert rep["carried"] == 1
-    assert rep["unidentified"] == ["_old-anonymous"]
+    assert rep["unidentified"] == ["_old-anonymous", "_old-empty"]
+    # merge-restore: the full historical day is back BESIDE the
+    # appender's file
+    assert set(snap4) <= set(os.listdir(d4_dir))
+    assert (
+        spark.read.parquet(d4_dir).count() == d4_rows + appender_rows
+    )
+    assert os.path.exists(
+        os.path.join(empty_aside, "orphan.parquet")
+    )
     # the restored day is whole, manifest stripped, stray manifest gone
     assert sorted(
         f
@@ -2287,14 +2347,17 @@ def test_repair_day_maintenance_restores_crashed_swap(
     # the unidentifiable aside was left alone — never delete what we
     # cannot prove is duplicated
     assert os.path.exists(os.path.join(unident, "mystery.parquet"))
-    assert spark.read.parquet(loc).count() == truth_rows + late_rows
+    assert (
+        spark.read.parquet(loc).count()
+        == truth_rows + late_rows + appender_rows
+    )
     # idempotent
     rep2 = repair_day_maintenance(loc)
     assert rep2 == {
         "swept": [],
         "restored": [],
         "carried": 0,
-        "unidentified": ["_old-anonymous"],
+        "unidentified": ["_old-anonymous", "_old-empty"],
     }
 
 
