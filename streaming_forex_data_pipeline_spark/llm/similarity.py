@@ -1410,6 +1410,13 @@ def knn_graph_search(
     )
     scores = (
         base.crossJoin(F.broadcast(q))
+        # zero-norm guard (advice r12): dot/(n*qn) on a zero-norm
+        # vector is NaN, which Spark and DuckDB both rank ABOVE every
+        # finite value descending — a garbage vector would top every
+        # beam.  brute_force_topk's guarded cosine() yields NULL
+        # (ranks last); excluding the rows here gives the same
+        # effective ranking for any corpus with >= k finite vectors.
+        .filter(F.col("n") * F.col("qn") != 0)
         .select(
             "vec_id",
             (
@@ -1481,6 +1488,11 @@ def batch_cosine_scores(emb: DataFrame, queries: DataFrame) -> DataFrame:
     ).select("qid", "qv", norm(F.col("qv")).alias("qn"))
     return (
         base.crossJoin(F.broadcast(qn))
+        # zero-norm guard (advice r12) — see knn_graph_search: NaN
+        # scores would rank above every finite candidate; exclude the
+        # zero-denominator pairs so the batch tier agrees with the
+        # guarded brute tier on degenerate vectors.
+        .filter(F.col("n") * F.col("qn") != 0)
         .select(
             "qid",
             "vec_id",

@@ -3130,6 +3130,16 @@ def _build_once(out_dir: str, build) -> str:
     return out_dir
 
 
+# Algorithm-version token baked into the kNN-graph silver cache keys
+# (advice r12): the key is otherwise only (corpus fingerprint, k,
+# planes), so a semantic change to knn_graph/lsh_bucket would keep
+# serving stale edges from persistent scratch across sessions,
+# surfacing as a baffling oracle hash mismatch instead of a rebuild.
+# BUMP THIS whenever the edge construction changes meaning — the
+# golden corpus_md5 fail-fast doctrine applied to the silver.
+_KNNG_ALGO_VERSION = "v1"
+
+
 def _knn_graph_silver(
     spark: SparkSession, sf_dir: str, k: int = 3, n_planes: int = 4
 ) -> DataFrame:
@@ -3151,7 +3161,9 @@ def _knn_graph_silver(
     from ..sources.scratch import scratch_path
 
     fp = _corpus_fingerprint(sf_dir)
-    out_dir = scratch_path(f"knng_{fp}_k{k}_p{n_planes}")
+    out_dir = scratch_path(
+        f"knng_{_KNNG_ALGO_VERSION}_{fp}_k{k}_p{n_planes}"
+    )
 
     def build(tmp: str) -> None:
         e = load_table(spark, sf_dir, "embeddings")
@@ -3184,7 +3196,9 @@ def _knn_union_graph_silver(
 
     fp = _corpus_fingerprint(sf_dir)
     tag = "-".join(str(p) for p in planes)
-    out_dir = scratch_path(f"knng_union_{fp}_k{k}_p{tag}")
+    out_dir = scratch_path(
+        f"knng_union_{_KNNG_ALGO_VERSION}_{fp}_k{k}_p{tag}"
+    )
 
     def build(tmp: str) -> None:
         parts = [

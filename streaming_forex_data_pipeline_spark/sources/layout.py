@@ -414,7 +414,7 @@ def compact_day_partitions(
 
 
 def _write_day_manifest(
-    day_dir: str, entry: str, snapshot: set, replacements: set = ()
+    day_dir: str, entry: str, snapshot: set, replacements: set
 ) -> None:
     """First line: the ``day=X`` entry name this content belongs to;
     then one ``repl:<basename>`` line per replacement file the
@@ -430,6 +430,16 @@ def _write_day_manifest(
     so Spark's file index never reads it."""
     import os
 
+    # an empty replacements set would make repair's completed-swap
+    # detection (any repl file live) vacuously False and route a
+    # completed swap into merge-restore, duplicating every snapshot
+    # row (advice r12) — both writers always record >= 1 repl file,
+    # and this keeps it that way through refactors
+    if not replacements:
+        raise ValueError(
+            "_write_day_manifest: empty replacements set — a swap "
+            "manifest must name at least one replacement file"
+        )
     path = os.path.join(day_dir, "_MANIFEST")
     with open(path, "w") as fh:
         fh.write(
@@ -509,6 +519,12 @@ def repair_day_maintenance(loc: str) -> dict:
                     not ln.startswith(("repl:", "snap:"))
                     for ln in lines[1:]
                 )
+                # no repl: lines — the completed-swap probe below
+                # would be vacuously False and a genuinely completed
+                # swap would merge-restore stale snapshot files,
+                # duplicating rows (advice r12).  Writers reject an
+                # empty set; treat a survivor as unidentifiable.
+                or not any(ln.startswith("repl:") for ln in lines[1:])
             ):
                 unidentified.append(entry)
                 continue

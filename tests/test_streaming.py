@@ -2320,11 +2320,38 @@ def test_repair_day_maintenance_restores_crashed_swap(
         os.path.join(empty_aside, "orphan.parquet"),
     )
 
+    # --- well-formed manifest with ZERO repl: lines (advice r12): the
+    # completed-swap probe (any repl file live) would be vacuously
+    # False and a completed swap would merge-restore stale snapshot
+    # rows — must be treated as unidentifiable instead, and the
+    # writer must refuse to produce one
+    norepl_aside = os.path.join(loc, "_old-norepl")
+    os.makedirs(norepl_aside)
+    shutil.copy(
+        os.path.join(d2_dir, snap2[0]),
+        os.path.join(norepl_aside, "stale-snap.parquet"),
+    )
+    with open(os.path.join(norepl_aside, "_MANIFEST"), "w") as fh:
+        fh.write("\n".join([day2, "snap:stale-snap.parquet"]))
+    import pytest
+
+    from streaming_forex_data_pipeline_spark.sources.layout import (
+        _write_day_manifest,
+    )
+    with pytest.raises(ValueError, match="empty replacements"):
+        _write_day_manifest(d2_dir, day2, {"a.parquet"}, set())
+
     rep = repair_day_maintenance(loc)
     assert rep["restored"] == [victim, day4]
     assert sorted(rep["swept"]) == ["_compact-halfbuilt", "_old-completed"]
     assert rep["carried"] == 1
-    assert rep["unidentified"] == ["_old-anonymous", "_old-empty"]
+    assert rep["unidentified"] == [
+        "_old-anonymous", "_old-empty", "_old-norepl",
+    ]
+    # the no-repl aside and its file survive untouched
+    assert os.path.exists(
+        os.path.join(norepl_aside, "stale-snap.parquet")
+    )
     # merge-restore: the full historical day is back BESIDE the
     # appender's file
     assert set(snap4) <= set(os.listdir(d4_dir))
@@ -2357,7 +2384,7 @@ def test_repair_day_maintenance_restores_crashed_swap(
         "swept": [],
         "restored": [],
         "carried": 0,
-        "unidentified": ["_old-anonymous", "_old-empty"],
+        "unidentified": ["_old-anonymous", "_old-empty", "_old-norepl"],
     }
 
 
