@@ -196,6 +196,24 @@ def consensus_ranking(
     )
 
 
+def _pin_fit_layout(matrix: DataFrame) -> DataFrame:
+    """One partition, (symbol, ts)-sorted: spark.ml's RF bagging draws
+    per-partition seeded Poisson counts in row order and L-BFGS sums
+    gradients per partition, so partition COUNT and row ORDER both
+    leak into fitted models.  Pinning them makes every model output a
+    pure function of (data, seed) — identical under local[4] and
+    local[32], any shuffle-partition setting — which is what lets the
+    rf/lasso/rfe faces carry golden-parquet DRIVER oracles (round 13)
+    instead of rows-only checks.  Scale note: the matrix is the
+    post-aggregation candle matrix (thousands of rows per symbol-year,
+    orders of magnitude smaller than the event corpus), so a
+    single-partition fit is the right trade for a deterministic,
+    oracle-checkable model; a 100 TB deployment fitting on a
+    genuinely large matrix would skip the pin and accept run-to-run
+    model variance (standard MLlib behavior)."""
+    return matrix.repartition(1).sortWithinPartitions("symbol", "ts")
+
+
 def random_forest_importance(
     candles: DataFrame, n_trees: int = 50, seed: int = 42
 ) -> DataFrame:
@@ -205,7 +223,7 @@ def random_forest_importance(
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import RandomForestRegressor
 
-    matrix = feature_matrix(candles)
+    matrix = _pin_fit_layout(feature_matrix(candles))
     vec = VectorAssembler(inputCols=list(FEATURES), outputCol="fv")
     assembled = vec.transform(matrix)
     model = RandomForestRegressor(
@@ -242,7 +260,7 @@ def rfe_importance(
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import RandomForestRegressor
 
-    matrix = feature_matrix(candles).cache()
+    matrix = _pin_fit_layout(feature_matrix(candles)).cache()
     try:
         remaining = list(FEATURES)
         eliminated: list[str] = []  # chronological: weakest first
@@ -291,7 +309,7 @@ def lasso_importance(
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
-    matrix = feature_matrix(candles)
+    matrix = _pin_fit_layout(feature_matrix(candles))
     assembled = VectorAssembler(
         inputCols=list(FEATURES), outputCol="fv"
     ).transform(matrix)

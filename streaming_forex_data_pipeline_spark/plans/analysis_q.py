@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import backtest as B
 from ..operators import patterns as P
 from ..sources.tables import CANDLES_CTE, candles_from_events
+from .goldens import events_md5_sql, golden_oracle
 from .registry import register
 
 R = 6
@@ -1401,14 +1402,22 @@ def mi_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lasso_importance",
-    oracle=None,
+    oracle=golden_oracle(
+        "lasso_importance",
+        "feature, importance, coefficient",
+        "feature",
+        key_sql=events_md5_sql(),
+        regen="tests/goldens/regen_importance.py",
+    ),
     doc="P7 Lasso importance via pyspark.ml LinearRegression with "
     "elasticNetParam=1 (JVM L1; the container has no sklearn for the "
     "reference's LassoCV, feature_importance.py:247-314): importance "
-    "= |standardized coefficient| on the pooled feature matrix.  "
-    "Model output, not SQL-expressible (driver rows-only check); "
-    "fixed-regularization determinism plus an exact-output golden "
-    "(tests/goldens/) are asserted in tests/test_importance.py.",
+    "= |standardized coefficient| on the pooled feature matrix.  The "
+    "fit layout is pinned (_pin_fit_layout) so the model output is a "
+    "pure function of (data, seed) — verified bit-identical across "
+    "local[4]/local[32] at sf0.01 and sf0.1 — which makes the "
+    "golden-parquet oracle (events-content-keyed, fail-fast guard) "
+    "driver-hash-checkable (round 13; previously rows-only).",
 )
 def lasso_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import importance as IMP
@@ -1424,16 +1433,22 @@ def lasso_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rfe_importance",
-    oracle=None,
+    oracle=golden_oracle(
+        "rfe_importance",
+        "feature, rfe_rank, rank_score, selected",
+        "feature",
+        key_sql=events_md5_sql(),
+        regen="tests/goldens/regen_importance.py",
+    ),
     doc="P7 recursive feature elimination (reference "
     "feature_importance.py:376-448, sklearn RFE + RandomForest, "
     "step=1): iteratively drop the lowest-importance feature until "
     "n_select survive; sklearn ranking convention (selected=1, "
-    "last-eliminated=2, ...), score = 1/rank.  Model-driven "
-    "elimination path, not SQL-expressible (driver rows-only check); "
-    "fixed-seed determinism, the pinned elimination order, and an "
-    "exact-output golden (tests/goldens/) are asserted in "
-    "tests/test_importance.py.",
+    "last-eliminated=2, ...), score = 1/rank.  The model-driven "
+    "elimination path is not SQL-replayable, but the pinned fit "
+    "layout (_pin_fit_layout) makes the output session-shape-"
+    "independent, so it carries a golden-parquet oracle "
+    "(events-content-keyed) the driver hash-checks (round 13).",
 )
 def rfe_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import importance as IMP
@@ -1559,14 +1574,21 @@ def feature_importance_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rf_importance",
-    oracle=None,
+    oracle=golden_oracle(
+        "rf_importance",
+        "feature, importance",
+        "feature",
+        key_sql=events_md5_sql(),
+        regen="tests/goldens/regen_importance.py",
+    ),
     doc="P7 random-forest importance via pyspark.ml "
     "RandomForestRegressor featureImportances (JVM MLlib; the "
     "container has no sklearn) on the pooled feature matrix "
-    "(feature_importance.py:181-245).  Model output, not "
-    "SQL-expressible (driver rows-only check); invariants plus an "
-    "exact-output golden (tests/goldens/) tested in "
-    "tests/test_importance.py.",
+    "(feature_importance.py:181-245).  The per-partition bagging "
+    "seeds made this partition-layout-dependent; _pin_fit_layout "
+    "pins the layout, so the output is bit-identical across session "
+    "shapes and the golden-parquet oracle (events-content-keyed, "
+    "fail-fast guard) is driver-hash-checkable (round 13).",
 )
 def rf_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import importance as IMP

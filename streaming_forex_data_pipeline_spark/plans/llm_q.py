@@ -6,8 +6,6 @@ first-class oracle-checked query over the documents/embeddings tables.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2034,42 +2032,13 @@ def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # error() instead of a confusing row-count mismatch).  Regenerate with
 # tests/goldens/regen_ml_tiers.py after any intentional pipeline
 # change; tests/test_operators.py gates freshness.
-_GOLDEN_DIR = str(Path(__file__).resolve().parents[2] / "tests" / "goldens")
-
-def corpus_md5_sql(from_target: str = "documents") -> str:
-    """DuckDB-computable corpus content fingerprint — md5 is engine-
-    and version-portable, unlike DuckDB's hash().  THE single
-    definition of the golden key expression: the oracle WHERE clauses,
-    tests/goldens/regen_ml_tiers.py, and the freshness gate all import
-    this (review-found: three hand-typed copies could silently drift,
-    desynchronizing the key so fresh goldens fail as 'no slice')."""
-    return (
-        "SELECT md5(string_agg(md5(coalesce(text, '')), '' "
-        f"ORDER BY doc_id)) AS f FROM {from_target}"
-    )
-
-
-_CORPUS_MD5_SQL = corpus_md5_sql()
-
-
-def _golden_oracle(name: str, select: str, order: str) -> str:
-    """Golden-slice oracle with the fail-fast guard: select the rows
-    whose ``corpus_md5`` matches the live corpus fingerprint, raising
-    a self-explanatory error when NO golden slice exists for this
-    corpus (rather than matching zero rows and reporting a baffling
-    count mismatch)."""
-    golden = f"read_parquet('{_GOLDEN_DIR}/{name}.parquet')"
-    return f"""
-SELECT {select}
-FROM {golden}
-WHERE corpus_md5 = (
-  SELECT CASE WHEN f IN (SELECT DISTINCT corpus_md5 FROM {golden}) THEN f
-         ELSE error('{name}: no golden slice for this corpus (content '
-                    || 'md5 ' || f
-                    || ') -- run tests/goldens/regen_ml_tiers.py') END
-  FROM ({_CORPUS_MD5_SQL}))
-ORDER BY {order}
-"""
+# Shared golden-oracle plumbing (round 13: the importance tiers in
+# analysis_q adopted the same pattern, so the single definitions moved
+# to plans/goldens.py); corpus_md5_sql stays re-exported here — the
+# regen scripts and freshness gates import it from this module.
+from .goldens import GOLDEN_DIR as _GOLDEN_DIR  # noqa: F401
+from .goldens import corpus_md5_sql  # noqa: F401
+from .goldens import golden_oracle as _golden_oracle
 
 
 @register(

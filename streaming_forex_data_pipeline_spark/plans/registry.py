@@ -96,6 +96,13 @@ def _evidence_order() -> list[str]:
             return (0, 0, reg_idx[name])
         rnd, rec = latest[name]
         if rec.get("err") == "no_oracle":
+            # a query that HAS an oracle now but whose last record is
+            # rows-only just GAINED its oracle (round 13: the
+            # rf/lasso/rfe golden-parquet oracles) — its hash has
+            # never been driver-checked, so it belongs up front with
+            # the never-checked queries, not in the checked tail
+            if _REGISTRY[name].oracle is not None:
+                return (0, 0, reg_idx[name])
             return (2, rnd, reg_idx[name])
         if rec.get("err") or not rec.get("hash_match"):
             return (0, 0, reg_idx[name])

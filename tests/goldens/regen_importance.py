@@ -1,60 +1,76 @@
-"""Regenerate the golden fixtures for the 3 oracle-less importance
-queries (rf/lasso/rfe — spark.ml model outputs DuckDB cannot replay).
+#!/usr/bin/env python
+"""Regenerate the golden-parquet oracles for the 3 spark.ml importance
+queries (rf/lasso/rfe — model outputs DuckDB cannot replay in closed
+form).
 
-The goldens pin the EXACT registered-query output (values already
-rounded to 6 decimals by the query itself) under the fixed seeds and
-the pinned spark.ml behavior of this container, so the driver's
-``no_oracle`` rows carry reproducible-exact evidence instead of only
-ranking-level invariants.
+Round 13: the fit layout is pinned inside the operators
+(operators/importance._pin_fit_layout — one partition, (symbol, ts)
+sorted), so the outputs are pure functions of (data, seed): verified
+bit-identical across local[4]/4-shuffle and local[32]/32-shuffle
+sessions at sf0.01 AND sf0.1.  That makes them golden-parquet
+oracle-checkable by the driver (the regen_ml_tiers.py pattern): one
+parquet per query holding the exact expected rows per testdata scale,
+keyed by the EVENTS-table content fingerprint — computed with DuckDB
+via the ONE shared SQL definition (plans/goldens.events_md5_sql) the
+oracle WHERE clauses recompute.
 
-Regenerate (only when the fixture data or spark.ml version changes —
+Regenerate (only when the fixture data or spark.ml behavior changes —
 an unexplained diff is a regression, not a reason to re-pin):
 
     cd /root/repo && python tests/goldens/regen_importance.py
 
-which rewrites ``tests/goldens/importance_<sf>.json`` for sf0.001,
-sf0.01 and sf0.1.  Review the diff before committing.
+Review the diff before committing.  The freshness gate
+(tests/test_importance.py::test_importance_goldens_exact) fails if a
+code change moves the output without a regen.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
+
+import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 
+OUT_DIR = os.path.dirname(os.path.abspath(__file__))
+SF_DIRS = [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
 QUERIES = ("rf_importance", "lasso_importance", "rfe_importance")
-SCALES = ("sf0.001", "sf0.01", "sf0.1")
+
+
+def events_md5(sf_dir: str) -> str:
+    """The golden key — computed with the ONE shared SQL definition
+    the oracle WHERE clauses use (plans/goldens.events_md5_sql)."""
+    import duckdb
+
+    from streaming_forex_data_pipeline_spark.plans.goldens import (
+        events_md5_sql,
+    )
+
+    return duckdb.execute(
+        events_md5_sql(f"'{sf_dir}/events.parquet'")
+    ).fetchone()[0]
 
 
 def main() -> None:
     import __spark_entry__ as E
     from streaming_forex_data_pipeline_spark.session import get_spark
 
-    # the RF/RFE outputs depend on data partitioning (per-partition
-    # bagging seeds), so the goldens are only meaningful under a PINNED
-    # session shape — local[4], 4 shuffle partitions, regardless of any
-    # SPARK_GRAFT_CPUS override in the environment
-    spark = get_spark("golden-regen", cpus=4)
-    master = spark.sparkContext.master
-    assert master == "local[4]", (
-        f"golden regen needs a fresh local[4] session, got {master} "
-        "(an earlier getOrCreate in this process pinned another master?)"
-    )
+    spark = get_spark("golden-regen")
     qs = E.queries()
-    out_dir = os.path.dirname(os.path.abspath(__file__))
-    for sf in SCALES:
-        sf_dir = f"/root/testdata/{sf}"
-        golden = {}
-        for name in QUERIES:
-            rows = qs[name](spark, sf_dir).collect()
-            golden[name] = [list(r) for r in rows]
-        path = os.path.join(out_dir, f"importance_{sf}.json")
-        with open(path, "w") as f:
-            json.dump(golden, f, indent=1, sort_keys=True)
-        print(f"wrote {path}")
+    for name in QUERIES:
+        parts = []
+        for sf_dir in SF_DIRS:
+            fp = events_md5(sf_dir)
+            pdf = qs[name](spark, sf_dir).toPandas()
+            pdf.insert(0, "corpus_md5", fp)
+            parts.append(pdf)
+            print(f"{name} @ {sf_dir}: {len(pdf)} rows (events_md5={fp})")
+        golden = pd.concat(parts, ignore_index=True)
+        path = os.path.join(OUT_DIR, f"{name}.parquet")
+        golden.to_parquet(path, index=False)
+        print(f"wrote {path} ({len(golden)} rows)")
     spark.stop()
 
 

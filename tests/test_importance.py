@@ -104,41 +104,49 @@ def test_rfe_importance_contract(spark, sf_dir):
 
 
 def test_importance_goldens_exact(spark, sf_dir):
-    """Exact-output golden check for the 3 oracle-less importance
-    queries (the driver can only rows-check them; this pins the full
-    value surface at round-6 under the fixed seeds and the container's
-    spark.ml version).  Regenerate ONLY for an explained change — see
-    tests/goldens/regen_importance.py."""
-    import json
+    """Freshness gate for the golden-PARQUET oracles of the 3 spark.ml
+    importance queries (round 13: _pin_fit_layout made the fits
+    session-shape-independent, so the goldens are no longer pinned to
+    local[4] — they hold under ANY session shape, which is exactly
+    what lets the driver hash-check them).  A fresh Spark run must
+    reproduce the pinned golden slice EXACTLY, else the pipeline moved
+    without a tests/goldens/regen_importance.py regen and the driver's
+    hash check would go red."""
     import os
 
+    import duckdb
+    import pandas as pd
+
     import __spark_entry__ as E
-
-    # goldens are pinned to the regen script's session shape: RF/RFE
-    # importances shift with data partitioning (per-partition bagging
-    # seeds), so under a SPARK_GRAFT_CPUS override the exact values
-    # legitimately differ — skip rather than fail spuriously
-    master = spark.sparkContext.master
-    if master != "local[4]":
-        pytest.skip(
-            f"importance goldens are pinned under local[4]; session is "
-            f"{master} (unset SPARK_GRAFT_CPUS or set it to 4)"
-        )
-
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        os.path.dirname(__file__), "goldens", f"importance_{sf}.json"
+    from streaming_forex_data_pipeline_spark.plans.goldens import (
+        events_md5_sql,
     )
-    if not os.path.exists(path):
-        pytest.skip(f"no golden for {sf}")
-    with open(path) as f:
-        golden = json.load(f)
+
+    goldens_dir = os.path.join(os.path.dirname(__file__), "goldens")
+    # the same content fingerprint regen_importance.events_md5 writes
+    # and the oracle's WHERE recomputes — all three sites share ONE
+    # SQL definition
+    fp = duckdb.execute(
+        events_md5_sql(f"'{sf_dir}/events.parquet'")
+    ).fetchone()[0]
     qs = E.queries()
-    for name, want in golden.items():
-        got = [list(r) for r in qs[name](spark, sf_dir).collect()]
-        assert got == want, f"{name}: golden mismatch\n got={got}\nwant={want}"
-        # seed stability: the fixed-seed spark.ml fits are deterministic
-        # within a session shape — a second run must reproduce the
-        # golden bit-for-bit, not merely rank-equivalently
-        again = [list(r) for r in qs[name](spark, sf_dir).collect()]
-        assert again == want, f"{name}: run-to-run seed instability"
+    for name in ("rf_importance", "lasso_importance", "rfe_importance"):
+        golden = pd.read_parquet(
+            os.path.join(goldens_dir, f"{name}.parquet")
+        )
+        want = (
+            golden[golden["corpus_md5"] == fp]
+            .drop(columns=["corpus_md5"])
+            .reset_index(drop=True)
+        )
+        assert len(want), f"{name}: no golden slice for events_md5={fp}"
+        got = qs[name](spark, sf_dir).toPandas()
+        cols = sorted(got.columns)
+        a = got[cols].sort_values(cols).reset_index(drop=True)
+        b = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+        # seed stability: a second run must reproduce the golden
+        # bit-for-bit, not merely rank-equivalently
+        again = qs[name](spark, sf_dir).toPandas()
+        a2 = again[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a2, b, check_exact=True)
