@@ -72,10 +72,15 @@ def _avg_rank(col: str, part: list[str]) -> F.Column:
     return F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0
 
 
-def importance_scores(candles: DataFrame) -> DataFrame:
+def importance_scores(
+    candles: DataFrame, matrix: DataFrame | None = None
+) -> DataFrame:
     """P7 — per (symbol, feature): |pearson|, |spearman|, F-statistic,
-    and per-method ranks (rank 1 = highest score)."""
-    s = stacked(feature_matrix(candles))
+    and per-method ranks (rank 1 = highest score).  Pass ``matrix`` to
+    score a prebuilt frame instead (the pooled consensus relabels the
+    per-symbol matrix with one constant symbol, so 'pooled' is just
+    'per-symbol with a single symbol' — no second code path)."""
+    s = stacked(matrix if matrix is not None else feature_matrix(candles))
     s = s.withColumn("rx", _avg_rank("x", ["symbol", "feature"])).withColumn(
         "ry", _avg_rank("y", ["symbol", "feature"])
     )
@@ -107,7 +112,9 @@ def importance_scores(candles: DataFrame) -> DataFrame:
     return out
 
 
-def mutual_info_scores(candles: DataFrame, bins: int = 10) -> DataFrame:
+def mutual_info_scores(
+    candles: DataFrame, bins: int = 10, matrix: DataFrame | None = None
+) -> DataFrame:
     """P7 mutual-information method (reference
     feature_importance.py:378-448, sklearn mutual_info_regression).
 
@@ -120,8 +127,8 @@ def mutual_info_scores(candles: DataFrame, bins: int = 10) -> DataFrame:
     last-ulp libm difference, absorbed by the 6dp output rounding.
     One stacked pass: bin (map-side), one groupBy for the joint
     counts, marginals as window sums over the (tiny) contingency
-    cells."""
-    s = stacked(feature_matrix(candles))
+    cells.  ``matrix`` as in :func:`importance_scores`."""
+    s = stacked(matrix if matrix is not None else feature_matrix(candles))
     g = Window.partitionBy("symbol", "feature")
 
     def binned(c: F.Column, mn: F.Column, mx: F.Column) -> F.Column:
@@ -328,3 +335,151 @@ def lasso_importance(
         [(f, abs(float(v)), float(v)) for f, v in zip(FEATURES, coefs)],
         ["feature", "importance", "coefficient"],
     )
+
+
+# the reference endpoint's method registry (advanced_features.py:
+# 249-257) in ALPHABETICAL order — the fixed operand order of every
+# mean/std expression below, so Spark and the DuckDB oracle run the
+# IDENTICAL left-associated float op sequence (no aggregation-order
+# freedom anywhere downstream of the per-method scores)
+ALL_METHODS = (
+    "correlation",
+    "f_statistic",
+    "lasso",
+    "mutual_info",
+    "random_forest",
+    "rfe",
+)
+
+
+def consensus_all_methods(candles: DataFrame) -> DataFrame:
+    """P8 — the reference's POOLED all-methods consensus
+    (advanced_features.py:230-372 + feature_importance.py:495-563):
+    `comprehensive_analysis` runs every method on ONE pooled feature
+    matrix, then `create_consensus_ranking` averages the per-method
+    max-normalized scores and inverted normalized ranks, with
+    methods_count and the np.std population spreads.  Six methods:
+    correlation (|pearson|), f_statistic, mutual_info (discretized),
+    random_forest, lasso, rfe — the three model tiers come from the
+    same deterministic pinned-layout fits as their standalone faces
+    (so the oracle can replay them from the golden parquets while the
+    SQL methods replay from events).
+
+    Exactness design: every method score is 6dp-ROUNDED before
+    normalization (one division of two identical doubles per cell),
+    ranks are row_number on the rounded scores, and the six-method
+    means/stds are FIXED-ORDER per-row arithmetic over pivoted
+    columns (`ALL_METHODS` order) — zero aggregation freedom after
+    the score stage, the per-row boundary-audit class."""
+    matrix = feature_matrix(candles)
+    pooled = matrix.withColumn("symbol", F.lit("_pooled_"))
+    sql_scores = importance_scores(candles, matrix=pooled)
+    mi = mutual_info_scores(candles, matrix=pooled)
+
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    tall = (
+        sql_scores.select(
+            F.lit("correlation").alias("method"),
+            "feature",
+            r6("pearson_score").alias("s"),
+        )
+        .unionByName(
+            sql_scores.select(
+                F.lit("f_statistic").alias("method"),
+                "feature",
+                r6("f_stat").alias("s"),
+            )
+        )
+        .unionByName(
+            mi.select(
+                F.lit("mutual_info").alias("method"),
+                "feature",
+                r6("mi_score").alias("s"),
+            )
+        )
+        .unionByName(
+            random_forest_importance(candles).select(
+                F.lit("random_forest").alias("method"),
+                "feature",
+                F.col("importance").alias("s"),
+            )
+        )
+        .unionByName(
+            lasso_importance(candles).select(
+                F.lit("lasso").alias("method"),
+                "feature",
+                F.col("importance").alias("s"),
+            )
+        )
+        .unionByName(
+            rfe_importance(candles).select(
+                F.lit("rfe").alias("method"),
+                "feature",
+                F.col("rank_score").alias("s"),
+            )
+        )
+    )
+    # the three model faces round their OUTPUT columns to 6dp; mirror
+    # that here so this face's inputs equal the goldens bit-for-bit
+    tall = tall.withColumn("s", r6("s"))
+    w_m = Window.partitionBy("method")
+    w_rank = Window.partitionBy("method").orderBy(
+        F.desc("s"), F.asc("feature")
+    )
+    n_feat = F.count(F.lit(1)).over(w_m)
+    normed = tall.select(
+        "method",
+        "feature",
+        F.when(F.max("s").over(w_m) > 0, F.col("s") / F.max("s").over(w_m))
+        .otherwise(0.0)
+        .alias("ns"),
+        (
+            (
+                n_feat.cast("double")
+                - F.row_number().over(w_rank)
+                + 1.0
+            )
+            / n_feat
+        ).alias("nr"),
+    )
+    pv = normed.groupBy("feature").agg(
+        *[
+            F.max(F.when(F.col("method") == m, F.col("ns"))).alias(f"ns_{m}")
+            for m in ALL_METHODS
+        ],
+        *[
+            F.max(F.when(F.col("method") == m, F.col("nr"))).alias(f"nr_{m}")
+            for m in ALL_METHODS
+        ],
+        F.count(F.lit(1)).alias("methods_count"),
+    )
+    k = float(len(ALL_METHODS))
+
+    def _mean(prefix: str) -> F.Column:
+        acc = F.col(f"{prefix}_{ALL_METHODS[0]}")
+        for m in ALL_METHODS[1:]:
+            acc = acc + F.col(f"{prefix}_{m}")
+        return acc / k
+
+    def _std(prefix: str, mean: F.Column) -> F.Column:
+        acc = None
+        for m in ALL_METHODS:
+            d = F.col(f"{prefix}_{m}") - mean
+            acc = d * d if acc is None else acc + d * d
+        return F.sqrt(acc / k)
+
+    avg_score = _mean("ns")
+    avg_rank = _mean("nr")
+    out = pv.select(
+        "feature",
+        avg_score.alias("avg_score"),
+        avg_rank.alias("avg_rank"),
+        ((avg_score + avg_rank) / 2.0).alias("consensus_score"),
+        F.col("methods_count").cast("int").alias("methods_count"),
+        _std("ns", avg_score).alias("score_std"),
+        _std("nr", avg_rank).alias("rank_std"),
+    )
+    w_final = Window.orderBy(
+        F.desc(F.round("consensus_score", 6)), F.asc("feature")
+    )
+    return out.withColumn("rank", F.row_number().over(w_final))

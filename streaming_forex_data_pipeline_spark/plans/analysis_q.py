@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..operators import backtest as B
 from ..operators import patterns as P
 from ..sources.tables import CANDLES_CTE, candles_from_events
-from .goldens import events_md5_sql, golden_oracle
+from .goldens import GOLDEN_DIR, events_md5_sql, golden_oracle
 from .registry import register
 
 R = 6
@@ -1598,6 +1598,190 @@ def rf_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "feature", F.round("importance", R).alias("importance")
     ).orderBy("feature")
+
+
+def _consensus_all_oracle() -> str:
+    """Hybrid oracle for the pooled six-method consensus: the three
+    SQL-expressible methods (pooled |pearson|, F-stat from the
+    6dp-rounded r, discretized MI) replay from events; the three
+    model tiers read their golden parquets (one shared fail-fast
+    events-md5 guard — the goldens regenerate together in
+    regen_importance.py, so guarding one file guards all).  Every
+    mean/std below is FIXED-ORDER per-row arithmetic in ALL_METHODS
+    (alphabetical) order, mirroring the Spark operator expression for
+    expression — no aggregation-order freedom after the score stage."""
+    from ..operators.importance import ALL_METHODS
+
+    g = {m: f"read_parquet('{GOLDEN_DIR}/{q}.parquet')" for m, q in (
+        ("random_forest", "rf_importance"),
+        ("lasso", "lasso_importance"),
+        ("rfe", "rfe_importance"),
+    )}
+    _pf = "PARTITION BY feature"
+    ns_cols = ",\n         ".join(
+        f"max(CASE WHEN method = '{m}' THEN ns END) AS ns_{m}"
+        for m in ALL_METHODS
+    )
+    nr_cols = ",\n         ".join(
+        f"max(CASE WHEN method = '{m}' THEN nr END) AS nr_{m}"
+        for m in ALL_METHODS
+    )
+    k = float(len(ALL_METHODS))
+    ns_sum = " + ".join(f"ns_{m}" for m in ALL_METHODS)
+    nr_sum = " + ".join(f"nr_{m}" for m in ALL_METHODS)
+    ns_var = " + ".join(
+        f"(ns_{m} - avg_score) * (ns_{m} - avg_score)" for m in ALL_METHODS
+    )
+    nr_var = " + ".join(
+        f"(nr_{m} - avg_rank) * (nr_{m} - avg_rank)" for m in ALL_METHODS
+    )
+    return (
+        CANDLES_CTE
+        + _FEATURE_MATRIX_CTE
+        + f"""
+, aggp AS (
+  SELECT feature,
+         count(*) AS n,
+         abs(corr(x, y)) AS pearson_score,
+         CASE WHEN round(corr(x, y), 6) * round(corr(x, y), 6) < 1.0
+              THEN round(corr(x, y), 6) * round(corr(x, y), 6)
+                   / (1.0 - round(corr(x, y), 6) * round(corr(x, y), 6))
+                   * (count(*) - 2) END AS f_stat
+  FROM st GROUP BY feature
+),
+mip_b AS (
+  SELECT feature,
+         CASE WHEN max(x) OVER ({_pf}) = min(x) OVER ({_pf}) THEN 0
+              ELSE CAST(least(floor(((x - min(x) OVER ({_pf}))
+                     / (max(x) OVER ({_pf}) - min(x) OVER ({_pf}))) * 10.0),
+                   9.0) AS BIGINT) END AS bx,
+         CASE WHEN max(y) OVER ({_pf}) = min(y) OVER ({_pf}) THEN 0
+              ELSE CAST(least(floor(((y - min(y) OVER ({_pf}))
+                     / (max(y) OVER ({_pf}) - min(y) OVER ({_pf}))) * 10.0),
+                   9.0) AS BIGINT) END AS by
+  FROM st
+),
+mip_joint AS (
+  SELECT feature, bx, by, count(*) AS c
+  FROM mip_b GROUP BY feature, bx, by
+),
+mip_t AS (
+  SELECT feature,
+         (CAST(c AS DOUBLE) / CAST(sum(c) OVER ({_pf}) AS DOUBLE))
+         * ln(CAST(c * sum(c) OVER ({_pf}) AS DOUBLE)
+              / CAST(sum(c) OVER ({_pf}, bx) * sum(c) OVER ({_pf}, by)
+                     AS DOUBLE)) AS t
+  FROM mip_joint
+),
+mip AS (
+  SELECT feature, sum(t) AS mi_score FROM mip_t GROUP BY feature
+),
+gkey AS (
+  SELECT CASE WHEN f IN (SELECT DISTINCT corpus_md5
+                         FROM {g['random_forest']}) THEN f
+         ELSE error('consensus_all_methods: no golden slice for this '
+                    || 'corpus (events md5 ' || f
+                    || ') -- run tests/goldens/regen_importance.py') END
+         AS f
+  FROM ({events_md5_sql()})
+),
+meth AS (
+  SELECT 'correlation' AS method, feature, round(pearson_score, 6) AS s
+  FROM aggp
+  UNION ALL
+  SELECT 'f_statistic', feature, round(f_stat, 6) FROM aggp
+  UNION ALL
+  SELECT 'mutual_info', feature, round(mi_score, 6) FROM mip
+  UNION ALL
+  SELECT 'random_forest', feature, round(importance, 6)
+  FROM {g['random_forest']} WHERE corpus_md5 = (SELECT f FROM gkey)
+  UNION ALL
+  SELECT 'lasso', feature, round(importance, 6)
+  FROM {g['lasso']} WHERE corpus_md5 = (SELECT f FROM gkey)
+  UNION ALL
+  SELECT 'rfe', feature, round(rank_score, 6)
+  FROM {g['rfe']} WHERE corpus_md5 = (SELECT f FROM gkey)
+),
+normed AS (
+  SELECT method, feature,
+         CASE WHEN max(s) OVER (PARTITION BY method) > 0
+              THEN s / max(s) OVER (PARTITION BY method)
+              ELSE 0.0 END AS ns,
+         (CAST(count(*) OVER (PARTITION BY method) AS DOUBLE)
+            - row_number() OVER (PARTITION BY method
+                                 ORDER BY s DESC, feature) + 1.0)
+           / count(*) OVER (PARTITION BY method) AS nr
+  FROM meth
+),
+pv AS (
+  SELECT feature,
+         {ns_cols},
+         {nr_cols},
+         count(*) AS methods_count
+  FROM normed GROUP BY feature
+),
+fin AS (
+  SELECT feature,
+         ({ns_sum}) / {k} AS avg_score,
+         ({nr_sum}) / {k} AS avg_rank,
+         methods_count
+  FROM pv
+),
+fin2 AS (
+  SELECT f.feature, f.avg_score, f.avg_rank,
+         (f.avg_score + f.avg_rank) / 2.0 AS consensus_score,
+         f.methods_count,
+         sqrt(({ns_var}) / {k}) AS score_std,
+         sqrt(({nr_var}) / {k}) AS rank_std
+  FROM fin f JOIN pv USING (feature)
+)
+SELECT feature,
+       round(avg_score, 6) AS avg_score,
+       round(avg_rank, 6) AS avg_rank,
+       round(consensus_score, 6) AS consensus_score,
+       CAST(methods_count AS INT) AS methods_count,
+       round(score_std, 6) AS score_std,
+       round(rank_std, 6) AS rank_std,
+       CAST(row_number() OVER (
+            ORDER BY round(consensus_score, 6) DESC, feature) AS INT)
+         AS rank
+FROM fin2
+ORDER BY rank
+"""
+    )
+
+
+@register(
+    "consensus_all_methods",
+    oracle=_consensus_all_oracle(),
+    doc="P8 — the reference's POOLED all-methods consensus endpoint "
+    "(advanced_features.py:230-372 → feature_importance.py:495-563): "
+    "all six methods (correlation, f_statistic, mutual_info, "
+    "random_forest, lasso, rfe) on ONE pooled feature matrix, "
+    "per-method max-normalized scores + inverted normalized ranks "
+    "averaged, with methods_count and the np.std population spreads. "
+    " Completes the consensus fidelity beside the per-symbol 4-method "
+    "`feature_importance_consensus` (r12 verdict Missing #1).  The "
+    "model tiers reuse the pinned-layout deterministic fits, so the "
+    "oracle replays them from the golden parquets while the SQL "
+    "methods replay from events — the whole face is driver-hash-"
+    "checked.",
+)
+def consensus_all_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import importance as IMP
+
+    c = candles_from_events(spark, sf_dir)
+    out = IMP.consensus_all_methods(c)
+    return out.select(
+        "feature",
+        F.round("avg_score", R).alias("avg_score"),
+        F.round("avg_rank", R).alias("avg_rank"),
+        F.round("consensus_score", R).alias("consensus_score"),
+        "methods_count",
+        F.round("score_std", R).alias("score_std"),
+        F.round("rank_std", R).alias("rank_std"),
+        "rank",
+    ).orderBy("rank")
 
 
 @register(

@@ -65,6 +65,40 @@ def test_parse_alpha_vantage_malformed_is_dropped(spark):
     assert P.parse_alpha_vantage(df).count() == 0
 
 
+def test_parse_alpha_vantage_indicator(spark):
+    """S4 sibling (alpha_vantage_client.py:148-175): the economic-
+    indicator `{'data': [{date, value}]}` shape — empty and
+    non-numeric ('.') values become NULL, a payload without 'data'
+    parses to zero rows, malformed JSON never raises."""
+    good = json.dumps(
+        {
+            "name": "Real GDP",
+            "interval": "annual",
+            "unit": "billions of dollars",
+            "data": [
+                {"date": "2023-01-01", "value": "27360.935"},
+                {"date": "2022-01-01", "value": "25744.108"},
+                {"date": "2021-01-01", "value": ""},
+                {"date": "2020-01-01", "value": "."},
+            ],
+        }
+    )
+    df = spark.createDataFrame(
+        [(good,), ("{not json",), (json.dumps({"name": "CPI"}),)],
+        ["payload"],
+    )
+    out = P.parse_alpha_vantage_indicator(df).orderBy("ts")
+    assert out.columns == ["indicator", "date", "value", "ts"]
+    rows = out.collect()
+    assert len(rows) == 4  # only the well-formed response yields rows
+    assert {r["indicator"] for r in rows} == {"Real GDP"}
+    assert rows[0]["date"] == "2020-01-01"
+    assert rows[0]["value"] is None  # '.' placeholder -> NULL
+    assert rows[1]["value"] is None  # empty string -> NULL
+    assert rows[3]["value"] == pytest.approx(27360.935)
+    assert rows[3]["ts"] == dt.datetime(2023, 1, 1)
+
+
 def _polygon_payload():
     t0 = int(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc).timestamp() * 1000)
     return json.dumps(
