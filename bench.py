@@ -406,9 +406,27 @@ def main() -> None:
         "slow_lane_errors": lane_errors,
         "coverage": {"never_timed": never_timed},
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # quiet-host gate (r12 verdict Next #7: the committed r12 sweep
+    # started at loadavg 9.4, inflating the tail and muddying the
+    # round-over-round regression read): a NOISY sweep must not
+    # overwrite a QUIETER committed BENCH_DETAIL.  Noisy runs land in
+    # BENCH_DETAIL_NOISY.json instead, the summary line says so, and
+    # the canonical per-query record keeps the best measurement
+    # conditions seen.  A noisy run still replaces an even-noisier
+    # detail, so the file converges toward quiet-host numbers.
+    detail_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(detail_dir, "BENCH_DETAIL.json")
+    detail_gated = False
+    if load_start[0] > 2.0 and os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                prev_load = json.load(fh).get("loadavg_start", [0.0])[0]
+        except Exception:  # noqa: BLE001 — unreadable detail: replace
+            prev_load = float("inf")
+        detail_gated = prev_load < load_start[0]
+    if detail_gated:
+        detail_path = os.path.join(detail_dir, "BENCH_DETAIL_NOISY.json")
+    detail["detail_gated_by_loadavg"] = detail_gated
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -428,7 +446,7 @@ def main() -> None:
         "n_slow_lane": len(slow_lane),
         "n_slow_lane_errors": len(lane_errors),
         "n_never_timed": len(never_timed),
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(detail_path),
     }
     line = json.dumps(out)
     if len(line) >= 1500:
