@@ -1538,6 +1538,37 @@ def knn_graph_search_batch(
     stack a deep plan.  The early-exhaustion break is per-query by
     construction: a query whose frontier dried up simply adds no new
     (qid, vec_id) rows in later rounds."""
+    scores, visited, w = _batch_walk_visited(
+        emb, graph, queries, beam=beam, steps=steps,
+        n_planes=n_planes, scores=scores,
+    )
+    return (
+        scores.join(F.broadcast(visited), ["qid", "vec_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cos_sim", "rank")
+    )
+
+
+def _batch_walk_visited(
+    emb: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    beam: int = 4,
+    steps: int = 4,
+    n_planes: int = 4,
+    scores: DataFrame | None = None,
+):
+    """The batch walk's shared core: returns (scores, visited, w)
+    where ``visited`` is the final (qid, vec_id, added_round) set —
+    added_round 0 for the shared entry points, i for ids first seen
+    in round i — and ``w`` is the per-qid ranking window.  The round
+    tag costs one int column on the frontier-sized state and changes
+    NO walk decision (joins/anti-joins key on (qid, vec_id) alone);
+    `knn_graph_search_batch` ranks over it, `knn_graph_convergence`
+    reads the tags to report when each query's answer actually
+    stopped improving (r12 verdict Next #5: measure the steps=8
+    budget instead of assuming it)."""
     from pyspark.sql import Window
 
     from ..sources.tables import fan_out
@@ -1560,12 +1591,16 @@ def knn_graph_search_batch(
         .agg(F.min("vec_id").alias("vec_id"))
         .select("vec_id")
     )
-    visited = qids.crossJoin(entries).localCheckpoint()
-    beam_df = visited
+    visited = (
+        qids.crossJoin(entries)
+        .withColumn("added_round", F.lit(0))
+        .localCheckpoint()
+    )
+    beam_df = visited.select("qid", "vec_id")
     w = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
-    for _ in range(steps):
+    for i in range(1, steps + 1):
         # walk state (beam, visited) stays frontier-sized — broadcast
         # it against the graph and the score matrix so no round ever
         # shuffles corpus-sized data
@@ -1580,7 +1615,7 @@ def knn_graph_search_batch(
         )
         new = cands.join(
             F.broadcast(visited), ["qid", "vec_id"], "left_anti"
-        )
+        ).withColumn("added_round", F.lit(i))
         # BOTH state frames are checkpointed every round: each is
         # frontier-sized (thousands of rows), and an un-cut beam plan
         # would re-execute its scores-window lineage inside every
@@ -1594,9 +1629,55 @@ def knn_graph_search_batch(
             .select("qid", "vec_id")
             .localCheckpoint()
         )
-    return (
+    return scores, visited, w
+
+
+def knn_graph_convergence(
+    emb: DataFrame,
+    graph: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 4,
+    steps: int = 4,
+    n_planes: int = 4,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """Per-query convergence report for the batch graph walk (r12
+    verdict Next #5): for each qid,
+
+    - ``last_growth_round`` — the last round that added ANY new id to
+      the qid's visited set (0 = the entry set was already closed);
+      rounds beyond it are per-query no-ops, so its distribution is
+      the measured upper bound on a useful ``steps`` budget;
+    - ``topk_stable_round`` — the round by which every member of the
+      FINAL top-k had been visited: the answer never changes after
+      it, so this is the round budget that would have sufficed;
+    - ``n_visited`` — the qid's total visited-set size (the walk's
+      per-query cost proxy).
+
+    Pure integers over the identical tagged walk state the search
+    face ranks (same entries, beam, ties, budget — one shared core,
+    so the report can never drift from the search), making the face
+    exactly hash-checkable with zero float surface."""
+    scores, visited, w = _batch_walk_visited(
+        emb, graph, queries, beam=beam, steps=steps,
+        n_planes=n_planes, scores=scores,
+    )
+    topk = (
         scores.join(F.broadcast(visited), ["qid", "vec_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("qid", "vec_id", "cos_sim", "rank")
+    )
+    growth = visited.groupBy("qid").agg(
+        F.max("added_round").alias("last_growth_round"),
+        F.count(F.lit(1)).alias("n_visited"),
+    )
+    stable = topk.groupBy("qid").agg(
+        F.max("added_round").alias("topk_stable_round")
+    )
+    return growth.join(stable, "qid").select(
+        "qid",
+        F.col("last_growth_round").cast("int").alias("last_growth_round"),
+        F.col("topk_stable_round").cast("int").alias("topk_stable_round"),
+        F.col("n_visited").cast("long").alias("n_visited"),
     )

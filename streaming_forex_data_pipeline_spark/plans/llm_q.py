@@ -1645,6 +1645,67 @@ def graph_recall_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_convergence_rounds",
+    oracle="WITH "
+    + _knn_walk_batch_ctes("vec_id % 7 = 3", steps=8, beam=16)
+    + """,
+tagged AS (
+  SELECT qid, vec_id, 0 AS r FROM v0
+"""
+    + "".join(
+        f"  UNION ALL SELECT qid, vec_id, {i} FROM c{i}\n"
+        for i in range(1, 9)
+    )
+    + """),
+wtop AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid
+                              ORDER BY s.cos DESC, s.vec_id ASC) AS rn
+    FROM scores s JOIN v8 USING (qid, vec_id))
+  WHERE rn <= 10
+),
+growth AS (
+  SELECT qid, max(r) AS last_growth_round, count(*) AS n_visited
+  FROM tagged GROUP BY qid
+),
+stab AS (
+  SELECT w.qid, max(t.r) AS topk_stable_round
+  FROM wtop w JOIN tagged t USING (qid, vec_id)
+  GROUP BY w.qid
+)
+SELECT g.qid,
+       CAST(g.last_growth_round AS INT) AS last_growth_round,
+       CAST(s.topk_stable_round AS INT) AS topk_stable_round,
+       CAST(g.n_visited AS BIGINT) AS n_visited
+FROM growth g JOIN stab s USING (qid)
+ORDER BY g.qid
+""",
+    doc="Convergence report for the batch graph walk (r12 verdict "
+    "Next #5: the steps=8 budget was assumed, not measured): per "
+    "qid, the last round that grew the visited set, the round by "
+    "which the FINAL top-10 was fully visited (the budget that would "
+    "have sufficed — the actionable number), and the visited-set "
+    "size (per-query cost proxy).  Shares `_batch_walk_visited` with "
+    "the search face — identical entries/beam/ties/budget by "
+    "construction, the added_round tag changes no walk decision — "
+    "and the oracle reads the same unrolled c1..c8 round CTEs the "
+    "search oracle walks.  All integers: zero float surface, exact "
+    "hash check.  Feeds graph_recall_batch: a qid whose recall is "
+    "low AND whose growth stopped early is component-trapped "
+    "(needs more entries/planes), not budget-starved.",
+)
+def graph_convergence_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
+    qs = e.filter(F.col("vec_id") % 7 == 3)
+    out = SIM.knn_graph_convergence(
+        e, g, qs, k=10, beam=16, steps=8
+    )
+    return out.orderBy("qid")
+
+
+@register(
     "incremental_dedup",
     oracle=r"""
 WITH m AS (
