@@ -3157,6 +3157,13 @@ def _build_once(out_dir: str, build) -> str:
             shutil.rmtree(tmp, ignore_errors=True)
             if not (Path(out_dir) / "_SUCCESS").exists():
                 raise
+    # LRU touch: slot mtime = last consumption, so
+    # scratch.retire_stale_silvers can age out superseded-fingerprint
+    # silvers without ever racing one a live session still reads
+    try:
+        os.utime(out_dir, None)
+    except OSError:
+        pass  # read-only root or a raced retire — the read still works
     return out_dir
 
 

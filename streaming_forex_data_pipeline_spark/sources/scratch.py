@@ -65,6 +65,57 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=user_scratch_root())
 
 
+def retire_stale_silvers(
+    prefix: str,
+    max_age_seconds: float,
+    keep: tuple = (),
+) -> list[str]:
+    """Retire content-addressed silver slots whose corpus fingerprint
+    went stale (r12 verdict Next #4: silvers are keyed by fingerprint
+    and maintained incrementally, but nothing ever RETIRED a replaced
+    corpus's cache — scratch grew one dead silver per corpus edit,
+    forever).
+
+    Policy is LRU by directory mtime: `_build_once` touches a
+    silver's slot on every successful use, so mtime is
+    last-consumption time, and any slot under ``prefix`` untouched
+    for ``max_age_seconds`` is dead weight — a superseded
+    fingerprint, or a corpus nobody queries anymore.  Age-based (not
+    newest-fingerprint-wins) because DIFFERENT live corpora share the
+    root (the three testdata scales each keep a silver) and must not
+    thrash each other's caches.  The same rule reclaims the
+    documented ``.build-*`` leak of hard-killed builders: a LIVE
+    builder's tmp dir has a fresh mtime, so the age guard never races
+    it.  ``keep`` lists slot basenames exempt from retirement.
+    Returns the removed paths; never touches non-directories,
+    symlinks, or names outside ``prefix``."""
+    import shutil
+    import time
+
+    if not prefix:
+        # an empty prefix would sweep EVERY channel's checkpoint and
+        # sink under the shared root, not just the named silver family
+        raise ValueError("retire_stale_silvers needs a non-empty prefix")
+    root = user_scratch_root()
+    now = time.time()
+    removed = []
+    for entry in sorted(os.listdir(root)):
+        if not entry.startswith(prefix) or entry in keep:
+            continue
+        p = os.path.join(root, entry)
+        try:
+            st = os.lstat(p)
+        except OSError:
+            continue  # raced another retirer — already gone
+        if not _stat.S_ISDIR(st.st_mode):
+            continue  # symlinks and stray files are not ours to judge
+        if now - st.st_mtime < max_age_seconds:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return removed
+
+
 def scratch_path(name: str) -> str:
     """A deterministic named slot under the verified root for
     content-addressed caches (the IVF silver-table pattern): same

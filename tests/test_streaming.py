@@ -2601,3 +2601,132 @@ def test_knn_graph_channel_matches_batch_build(spark, sf_dir, tmp_path):
     assert any(s % 2 == 0 and d % 2 == 1 for s, d, _, _ in got), (
         "no batch-1 source re-ranked by batch 2 — upsert untested"
     )
+
+
+def test_knn_graph_channel_long_run_log_stays_bounded(
+    spark, sf_dir, tmp_path
+):
+    """Round 13 (r12 verdict Next #4 — graph-silver lifecycle): 20
+    micro-batches through the kNN-graph channel with compact_every=4.
+    After the drain (a) read-back equality with the from-scratch
+    batch rebuild still holds — compaction folded ONLY settled
+    commits and preserved keep-latest (src, rank) upsert ordering —
+    and (b) the log is BOUNDED: live (non-replaced) manifests stay
+    O(compact_every), total on-disk manifests far below one per
+    micro-batch, and vacuum left no unreferenced staging dirs."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.sources.sinks import _commit_ids
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_knn_graph_channel,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_batches = 20
+    src = str(tmp_path / "knng_many_batches")
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("vec_id") % n_batches == i)
+         for i in range(n_batches)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    graph_dir = str(tmp_path / "knng_edges_long")
+    q = start_knn_graph_channel(
+        spark, sf_dir, sink_table="knng_long_run",
+        vec_dir=str(tmp_path / "knng_vecs_long"), graph_dir=graph_dir,
+        stream=stream, k=3, n_planes=4, compact_every=4,
+    )
+    q.awaitTermination(600)
+
+    # (a) parity with the batch rebuild, through 5 compaction cycles
+    got = sorted(
+        (r["src"], r["dst"], round(r["cos_sim"], 5), r["rank"])
+        for r in spark.table("knng_long_run").collect()
+    )
+    want = sorted(
+        (r["src"], r["dst"], round(r["cos_sim"], 5), r["rank"])
+        for r in SIM.knn_graph(e, k=3, n_planes=4).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # (b) bounded log: physical manifests far below one per batch,
+    # live manifests O(compact_every)
+    log_dir = os.path.join(graph_dir, "_log")
+    cids = _commit_ids(log_dir)
+    assert len(cids) < n_batches // 2, (
+        f"{len(cids)} manifests after {n_batches} batches — "
+        "compaction is not folding the log"
+    )
+    manifests = {}
+    for cid in cids:
+        with open(os.path.join(log_dir, f"{cid:020d}.json")) as fh:
+            manifests[cid] = json.load(fh)
+    replaced = set()
+    for m in manifests.values():
+        replaced.update(m.get("replaces", ()))
+    live = [c for c in cids if c not in replaced]
+    assert len(live) <= 4 + 2, f"live manifests unbounded: {live}"
+    # vacuum: every surviving staging dir is referenced by a manifest
+    staged_root = os.path.join(graph_dir, "_staged")
+    referenced = {m["staged"] for m in manifests.values()}
+    orphans = set(os.listdir(staged_root)) - referenced
+    assert not orphans, f"vacuum left unreferenced staging dirs: {orphans}"
+
+
+def test_retire_stale_silvers_lru_rules(tmp_path, monkeypatch):
+    """Round 13 (r12 verdict Next #4): age-based silver retirement —
+    stale slots under the prefix go, recently-used slots stay, `keep`
+    names are exempt, foreign entries (other prefixes, files,
+    symlinks) are never touched, and an empty prefix is rejected
+    (it would sweep every channel's state under the shared root)."""
+    import os
+    import time
+
+    import pytest
+
+    from streaming_forex_data_pipeline_spark.sources import scratch as SC
+
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path)
+    )
+    old = time.time() - 10 * 86400
+    def mk(name, mtime=None):
+        p = SC.scratch_path(name)
+        os.makedirs(p)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+        return p
+
+    stale = mk("tstret_v1_aaa_k3", mtime=old)
+    fresh = mk("tstret_v1_bbb_k3")  # mtime = now: in active use
+    kept = mk("tstret_v1_ccc_k3", mtime=old)
+    foreign = mk("other_channel_ckpt", mtime=old)
+    builder_leak = mk("tstret_v1_aaa_k3.build-dead", mtime=old)
+    stray_file = os.path.join(SC.user_scratch_root(), "tstret_file")
+    open(stray_file, "w").close()
+    os.utime(stray_file, (old, old))
+
+    with pytest.raises(ValueError, match="non-empty prefix"):
+        SC.retire_stale_silvers("", max_age_seconds=0)
+
+    removed = SC.retire_stale_silvers(
+        "tstret_", max_age_seconds=7 * 86400,
+        keep=("tstret_v1_ccc_k3",),
+    )
+    assert sorted(removed) == sorted([stale, builder_leak])
+    assert not os.path.exists(stale)
+    assert not os.path.exists(builder_leak)
+    assert os.path.exists(fresh)
+    assert os.path.exists(kept)
+    assert os.path.exists(foreign)
+    assert os.path.exists(stray_file)
