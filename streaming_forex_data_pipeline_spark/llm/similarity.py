@@ -1600,6 +1600,7 @@ def _batch_walk_visited(
     w = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
+    n_visited = visited.count()
     for i in range(1, steps + 1):
         # walk state (beam, visited) stays frontier-sized — broadcast
         # it against the graph and the score matrix so no round ever
@@ -1621,7 +1622,19 @@ def _batch_walk_visited(
         # would re-execute its scores-window lineage inside every
         # broadcast build that references it — the profiled cost was
         # plan re-execution, not the checkpoints themselves
-        visited = visited.unionByName(new).localCheckpoint()
+        grown = visited.unionByName(new).localCheckpoint()
+        # global early exit (r13, justified by graph_convergence_rounds:
+        # at the gate scale every query's growth stops by round 6 of 8):
+        # a round that added NO new (qid, vec_id) anywhere leaves
+        # visited AND the next beam identical, so every later round is
+        # a provable no-op — the batch sibling of the single-walk
+        # `if not cands: break`.  One count per round on the
+        # just-checkpointed frontier-sized state.
+        n_grown = grown.count()
+        if n_grown == n_visited:
+            break
+        n_visited = n_grown
+        visited = grown
         beam_df = (
             scores.join(F.broadcast(visited), ["qid", "vec_id"])
             .withColumn("rn", F.row_number().over(w))

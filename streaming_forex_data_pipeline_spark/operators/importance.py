@@ -203,6 +203,28 @@ def consensus_ranking(
     )
 
 
+# Per-session model-fit cache (r13): the pinned-layout fits are pure
+# functions of (candle frame, hyperparams), and four faces consume
+# them (rf/lasso/rfe + consensus_all_methods), so each fit runs once
+# per session per corpus — the candle-cache doctrine applied to model
+# outputs.  Keyed WEAKLY on the candle DataFrame object itself
+# (candles_from_events returns a per-(session, corpus) singleton, so
+# identity IS the corpus key; a caller's transient frame gets its own
+# entry that dies with it — never a false hit from id() reuse).
+import weakref  # noqa: E402
+
+_FIT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _cached_model(candles: DataFrame, key: str, build) -> DataFrame:
+    per = _FIT_CACHE.setdefault(candles, {})
+    if key not in per:
+        df = build()
+        per[key] = (df.schema, df.collect())
+    schema, rows = per[key]
+    return candles.sparkSession.createDataFrame(rows, schema)
+
+
 def _pin_fit_layout(matrix: DataFrame) -> DataFrame:
     """One partition, (symbol, ts)-sorted: spark.ml's RF bagging draws
     per-partition seeded Poisson counts in row order and L-BFGS sums
