@@ -817,6 +817,15 @@ def knn_graph(
     pairs = (
         lhs.join(rhs, "bucket")
         .filter(F.col("src") != F.col("dst"))
+        # zero-norm guard (advice r13): a degenerate vector's cosine
+        # is NaN in Spark (IEEE 0/0) but NULL in DuckDB (div-by-zero
+        # -> NULL), and NaN ranks ABOVE every finite value descending
+        # while NULL ranks last — so an unguarded build would hand
+        # Spark a garbage top-1 edge the oracle never sees.  Dropping
+        # the pair in BOTH engines (the oracle CTEs carry the same
+        # predicate) makes degenerate vectors edgeless-by-construction
+        # on either side.
+        .filter(F.col("n_s") * F.col("n_d") != 0)
         .select(
             "src",
             "dst",
@@ -908,6 +917,10 @@ def knn_graph_delta(
     pairs = (
         lhs.join(rhs, "bucket")
         .filter(F.col("src") != F.col("dst"))
+        # zero-norm guard — identical to knn_graph's: the incremental
+        # path must rebuild affected buckets exactly as the
+        # from-scratch build would, guard included
+        .filter(F.col("n_s") * F.col("n_d") != 0)
         .select(
             "src",
             "dst",

@@ -1313,6 +1313,11 @@ agg AS (
                    * (count(*) - 2) END AS f_stat
   FROM ranked
   GROUP BY symbol, feature
+  -- zero-variance guard (r14, mirrors importance_scores): a group
+  -- with constant x or y has no defined correlation (DuckDB corr ->
+  -- NULL; Spark corr under ANSI -> DIVIDE_BY_ZERO), so the method
+  -- does not report the feature at all in either engine
+  HAVING min(x) <> max(x) AND min(y) <> max(y)
 ),
 scored AS (
   SELECT symbol, feature, n, pearson_score, spearman_score, f_stat,
@@ -1626,14 +1631,21 @@ def _consensus_all_oracle() -> str:
         f"max(CASE WHEN method = '{m}' THEN nr END) AS nr_{m}"
         for m in ALL_METHODS
     )
-    k = float(len(ALL_METHODS))
-    ns_sum = " + ".join(f"ns_{m}" for m in ALL_METHODS)
-    nr_sum = " + ".join(f"nr_{m}" for m in ALL_METHODS)
+    # fixed-order sums over the per-feature NON-NULL method count
+    # (advice r13 — the reference's np.mean over methods present):
+    # COALESCE(missing, 0) + divide by methods_count; with all six
+    # present the divisor is the same 6.0 double as the old fixed k,
+    # so every committed hash is bit-identical.  Mirrors the Spark
+    # operator expression for expression.
+    ns_sum = " + ".join(f"COALESCE(ns_{m}, 0.0)" for m in ALL_METHODS)
+    nr_sum = " + ".join(f"COALESCE(nr_{m}, 0.0)" for m in ALL_METHODS)
     ns_var = " + ".join(
-        f"(ns_{m} - avg_score) * (ns_{m} - avg_score)" for m in ALL_METHODS
+        f"COALESCE((ns_{m} - avg_score) * (ns_{m} - avg_score), 0.0)"
+        for m in ALL_METHODS
     )
     nr_var = " + ".join(
-        f"(nr_{m} - avg_rank) * (nr_{m} - avg_rank)" for m in ALL_METHODS
+        f"COALESCE((nr_{m} - avg_rank) * (nr_{m} - avg_rank), 0.0)"
+        for m in ALL_METHODS
     )
     return (
         CANDLES_CTE
@@ -1648,6 +1660,8 @@ def _consensus_all_oracle() -> str:
                    / (1.0 - round(corr(x, y), 6) * round(corr(x, y), 6))
                    * (count(*) - 2) END AS f_stat
   FROM st GROUP BY feature
+  -- zero-variance guard (r14): see the per-symbol scores CTE
+  HAVING min(x) <> max(x) AND min(y) <> max(y)
 ),
 mip_b AS (
   SELECT feature,
@@ -1711,7 +1725,7 @@ normed AS (
             - row_number() OVER (PARTITION BY method
                                  ORDER BY s DESC, feature) + 1.0)
            / count(*) OVER (PARTITION BY method) AS nr
-  FROM meth
+  FROM meth WHERE s IS NOT NULL
 ),
 pv AS (
   SELECT feature,
@@ -1722,8 +1736,8 @@ pv AS (
 ),
 fin AS (
   SELECT feature,
-         ({ns_sum}) / {k} AS avg_score,
-         ({nr_sum}) / {k} AS avg_rank,
+         ({ns_sum}) / CAST(methods_count AS DOUBLE) AS avg_score,
+         ({nr_sum}) / CAST(methods_count AS DOUBLE) AS avg_rank,
          methods_count
   FROM pv
 ),
@@ -1731,8 +1745,8 @@ fin2 AS (
   SELECT f.feature, f.avg_score, f.avg_rank,
          (f.avg_score + f.avg_rank) / 2.0 AS consensus_score,
          f.methods_count,
-         sqrt(({ns_var}) / {k}) AS score_std,
-         sqrt(({nr_var}) / {k}) AS rank_std
+         sqrt(({ns_var}) / CAST(f.methods_count AS DOUBLE)) AS score_std,
+         sqrt(({nr_var}) / CAST(f.methods_count AS DOUBLE)) AS rank_std
   FROM fin f JOIN pv USING (feature)
 )
 SELECT feature,

@@ -1208,6 +1208,7 @@ pairs AS (
   SELECT a.vec_id AS src, c.vec_id AS dst,
          list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+                   AND a.nn * c.nn <> 0
 ),
 r AS (
   SELECT src, dst, cos,
@@ -1291,6 +1292,7 @@ pairs2 AS (
   SELECT a.vec_id AS src, c.vec_id AS dst,
          list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
   FROM bk2 a JOIN bk2 c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+                       AND a.nn * c.nn <> 0
 ),
 r2 AS (
   SELECT src, dst,
@@ -1306,7 +1308,7 @@ graph AS MATERIALIZED (
 q AS (SELECT v AS qv, nn AS qn FROM b WHERE vec_id = 100),
 scores AS MATERIALIZED (
   SELECT b.vec_id, list_dot_product(b.v, q.qv) / (b.nn * q.qn) AS cos
-  FROM b, q
+  FROM b, q WHERE b.nn * q.qn <> 0
 ),
 v0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM b GROUP BY bucket),
 b0 AS (SELECT vec_id FROM v0),
@@ -1451,6 +1453,7 @@ def _knn_walk_batch_ctes(
   SELECT a.vec_id AS src, c.vec_id AS dst,
          list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
   FROM {p}b a JOIN {p}b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+                         AND a.nn * c.nn <> 0
 ),
 {p}r AS (
   SELECT src, dst,
@@ -1467,6 +1470,7 @@ def _knn_walk_batch_ctes(
          list_dot_product(a.v, c.v) / (a.nn * c.nn) AS cos
   FROM {p}bk2 a JOIN {p}bk2 c
     ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+   AND a.nn * c.nn <> 0
 ),
 {p}r2 AS (
   SELECT src, dst,
@@ -1485,7 +1489,7 @@ def _knn_walk_batch_ctes(
 {p}scores AS MATERIALIZED (
   SELECT q.qid, b.vec_id,
          list_dot_product(b.v, q.qv) / (b.nn * q.qn) AS cos
-  FROM {p}b b, {p}q q
+  FROM {p}b b, {p}q q WHERE b.nn * q.qn <> 0
 ),
 {p}e0 AS MATERIALIZED (
   SELECT min(vec_id) AS vec_id FROM {p}b GROUP BY bucket
@@ -3174,7 +3178,7 @@ def _build_once(out_dir: str, build) -> str:
 # surfacing as a baffling oracle hash mismatch instead of a rebuild.
 # BUMP THIS whenever the edge construction changes meaning — the
 # golden corpus_md5 fail-fast doctrine applied to the silver.
-_KNNG_ALGO_VERSION = "v1"
+_KNNG_ALGO_VERSION = "v2"  # v2 (r14): zero-norm pairs dropped in build
 
 
 def _knn_graph_silver(

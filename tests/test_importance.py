@@ -150,3 +150,79 @@ def test_importance_goldens_exact(spark, sf_dir):
         again = qs[name](spark, sf_dir).toPandas()
         a2 = again[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a2, b, check_exact=True)
+
+
+def test_fit_cache_shared_across_faces(spark, sf_dir):
+    """The per-session `_FIT_CACHE` (r13, wired r14) must make the
+    four model-consuming faces share fits: after rf + lasso + rfe
+    run, `consensus_all_methods` must add ZERO new fit entries (it
+    replays every model from the cache), and RFE's first elimination
+    round must share random_forest_importance's all-features fit
+    (same key) rather than re-fitting it."""
+    c = candles_from_events(spark, sf_dir)
+    slot = IMP._FIT_CACHE.get(c)
+    if slot is not None:
+        slot.clear()
+
+    IMP.random_forest_importance(c).collect()
+    keys_rf = set(IMP._FIT_CACHE[c])
+    rf_fit_keys = {k for k in keys_rf if k.startswith("rf:")}
+    assert len(rf_fit_keys) == 1
+
+    IMP.rfe_importance(c).collect()
+    keys_rfe = set(IMP._FIT_CACHE[c])
+    # n_features=5 -> eliminate down to 2 = 3 rounds; round 1 (all
+    # features) must be the SAME key rf_importance already cached
+    assert rf_fit_keys < keys_rfe
+    assert len({k for k in keys_rfe if k.startswith("rf:")}) == 3
+
+    IMP.lasso_importance(c).collect()
+    keys_before = set(IMP._FIT_CACHE[c])
+
+    out = IMP.consensus_all_methods(c)
+    assert out.count() == len(IMP.FEATURES)
+    assert set(IMP._FIT_CACHE[c]) == keys_before, (
+        "consensus_all_methods must replay cached fits, not re-fit"
+    )
+
+
+def test_consensus_all_methods_null_method_averaging(spark):
+    """Reference fidelity (advice r13): create_consensus_ranking
+    averages over the METHODS PRESENT per feature.  A feature whose
+    correlation/f_statistic is undefined (zero-variance feature →
+    corr NULL) must still get a non-NULL consensus from the methods
+    that did report it, with methods_count reflecting the actual
+    panel size — not a NULL row claiming methods_count=6."""
+    import datetime as dt
+    import math
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    px = 100.0
+    for i in range(60):
+        px = px * (1.0 + 0.01 * math.sin(i * 1.7) + 0.003 * ((i * 7) % 5 - 2))
+        o = px * (1.0 + 0.002 * math.cos(i * 3.1))
+        # high == low == close -> range_frac is EXACTLY 0 for every
+        # row: zero variance, corr(x, y) undefined -> NULL score for
+        # correlation AND f_statistic on that feature
+        rows.append(
+            ("S", base + dt.timedelta(hours=i), o, px, px, px,
+             1000.0 + i, 10 + (i % 4))
+        )
+    candles = spark.createDataFrame(
+        rows,
+        ["symbol", "ts", "open", "high", "low", "close", "volume",
+         "n_events"],
+    )
+    out = {r["feature"]: r for r in IMP.consensus_all_methods(candles).collect()}
+    assert set(out) == set(IMP.FEATURES)
+    degen = out["range_frac"]
+    assert degen["methods_count"] < 6
+    assert degen["methods_count"] >= 3
+    assert degen["consensus_score"] is not None
+    assert not math.isnan(degen["consensus_score"])
+    for f in IMP.FEATURES:
+        assert out[f]["consensus_score"] is not None, f
+        assert out[f]["methods_count"] == (
+            6 if f != "range_frac" else degen["methods_count"]
+        )

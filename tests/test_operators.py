@@ -2033,3 +2033,93 @@ def test_knn_graph_silver_builds_once(spark, sf_dir):
         assert (st.st_ino, st.st_mtime_ns) == (ino, mt), (
             f"silver file {p} was rewritten"
         )
+
+
+def test_knn_graph_zero_norm_vector_engine_parity(spark, sf_dir):
+    """Degenerate-vector doctrine (advice r13): a zero-norm embedding
+    must be edgeless in the kNN graph IN BOTH ENGINES.  Unguarded,
+    Spark's 0/0 cosine is IEEE NaN (ranks ABOVE every finite value
+    descending — a garbage top-1 edge), while DuckDB's double
+    division-by-zero yields NULL (ranks last): the engines would
+    diverge exactly when a corpus first contains a degenerate vector,
+    breaking the hash parity every graph face relies on.  Both sides
+    now carry the same drop-the-pair predicate (similarity.knn_graph
+    / the oracle pair CTEs), so this test builds a corpus WITH a
+    zero vector and checks (a) Spark emits no edge touching it and
+    no NaN anywhere, and (b) the registered oracle CTE text over the
+    SAME corpus in DuckDB returns the identical rounded edge list."""
+    import math
+
+    import duckdb
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+    from streaming_forex_data_pipeline_spark.plans.llm_q import (
+        _KNN_GRAPH_CTES,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").limit(40)
+    dim = len(e.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(10_000, [0.0] * dim)], ["vec_id", "embedding"]
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(zero)
+
+    g = SIM.knn_graph(corpus, k=3, n_planes=4).collect()
+    assert g, "graph must not be empty"
+    assert all(r["src"] != 10_000 and r["dst"] != 10_000 for r in g), (
+        "zero-norm vector must be edgeless"
+    )
+    assert all(not math.isnan(r["cos_sim"]) for r in g)
+
+    con = duckdb.connect()
+    try:
+        con.register("embeddings", corpus.toPandas())
+        want = con.execute(
+            "WITH " + _KNN_GRAPH_CTES
+            + """
+SELECT src, dst, round(cos, 5) AS cos_sim, rank
+FROM r WHERE rank <= 3
+ORDER BY src, rank"""
+        ).fetchall()
+    finally:
+        con.close()
+    got = [
+        (r["src"], r["dst"], round(r["cos_sim"], 5), r["rank"])
+        for r in sorted(g, key=lambda r: (r["src"], r["rank"]))
+    ]
+    assert got == [tuple(w) for w in want]
+
+
+def test_batch_walk_zero_norm_query_and_corpus_vector(spark, sf_dir):
+    """The batch graph walk over a corpus containing a zero-norm
+    vector, with the zero vector also IN the query set: the guarded
+    score matrix drops every degenerate (qid, vec_id) pair, so (a)
+    no NaN cosine appears in any ranked answer, (b) the zero corpus
+    vector never appears as a neighbor, and (c) the zero QUERY simply
+    contributes no rows (its every score pair has qn = 0) rather
+    than poisoning the beam."""
+    import math
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").limit(40)
+    dim = len(e.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(10_000, [0.0] * dim)], ["vec_id", "embedding"]
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(zero)
+    g = SIM.knn_graph(corpus, k=3, n_planes=4)
+    qs = corpus.filter(
+        (F.col("vec_id") % 13 == 0) | (F.col("vec_id") == 10_000)
+    )
+    out = SIM.knn_graph_search_batch(
+        corpus, g, qs, k=5, beam=8, steps=3
+    ).collect()
+    assert out, "walk must produce answers for the finite queries"
+    assert all(not math.isnan(r["cos_sim"]) for r in out)
+    assert all(r["vec_id"] != 10_000 for r in out)
+    assert all(r["qid"] != 10_000 for r in out)
