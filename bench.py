@@ -24,7 +24,14 @@ host-level CPU contention inflated back-to-back samples):
   slow tail, so min-of-3 there clips them at ~10% of a sweep's cost);
 - the candle silver table is materialized once per session
   (sources.tables candle cache), so indicator timings measure the
-  indicator, not a repeated resample.
+  indicator, not a repeated resample;
+- ALL reported query times are EXEC-ONLY (round 14): cold build-once
+  silver builds (kNN graph, IVF, media payload/signature tables) log
+  themselves via sources.scratch.SILVER_BUILD_LOG and are subtracted
+  from the triggering query's wall time, appearing instead as named
+  rows in BENCH_DETAIL["silver_builds"] — so a registry reorder can
+  no longer move a one-time build cost onto a different query between
+  rounds (the r13 multimodal_frames 0.9->24.6 s artifact).
 """
 
 from __future__ import annotations
@@ -318,17 +325,47 @@ def main() -> None:
 
     qs = dict(plans.spark_queries(), **EXTRA)
 
-    def run(name: str) -> float:
+    # build-once silver attribution (r13 verdict Next #1): a COLD
+    # silver build (kNN graph, IVF, media payloads/signatures) used to
+    # land on whichever query's evidence-order slot hit it first —
+    # r13's lane recorded multimodal_frames at 24.6 s with zero code
+    # change because a registry reorder moved the media-silver build
+    # onto it.  Every build now logs itself (sources/scratch.
+    # SILVER_BUILD_LOG); run() subtracts build seconds from the
+    # query's number and the builds appear as their own named rows in
+    # BENCH_DETAIL["silver_builds"], so reported query times are
+    # EXEC-ONLY and comparable across rounds regardless of which
+    # query happens to trigger a cold build.
+    from streaming_forex_data_pipeline_spark.sources import scratch as SCR
+
+    build_events: list = []
+
+    def run(name: str, phase: str, dir_: str | None = None) -> float:
+        mark = len(SCR.SILVER_BUILD_LOG)
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        qs[name](spark, dir_ or sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        wall = time.perf_counter() - t0
+        builds = SCR.SILVER_BUILD_LOG[mark:]
+        build_sec = sum(b["sec"] for b in builds)
+        if builds:
+            build_events.append(
+                {
+                    "query": name,
+                    "phase": phase,
+                    "build_sec": round(build_sec, 3),
+                    "builds": list(builds),
+                }
+            )
+        return wall - build_sec
 
     for name in HEADLINE:  # warm-up sweep: JIT, code cache, silver table
-        run(name)
+        run(name, "warmup")
     best: dict[str, float] = {}
     for _ in range(TIMED_SWEEPS):
         for name in HEADLINE:
-            t = run(name)
+            t = run(name, "timed")
             best[name] = min(t, best.get(name, t))
     # slowest-decile third sweep: on this host, individual CPU-heavy
     # queries swing 2-4x between otherwise-identical quiet runs even
@@ -339,7 +376,7 @@ def main() -> None:
     # round-9 verdict suggested.
     decile = max(1, len(HEADLINE) // 10)
     for name in sorted(best, key=best.get, reverse=True)[:decile]:
-        best[name] = min(best[name], run(name))
+        best[name] = min(best[name], run(name, "decile"))
     timings = {name: round(best[name], 3) for name in HEADLINE}
 
     # slow-lane coverage sweep (r11 verdict Next #5: 81 registered
@@ -362,12 +399,11 @@ def main() -> None:
     slow_lane: dict[str, object] = {}
     lane_errors: dict[str, str] = {}
     for name in sorted(set(qs) - set(HEADLINE)):
-        t0 = time.perf_counter()
         try:
-            qs[name](spark, lane_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            slow_lane[name] = round(time.perf_counter() - t0, 3)
+            # lane numbers are EXEC-ONLY too: a cold sf0.01 silver
+            # build logs itself into build_events with phase "lane"
+            # instead of inflating whichever lane query hit it first
+            slow_lane[name] = round(run(name, "lane", lane_dir), 3)
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             slow_lane[name] = None
             lane_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
@@ -405,6 +441,12 @@ def main() -> None:
         "slow_lane_sf_dir": lane_dir,
         "slow_lane_errors": lane_errors,
         "coverage": {"never_timed": never_timed},
+        # every cold build-once silver this bench paid, as its own
+        # named cost: {query, phase (warmup|timed|decile|lane),
+        # build_sec, builds: [{silver, sec}, ...]}.  Query timings
+        # above are exec-only (build seconds subtracted), so these
+        # rows are where the one-time cost lives.
+        "silver_builds": build_events,
     }
     # quiet-host gate (r12 verdict Next #7: the committed r12 sweep
     # started at loadavg 9.4, inflating the tail and muddying the
@@ -446,6 +488,12 @@ def main() -> None:
         "n_slow_lane": len(slow_lane),
         "n_slow_lane_errors": len(lane_errors),
         "n_never_timed": len(never_timed),
+        # r13 verdict Next #7: say in the PARSED line whether the
+        # per-query record was rerouted to BENCH_DETAIL_NOISY.json by
+        # the quiet-host gate, so a judge reads it without diffing
+        # file mtimes
+        "detail_gated_by_loadavg": detail_gated,
+        "n_silver_builds": len(build_events),
         "detail": os.path.basename(detail_path),
     }
     line = json.dumps(out)

@@ -1527,6 +1527,7 @@ def knn_graph_search_batch(
     steps: int = 4,
     n_planes: int = 4,
     scores: DataFrame | None = None,
+    walk=None,
 ) -> DataFrame:
     """SET-ORIENTED graph-probe ANN (r11 verdict Next #3): walk EVERY
     query vector simultaneously, one beam step per relational round —
@@ -1550,8 +1551,14 @@ def knn_graph_search_batch(
     algorithm precedent: integer_pagerank), so `steps` rounds never
     stack a deep plan.  The early-exhaustion break is per-query by
     construction: a query whose frontier dried up simply adds no new
-    (qid, vec_id) rows in later rounds."""
-    scores, visited, w = _batch_walk_visited(
+    (qid, vec_id) rows in later rounds.
+
+    ``walk`` (r14): a prebuilt ``_batch_walk_visited`` result
+    (scores, visited, w) — the per-session walk cache the sibling
+    faces (recall eval, convergence report) share, so one session's
+    three consumers pay ONE walk instead of three (the _FIT_CACHE
+    doctrine applied to walk state)."""
+    scores, visited, w = walk if walk is not None else _batch_walk_visited(
         emb, graph, queries, beam=beam, steps=steps,
         n_planes=n_planes, scores=scores,
     )
@@ -1667,6 +1674,7 @@ def knn_graph_convergence(
     steps: int = 4,
     n_planes: int = 4,
     scores: DataFrame | None = None,
+    walk=None,
 ) -> DataFrame:
     """Per-query convergence report for the batch graph walk (r12
     verdict Next #5): for each qid,
@@ -1684,8 +1692,9 @@ def knn_graph_convergence(
     Pure integers over the identical tagged walk state the search
     face ranks (same entries, beam, ties, budget — one shared core,
     so the report can never drift from the search), making the face
-    exactly hash-checkable with zero float surface."""
-    scores, visited, w = _batch_walk_visited(
+    exactly hash-checkable with zero float surface.  ``walk`` as in
+    :func:`knn_graph_search_batch` — the shared per-session walk."""
+    scores, visited, w = walk if walk is not None else _batch_walk_visited(
         emb, graph, queries, beam=beam, steps=steps,
         n_planes=n_planes, scores=scores,
     )

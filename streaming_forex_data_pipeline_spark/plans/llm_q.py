@@ -1523,6 +1523,37 @@ def _knn_walk_batch_ctes(
     return head + "".join(rounds)
 
 
+# Per-session batch-walk cache (r13 verdict Next #8): the three walk
+# faces — knn_graph_topk_batch, graph_recall_batch,
+# graph_convergence_rounds — consume the IDENTICAL walk (same query
+# set, union graph, beam=16, steps=8), each a multi-second
+# construction, so one session's three consumers should pay ONE
+# `_batch_walk_visited` pass (the _FIT_CACHE doctrine applied to walk
+# state).  Both cached frames are localCheckpoint-materialized and
+# frontier/score-matrix sized — session-bounded, never corpus-sized.
+# Keyed by (applicationId, sf_dir, beam, steps): a new session or
+# corpus rebuilds; identical reuse replays.
+_WALK_CACHE: dict = {}
+
+
+def _shared_batch_walk(
+    spark: SparkSession, sf_dir: str, beam: int = 16, steps: int = 8
+):
+    """(scores, visited, w, queries) for the registered batch-walk
+    query set (every 7th vector), built once per session per corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir, beam, steps)
+    if key not in _WALK_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
+        qs = e.filter(F.col("vec_id") % 7 == 3)
+        scores = SIM.batch_cosine_scores(e, qs)
+        walk = SIM._batch_walk_visited(
+            e, g, qs, beam=beam, steps=steps, scores=scores
+        )
+        _WALK_CACHE[key] = (*walk, qs)
+    return _WALK_CACHE[key]
+
+
 @register(
     "knn_graph_topk_batch",
     oracle="WITH "
@@ -1553,10 +1584,11 @@ ORDER BY qid, rank
 )
 def knn_graph_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
-    qs = e.filter(F.col("vec_id") % 7 == 3)
+    # walk state shared across the three walk faces (graph=None is
+    # never touched when a prebuilt walk is passed)
+    scores, visited, w, qs = _shared_batch_walk(spark, sf_dir)
     out = SIM.knn_graph_search_batch(
-        e, g, qs, k=10, beam=16, steps=8
+        e, None, qs, k=10, beam=16, steps=8, walk=(scores, visited, w)
     )
     return out.select(
         "qid",
@@ -1614,14 +1646,13 @@ def graph_recall_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
-    qs = e.filter(F.col("vec_id") % 7 == 3)
-    # ONE materialized score matrix serves both the walk's ranking and
-    # the brute-force truth (review-found: building it twice doubled
-    # the face's corpus-pass work)
-    scores = SIM.batch_cosine_scores(e, qs)
+    # the shared per-session walk (r14): ONE score matrix + ONE walk
+    # serve this face, the search face, and the convergence face —
+    # the brute-force truth below falls out of the same scores frame
+    scores, visited, wv, qs = _shared_batch_walk(spark, sf_dir)
     walk = SIM.knn_graph_search_batch(
-        e, g, qs, k=10, beam=16, steps=8, scores=scores
+        e, None, qs, k=10, beam=16, steps=8,
+        walk=(scores, visited, wv),
     ).select("qid", "vec_id")
     w = Window.partitionBy("qid").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
@@ -1701,10 +1732,10 @@ ORDER BY g.qid
 )
 def graph_convergence_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    g = _knn_union_graph_silver(spark, sf_dir, k=3, planes=(4, 2))
-    qs = e.filter(F.col("vec_id") % 7 == 3)
+    scores, visited, w, qs = _shared_batch_walk(spark, sf_dir)
     out = SIM.knn_graph_convergence(
-        e, g, qs, k=10, beam=16, steps=8
+        e, None, qs, k=10, beam=16, steps=8,
+        walk=(scores, visited, w),
     )
     return out.orderBy("qid")
 
@@ -3149,6 +3180,16 @@ def _build_once(out_dir: str, build) -> str:
     from pathlib import Path
 
     if not (Path(out_dir) / "_SUCCESS").exists():
+        import time as _time
+
+        from ..sources import scratch as _scratch
+
+        # build telemetry (r13 verdict Next #1): record this build's
+        # OWN cost — nested builds (e.g. the union graph's two
+        # sub-graph silvers) log themselves during build(), so
+        # subtract the slice they appended
+        _mark = len(_scratch.SILVER_BUILD_LOG)
+        _t0 = _time.perf_counter()
         tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
         try:
             build(tmp)
@@ -3161,6 +3202,13 @@ def _build_once(out_dir: str, build) -> str:
             shutil.rmtree(tmp, ignore_errors=True)
             if not (Path(out_dir) / "_SUCCESS").exists():
                 raise
+        _nested = sum(
+            b["sec"] for b in _scratch.SILVER_BUILD_LOG[_mark:]
+        )
+        _scratch.log_silver_build(
+            os.path.basename(out_dir),
+            _time.perf_counter() - _t0 - _nested,
+        )
     # LRU touch: slot mtime = last consumption, so
     # scratch.retire_stale_silvers can age out superseded-fingerprint
     # silvers without ever racing one a live session still reads

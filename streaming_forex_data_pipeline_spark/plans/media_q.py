@@ -61,6 +61,11 @@ def media_payloads(spark, sf_dir: str, modality: str):
         f"media_{modality}_v{_MEDIA_CONTRACT_VERSION}_{fp}"
     )
     if not (Path(out_dir) / "_SUCCESS").exists():
+        import time as _time
+
+        from ..sources.scratch import log_silver_build
+
+        _t0 = _time.perf_counter()
         d = load_table(spark, sf_dir, "documents")
         tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
         builders[modality](fan_out(d)).write.parquet(tmp)
@@ -72,6 +77,9 @@ def media_payloads(spark, sf_dir: str, modality: str):
             shutil.rmtree(tmp, ignore_errors=True)
             if not (Path(out_dir) / "_SUCCESS").exists():
                 raise
+        log_silver_build(
+            os.path.basename(out_dir), _time.perf_counter() - _t0
+        )
     return spark.read.parquet(out_dir)
 
 #: bump when any signature computation in llm/multimodal.py changes
@@ -123,7 +131,14 @@ def media_signatures(
         f"_v{_MEDIA_CONTRACT_VERSION}_{_SIG_CONTRACT_VERSION}_{fp}"
     )
     if not (Path(out_dir) / "_SUCCESS").exists():
+        import time as _time
+
+        from ..sources.scratch import log_silver_build
+
+        # the payload silver logs its own build; time only THIS
+        # signature pass so build rows stay additive
         payloads = media_payloads(spark, sf_dir, modality)
+        _t0 = _time.perf_counter()
         tmp = f"{out_dir}.build-{uuid.uuid4().hex}"
         builder(payloads).write.parquet(tmp)
         try:
@@ -132,6 +147,9 @@ def media_signatures(
             shutil.rmtree(tmp, ignore_errors=True)
             if not (Path(out_dir) / "_SUCCESS").exists():
                 raise
+        log_silver_build(
+            os.path.basename(out_dir), _time.perf_counter() - _t0
+        )
     return spark.read.parquet(out_dir)
 
 

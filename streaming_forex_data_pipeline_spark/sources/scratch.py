@@ -65,6 +65,23 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=user_scratch_root())
 
 
+#: Build-once silver telemetry (r13 verdict Next #1): every cold
+#: silver build appends {"silver": <slot basename>, "sec": <own cost,
+#: nested builds subtracted>} here, so a consumer (bench.py's lane)
+#: can attribute the one-time build cost to a NAMED artifact instead
+#: of silently folding it into whichever query happened to run first.
+#: Per-build cost is already-nested-subtracted: summing any slice is
+#: double-count-free.  Process-local, bounded by the number of
+#: distinct silver slots — never data-sized.
+SILVER_BUILD_LOG: list = []
+
+
+def log_silver_build(name: str, sec: float) -> None:
+    """Record one cold silver build (own cost only — callers subtract
+    nested builds via the mark/slice pattern)."""
+    SILVER_BUILD_LOG.append({"silver": name, "sec": round(sec, 3)})
+
+
 def retire_stale_silvers(
     prefix: str,
     max_age_seconds: float,

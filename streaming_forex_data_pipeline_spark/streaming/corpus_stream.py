@@ -1151,6 +1151,7 @@ def start_knn_graph_channel(
     k: int = 3,
     n_planes: int = 4,
     compact_every: int | None = None,
+    retire_stale_after: float | None = 14 * 86400,
 ):
     """Streaming maintenance of the kNN-GRAPH index (round 12): the
     graph-silver sibling of `start_ivf_silver_channel`, closing the
@@ -1185,11 +1186,23 @@ def start_knn_graph_channel(
     crash-orphaned staging dirs, so a channel running for months
     scans O(1) manifests instead of one per micro-batch while
     read-back equality with the from-scratch rebuild holds at every
-    drain (pinned by the long-run pytest)."""
+    drain (pinned by the long-run pytest).
+
+    ``retire_stale_after`` (r13 verdict Next #5 — the retirement rule
+    was library+pytest only, so the leak it fixes still accumulated):
+    the same compaction epilogue also ages out BATCH-SIDE graph
+    silvers (the ``knng_v*``/``knng_union_*`` build-once slots) whose
+    corpus fingerprint went stale — superseded corpora, bumped algo
+    versions, dead ``.build-*`` tmps.  LRU by slot mtime: consumers
+    ``utime`` their silver on every read, so anything untouched for
+    ``retire_stale_after`` seconds is dead weight and a LIVE silver
+    can never be reclaimed out from under a reader.  The channel's
+    OWN state (``knng_idx_*`` dirs) is outside both prefixes by
+    construction.  ``None`` disables retirement."""
     from pyspark.sql import functions as F
 
     from ..llm.similarity import knn_graph, lsh_bucket
-    from ..sources.scratch import scratch_dir
+    from ..sources.scratch import retire_stale_silvers, scratch_dir
     from ..sources.sinks import (
         commit_append,
         compact_log,
@@ -1257,6 +1270,17 @@ def start_knn_graph_channel(
             compact_log(spark, vec_dir, keys=["vec_id", "batch"])
             vacuum(graph_dir)
             vacuum(vec_dir)
+            if retire_stale_after is not None:
+                # lifecycle epilogue: age out superseded batch-side
+                # graph silvers (see docstring).  Two EXPLICIT slot
+                # prefixes — never the bare "knng_" that would also
+                # match this channel's own knng_idx_* state dirs.
+                retire_stale_silvers(
+                    "knng_v", max_age_seconds=retire_stale_after
+                )
+                retire_stale_silvers(
+                    "knng_union_", max_age_seconds=retire_stale_after
+                )
         try:
             committed = read_committed(
                 spark, graph_dir, keys=["src", "rank"]

@@ -2730,3 +2730,69 @@ def test_retire_stale_silvers_lru_rules(tmp_path, monkeypatch):
     assert os.path.exists(kept)
     assert os.path.exists(foreign)
     assert os.path.exists(stray_file)
+
+
+def test_knn_graph_channel_retires_stale_silvers(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round 14 (r13 verdict Next #5): the graph channel's compaction
+    epilogue now INVOKES silver retirement — a superseded-fingerprint
+    batch silver (old mtime under the knng_v*/knng_union_* slot
+    prefixes) is retired during the drain, while a recently-consumed
+    silver and the channel's own state survive."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources import scratch as SC
+    from streaming_forex_data_pipeline_spark.sources.tables import load_table
+    from streaming_forex_data_pipeline_spark.streaming.corpus_stream import (
+        start_knn_graph_channel,
+    )
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    old = time.time() - 2 * 3600
+
+    def mk(name, mtime=None):
+        p = SC.scratch_path(name)
+        os.makedirs(p)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+        return p
+
+    stale_graph = mk("knng_v1_deadfp_k3_p4", mtime=old)
+    stale_union = mk("knng_union_v1_deadfp_k3_p4-2", mtime=old)
+    stale_tmp = mk("knng_v1_deadfp_k3_p4.build-dead", mtime=old)
+    live_graph = mk("knng_v2_livefp_k3_p4")  # fresh mtime: in use
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "knng_retire_batches")
+    _staged_event_files(
+        spark, e, src,
+        [e.filter(F.col("vec_id") % 4 == i) for i in range(4)],
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    vec_dir = str(tmp_path / "knng_retire_vecs")
+    graph_dir = str(tmp_path / "knng_retire_edges")
+    q = start_knn_graph_channel(
+        spark, sf_dir, sink_table="knng_retire_sink",
+        vec_dir=vec_dir, graph_dir=graph_dir,
+        stream=stream, k=3, n_planes=4, compact_every=4,
+        retire_stale_after=3600.0,
+    )
+    q.awaitTermination(300)
+
+    assert not os.path.exists(stale_graph), "stale graph silver kept"
+    assert not os.path.exists(stale_union), "stale union silver kept"
+    assert not os.path.exists(stale_tmp), "dead builder tmp kept"
+    assert os.path.exists(live_graph), "recently-used silver retired"
+    # the channel's own committed state is untouched
+    assert os.path.exists(os.path.join(graph_dir, "_log"))
+    assert os.path.exists(os.path.join(vec_dir, "_log"))
+    assert spark.table("knng_retire_sink").count() > 0
