@@ -33,6 +33,22 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom)
 
 
+def guarded_cos(num: Column, n1: Column, n2: Column) -> Column:
+    """``num / (n1*n2)`` with a zero denominator guarded to NULL —
+    the uniform degenerate-vector contract across every ANN tier
+    (r14, extending the r13 graph-chain fix): Spark's raw 0/0 is IEEE
+    NaN, which both SORTS first descending and satisfies ``>=``
+    threshold predicates (Spark orders NaN above every value), while
+    DuckDB's double division-by-zero yields NULL, which sorts last
+    and fails every predicate.  Guarding to NULL makes Spark match
+    the oracle exactly: a zero-norm vector scores NULL against
+    everything, ranks last, and passes no threshold — in BOTH
+    engines.  On any corpus without degenerate vectors the branch is
+    never taken and values are bit-identical to the raw division."""
+    denom = n1 * n2
+    return F.when(denom != 0, num / denom)
+
+
 def brute_force_topk(
     embeddings: DataFrame, query: DataFrame, k: int = 10
 ) -> DataFrame:
@@ -129,7 +145,7 @@ def embedding_near_dup_pairs(
         .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+            guarded_cos(dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -173,7 +189,7 @@ def embedding_near_dup_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+            guarded_cos(dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -234,7 +250,7 @@ def incremental_embedding_pairs(
         F.col("id_a") < F.col("id_b")
     )
     on = sides(old, "a").join(sides(new, "b"), "bucket")
-    cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+    cos = guarded_cos(dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b"))
     return (
         nn.unionByName(on)
         .withColumn("cos_sim", cos)
@@ -286,7 +302,7 @@ def assign_to_cells(
         "v",
         "n",
         "cid",
-        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias(
+        guarded_cos(dot(F.col("v"), F.col("cv")), F.col("n"), F.col("cn")).alias(
             "ccos"
         ),
     )
@@ -348,7 +364,9 @@ def probe_cells_for(
         cents.crossJoin(F.broadcast(q))
         .select(
             "cid",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            guarded_cos(
+                dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+            ).alias(
                 "qcos"
             ),
         )
@@ -399,7 +417,9 @@ def ivf_topk(
         .crossJoin(F.broadcast(q))
         .select(
             F.col("id").alias(id_col),
-            (dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn"))).alias(
+            guarded_cos(
+                dot(F.col("v"), F.col("qv")), F.col("n"), F.col("qn")
+            ).alias(
                 "cos_sim"
             ),
         )
@@ -482,7 +502,9 @@ def ivf_topk_kmeans(
         .crossJoin(F.broadcast(q))
         .select(
             F.col("id").alias(id_col),
-            (dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn"))).alias(
+            guarded_cos(
+                dot(F.col("v"), F.col("qv")), F.col("n"), F.col("qn")
+            ).alias(
                 "cos_sim"
             ),
         )
@@ -703,8 +725,11 @@ def semdedup(
         lo.join(hi, "cell")
         .filter(F.col("id_lo") < F.col("id_hi"))
         .filter(
-            dot(F.col("v_lo"), F.col("v_hi"))
-            / (F.col("n_lo") * F.col("n_hi"))
+            guarded_cos(
+                dot(F.col("v_lo"), F.col("v_hi")),
+                F.col("n_lo"),
+                F.col("n_hi"),
+            )
             >= threshold
         )
         .select(F.col("id_hi").alias("dup_id"))
@@ -756,9 +781,10 @@ def pq_rerank_topk(
         .select(
             id_col,
             "approx_dist",
-            (
-                dot(F.col(vec_col), F.col("qv"))
-                / (norm(F.col(vec_col)) * F.col("qn"))
+            guarded_cos(
+                dot(F.col(vec_col), F.col("qv")),
+                norm(F.col(vec_col)),
+                F.col("qn"),
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -1196,7 +1222,9 @@ def probe_ivf_silver(
         .crossJoin(F.broadcast(q))
         .select(
             id_col,
-            (dot(F.col("v"), F.col("qv")) / (F.col("n") * F.col("qn"))).alias(
+            guarded_cos(
+                dot(F.col("v"), F.col("qv")), F.col("n"), F.col("qn")
+            ).alias(
                 "cos_sim"
             ),
         )
@@ -1251,7 +1279,9 @@ def hard_negatives(
         .select(
             "anchor_id",
             F.col("id").alias(id_col),
-            (dot(F.col("v"), F.col("av")) / (F.col("n") * F.col("an"))).alias(
+            guarded_cos(
+                dot(F.col("v"), F.col("av")), F.col("n"), F.col("an")
+            ).alias(
                 "cos_sim"
             ),
         )

@@ -2123,3 +2123,55 @@ def test_batch_walk_zero_norm_query_and_corpus_vector(spark, sf_dir):
     assert all(not math.isnan(r["cos_sim"]) for r in out)
     assert all(r["vec_id"] != 10_000 for r in out)
     assert all(r["qid"] != 10_000 for r in out)
+
+
+def test_ann_tiers_zero_norm_vector_uniform_semantics(spark, sf_dir):
+    """r14 degenerate-vector doctrine across the ANN surface: every
+    tier computes cosine through guarded_cos (NULL on a zero
+    denominator), so a zero-norm corpus vector (a) never crashes or
+    produces NaN, (b) never enters any top-k or threshold result —
+    matching DuckDB's NULL division semantics (NULL sorts last, fails
+    every predicate) instead of Spark's raw IEEE NaN (sorts FIRST
+    descending and passes >= predicates)."""
+    import math
+
+    from streaming_forex_data_pipeline_spark.llm import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings").limit(60)
+    dim = len(e.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(10_000, [0.0] * dim)], ["vec_id", "embedding"]
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(zero)
+    q = corpus.filter(F.col("vec_id") == 0)
+
+    def check(df, cos_col="cos_sim", id_cols=("vec_id",)):
+        rows = df.collect()
+        assert rows, "tier returned nothing"
+        for r in rows:
+            if cos_col in r.asDict():
+                v = r[cos_col]
+                assert v is None or not math.isnan(v)
+            for c in id_cols:
+                if c in r.asDict():
+                    assert r[c] != 10_000, f"zero vector surfaced in {c}"
+        return rows
+
+    check(SIM.brute_force_topk(corpus, q, k=10))
+    check(SIM.ivf_topk(corpus, q, k=10, n_cells=4, nprobe=2))
+    check(SIM.ivf_topk_kmeans(corpus, q, k=10, n_cells=4, nprobe=2))
+    check(
+        SIM.embedding_near_dup_candidates(corpus, threshold=0.3, n_planes=2),
+        id_cols=("id_a", "id_b"),
+    )
+    # semdedup: the zero vector must survive as its own canonical (it
+    # can never clear a cosine threshold against anything) and no one
+    # may dedup against it
+    sd = SIM.semdedup(corpus, n_cells=4, threshold=0.3).collect()
+    mine = [r for r in sd if r["vec_id"] == 10_000]
+    assert len(mine) == 1 and mine[0]["keep"]
+    # hard negatives: the zero vector scores NULL against every
+    # anchor, so it can never be mined as a negative
+    check(SIM.hard_negatives(corpus, n_anchors=4, k=5, dup_threshold=0.999))
