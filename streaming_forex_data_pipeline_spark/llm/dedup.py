@@ -1231,9 +1231,19 @@ def source_minhash_similarity(
             (
                 F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0))
             ).alias("n_union"),
-            (
+            # zero-union guard (r14 degenerate-input doctrine): two
+            # token-less sources would make this 0/0 — IEEE NaN in
+            # Spark but NULL in DuckDB's division.  Guard to NULL so
+            # both engines emit the same undefined-similarity cell.
+            F.when(
+                F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0))
+                != 0,
                 F.coalesce("n_inter", F.lit(0)).cast("double")
-                / (F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0)))
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce("n_inter", F.lit(0))
+                ),
             ).alias("jaccard_exact"),
         )
     )

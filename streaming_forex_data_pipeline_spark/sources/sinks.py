@@ -676,3 +676,56 @@ def export_shards_jsonl(
     return spark.createDataFrame(
         sorted(rows.items()), "shard int, n_rows long"
     )
+
+
+def maintenance(
+    spark: SparkSession,
+    sinks: list[tuple[str, list[str]]] = (),
+    silver_prefixes: tuple = ("knng_v", "knng_union_", "ivf_", "media_",
+                              "sig_"),
+    retire_stale_after: float | None = 14 * 86400,
+    keep_last: int = 1,
+) -> dict:
+    """ONE production maintenance entry point (r13 verdict Next #5):
+    the lifecycle trio — log compaction, staging vacuum, stale-silver
+    retirement — runnable from a cron/driver loop without knowing
+    which module owns which rule.
+
+    ``sinks`` is [(table_dir, upsert_keys), ...]: each gets
+    `compact_log` (fold settled commits, ``keep_last`` shields any
+    in-flight streaming replay) then `vacuum` (reclaim staging dirs
+    no manifest references).  ``silver_prefixes`` are the
+    content-addressed build-once families under the per-user scratch
+    root; slots untouched for ``retire_stale_after`` seconds are
+    LRU-retired (consumers `utime` on every read, so a live silver is
+    never reclaimed under a reader — `scratch.retire_stale_silvers`'s
+    contract).  ``None`` disables retirement.
+
+    Returns {"compacted": [dir...], "vacuumed": {dir: [paths...]},
+    "retired": [paths...]} for the caller's log line.  Errors on one
+    sink do not stop maintenance of the others (a wedged table must
+    not block the fleet's hygiene) — they are collected under
+    "errors"."""
+    from .scratch import retire_stale_silvers
+
+    report: dict = {
+        "compacted": [],
+        "vacuumed": {},
+        "retired": [],
+        "errors": {},
+    }
+    for table_dir, keys in sinks:
+        try:
+            compact_log(spark, table_dir, keys, keep_last=keep_last)
+            report["compacted"].append(table_dir)
+            report["vacuumed"][table_dir] = vacuum(table_dir)
+        except Exception as exc:  # noqa: BLE001 — isolate per sink
+            report["errors"][table_dir] = f"{type(exc).__name__}: {exc}"
+    if retire_stale_after is not None:
+        for prefix in silver_prefixes:
+            report["retired"].extend(
+                retire_stale_silvers(
+                    prefix, max_age_seconds=retire_stale_after
+                )
+            )
+    return report

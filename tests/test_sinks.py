@@ -636,3 +636,73 @@ def test_compact_log_tolerates_all_empty_folded_commits(spark, tmp_path):
         )
         is None
     )
+
+
+def test_maintenance_entry_point(spark, tmp_path, monkeypatch):
+    """r14: the consolidated maintenance() entry — compaction + vacuum
+    per sink, LRU silver retirement per prefix, per-sink error
+    isolation — one call a production cron can own."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from streaming_forex_data_pipeline_spark.sources import scratch as SC
+    from streaming_forex_data_pipeline_spark.sources.sinks import (
+        commit_append,
+        maintenance,
+        read_committed,
+        _commit_ids,
+    )
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    # a sink with several settled commits
+    sink = str(tmp_path / "maint_sink")
+    for i in range(5):
+        df = spark.range(3).select(
+            F.col("id").alias("k"), F.lit(i).alias("v")
+        )
+        commit_append(df, sink, version=float(i))
+    # a stale silver + a live one
+    old = time.time() - 30 * 86400
+    stale = SC.scratch_path("knng_v1_deadbeef")
+    os.makedirs(stale)
+    os.utime(stale, (old, old))
+    live = SC.scratch_path("knng_v2_livebeef")
+    os.makedirs(live)
+
+    # a wedged sink: a corrupt manifest must not stop the fleet
+    wedged = str(tmp_path / "wedged_sink")
+    os.makedirs(os.path.join(wedged, "_log"))
+    with open(
+        os.path.join(wedged, "_log", f"{1:020d}.json"), "w"
+    ) as fh:
+        fh.write("{not json")
+
+    rep = maintenance(
+        spark,
+        sinks=[(wedged, ["k"]), (sink, ["k"])],
+        retire_stale_after=14 * 86400,
+    )
+    assert sink in rep["compacted"]
+    # LIVE manifests (not replaced by the compaction commit) must be
+    # O(keep_last + 1); replaced ones stay on disk as tombstones
+    import json
+
+    log_dir = os.path.join(sink, "_log")
+    cids = _commit_ids(log_dir)
+    replaced = set()
+    for cid in cids:
+        with open(os.path.join(log_dir, f"{cid:020d}.json")) as fh:
+            replaced.update(json.load(fh).get("replaces", ()))
+    assert len([c for c in cids if c not in replaced]) <= 2
+    got = {
+        (r["k"], r["v"])
+        for r in read_committed(spark, sink, keys=["k"]).collect()
+    }
+    assert got == {(0, 4), (1, 4), (2, 4)}  # keep-latest preserved
+    assert stale in rep["retired"] and not os.path.exists(stale)
+    assert os.path.exists(live)
+    # the wedged sink errored in isolation; the healthy one (listed
+    # AFTER it) was still maintained
+    assert wedged in rep["errors"]
