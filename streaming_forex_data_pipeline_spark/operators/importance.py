@@ -248,11 +248,17 @@ def _pinned_matrix(candles: DataFrame) -> DataFrame:
     candle singleton: every fit (and every RFE round) re-reads the
     same materialized rows, so the window-function matrix derivation
     runs once per session, not once per fit."""
+    import time
+
+    from ..sources.scratch import log_silver_build
+
     per = _fit_slot(candles)
     if "__matrix" not in per:
+        t0 = time.perf_counter()
         m = _pin_fit_layout(feature_matrix(candles)).cache()
         m.count()  # materialize under the pinned layout now
         per["__matrix"] = m
+        log_silver_build("fit:matrix", time.perf_counter() - t0)
     return per["__matrix"]
 
 
@@ -266,15 +272,21 @@ def _rf_importances(
     per (candle singleton, subset, hyperparams).  RFE's first round
     (all features) therefore shares the random_forest_importance
     face's fit, and consensus_all_methods replays every fit free."""
+    import time
+
+    from ..sources.scratch import log_silver_build
+
     per = _fit_slot(candles)
     key = f"rf:{','.join(features)}:{n_trees}:{seed}"
     if key not in per:
         from pyspark.ml.feature import VectorAssembler
         from pyspark.ml.regression import RandomForestRegressor
 
+        matrix = _pinned_matrix(candles)
+        t0 = time.perf_counter()
         assembled = VectorAssembler(
             inputCols=list(features), outputCol="fv"
-        ).transform(_pinned_matrix(candles))
+        ).transform(matrix)
         model = RandomForestRegressor(
             featuresCol="fv",
             labelCol="target",
@@ -283,6 +295,10 @@ def _rf_importances(
             maxDepth=5,
         ).fit(assembled)
         per[key] = model.featureImportances.toArray().tolist()
+        # once-per-session shared state, same attribution doctrine as
+        # the disk silvers: the fit cost gets a NAMED row instead of
+        # landing on whichever face runs first in a bench lane
+        log_silver_build(f"fit:{key}", time.perf_counter() - t0)
     return per[key]
 
 
@@ -377,15 +393,21 @@ def lasso_importance(
     are fit with standardization=True, matching the reference's
     StandardScaler preprocessing.  Fit cached per session
     (`_FIT_CACHE`, r14) — consensus_all_methods replays it free."""
+    import time
+
+    from ..sources.scratch import log_silver_build
+
     per = _fit_slot(candles)
     key = f"lasso:{reg_param}"
     if key not in per:
         from pyspark.ml.feature import VectorAssembler
         from pyspark.ml.regression import LinearRegression
 
+        matrix = _pinned_matrix(candles)
+        t0 = time.perf_counter()
         assembled = VectorAssembler(
             inputCols=list(FEATURES), outputCol="fv"
-        ).transform(_pinned_matrix(candles))
+        ).transform(matrix)
         model = LinearRegression(
             featuresCol="fv",
             labelCol="target",
@@ -396,6 +418,7 @@ def lasso_importance(
             tol=1e-9,
         ).fit(assembled)
         per[key] = model.coefficients.toArray().tolist()
+        log_silver_build(f"fit:{key}", time.perf_counter() - t0)
     coefs = per[key]
     spark = candles.sparkSession
     return spark.createDataFrame(

@@ -65,11 +65,13 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=user_scratch_root())
 
 
-#: Build-once silver telemetry (r13 verdict Next #1): every cold
-#: silver build appends {"silver": <slot basename>, "sec": <own cost,
-#: nested builds subtracted>} here, so a consumer (bench.py's lane)
-#: can attribute the one-time build cost to a NAMED artifact instead
-#: of silently folding it into whichever query happened to run first.
+#: Build-once telemetry (r13 verdict Next #1): every cold silver
+#: build — and every other once-per-session shared-state build (model
+#: fits `fit:*`, batch-walk state `walk:*`) — appends
+#: {"silver": <name>, "sec": <own cost, nested builds subtracted>}
+#: here, so a consumer (bench.py's lane) can attribute the one-time
+#: cost to a NAMED artifact instead of silently folding it into
+#: whichever query happened to run first.
 #: Per-build cost is already-nested-subtracted: summing any slice is
 #: double-count-free.  Process-local, bounded by the number of
 #: distinct silver slots — never data-sized.
