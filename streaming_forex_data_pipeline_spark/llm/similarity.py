@@ -434,6 +434,7 @@ def kmeans_centroids(
     seed: int = 7,
     max_iter: int = 20,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Fitted coarse quantizer: seeded spark.ml KMeans (k-means||
     init) over the embedding column, returned in the same
@@ -449,16 +450,32 @@ def kmeans_centroids(
     exactly what every IVF index materializes).  Not DuckDB-replayable
     (float-aggregation order inside the fit), hence no oracle — the
     recall differential vs the bootstrap tier in
-    tests/test_operators.py is the evidence."""
+    tests/test_operators.py is the evidence.
+
+    Layout pin (r14): the fit input is repartition(1) +
+    sortWithinPartitions(id_col) — the `_pin_fit_layout` doctrine the
+    importance tiers use — because the k-means|| init and the
+    per-iteration centroid aggregation are PARTITION-LAYOUT-dependent
+    (measured: local[16] and local[32] sessions fit different
+    centroids over the identical single-row-group corpus once the old
+    fan_out spread it to defaultParallelism partitions).  The pinned
+    fit is bit-identical across core counts, which is what lets the
+    golden-parquet oracle hash-check this tier at any driver core
+    count.  The pinned frame is the k-row-bounded embedding table of
+    the fixture corpus, never a 100 TB corpus — a production
+    deployment fits on a sampled subset and would skip the pin,
+    accepting run-to-run fit drift."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
-    from ..sources.tables import fan_out
-
-    feats = fan_out(
+    feats = (
         emb.select(
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv")
+            F.col(id_col),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("fv"),
         )
+        .repartition(1)
+        .sortWithinPartitions(id_col)
+        .select("fv")
     )
     model = KMeans(
         k=n_cells, seed=seed, maxIter=max_iter, featuresCol="fv"
@@ -491,7 +508,9 @@ def ivf_topk_kmeans(
     registered query does exactly that via the content-hash-keyed
     scratch cache."""
     if cents is None:
-        cents = kmeans_centroids(emb, n_cells, seed, vec_col=vec_col)
+        cents = kmeans_centroids(
+            emb, n_cells, seed, vec_col=vec_col, id_col=id_col
+        )
     assigned = assign_to_cells(emb, cents, id_col, vec_col)
     q = query.select(
         F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")

@@ -2131,9 +2131,11 @@ def audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # golden-parquet oracles for the seeded spark.ml tiers (round-10
 # verdict Next #5): the fits are not DuckDB-replayable in closed form,
 # but their outputs are deterministic (seeded coefficients; the kmeans
-# input is one unsplittable row-group, so aggregation order is fixed —
-# verified bit-identical across local[6]/local[32] at all three
-# scales), so the oracle is the pinned expected answer per corpus,
+# input layout is PINNED to one sorted partition (r14 — the earlier
+# "single unsplittable row-group" claim was false once fan_out spread
+# the fit input to defaultParallelism partitions: local[16] vs
+# local[32] fit different centroids), so the oracle is the pinned
+# expected answer per corpus,
 # keyed by a CONTENT fingerprint: md5 of the doc_id-ordered per-doc
 # text md5s (advice-found round 12 — the earlier sum(n_chars) key was
 # blind to same-length content edits, and an unknown corpus silently
@@ -3356,8 +3358,14 @@ def _cached_kmeans_centroids(
     (which ARE its own — same seed, same corpus)."""
     from ..sources.scratch import scratch_path
 
+    # kmc2 (r14): the fit input layout is now PINNED (repartition(1) +
+    # sort by vec_id — see kmeans_centroids), because the old
+    # fan_out'd fit proved partition-layout-dependent: local[16] and
+    # local[32] sessions cached DIFFERENT centroids under the same
+    # slot.  Versioned slot name so a stale unpinned-era cache is
+    # never adopted (the _KNNG_ALGO_VERSION doctrine).
     out_dir = scratch_path(
-        f"kmc_{_corpus_fingerprint(sf_dir)}_k{n_cells}_s{seed}"
+        f"kmc2_{_corpus_fingerprint(sf_dir)}_k{n_cells}_s{seed}"
     )
 
     def build(tmp: str) -> None:

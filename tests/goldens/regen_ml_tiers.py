@@ -3,9 +3,10 @@
 Next #5): `ivf_topk_kmeans` and `minhash_near_dups_ml` are seeded
 spark.ml pipelines whose fits are not DuckDB-replayable in closed form
 — but their OUTPUTS are deterministic (seeded coefficients; the
-kmeans input is a single unsplittable row-group, so aggregation order
-is fixed; verified bit-identical across local[6]/local[32] sessions at
-all three scales).  So the driver-visible oracle is a pinned golden:
+kmeans fit input is pinned to one sorted partition — r14, after the
+fan_out'd fit proved layout-dependent across core counts — so
+aggregation order is fixed regardless of the session's parallelism).
+So the driver-visible oracle is a pinned golden:
 one parquet per query holding the exact expected rows for each
 testdata scale, keyed by a corpus CONTENT fingerprint — md5 of the
 doc_id-ordered per-doc text md5s, computed with DuckDB exactly as the
