@@ -33,6 +33,16 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Probe for PIL ONCE at import time.  Python does not cache FAILED
+# imports, so a per-call ``from PIL import Image`` inside decode_png
+# re-walks sys.path (dozens of stat() calls) for every frame — measured
+# at ~60% of decode_png's cumulative time on the Motion-PNG corpus
+# (~17 failed-import microseconds per frame x ~90k frames at sf0.1).
+try:  # optional fast path — absent in this container
+    from PIL import Image as _PIL_IMAGE  # type: ignore[import-not-found]
+except ImportError:
+    _PIL_IMAGE = None
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -122,6 +132,64 @@ def _unfilter_row(
     raise ValueError(f"bad PNG filter type {ftype}")
 
 
+#: below this scanline stride the pure-Python whole-image unfilter
+#: beats the per-row numpy path: numpy's ~1-2 us fixed cost per array
+#: op never amortizes on 8-60-byte rows (the synthetic media corpus),
+#: while a list scan is ~40 ns/element with zero per-row setup.
+_SMALL_STRIDE = 512
+
+
+def _unfilter_small(
+    raw: bytes, h: int, stride: int, bpp: int
+) -> np.ndarray:
+    """Whole-image unfilter on plain Python byte lists — exact same
+    arithmetic as `_unfilter_row` (all operands in [0, 511], so
+    ``>> 1`` == floor-div-2 and ``& 255`` == mod-256), but one pass
+    over the inflated buffer with no per-row numpy slicing/astype.
+    Used when ``stride < _SMALL_STRIDE``; the per-row numpy path
+    remains the arbiter for wide scanlines (and the differential test
+    pins the two paths byte-identical)."""
+    out: list[int] = []
+    prev = [0] * stride
+    pos = 0
+    for _y in range(h):
+        ft = raw[pos]
+        row = list(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub
+            cur = row
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 255
+        elif ft == 2:  # Up
+            cur = [(row[i] + prev[i]) & 255 for i in range(stride)]
+        elif ft == 3:  # Average
+            cur = [0] * stride
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (row[i] + ((left + prev[i]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            cur = [0] * stride
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left
+                    if (pa <= pb and pa <= pc)
+                    else (up if pb <= pc else ul)
+                )
+                cur[i] = (row[i] + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out.extend(cur)
+        prev = cur
+    return np.array(out, dtype=np.uint8).reshape(h, stride)
+
+
 def encode_png(pixels: np.ndarray, filter_for_row=None) -> bytes:
     """Encode an 8-bit image as a standards-compliant PNG.
 
@@ -166,10 +234,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     (identical contract); otherwise parses chunks, verifies CRCs,
     inflates the IDAT stream and reverses the scanline filters.
     """
-    try:  # optional fast path — absent in this container
-        from PIL import Image  # type: ignore[import-not-found]
-    except ImportError:
-        Image = None
+    Image = _PIL_IMAGE  # probed once at module import (see top of file)
     # The fast path must not WEAKEN the contract: trust PIL only when
     # the raw IHDR says depth 8 / color type 0 or 2 / non-interlaced
     # (PIL maps 16-bit truecolor and 2/4-bit grayscale to modes
@@ -231,12 +296,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, np.ndarray]:
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
-    buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prev = _unfilter_row(int(buf[y, 0]), buf[y, 1:], prev, channels)
-        out[y] = prev
+    if stride < _SMALL_STRIDE:
+        out = _unfilter_small(raw, h, stride, channels)
+    else:
+        buf = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            prev = _unfilter_row(
+                int(buf[y, 0]), buf[y, 1:], prev, channels
+            )
+            out[y] = prev
     pixels = out if channels == 1 else out.reshape(h, w, 3)
     return w, h, channels, pixels
 

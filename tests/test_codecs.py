@@ -250,18 +250,19 @@ def test_png_round_trip_property():
 
 
 def _fake_pil(monkeypatch, open_impl):
-    """Install a minimal fake PIL package whose Image.open is
-    ``open_impl`` — lets the fast-path guard be tested in containers
-    where real PIL is absent."""
-    import sys
+    """Install a minimal fake PIL whose Image.open is ``open_impl`` —
+    lets the fast-path guard be tested in containers where real PIL is
+    absent.  PIL is probed ONCE at codecs import (a per-call failed
+    import re-walked sys.path for every frame — measured ~60% of
+    decode time), so the fake patches the probed binding, not
+    sys.modules."""
     import types
 
-    pil = types.ModuleType("PIL")
+    from streaming_forex_data_pipeline_spark.llm import codecs
+
     image_mod = types.ModuleType("PIL.Image")
     image_mod.open = open_impl
-    pil.Image = image_mod
-    monkeypatch.setitem(sys.modules, "PIL", pil)
-    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    monkeypatch.setattr(codecs, "_PIL_IMAGE", image_mod)
 
 
 def test_pil_fast_path_unsupported_mode_falls_through(monkeypatch):
@@ -309,21 +310,20 @@ def test_pil_fast_path_equivalence_when_available():
     filter types).  Skips where PIL is absent — the fake-PIL tests
     above cover the guard logic there."""
     pytest.importorskip("PIL")
-    import sys
 
     rng = np.random.RandomState(11)
     for shape in ((17, 13), (17, 13, 3)):
         px = rng.randint(0, 256, size=shape).astype(np.uint8)
         data = encode_png(px, filter_for_row=lambda y: y % 5)
+        from streaming_forex_data_pipeline_spark.llm import codecs
+
         fast = decode_png(data)
-        saved = {k: sys.modules.pop(k) for k in list(sys.modules)
-                 if k == "PIL" or k.startswith("PIL.")}
-        sys.modules["PIL"] = None  # force ImportError inside decode_png
+        saved_probe = codecs._PIL_IMAGE
+        codecs._PIL_IMAGE = None  # force the pure-decoder path
         try:
             pure = decode_png(data)
         finally:
-            del sys.modules["PIL"]
-            sys.modules.update(saved)
+            codecs._PIL_IMAGE = saved_probe
         assert fast[:3] == pure[:3]
         assert np.array_equal(fast[3], pure[3])
 
@@ -407,3 +407,32 @@ def test_mpng_structural_damage_raises():
         split_mpng(bytes(corrupt))
     with pytest.raises(ValueError):  # non-PNG member rejected at encode
         encode_mpng([f, b"not a png at all"])
+
+
+def test_small_stride_unfilter_matches_numpy_path():
+    """The whole-image pure-Python unfilter (the small-stride fast
+    path added in the r14 optimization round) must be byte-identical
+    to the per-row numpy path on every filter type, both color types,
+    and adversarial shapes (1-pixel rows, single columns, RGB where
+    bpp strides matter)."""
+    from streaming_forex_data_pipeline_spark.llm import codecs
+
+    rng = np.random.RandomState(1234)
+    shapes = [(1, 1), (1, 17), (23, 1), (9, 7), (40, 61)]
+    for h, w in shapes:
+        for rgb in (False, True):
+            px = rng.randint(
+                0, 256, size=(h, w, 3) if rgb else (h, w)
+            ).astype(np.uint8)
+            ftypes = rng.randint(0, 5, size=h)
+            data = encode_png(px, filter_for_row=lambda y: int(ftypes[y]))
+            small = decode_png(data)  # stride < _SMALL_STRIDE here
+            saved = codecs._SMALL_STRIDE
+            codecs._SMALL_STRIDE = 0  # force the per-row numpy path
+            try:
+                wide = decode_png(data)
+            finally:
+                codecs._SMALL_STRIDE = saved
+            assert small[:3] == wide[:3]
+            assert np.array_equal(small[3], wide[3])
+            assert np.array_equal(small[3], px)
