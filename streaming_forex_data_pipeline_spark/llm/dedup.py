@@ -107,29 +107,41 @@ def minhash_band_buckets(
       intermediate full-signature array that per-band slices would
       re-inline ``bands`` times).
 
-    ``exact_set_key=True`` (the jaccard==1 tier) mixes the sorted
-    token-SET hash into every band hash.  Identical sets agree on it,
-    so recall at threshold 1.0 is untouched — but docs whose distinct
-    sets happen to collide on a signature band (common on small
-    vocabularies) land in different buckets and never become
-    candidates, collapsing the Σk² pair explosion to the true-dup
-    clusters.  Computed inside the same projection, where the token
-    array is already in hand: no extra scan, no join."""
+    ``exact_set_key=True`` (the jaccard==1 tier) keys candidacy on the
+    sorted token-SET hash ALONE and skips the minhash folds entirely
+    (r14 optimization round).  At threshold 1.0 the minhash component
+    of the band key is redundant: identical sets agree on the set hash
+    (candidates kept), different sets disagree on it (candidates
+    dropped before any minhash could matter), and the exact-Jaccard
+    verification downstream removes the ~2^-64 set-hash collisions —
+    so the emitted PAIR set after verification is provably identical
+    while the CPU-heavy 32-fold signature pass (the dominant cost of
+    the threshold-1.0 tier, ~2.5 s at sf0.1) disappears.  One band row
+    per doc regardless of ``bands``: every band hash would be the same
+    key, and the bands>1 caller dedups pairs anyway."""
     rows_per_band = n_hashes // bands
     from ..sources.tables import fan_out
 
     toks = token_set(text)
-    set_key = (
-        [F.xxhash64(F.sort_array(toks)).alias("__sk")] if exact_set_key else []
-    )
+    if exact_set_key:
+        # no families, no __h: the set hash IS the band key
+        base = fan_out(
+            docs.select(
+                "doc_id", F.xxhash64(F.sort_array(toks)).alias("__sk")
+            )
+        )
+        return base.select(
+            "doc_id",
+            F.lit(0).alias("band"),
+            F.col("__sk").alias("band_hash"),
+        )
     # the fan-out exchange both spreads the CPU-heavy folds across
     # cluster parallelism (single-row-group scans are unsplittable) and
-    # materializes __h / __sk (see docstring)
+    # materializes __h (see docstring)
     base = fan_out(
         docs.select(
             "doc_id",
             F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
-            *set_key,
         )
     )
     families = [
@@ -141,9 +153,7 @@ def minhash_band_buckets(
     bhs = []
     for b in range(bands):
         fam = F.array(*families[b * rows_per_band : (b + 1) * rows_per_band])
-        bhs.append(
-            F.xxhash64(fam, F.col("__sk")) if exact_set_key else F.xxhash64(fam)
-        )
+        bhs.append(F.xxhash64(fam))
     return base.select(
         "doc_id", F.posexplode(F.array(*bhs)).alias("band", "band_hash")
     )
@@ -492,12 +502,19 @@ def connected_components(
     convergence count: without lineage truncation the plan doubles per
     iteration and Catalyst analysis time dominates after ~10 rounds.
 
-    Convergence is detected by an exact changed-label count (one join
-    per round) checked BEFORE the jump join — a propagation fixpoint
-    forces label equality across every symmetric edge, so converged
-    labels are already component-constant.  The loop asserts
-    convergence within ``max_iterations`` rather than silently
-    returning a partial clustering.
+    Convergence is detected from the LABEL-SUM invariant (r14
+    optimization round): labels are min-monotone — a round can only
+    ever DECREASE a node's label, never increase it, and the node set
+    is fixed after initialization — so Σ label changed iff any label
+    changed.  Comparing this round's Σ (an exact DECIMAL(38,0) sum,
+    overflow-free at any corpus size) with the previous round's
+    replaces the per-round changed-count JOIN with a map-side-combined
+    aggregate over the frame the checkpoint materializes anyway.  The
+    check runs BEFORE the jump join — a propagation fixpoint forces
+    label equality across every symmetric edge, so converged labels
+    are already component-constant.  The loop asserts convergence
+    within ``max_iterations`` rather than silently returning a partial
+    clustering.
     """
     edges = pairs.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
@@ -519,25 +536,29 @@ def connected_components(
         .select("node", F.least("node", "m").alias("comp"))
         .localCheckpoint(eager=False)
     )
+    def label_sum(frame: DataFrame):
+        # exact Σ comp — DECIMAL(38,0) so ids near 2^63 cannot wrap
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
         nbr = edges.join(
             labels.withColumnRenamed("node", "e_src"), "e_src"
         ).select(F.col("e_dst").alias("node"), "comp")
-        # lazy checkpoint: the changed-count action below materializes
-        # it, truncating lineage without paying a separate job
+        # lazy checkpoint: the label-sum action below materializes it,
+        # truncating lineage without paying a separate job
         proposed = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            proposed.withColumnRenamed("comp", "new_comp")
-            .join(labels, "node")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        if changed == 0:
+        # min-monotone labels over a fixed node set: Σ unchanged <=>
+        # no label changed (every change strictly decreases one term)
+        new_sum = label_sum(proposed)
+        if new_sum == prev_sum:
             # propagation fixpoint: label(v) = min over v's closed
             # neighbourhood for every v forces label equality across
             # every (symmetric) edge, i.e. labels are already constant
@@ -551,6 +572,13 @@ def connected_components(
             .select("node", F.coalesce("jumped", "comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
+        # re-baseline on the POST-jump labels: the jump itself lowers
+        # Σ, so the next round's Σ(proposed) must be compared against
+        # Σ(labels) or equality could never fire after a jump acts and
+        # the loop would run to max_iterations on an already-converged
+        # graph.  This sum doubles as the eager materializer of the
+        # jump checkpoint (lineage truncated here, not next round).
+        prev_sum = label_sum(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
