@@ -433,12 +433,24 @@ def exact_ntile(
 
     ``order_cols`` must be a TOTAL order (append a unique id as the
     last column) or ranks at partition boundaries would be
-    nondeterministic."""
+    nondeterministic.
+
+    The ranged frame is lazily checkpointed (r14): FOUR consumers
+    read it (local ranks, the counts aggregate feeding both tiny
+    broadcast frames, and the final rejoin), and because ``__pid`` is
+    non-deterministic Catalyst can never prove the subtrees equal —
+    without the cut each broadcast build re-evaluated the ENTIRE
+    upstream plan, which compounds exponentially when ntile stages
+    chain (rfm_segments' three chained quartiles re-scanned events
+    108 times; one pass per stage after the cut).  eager=False: the
+    first broadcast build materializes it, no separate job."""
     from pyspark.sql import Window
 
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(partitions, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_loc = Window.partitionBy("__pid").orderBy(*cols)
     local = ranged.withColumn("__lrn", F.row_number().over(w_loc))

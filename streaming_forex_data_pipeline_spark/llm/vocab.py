@@ -416,19 +416,52 @@ def cms_build(
     md5 evaluations instead of ``depth`` (measured 2.6 s -> 1.5 s at
     sf0.1 for the registered query).  DuckDB rebuilds the identical
     sketch from the same two prefixes and the estimates hash-check
-    exactly.  Plan: one explode + one (row, bucket) keyed count —
-    map-side combined, the same shuffle shape as a plain word count
-    but with a FIXED output cardinality (depth*width rows) regardless
-    of vocabulary size: that fixed size is the point at 100 TB, and
-    per-batch sketches merge by addition (counter-wise sum), which is
-    what a streaming ingest does."""
-    bucket = _km_buckets(F.col("tok"), depth, width)
-    ex = docs.select(F.explode(words_array(text)).alias("tok"))
+    exactly.  Plan (r14): one explode + a token-keyed count (map-side
+    combined; the partial aggregate collapses occurrence rows to the
+    batch vocabulary BEFORE any hashing), then the weighted
+    counts-path below — 2 md5 per DISTINCT token instead of per
+    occurrence.  Counter-identical by construction: the counter at
+    (row, bucket) is the number of occurrences hashing there, which
+    is exactly the sum of the per-token counts of the tokens hashing
+    there.  Output cardinality stays FIXED (depth*width rows)
+    regardless of vocabulary size: that fixed size is the point at
+    100 TB, and per-batch sketches merge by addition (counter-wise
+    sum), which is what a streaming ingest does."""
+    counts = (
+        docs.select(F.explode(words_array(text)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__k"))
+    )
+    return cms_build_from_counts(
+        counts, depth=depth, width=width, count_col="__k"
+    )
+
+
+def cms_build_from_counts(
+    counts: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    tok_col: str = "tok",
+    count_col: str = "true_count",
+) -> DataFrame:
+    """Count-Min sketch from PRE-AGGREGATED (token, count) rows —
+    counter-identical to hashing the raw occurrence stream (each
+    counter is the sum of the counts of the tokens double-hashing
+    into it) at 2 md5 per distinct token.  The seam consumers that
+    already hold a word count (the registered frequency face, any
+    TF table) plug into so the corpus-sized hash pass disappears."""
+    bucket = _km_buckets(F.col(tok_col), depth, width)
+    ex = counts.select(
+        F.explode(bucket).alias("rb"), F.col(count_col).alias("__k")
+    )
     return (
-        ex.select(F.explode(bucket).alias("rb"))
-        .select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        ex.select(
+            F.col("rb.row").alias("row"),
+            F.col("rb.bucket").alias("bucket"),
+            "__k",
+        )
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("__k").alias("c"))
     )
 
 
@@ -472,11 +505,16 @@ def cms_estimate(
     counter.  The sketch is depth*width rows — broadcast it; missing
     counters (bucket never touched) read as 0 via the left join.
     Probe buckets use the same Kirsch-Mitzenmacher double hashing as
-    `cms_build` (2 md5 per token, any depth)."""
+    `cms_build` (2 md5 per token, any depth).  Every NON-probe column
+    of ``tokens`` is carried through (r14), so a caller holding
+    (token, true_count) gets both beside the estimate without
+    re-joining — and without re-computing the tokens subtree."""
+    carried = [c for c in tokens.columns if c != tok_col]
     h1 = _km_hash(F.col(tok_col), "1")
     h2 = _km_hash(F.col(tok_col), "2")
     probes = tokens.select(
         tok_col,
+        *carried,
         *[
             ((h1 + F.lit(j) * h2) % width).alias(f"b{j}")
             for j in range(depth)
@@ -490,6 +528,7 @@ def cms_estimate(
         est = est.join(F.broadcast(side), f"b{j}", "left")
     return est.select(
         tok_col,
+        *carried,
         F.least(
             *[F.coalesce(F.col(f"c{j}"), F.lit(0)) for j in range(depth)]
         ).alias("est_count"),

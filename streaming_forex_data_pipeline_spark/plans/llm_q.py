@@ -2753,18 +2753,23 @@ def cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm import vocab as VO
 
     d = load_table(spark, sf_dir, "documents")
-    sketch = VO.cms_build(fan_out(d))
+    # ONE corpus tokenization pass (r14): the word count is both the
+    # sketch input (weighted counts path — counter-identical to
+    # hashing the occurrence stream, 2 md5 per distinct token instead
+    # of per occurrence) and the probe set; cms_estimate carries
+    # true_count through, so the former truth-vs-est re-join (a third
+    # evaluation of the truth subtree) is gone.  The single exchange
+    # under the word count is shared by both consumers
+    # (ReusedExchange), so the corpus is scanned and exploded once.
     truth = (
         fan_out(d)
         .select(F.explode(VO.words_array("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
-    est = VO.cms_estimate(truth, sketch)
-    return (
-        truth.join(est, "tok")
-        .select("tok", "true_count", "est_count")
-        .orderBy(F.desc("true_count"), "tok")
+    sketch = VO.cms_build_from_counts(truth)
+    return VO.cms_estimate(truth, sketch).orderBy(
+        F.desc("true_count"), "tok"
     )
 
 
