@@ -230,7 +230,31 @@ def _verify_exact_jaccard(
     collect+serialize of the whole corpus (measured ~3 s of the 4.7 s
     registered-query wall at sf0.1).  AQE's runtime join selection
     broadcasts whichever side is actually small and degrades to a
-    shuffled hash join when neither fits."""
+    shuffled hash join when neither fits.
+
+    At threshold >= 1.0 (r14 optimization round) verification reduces
+    to SORTED-ARRAY EQUALITY: jaccard(A, B) >= 1 ⟺ A == B as sets
+    (and then jaccard is exactly 1.0), so the per-pair
+    array_intersect + array_union allocations become one
+    short-circuiting ordered comparison of arrays sorted once per DOC
+    side.  Exactness notes: ``size > 0`` preserves the union-empty →
+    0.0 branch of `jaccard` (can't fire on split() output, which is
+    never empty, but the tail must not widen any caller's contract);
+    NULL token arrays (NULL text) fail both the equality and the old
+    ``NULL >= threshold`` filter identically."""
+    if threshold >= 1.0:
+        toks = docs.select(
+            "doc_id", F.sort_array(token_set(text)).alias("toks")
+        )
+        return (
+            pairs.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
+            .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b"), "doc_b")
+            .filter(
+                (F.col("toks_a") == F.col("toks_b"))
+                & (F.size("toks_a") > 0)
+            )
+            .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        )
     toks = docs.select("doc_id", token_set(text).alias("toks"))
     return (
         pairs.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a"), "doc_a")
