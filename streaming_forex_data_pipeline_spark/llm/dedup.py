@@ -1149,6 +1149,16 @@ def near_duplicate_pairs_ml(
         seed=seed,
     )
     model = mh.fit(feat)
+    # NOTE (r14 optimization round, measured): the before-plan shows 8
+    # parquet scans of the corpus — both explode sides of the
+    # self-join re-evaluate scan -> tokenize -> HashingTF -> MinHash.
+    # Collapsing them with a lazy localCheckpoint of the pre-hashed
+    # frame was PROTOTYPED AND REJECTED: the ExistingRDD scan loses
+    # size statistics, the planner downgrades the broadcast hash
+    # joins, and the registered face regressed 12.1 s -> 30.1 s in an
+    # identical A/B harness.  The duplicated upstream chain is narrow,
+    # embarrassingly parallel, and costs far less than what the
+    # checkpoint barrier + lost stats give up.
     cand = (
         model.approxSimilarityJoin(
             feat, feat, 1.0 - threshold, distCol="approx_dist"

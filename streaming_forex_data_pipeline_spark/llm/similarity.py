@@ -1145,8 +1145,6 @@ def random_projection(
     Scale shape: narrow map stage over the vectors — no shuffle; the
     long-format explode multiplies rows by m (callers wanting packed
     arrays group back or consume `transform` form directly)."""
-    spark = emb.sparkSession
-
     # The sign CONTRACT is md5-parity of '<tag>:<j>:<i>' — the oracle
     # derives it in SQL; here the same md5 runs at plan-BUILD time
     # (hashlib) and the matrix ships as plain literals.  An earlier
@@ -1160,7 +1158,20 @@ def random_projection(
         return 1.0 if digit % 2 == 0 else -1.0
 
     matrix = [[sign(j, i) for i in range(dim)] for j in range(m)]
-    signs = spark.createDataFrame([(matrix,)], "R array<array<double>>")
+    # the sign matrix as a FOLDABLE nested-array literal: Catalyst
+    # constant-folds CreateArray-of-CreateArray of literals into one
+    # static ArrayData, so element_at below is an in-place lookup into
+    # a shared object.  The earlier broadcast-1-row-frame + crossJoin
+    # form physically copied the full 16x64 matrix (8 KB) onto EVERY
+    # exploded (vector, dim) row — at m=16 that was ~94% of the bytes
+    # flowing through the Generate (r14 optimization round, guide
+    # §2.3 "shuffle fewer bytes / project before the exchange":
+    # steady-state noop-sink 1.5-2.0 s -> 0.53-0.57 s per run at
+    # sf0.1 in a head-to-head session; min-of-2 harness 3.27 s ->
+    # 1.74 s).
+    signs_lit = F.array(
+        *[F.array(*[F.lit(s) for s in row]) for row in matrix]
+    )
     scale = float(m) ** 0.5
     from ..sources.tables import fan_out
 
@@ -1175,16 +1186,15 @@ def random_projection(
     # would re-evaluate the whole array per exploded row (~16x — the
     # no-codegen higher-order-function pitfall documented in the
     # verify recipe; measured 12.2 s -> this form removes it)
-    ex = base.crossJoin(F.broadcast(signs)).select(
+    ex = base.select(
         "id",
         "v",
-        "R",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("dim"),
     )
     raw = F.aggregate(
         F.zip_with(
             F.col("v"),
-            F.element_at(F.col("R"), F.col("dim") + 1),
+            F.element_at(signs_lit, F.col("dim") + 1),
             lambda x, s: x * s,
         ),
         F.lit(0.0),
