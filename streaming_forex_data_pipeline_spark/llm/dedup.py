@@ -144,16 +144,25 @@ def minhash_band_buckets(
             F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
         )
     )
-    families = [
-        F.array_min(
-            F.transform(F.col("__h"), lambda h: F.xxhash64(h, F.lit(i)))
+    # one SQL parse per BAND instead of ~10 py4j Column calls per
+    # hash family (r14 optimization round, driver-side construction
+    # cost); the parsed tree — xxhash64(array(array_min(transform(
+    # __h, h -> xxhash64(h, i))), ...)) — is identical to the
+    # Column-API form, including the lambda variable name
+    def family(i: int) -> str:
+        return f"array_min(transform(__h, h -> xxhash64(h, {i})))"
+
+    bhs = [
+        F.expr(
+            "xxhash64(array("
+            + ",".join(
+                family(i)
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            )
+            + "))"
         )
-        for i in range(n_hashes)
+        for b in range(bands)
     ]
-    bhs = []
-    for b in range(bands):
-        fam = F.array(*families[b * rows_per_band : (b + 1) * rows_per_band])
-        bhs.append(F.xxhash64(fam))
     return base.select(
         "doc_id", F.posexplode(F.array(*bhs)).alias("band", "band_hash")
     )
@@ -337,18 +346,24 @@ def simhash_table(
     hash_fn = fast_token_hash if fast_hash else portable_token_hash
     tok = docs.select("doc_id", F.explode_outer(token_set(text)).alias("t"))
     h = tok.select("doc_id", hash_fn(F.col("t")).alias("h"))
+    # expressions built by SQL parse, one py4j call each, instead of
+    # ~6 Column-API roundtrips per bit (r14 optimization round: the
+    # driver spent ~1-1.5 s per invocation just CONSTRUCTING these
+    # bits+1 aggregates and the bits-term reconstruction chain).
+    # Parsed trees are operator-identical to the Column-API forms.
     aggs = [F.count(F.col("h")).alias("n")] + [
-        F.coalesce(
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))), F.lit(0)
-        ).alias(f"c{b}")
+        F.expr(f"coalesce(sum(shiftright(h, {b}) & 1), 0) AS c{b}")
         for b in range(bits)
     ]
     g = h.groupBy("doc_id").agg(*aggs)
-    sh = F.lit(0).cast("long")
-    for b in range(bits):
-        sh = sh + F.when(
-            2 * F.col(f"c{b}") >= F.col("n"), F.lit(2**b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    sh = F.expr(
+        "CAST(0 AS BIGINT) + "
+        + " + ".join(
+            f"CASE WHEN 2 * c{b} >= n THEN CAST({2 ** b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for b in range(bits)
+        )
+    )
     return g.select("doc_id", sh.alias("sh"))
 
 

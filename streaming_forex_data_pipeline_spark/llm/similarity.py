@@ -17,6 +17,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def lit_double_array(values) -> Column:
+    """array<double> literal built by ONE SQL parse instead of
+    ``len(values)`` py4j ``F.lit`` roundtrips (r14 optimization round:
+    driver-side expression CONSTRUCTION was a measured per-query cost
+    — a 64-weight plane built element-wise costs ~65 py4j calls at
+    1-3 ms each, and lsh_bucket builds eight of them).  The parsed
+    tree is the same CreateArray-of-Literal Catalyst constant-folds
+    either way; ``repr`` round-trips every IEEE double exactly and
+    Spark's ``D`` suffix parses the same double back."""
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in values) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float> columns, accumulated in double
     (left-to-right, matching DuckDB list_dot_product over DOUBLE[])."""
@@ -90,7 +102,9 @@ def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 42) ->
     """
     bucket = F.lit(0)
     for p, weights in enumerate(lsh_planes(n_planes, dim, seed)):
-        plane = F.array(*[F.lit(w) for w in weights])
+        # one parse per plane instead of dim+1 py4j roundtrips — see
+        # lit_double_array (identical constant-folded literal)
+        plane = lit_double_array(weights)
         d = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -1169,8 +1183,15 @@ def random_projection(
     # steady-state noop-sink 1.5-2.0 s -> 0.53-0.57 s per run at
     # sf0.1 in a head-to-head session; min-of-2 harness 3.27 s ->
     # 1.74 s).
-    signs_lit = F.array(
-        *[F.array(*[F.lit(s) for s in row]) for row in matrix]
+    # single parse (see lit_double_array) — built element-wise this
+    # nested literal alone is ~1 000 py4j roundtrips of driver time
+    signs_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{s!r}D" for s in row) + ")"
+            for row in matrix
+        )
+        + ")"
     )
     scale = float(m) ** 0.5
     from ..sources.tables import fan_out
