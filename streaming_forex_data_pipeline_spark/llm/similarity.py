@@ -29,14 +29,27 @@ def lit_double_array(values) -> Column:
     return F.expr("array(" + ",".join(f"{v!r}D" for v in values) + ")")
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array<float> columns, accumulated in double
-    (left-to-right, matching DuckDB list_dot_product over DOUBLE[])."""
+    (left-to-right, matching DuckDB list_dot_product over DOUBLE[]).
+
+    Pass plain column NAMES when you have them: the whole fold is then
+    built by one SQL parse instead of ~15 py4j Column-API roundtrips
+    (r14 optimization round — the ANN report faces construct dozens of
+    these per query build).  Both forms produce the identical
+    zip_with/aggregate tree, lambda variable names included."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with(`{a}`, `{b}`, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    # str dispatch happens inside dot() — one parse for the fold
     return F.sqrt(dot(a, a))
 
 
@@ -145,12 +158,12 @@ def embedding_near_dup_pairs(
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
-        norm(F.col(vec_col)).alias("n_a"),
+        norm(vec_col).alias("n_a"),
     )
     b = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
-        norm(F.col(vec_col)).alias("n_b"),
+        norm(vec_col).alias("n_b"),
     )
     from ..sources.tables import fan_out
 
@@ -159,7 +172,7 @@ def embedding_near_dup_pairs(
         .join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            guarded_cos(dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")),
+            guarded_cos(dot("v_a", "v_b"), F.col("n_a"), F.col("n_b")),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -187,7 +200,7 @@ def embedding_near_dup_candidates(
     b = base.select(
         "id",
         "v",
-        norm(F.col("v")).alias("n"),
+        norm("v").alias("n"),
         lsh_bucket(F.col("v"), n_planes).alias("bucket"),
     )
     x = b.select(
@@ -203,7 +216,7 @@ def embedding_near_dup_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos_sim",
-            guarded_cos(dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b")),
+            guarded_cos(dot("v_a", "v_b"), F.col("n_a"), F.col("n_b")),
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -245,7 +258,7 @@ def incremental_embedding_pairs(
     b = flags.select(
         "id",
         "v",
-        norm(F.col("v")).alias("n"),
+        norm("v").alias("n"),
         lsh_bucket(F.col("v"), n_planes).alias("bucket"),
         "is_new",
     )
@@ -264,7 +277,7 @@ def incremental_embedding_pairs(
         F.col("id_a") < F.col("id_b")
     )
     on = sides(old, "a").join(sides(new, "b"), "bucket")
-    cos = guarded_cos(dot(F.col("v_a"), F.col("v_b")), F.col("n_a"), F.col("n_b"))
+    cos = guarded_cos(dot("v_a", "v_b"), F.col("n_a"), F.col("n_b"))
     return (
         nn.unionByName(on)
         .withColumn("cos_sim", cos)
@@ -285,7 +298,7 @@ def _bootstrap_centroids(
     return emb.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cv"),
-        norm(F.col(vec_col)).alias("cn"),
+        norm(vec_col).alias("cn"),
     )
 
 
@@ -308,7 +321,7 @@ def assign_to_cells(
         emb.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("n"),
+            norm(vec_col).alias("n"),
         )
     )
     scored = base.crossJoin(F.broadcast(cents)).select(
@@ -316,7 +329,7 @@ def assign_to_cells(
         "v",
         "n",
         "cid",
-        guarded_cos(dot(F.col("v"), F.col("cv")), F.col("n"), F.col("cn")).alias(
+        guarded_cos(dot("v", "cv"), F.col("n"), F.col("cn")).alias(
             "ccos"
         ),
     )
@@ -372,14 +385,14 @@ def probe_cells_for(
     IVF tier (one construction, or the tiers' probe sets silently
     diverge)."""
     q = query.select(
-        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+        F.col(vec_col).alias("qv"), norm(vec_col).alias("qn")
     )
     return (
         cents.crossJoin(F.broadcast(q))
         .select(
             "cid",
             guarded_cos(
-                dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")
+                dot("qv", "cv"), F.col("qn"), F.col("cn")
             ).alias(
                 "qcos"
             ),
@@ -423,7 +436,7 @@ def ivf_topk(
     cell) and each query touches nprobe partitions."""
     assigned = ivf_assign(emb, n_cells, id_col, vec_col)
     q = query.select(
-        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+        F.col(vec_col).alias("qv"), norm(vec_col).alias("qn")
     )
     probe = _probe_cells(emb, query, n_cells, nprobe, id_col, vec_col)
     return (
@@ -432,7 +445,7 @@ def ivf_topk(
         .select(
             F.col("id").alias(id_col),
             guarded_cos(
-                dot(F.col("v"), F.col("qv")), F.col("n"), F.col("qn")
+                dot("v", "qv"), F.col("n"), F.col("qn")
             ).alias(
                 "cos_sim"
             ),
@@ -499,7 +512,7 @@ def kmeans_centroids(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cid int, cv array<double>",
     )
-    return cents.select("cid", "cv", norm(F.col("cv")).alias("cn"))
+    return cents.select("cid", "cv", norm("cv").alias("cn"))
 
 
 def ivf_topk_kmeans(
@@ -527,7 +540,7 @@ def ivf_topk_kmeans(
         )
     assigned = assign_to_cells(emb, cents, id_col, vec_col)
     q = query.select(
-        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+        F.col(vec_col).alias("qv"), norm(vec_col).alias("qn")
     )
     probe = probe_cells_for(cents, query, nprobe, vec_col)
     return (
@@ -536,7 +549,7 @@ def ivf_topk_kmeans(
         .select(
             F.col("id").alias(id_col),
             guarded_cos(
-                dot(F.col("v"), F.col("qv")), F.col("n"), F.col("qn")
+                dot("v", "qv"), F.col("n"), F.col("qn")
             ).alias(
                 "cos_sim"
             ),
@@ -759,7 +772,7 @@ def semdedup(
         .filter(F.col("id_lo") < F.col("id_hi"))
         .filter(
             guarded_cos(
-                dot(F.col("v_lo"), F.col("v_hi")),
+                dot("v_lo", "v_hi"),
                 F.col("n_lo"),
                 F.col("n_hi"),
             )
@@ -806,7 +819,7 @@ def pq_rerank_topk(
         emb, query, n_candidates, m, dsub, n_codes, id_col, vec_col
     )
     q = query.select(
-        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+        F.col(vec_col).alias("qv"), norm(vec_col).alias("qn")
     )
     return (
         emb.join(F.broadcast(cands), id_col)
@@ -815,8 +828,8 @@ def pq_rerank_topk(
             id_col,
             "approx_dist",
             guarded_cos(
-                dot(F.col(vec_col), F.col("qv")),
-                norm(F.col(vec_col)),
+                dot(vec_col, "qv"),
+                norm(vec_col),
                 F.col("qn"),
             ).alias("cos_sim"),
         )
@@ -858,7 +871,7 @@ def knn_graph(
     ).select(
         "id",
         "v",
-        norm(F.col("v")).alias("n"),
+        norm("v").alias("n"),
         lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
     )
     lhs = b.select(
@@ -889,7 +902,7 @@ def knn_graph(
             "src",
             "dst",
             (
-                dot(F.col("v_s"), F.col("v_d"))
+                dot("v_s", "v_d")
                 / (F.col("n_s") * F.col("n_d"))
             ).alias("cos_sim"),
         )
@@ -949,7 +962,7 @@ def knn_graph_delta(
     ).select(
         "id",
         "v",
-        norm(F.col("v")).alias("n"),
+        norm("v").alias("n"),
         lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
         "is_new",
     )
@@ -984,7 +997,7 @@ def knn_graph_delta(
             "src",
             "dst",
             (
-                dot(F.col("v_s"), F.col("v_d"))
+                dot("v_s", "v_d")
                 / (F.col("n_s") * F.col("n_d"))
             ).alias("cos_sim"),
         )
@@ -1265,7 +1278,7 @@ def probe_ivf_silver(
     silver = spark.read.parquet(out_dir)
     probe = _probe_cells(emb, query, n_cells, nprobe, id_col, vec_col)
     q = query.select(
-        F.col(vec_col).alias("qv"), norm(F.col(vec_col)).alias("qn")
+        F.col(vec_col).alias("qv"), norm(vec_col).alias("qn")
     )
     return (
         silver.join(F.broadcast(probe), silver.cell == probe.cid)
@@ -1273,7 +1286,7 @@ def probe_ivf_silver(
         .select(
             id_col,
             guarded_cos(
-                dot(F.col("v"), F.col("qv")), F.col("n"), F.col("qn")
+                dot("v", "qv"), F.col("n"), F.col("qn")
             ).alias(
                 "cos_sim"
             ),
@@ -1314,13 +1327,13 @@ def hard_negatives(
     anchors = emb.filter(F.col(id_col) < n_anchors).select(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("av"),
-        norm(F.col(vec_col)).alias("an"),
+        norm(vec_col).alias("an"),
     )
     base = fan_out(
         emb.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("n"),
+            norm(vec_col).alias("n"),
         )
     )
     scored = (
@@ -1330,7 +1343,7 @@ def hard_negatives(
             "anchor_id",
             F.col("id").alias(id_col),
             guarded_cos(
-                dot(F.col("v"), F.col("av")), F.col("n"), F.col("an")
+                dot("v", "av"), F.col("n"), F.col("an")
             ).alias(
                 "cos_sim"
             ),
@@ -1495,11 +1508,11 @@ def knn_graph_search(
     ).select(
         "vec_id",
         "v",
-        norm(F.col("v")).alias("n"),
+        norm("v").alias("n"),
         lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
     )
     q = query.select(F.col("embedding").alias("qv")).select(
-        "qv", norm(F.col("qv")).alias("qn")
+        "qv", norm("qv").alias("qn")
     )
     scores = (
         base.crossJoin(F.broadcast(q))
@@ -1513,7 +1526,7 @@ def knn_graph_search(
         .select(
             "vec_id",
             (
-                dot(F.col("v"), F.col("qv"))
+                dot("v", "qv")
                 / (F.col("n") * F.col("qn"))
             ).alias("cos_sim"),
         )
@@ -1574,11 +1587,11 @@ def batch_cosine_scores(emb: DataFrame, queries: DataFrame) -> DataFrame:
 
     base = fan_out(
         emb.select("vec_id", F.col("embedding").alias("v"))
-    ).select("vec_id", "v", norm(F.col("v")).alias("n"))
+    ).select("vec_id", "v", norm("v").alias("n"))
     qn = queries.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
-    ).select("qid", "qv", norm(F.col("qv")).alias("qn"))
+    ).select("qid", "qv", norm("qv").alias("qn"))
     return (
         base.crossJoin(F.broadcast(qn))
         # zero-norm guard (advice r12) — see knn_graph_search: NaN
@@ -1590,7 +1603,7 @@ def batch_cosine_scores(emb: DataFrame, queries: DataFrame) -> DataFrame:
             "qid",
             "vec_id",
             (
-                dot(F.col("v"), F.col("qv"))
+                dot("v", "qv")
                 / (F.col("n") * F.col("qn"))
             ).alias("cos_sim"),
         )
