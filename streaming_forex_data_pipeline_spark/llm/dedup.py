@@ -8,10 +8,43 @@ of O(N²) pairs).
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import md5_fingerprint
+
+# connected_components broadcast gate (r15 optimization round): when the
+# node set is small enough for its (node, comp) label table to broadcast
+# (~32-48 B/row in the hash relation, so 2M rows ~ 64-96 MB, inside the
+# session's 64 MB auto threshold ballpark and far inside an 8 GB driver),
+# every per-round join (label propagation AND pointer jump) becomes a
+# BroadcastHashJoin: the edge list is never shuffled and each round is a
+# single map stage + one exchange for the min-label aggregation.  Above
+# the gate the loop keeps the shuffle joins, which are the only layout
+# that scales to a 100 TB node set.  The decision comes from a MEASURED
+# count of the actual label table, not an estimate, so it is
+# scale-adaptive rather than tuned to local[32]; raise it on clusters
+# with bigger executors via the env knob.
+_CC_BROADCAST_MAX_NODES = int(
+    os.environ.get("SFDP_CC_BROADCAST_MAX_NODES", str(2_000_000))
+)
+
+# target rows per edge partition for the CC loop (two BIGINTs a row,
+# ~2M rows ~ 32 MB): the symmetric edge list inherits its partition
+# count from whatever the upstream pair emitter produced (tens of
+# map tasks for a few-hundred-KB frame at bench scale), and every
+# propagation round re-scans it — coalescing to a count derived from
+# the MEASURED edge count keeps per-round fixed stage cost
+# proportional to the data instead of the session default (guide
+# §2.1/§2.2: fixed cost per partition; the r14 scaling block showed
+# cross_modal_clusters FASTER on 8 cores than 32 for exactly this
+# reason).  coalesce() is narrow — no shuffle is added.
+_CC_EDGE_ROWS_PER_PARTITION = int(
+    os.environ.get("SFDP_CC_EDGE_ROWS_PER_PARTITION", str(2_000_000))
+)
 
 
 def exact_duplicate_groups(docs: DataFrame, text: str = "text") -> DataFrame:
@@ -545,15 +578,27 @@ def connected_components(
     optimization round): labels are min-monotone — a round can only
     ever DECREASE a node's label, never increase it, and the node set
     is fixed after initialization — so Σ label changed iff any label
-    changed.  Comparing this round's Σ (an exact DECIMAL(38,0) sum,
-    overflow-free at any corpus size) with the previous round's
-    replaces the per-round changed-count JOIN with a map-side-combined
-    aggregate over the frame the checkpoint materializes anyway.  The
-    check runs BEFORE the jump join — a propagation fixpoint forces
-    label equality across every symmetric edge, so converged labels
-    are already component-constant.  The loop asserts convergence
-    within ``max_iterations`` rather than silently returning a partial
+    changed.  Comparing Σ(proposed) (an exact DECIMAL(38,0) sum,
+    overflow-free at any corpus size) with Σ(current labels) replaces
+    the per-round changed-count JOIN with a map-side-combined
+    aggregate over the frames the checkpoints materialize anyway, and
+    (r15) BOTH sums ride ONE tagged-union aggregate job, so each round
+    costs exactly one driver action.  The check runs BEFORE the jump
+    join — a propagation fixpoint forces label equality across every
+    symmetric edge, so converged labels are already component-constant
+    — and the jump checkpoint stays lazy, so the final round never
+    executes its jump at all.  The loop asserts convergence within
+    ``max_iterations`` rather than silently returning a partial
     clustering.
+
+    Join strategy and layout are derived from MEASURED sizes, not the
+    session default (r15, guide §2.1/§3.1): one sizing pass counts the
+    label and edge tables; a node set under the broadcast gate turns
+    every per-round join into a BroadcastHashJoin (the edge list is
+    then scanned but never shuffled), and the edge scan is coalesced
+    to ~|E|-proportional partitions so per-round fixed stage cost
+    tracks the data.  Above the gate the loop keeps shuffle joins —
+    the 100 TB layout.
     """
     edges = pairs.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
@@ -575,18 +620,43 @@ def connected_components(
         .select("node", F.least("node", "m").alias("comp"))
         .localCheckpoint(eager=False)
     )
-    def label_sum(frame: DataFrame):
-        # exact Σ comp — DECIMAL(38,0) so ids near 2^63 cannot wrap
-        return frame.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    # ONE sizing pass (materializes the labels AND edges checkpoints —
+    # the loop was going to pay that anyway on its first action): the
+    # measured |V| gates the broadcast plan, the measured |E| sizes the
+    # per-round scan partitioning.  Both are data-derived, so the same
+    # code picks shuffle joins and wide scans on a 100 TB graph.
+    n_nodes = labels.count()
+    n_sym_edges = edges.count()  # cached RDD after the count above
+    npart = edges.rdd.getNumPartitions()
+    target = max(
+        1, math.ceil(n_sym_edges / _CC_EDGE_ROWS_PER_PARTITION)
+    )
+    if target < npart:
+        edges = edges.coalesce(target)  # narrow: merges cached blocks
+    small = n_nodes <= _CC_BROADCAST_MAX_NODES
+    bc = F.broadcast if small else (lambda f: f)
 
-    prev_sum = label_sum(labels)
+    def tagged_sums(before: DataFrame, after: DataFrame):
+        # exact Σ comp — DECIMAL(38,0) so ids near 2^63 cannot wrap.
+        # BOTH sums ride one tagged-union aggregate job (r14 verdict
+        # Next #3a: the loop used to pay two collects per round);
+        # `before` is upstream of `after`, so its checkpoint is
+        # materialized once inside this job and read twice.
+        rows = (
+            before.select(F.lit(0).alias("t"), "comp")
+            .unionByName(after.select(F.lit(1).alias("t"), "comp"))
+            .groupBy("t")
+            .agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"))
+            .collect()
+        )
+        by_tag = {r["t"]: r["s"] for r in rows}
+        return by_tag.get(0), by_tag.get(1)
+
     for _ in range(max_iterations):
         nbr = edges.join(
-            labels.withColumnRenamed("node", "e_src"), "e_src"
+            bc(labels.withColumnRenamed("node", "e_src")), "e_src"
         ).select(F.col("e_dst").alias("node"), "comp")
-        # lazy checkpoint: the label-sum action below materializes it,
+        # lazy checkpoint: the tagged-sum action below materializes it,
         # truncating lineage without paying a separate job
         proposed = (
             labels.unionByName(nbr)
@@ -594,10 +664,16 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
+        # ONE action per round: Σ(labels) — the post-jump baseline the
+        # old second collect existed to take, now deferred into the
+        # round that consumes it — and Σ(proposed) together.  The jump
+        # checkpoint is lazy, so on the final round the jump join is
+        # never executed at all (the convergence check still fires
+        # BEFORE the jump, exactly as before).
+        base_sum, new_sum = tagged_sums(labels, proposed)
         # min-monotone labels over a fixed node set: Σ unchanged <=>
         # no label changed (every change strictly decreases one term)
-        new_sum = label_sum(proposed)
-        if new_sum == prev_sum:
+        if new_sum == base_sum:
             # propagation fixpoint: label(v) = min over v's closed
             # neighbourhood for every v forces label equality across
             # every (symmetric) edge, i.e. labels are already constant
@@ -606,18 +682,14 @@ def connected_components(
         jump = proposed.select(
             F.col("node").alias("comp"), F.col("comp").alias("jumped")
         )
+        # the jump itself lowers Σ, so the next round's Σ(proposed)
+        # must be compared against Σ(post-jump labels) — which the
+        # next round's tagged aggregate computes as its `before` leg
         labels = (
-            proposed.join(jump, "comp", "left")
+            proposed.join(bc(jump), "comp", "left")
             .select("node", F.coalesce("jumped", "comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        # re-baseline on the POST-jump labels: the jump itself lowers
-        # Σ, so the next round's Σ(proposed) must be compared against
-        # Σ(labels) or equality could never fire after a jump acts and
-        # the loop would run to max_iterations on an already-converged
-        # graph.  This sum doubles as the eager materializer of the
-        # jump checkpoint (lineage truncated here, not next round).
-        prev_sum = label_sum(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
@@ -1164,16 +1236,21 @@ def near_duplicate_pairs_ml(
         seed=seed,
     )
     model = mh.fit(feat)
-    # NOTE (r14 optimization round, measured): the before-plan shows 8
-    # parquet scans of the corpus — both explode sides of the
+    # NOTE (r14+r15 optimization rounds, both measured): the plan shows
+    # 8 parquet scans of the corpus — both explode sides of the
     # self-join re-evaluate scan -> tokenize -> HashingTF -> MinHash.
-    # Collapsing them with a lazy localCheckpoint of the pre-hashed
-    # frame was PROTOTYPED AND REJECTED: the ExistingRDD scan loses
-    # size statistics, the planner downgrades the broadcast hash
-    # joins, and the registered face regressed 12.1 s -> 30.1 s in an
-    # identical A/B harness.  The duplicated upstream chain is narrow,
-    # embarrassingly parallel, and costs far less than what the
-    # checkpoint barrier + lost stats give up.
+    # Two attempts to collapse them were REJECTED on measurement:
+    # r14's lazy localCheckpoint regressed the face 12.1 -> 30.1 s
+    # (ExistingRDD loses size statistics, the planner downgrades the
+    # broadcast hash joins, and the checkpoint adds a serial barrier);
+    # r15's persist(MEMORY_AND_DISK) — which keeps the logical plan
+    # AND gives the planner InMemoryRelation stats, the r14 verdict's
+    # suggested fix — measured an exact WASH in a same-session
+    # interleaved A/B at sf0.1 (min-of-4: 3.102 s plain vs 3.112 s
+    # persisted; means 3.45 vs 3.25), far below the >=1.3x adoption
+    # bar, while leaking a cached frame per invocation.  The
+    # duplicated upstream chain is narrow, embarrassingly parallel,
+    # and cheap relative to the pair explosion; it stays.
     cand = (
         model.approxSimilarityJoin(
             feat, feat, 1.0 - threshold, distCol="approx_dist"

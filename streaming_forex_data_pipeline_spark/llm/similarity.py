@@ -25,8 +25,20 @@ def lit_double_array(values) -> Column:
     1-3 ms each, and lsh_bucket builds eight of them).  The parsed
     tree is the same CreateArray-of-Literal Catalyst constant-folds
     either way; ``repr`` round-trips every IEEE double exactly and
-    Spark's ``D`` suffix parses the same double back."""
-    return F.expr("array(" + ",".join(f"{v!r}D" for v in values) + ")")
+    Spark's ``D`` suffix parses the same double back.
+
+    Finite values only (asserted): ``repr`` of inf/nan ('inf', 'nan')
+    is not parseable SQL, so a non-finite element would otherwise
+    surface as an opaque ParseException at a distance (ADVICE r14)."""
+    import math as _math
+
+    vals = list(values)
+    if not all(_math.isfinite(v) for v in vals):
+        raise ValueError(
+            "lit_double_array requires finite values "
+            "(repr of inf/nan is not parseable SQL)"
+        )
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -37,13 +49,26 @@ def dot(a: Column | str, b: Column | str) -> Column:
     built by one SQL parse instead of ~15 py4j Column-API roundtrips
     (r14 optimization round — the ANN report faces construct dozens of
     these per query build).  Both forms produce the identical
-    zip_with/aggregate tree, lambda variable names included."""
-    if isinstance(a, str) and isinstance(b, str):
+    zip_with/aggregate tree, lambda variable names included.
+
+    The str fast path requires SIMPLE top-level column names: a name
+    containing '.' (a struct field path, which F.col would traverse)
+    or '`' (would break the quoting) falls back to the Column path,
+    so every public call site resolves names identically either way
+    (ADVICE r14)."""
+    simple = (
+        isinstance(a, str)
+        and isinstance(b, str)
+        and not any(ch in n for n in (a, b) for ch in ".`")
+    )
+    if simple:
         return F.expr(
             f"aggregate(zip_with(`{a}`, `{b}`, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
             "0.0D, (acc, x) -> acc + x)"
         )
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
@@ -105,14 +130,39 @@ def lsh_planes(
     return planes
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
+def lsh_bucket(
+    vec: Column | str, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> Column:
     """Sign-bit LSH bucket id: sign pattern of dot products against
     ``n_planes`` deterministic hyperplanes (lsh_planes).
 
     At scale: GROUP BY bucket co-locates candidates; query vectors probe
     only their own bucket (plus optional neighboring buckets for
     recall) — the O(N·d) exact scan becomes O(N/2^planes·d).
-    """
+
+    Pass a plain column NAME when you have one (r15, the dot()/r14
+    doctrine finished): the whole bucket expression — n_planes fold
+    aggregates plus the CASE chain — is then built by ONE SQL parse
+    instead of ~20 py4j roundtrips per plane (~0.3 s per call site
+    measured warm; the ANN report builds five such sites).  The parsed
+    tree is operator-identical to the Column form, lambda variable
+    names included, so plans and results are bit-for-bit unchanged.
+    Names containing '.' or '`' fall back to the Column path, as in
+    dot()."""
+    if isinstance(vec, str) and not any(ch in vec for ch in ".`"):
+        terms = []
+        for p, weights in enumerate(lsh_planes(n_planes, dim, seed)):
+            arr = "array(" + ",".join(f"{v!r}D" for v in weights) + ")"
+            agg = (
+                f"aggregate(zip_with(`{vec}`, {arr}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"CASE WHEN {agg} >= 0 THEN {2 ** p} ELSE 0 END"
+            )
+        return F.expr("0 + " + " + ".join(terms))
+    vec = F.col(vec) if isinstance(vec, str) else vec
     bucket = F.lit(0)
     for p, weights in enumerate(lsh_planes(n_planes, dim, seed)):
         # one parse per plane instead of dim+1 py4j roundtrips — see
@@ -201,7 +251,7 @@ def embedding_near_dup_candidates(
         "id",
         "v",
         norm("v").alias("n"),
-        lsh_bucket(F.col("v"), n_planes).alias("bucket"),
+        lsh_bucket("v", n_planes).alias("bucket"),
     )
     x = b.select(
         "bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
@@ -259,7 +309,7 @@ def incremental_embedding_pairs(
         "id",
         "v",
         norm("v").alias("n"),
-        lsh_bucket(F.col("v"), n_planes).alias("bucket"),
+        lsh_bucket("v", n_planes).alias("bucket"),
         "is_new",
     )
     new = b.filter(F.col("is_new"))
@@ -495,6 +545,23 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # scale guard (r14 verdict Next #7, same doctrine as
+    # operators/importance._pin_fit_layout): the repartition(1) pin
+    # funnels the fit input through one task — refuse loudly on an
+    # input that cannot fit, instead of OOMing inside the shuffle.
+    # The remedy at scale is a deterministic SAMPLE of the fit input,
+    # not a bigger cap.
+    import os as _os
+
+    n_fit_rows = emb.select(id_col).count()
+    cap = int(_os.environ.get("SFDP_PIN_FIT_MAX_ROWS", str(2_000_000)))
+    if n_fit_rows > cap:
+        raise ValueError(
+            f"kmeans_centroids: {n_fit_rows} rows exceed the "
+            f"single-partition fit cap ({cap}); sample the fit input "
+            "deterministically before pinning, or raise "
+            "SFDP_PIN_FIT_MAX_ROWS if executor memory truly allows"
+        )
     feats = (
         emb.select(
             F.col(id_col),
@@ -872,7 +939,7 @@ def knn_graph(
         "id",
         "v",
         norm("v").alias("n"),
-        lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
+        lsh_bucket("v", n_planes=n_planes).alias("bucket"),
     )
     lhs = b.select(
         "bucket",
@@ -963,7 +1030,7 @@ def knn_graph_delta(
         "id",
         "v",
         norm("v").alias("n"),
-        lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
+        lsh_bucket("v", n_planes=n_planes).alias("bucket"),
         "is_new",
     )
     affected = b.filter(F.col("is_new")).select("bucket").distinct()
@@ -1509,7 +1576,7 @@ def knn_graph_search(
         "vec_id",
         "v",
         norm("v").alias("n"),
-        lsh_bucket(F.col("v"), n_planes=n_planes).alias("bucket"),
+        lsh_bucket("v", n_planes=n_planes).alias("bucket"),
     )
     q = query.select(F.col("embedding").alias("qv")).select(
         "qv", norm("qv").alias("qn")
@@ -1538,34 +1605,50 @@ def knn_graph_search(
     # nothing; orderings replicate Spark's exactly ((-cos, id) with
     # all-finite doubles), so the walk is unchanged (r12: the
     # two-jobs-per-round shape dominated the warm query's wall time)
+    # every probe below is frontier-sized and BOUNDED (one entry per
+    # bucket / beam*k_graph candidates per round) while `scores` is
+    # the corpus-sized checkpoint WITHOUT size statistics
+    # (ExistingRDD) — the old per-round `cands.join(scores)` therefore
+    # sort-merge-joined, re-shuffling the whole score matrix every
+    # round for a dozens-of-ids lookup, and even a broadcast-hinted
+    # join still paid a distinct exchange plus a broadcast-build
+    # sub-job per round (~0.5 s/round measured at sf0.1).  Two
+    # single-stage jobs per round — collect the bounded candidate-id
+    # set, then scan scores once with an isin filter — is the minimal
+    # shape (r15; guide §1.2/§2.4: per-round fixed latency, not bytes,
+    # dominated this walk).  Ids that the zero-norm guard dropped from
+    # `scores` simply never come back from the isin scan, exactly as
+    # they never matched the old join.
     if entry_ids is None:
-        rows0 = (
-            base.groupBy("bucket")
+        ids0 = sorted(
+            int(r["vec_id"])
+            for r in base.groupBy("bucket")
             .agg(F.min("vec_id").alias("vec_id"))
-            .join(scores, "vec_id")
             .collect()
         )
     else:
-        rows0 = scores.filter(
-            F.col("vec_id").isin([int(e) for e in entry_ids])
-        ).collect()
+        ids0 = sorted({int(e) for e in entry_ids})
+    rows0 = scores.filter(F.col("vec_id").isin(ids0)).collect()
     cos_of = {int(r["vec_id"]): r["cos_sim"] for r in rows0}
     visited = set(cos_of)
     beam_ids = sorted(visited)
     for _ in range(steps):
-        rows = (
-            graph.filter(F.col("src").isin(beam_ids))
-            .select(F.col("dst").alias("vec_id"))
-            .distinct()
-            .join(scores, "vec_id")
+        cands = {
+            int(r["dst"])
+            for r in graph.filter(F.col("src").isin(beam_ids))
+            .select("dst")
             .collect()
-        )
-        cands = {int(r["vec_id"]) for r in rows} - visited
+        } - visited
         if not cands:
             break  # frontier exhausted: further rounds are no-ops
-        for r in rows:
+        srows = scores.filter(
+            F.col("vec_id").isin(sorted(cands))
+        ).collect()
+        if not srows:
+            break  # every new candidate was a guarded zero-norm row
+        for r in srows:
             cos_of.setdefault(int(r["vec_id"]), r["cos_sim"])
-        visited |= cands
+        visited |= {int(r["vec_id"]) for r in srows}
         beam_ids = sorted(visited, key=_cos_desc_key(cos_of))[:beam]
     return (
         scores.filter(F.col("vec_id").isin(sorted(visited)))
@@ -1695,7 +1778,7 @@ def _batch_walk_visited(
         fan_out(
             emb.select(
                 lsh_bucket(
-                    F.col("embedding"), n_planes=n_planes
+                    "embedding", n_planes=n_planes
                 ).alias("bucket"),
                 "vec_id",
             )

@@ -19,6 +19,8 @@ equi-join the reference performs via index intersection.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -316,7 +318,25 @@ def _pin_fit_layout(matrix: DataFrame) -> DataFrame:
     single-partition fit is the right trade for a deterministic,
     oracle-checkable model; a 100 TB deployment fitting on a
     genuinely large matrix would skip the pin and accept run-to-run
-    model variance (standard MLlib behavior)."""
+    model variance (standard MLlib behavior).
+
+    Scale guard (r14 verdict Next #7): repartition(1) funnels the
+    whole fit input through ONE task, so an unbounded input would OOM
+    an executor long before the fit starts.  The guard counts the
+    matrix (one extra aggregate over the cached candle singleton,
+    attributed to the one-time fit:matrix build) and refuses loudly
+    above the cap instead of dying inside a shuffle — the remedy at
+    scale is to SAMPLE the fit input down (documented here), never to
+    raise the cap past executor memory."""
+    n = matrix.count()
+    cap = int(os.environ.get("SFDP_PIN_FIT_MAX_ROWS", str(2_000_000)))
+    if n > cap:
+        raise ValueError(
+            f"_pin_fit_layout: {n} rows exceed the single-partition "
+            f"fit cap ({cap}); sample the fit input (deterministically,"
+            " e.g. pmod(xxhash64(id), k) = 0) before pinning, or raise"
+            " SFDP_PIN_FIT_MAX_ROWS if executor memory truly allows"
+        )
     return matrix.repartition(1).sortWithinPartitions("symbol", "ts")
 
 

@@ -244,7 +244,7 @@ LIMIT 10
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    b = fan_out(e).withColumn("bucket", SIM.lsh_bucket(F.col("embedding")))
+    b = fan_out(e).withColumn("bucket", SIM.lsh_bucket("embedding"))
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )
@@ -3741,7 +3741,7 @@ LIMIT 10
 )
 def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    b = fan_out(e).withColumn("bucket", SIM.lsh_bucket(F.col("embedding")))
+    b = fan_out(e).withColumn("bucket", SIM.lsh_bucket("embedding"))
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"),
         SIM.multiprobe_buckets(F.col("bucket")).alias("probes"),

@@ -1236,7 +1236,7 @@ def start_knn_graph_channel(
             everyone = batch_vecs
         affected = (
             batch_vecs.select(
-                lsh_bucket(F.col("embedding"), n_planes=n_planes).alias(
+                lsh_bucket("embedding", n_planes=n_planes).alias(
                     "bucket"
                 )
             )
@@ -1245,7 +1245,7 @@ def start_knn_graph_channel(
         members = (
             everyone.withColumn(
                 "bucket",
-                lsh_bucket(F.col("embedding"), n_planes=n_planes),
+                lsh_bucket("embedding", n_planes=n_planes),
             )
             .join(F.broadcast(affected), "bucket")
             .select("vec_id", "embedding")
