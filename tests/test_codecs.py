@@ -136,6 +136,7 @@ def test_encode_decode_audio_distributed(spark, sf_dir):
         assert r["peak"] == int(np.abs(s).max())
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_decontaminate_edge_semantics(spark):
     """NULL-text and short (gram-less) train docs survive the scrub;
     exact-overlap train docs are dropped; eval rows never appear."""

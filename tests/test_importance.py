@@ -152,6 +152,7 @@ def test_importance_goldens_exact(spark, sf_dir):
         pd.testing.assert_frame_equal(a2, b, check_exact=True)
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_fit_cache_shared_across_faces(spark, sf_dir):
     """The per-session `_FIT_CACHE` (r13, wired r14) must make the
     four model-consuming faces share fits: after rf + lasso + rfe

@@ -220,6 +220,7 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
     assert again == approx
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_ivf_kmeans_tier_beats_bootstrap_recall(spark, sf_dir):
     """The seeded spark.ml KMeans quantizer (the production tier) must
     match or beat the deterministic bootstrap quantizer on mean
@@ -270,6 +271,7 @@ def test_ivf_kmeans_tier_beats_bootstrap_recall(spark, sf_dir):
     assert again == first_km
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_ivf_kmeans_dominates_on_clustered_corpus(spark):
     """Where the fitted quantizer actually earns its keep: on a
     CLUSTERED corpus (8 Gaussian blobs), nprobe=1 kmeans-IVF recall is
@@ -1350,6 +1352,7 @@ def test_quantize_int8_error_bounded_by_half_scale(spark, sf_dir):
     assert stats["c"] > 0.999
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_ngram_novelty_first_decile_is_all_novel(spark, sf_dir):
     """doc_id 0's grams are novel by definition, so decile 0's novelty
     is positive; deciles partition all gram-bearing docs; and
@@ -1842,6 +1845,7 @@ def test_rsi_atr_native_track_exact_kernels(spark, sf_dir):
     assert d < 1e-9, f"atr_14 native drift {d:.3e}"
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_knn_graph_search_recall_floor(spark, sf_dir):
     """The graph-probe ANN tier (llm/similarity.py:knn_graph_search over
     the union 4-plane/2-plane kNN graph) must clear a recall floor
@@ -1881,6 +1885,7 @@ def test_knn_graph_search_recall_floor(spark, sf_dir):
     assert recall_union >= recall_single, (recall_union, recall_single)
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_batch_graph_walk_matches_single_query_walks(spark, sf_dir):
     """r11 verdict Next #3 done-criterion: the set-oriented batch walk
     (llm/similarity.py:knn_graph_search_batch) must reproduce the

@@ -60,6 +60,7 @@ def _plan(spark, sf_dir, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_no_unsanctioned_python_udfs(spark, sf_dir):
     offenders = []
     for name, q in all_queries().items():
@@ -92,6 +93,7 @@ def test_filters_reach_the_scan(spark, sf_dir, name):
     )
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_registry_values_are_dataframes(spark, sf_dir):
     """Every query stays a DataFrame end to end — no .collect() inside
     builders (driver-side loops don't scale)."""

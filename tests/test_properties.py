@@ -67,6 +67,7 @@ def test_fix_ohlc_always_consistent(spark, rows):
     )
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_normalization_roundtrip_identity(spark, rows):
     """N4 ∘ N5 == identity (within float tolerance) for every method,
     including degenerate all-equal columns (zero range → 0 → constant)."""
@@ -303,6 +304,7 @@ def test_connected_components_matches_union_find(spark, edges):
     n_merges=st.integers(min_value=1, max_value=3),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_bpe_train_textbook_parity_on_random_corpora(spark, words, n_merges):
     """The merge table equals a pure-Python textbook BPE over ANY word
     multiset — including repeated-pair chains ('aaaa') and ties, the
@@ -357,6 +359,7 @@ def test_bpe_train_textbook_parity_on_random_corpora(spark, words, n_merges):
     cut_frac=st.floats(min_value=0.2, max_value=0.8),
 )
 @settings(**SETTINGS)
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_incremental_dedup_equals_restricted_full_set(spark, texts, cut_frac):
     """For ANY corpus and cutoff, incremental pairs == full pairs
     restricted to new-touching, at threshold 1.0."""

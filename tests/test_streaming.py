@@ -12,6 +12,7 @@ side).
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -151,6 +152,7 @@ def test_ml_features_channel_runs_in_foreachbatch(spark, sf_dir):
         assert r["signal"] == batch_map[key], f"stream/batch signal diverged at {key}"
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_pattern_alerts_channel_matches_batch_replay(spark, sf_dir):
     """ST1 pattern_alerts — the reference's 2 s alert channel
     (websocket_manager.py:29/:204/:450-473): the streaming face must
@@ -277,6 +279,7 @@ def test_corpus_gate_stream_matches_batch_gate(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_incremental_dedup_channel_matches_batch(spark, sf_dir):
     """The streaming incremental-dedup channel's accumulated pairs must
     equal the batch incremental result for the same cutoff."""
@@ -2603,6 +2606,7 @@ def test_knn_graph_channel_matches_batch_build(spark, sf_dir, tmp_path):
     )
 
 
+@pytest.mark.slow  # r15: slow lane (see pytest.ini)
 def test_knn_graph_channel_long_run_log_stays_bounded(
     spark, sf_dir, tmp_path
 ):
