@@ -321,6 +321,32 @@ def main() -> None:
             file=sys.stderr,
         )
     calib_start = calibration_probe()
+    # which build-once on-disk silvers are ALREADY WARM at bench start
+    # (r14 verdict Next #5): lane/headline numbers are exec-only, but a
+    # round that starts with a cold scratch root pays the builds in its
+    # silver_builds rows while a warm round pays none — recording the
+    # starting inventory makes lane round-over-round reads trustworthy
+    # without diffing mtimes.  Families (the slot-name prefix before
+    # the content fingerprint) go in the one-line JSON; full basenames
+    # in BENCH_DETAIL.
+    from streaming_forex_data_pipeline_spark.sources.scratch import (
+        user_scratch_root,
+    )
+
+    try:
+        warm_silver_names = sorted(os.listdir(user_scratch_root()))
+    except OSError:
+        warm_silver_names = []
+
+    def _family(n: str) -> str:
+        # content-addressed slots: prefix before the corpus path tag;
+        # mkdtemp scratch dirs: strip the random 8-char suffix
+        import re
+
+        n = n.split("_root_", 1)[0].split("_tmp_", 1)[0]
+        return re.sub(r"_[a-z0-9_]{8}$", "", n)
+
+    warm_families = sorted({_family(n) for n in warm_silver_names})
     spark = get_spark("sfdp-bench", cpus=cpus)
 
     qs = dict(plans.spark_queries(), **EXTRA)
@@ -434,6 +460,9 @@ def main() -> None:
         # divide any wall time by (calib / <reference calib>) before
         # comparing across rounds — see calibration_probe
         "calib": {"start_sec": calib_start, "end_sec": calib_end},
+        "value_per_calib": round(total / calib_start, 1)
+        if calib_start
+        else None,
         # coverage lane: single-run sf0.01 timings for every
         # registered query outside HEADLINE (see the slow-lane note
         # in main); never_timed must stay empty
@@ -447,6 +476,9 @@ def main() -> None:
         # above are exec-only (build seconds subtracted), so these
         # rows are where the one-time cost lives.
         "silver_builds": build_events,
+        # on-disk silver slots that existed BEFORE this run (full
+        # basenames; the one-line JSON carries the deduped families)
+        "warm_silvers_at_start": warm_silver_names,
     }
     # quiet-host gate (r12 verdict Next #7: the committed r12 sweep
     # started at loadavg 9.4, inflating the tail and muddying the
@@ -485,6 +517,19 @@ def main() -> None:
         "loadavg_start": detail["loadavg_start"],
         "loadavg_end": detail["loadavg_end"],
         "calib": detail["calib"],
+        # cross-machine readability (r14 verdict Next #5): the headline
+        # divided by the start calibration probe — the normalization
+        # every round-over-round comparison has had to do by hand.
+        # Dimensionless host-speed-adjusted seconds; compare THIS
+        # across rounds, the raw value only within a round.
+        "value_per_calib": round(total / calib_start, 1)
+        if calib_start
+        else None,
+        # deduped slot-name families warm on disk at bench start (full
+        # basenames in the detail file) — lane rows of a warm-start
+        # round pay no builds, a cold-start round's appear in
+        # silver_builds; this key says which kind of round this was
+        "warm_silver_families": warm_families,
         "n_slow_lane": len(slow_lane),
         "n_slow_lane_errors": len(lane_errors),
         "n_never_timed": len(never_timed),
