@@ -904,7 +904,13 @@ def histogram_quantiles(
     there clamps to lo/hi.
 
     The cumulative walk is a window over the n_bins+2-row sketch —
-    bins-sized, not corpus-sized."""
+    bins-sized, not corpus-sized.  All three running values (cum,
+    cum_before, and the total N) come from ONE window pass over the
+    same bin ordering (r15: N was a separate aggregate whose crossJoin
+    re-evaluated the whole sketch subtree — the n_bins+2-row frame was
+    being computed three times, and the 2.6 s measured cost of the
+    sf0.1 face was almost entirely stage latency; one pass + one
+    broadcast halves the stage count for the identical integers)."""
     from pyspark.sql import Window
 
     width = (hi - lo) / n_bins
@@ -918,15 +924,20 @@ def histogram_quantiles(
                 Window.unboundedPreceding, -1
             )
         ).alias("cum_before"),
+        # total N as a full-range window over the SAME sort — exact
+        # integer sum, identical to the old separate agg(sum) job
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
     ).withColumn("cum_before", F.coalesce("cum_before", F.lit(0).cast("long")))
-    total = sketch.agg(F.sum("c").alias("n"))
     qf = sketch.sparkSession.createDataFrame(
         [(float(q),) for q in qs], "q double"
     )
     target = F.ceil(F.col("q") * F.col("n")).cast("long")
     hit = (
-        qf.crossJoin(F.broadcast(total))
-        .crossJoin(cum.filter(F.col("c") > 0))
+        qf.crossJoin(F.broadcast(cum.filter(F.col("c") > 0)))
         .filter(
             (F.col("cum") >= target) & (F.col("cum_before") < target)
         )

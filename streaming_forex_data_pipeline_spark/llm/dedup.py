@@ -1529,7 +1529,17 @@ def cross_modal_clusters(
     # the registered query) execute a second time for ecnt
     edges = edges.localCheckpoint(eager=False)
     comp = connected_components(edges)
-    members = comp.join(
+    # comp is a checkpoint-backed frame with NO size statistics, so
+    # the planner sort-merge-joins it against the edge list even when
+    # it is tiny; counting the already-materialized checkpoint is
+    # metadata-cheap and gates a broadcast the same way the CC loop
+    # itself does (r15, guide §3.1 — measured size, not estimate)
+    bc = (
+        F.broadcast
+        if comp.count() <= _CC_BROADCAST_MAX_NODES
+        else (lambda f: f)
+    )
+    members = bc(comp).join(
         docs.select(F.col("doc_id").alias("node"), quality_col), "node"
     )
     agg = members.groupBy("cluster_id").agg(
@@ -1543,7 +1553,7 @@ def cross_modal_clusters(
     )
     ecnt = (
         edges.join(
-            comp.withColumnRenamed("node", "doc_a"), "doc_a"
+            bc(comp.withColumnRenamed("node", "doc_a")), "doc_a"
         )
         .groupBy("cluster_id")
         .agg(
