@@ -528,8 +528,12 @@ def main() -> None:
         # deduped slot-name families warm on disk at bench start (full
         # basenames in the detail file) — lane rows of a warm-start
         # round pay no builds, a cold-start round's appear in
-        # silver_builds; this key says which kind of round this was
-        "warm_silver_families": warm_families,
+        # silver_builds; this key says which kind of round this was.
+        # CAPPED so a scratch root full of session temp dirs can never
+        # push the summary line past the 1500-char capture guard and
+        # fail the whole bench.
+        "warm_silver_families": warm_families[:16]
+        + ([f"+{len(warm_families) - 16} more"] if len(warm_families) > 16 else []),
         "n_slow_lane": len(slow_lane),
         "n_slow_lane_errors": len(lane_errors),
         "n_never_timed": len(never_timed),
